@@ -1,24 +1,97 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver-run per round -> BENCH_r{N}.json).
+  *
+  * Headline: extraction throughput (docs/sec) over the deterministic
+  * synthesized corpus — the engine's actual workload — plus wall times for
+  * every `SparkEntry.queries` entry on `SPARK_GRAFT_SF_DIR`.
+  *
+  * Scaling evidence (BASELINE.md protocol) is produced by `graft.Scaling`,
+  * which runs the same extraction job at local[8] and local[32].
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "20000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    import spark.implicits._
+
+    def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // headline: extraction docs/sec on the synthesized corpus
+    val (_, extractSec) = time {
+      val pages = spark.range(benchDocs).as[Long].map(graft.pipeline.Corpus.row(42L)).toDF()
+      graft.pipeline.ExtractJob.extract(
+        graft.pipeline.ExtractJob.saltedRepartition(spark, pages, cpus.toInt * 2))
+        .filter(_.status == "ok").count()
+    }
+    val docsPerSec = benchDocs / extractSec
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (_, sec) = time {
+        try fn(spark, sfDir).count()
+        catch { case _: Throwable => -1L }
+      }
+      name -> sec
+    }
+    val qs = (results :+ ("x00_extract_bench" -> extractSec))
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + extractSec
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""docs_per_sec":${docsPerSec.round},"bench_docs":$benchDocs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+}
+
+/** Two-parallelism scaling evidence (BASELINE.md): same seeded corpus at
+  * local[8] and local[32]; reports docs/sec at both + efficiency
+  * = (docs/s @32) / (4 x docs/s @8). Run: `sbt "runMain graft.Scaling"`. */
+object Scaling {
+  def main(args: Array[String]): Unit = {
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "20000").toLong
+    def runAt(cores: Int): Double = {
+      val spark = SparkSession.builder()
+        .master(s"local[$cores]")
+        .config("spark.sql.shuffle.partitions", cores)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      import spark.implicits._
+      // warmup (JIT + codegen), then measured run
+      val rate = Seq(2000L, benchDocs).map { n =>
+        val t0 = System.nanoTime()
+        val pages = spark.range(n).as[Long].map(graft.pipeline.Corpus.row(42L)).toDF()
+        graft.pipeline.ExtractJob.extract(
+          graft.pipeline.ExtractJob.saltedRepartition(spark, pages, cores * 2))
+          .filter(_.status == "ok").count()
+        n / ((System.nanoTime() - t0) / 1e9)
+      }.last
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      rate
+    }
+    val r8 = runAt(8)
+    val r32 = runAt(32)
+    val eff = r32 / (4.0 * r8)
+    println(f"""{"docs_per_sec_local8":${r8}%.1f,"docs_per_sec_local32":${r32}%.1f,"scaling_efficiency":$eff%.3f,"bench_docs":$benchDocs}""")
   }
 }

@@ -1,13 +1,189 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, SimSearch, TextOps}
+import graft.pipeline.{Corpus, ExtractJob}
+
+/** Driver contract: one `queries` entry per implemented operator family
+  * (SURVEY.md §2 + training-data ops), with DuckDB-runnable oracle SQL where
+  * the semantics are ANSI-SQL-expressible. Extraction queries run over the
+  * deterministically synthesized corpus (no external data) and are
+  * rows-only-checked plus gated by the golden-diff ScalaTest suite.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(sfDir: String, name: String) = s"$sfDir/$name.parquet"
+
+  private def docs(s: SparkSession, dir: String): DataFrame = s.read.parquet(t(dir, "documents"))
+  private def emb(s: SparkSession, dir: String): DataFrame = s.read.parquet(t(dir, "embeddings"))
+
+  /** Flagship: extraction pipeline over a synthesized 300-row corpus,
+    * joined against golden. Driver smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val pages = spark.range(300).as[Long].map(Corpus.row(42L)).toDF()
+    val extracted = ExtractJob.extract(ExtractJob.saltedRepartition(spark, pages, 8)).toDF()
+    val golden = spark.range(300).as[Long].map(Corpus.golden(42L)).toDF("url", "expected_text")
+    ExtractJob.goldenDiff(extracted, golden)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational shell over driver tables (DuckDB-verified) ----
+    "q01_lineitem_agg" -> ((s, dir) => {
+      s.read.parquet(t(dir, "lineitem"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_cents"),
+          count(lit(1)).as("n_rows"))
+    }),
+    "q02_revenue_by_nation" -> ((s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+      val o = s.read.parquet(t(dir, "orders"))
+      val c = s.read.parquet(t(dir, "customer"))
+      val n = s.read.parquet(t(dir, "nation"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000).cast("long"))
+            .as("revenue_e4"),
+          count(lit(1)).as("n_items"))
+    }),
+    "q03_supplier_top_line" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = s.read.parquet(t(dir, "lineitem"))
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_quantity").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      li.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"))
+    }),
+    "q04_events_rollup" -> ((s, dir) => {
+      s.read.parquet(t(dir, "events"))
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(round(col("value") * 1000).cast("long")).as("sum_value_e3"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+    // ---- dedup family ----
+    "q05_dedup_exact" -> ((s, dir) => {
+      docs(s, dir).groupBy(col("text"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"), length(col("text")).cast("long").as("text_len"))
+    }),
+    "q06_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir))),
+    "q07_simhash_neardups" -> ((s, dir) => Dedup.simhashNearDups(docs(s, dir))),
+    "q08_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardDups(docs(s, dir), 0.8)),
+    "q09_embedding_neardups" -> ((s, dir) => Dedup.embeddingNearDups(emb(s, dir), 0.2)),
+    // ---- text analysis ----
+    "q10_text_stats" -> ((s, dir) => TextOps.stats(docs(s, dir))),
+    "q11_lang_stats" -> ((s, dir) => {
+      docs(s, dir).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+    }),
+    "q12_langid_fingerprint" -> ((s, dir) => TextOps.withLangAndFingerprint(docs(s, dir))),
+    "q13_quality" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))),
+    // ---- similarity search ----
+    "q14_simsearch_brute" -> ((s, dir) => SimSearch.bruteForceTopK(emb(s, dir), 5, 10)),
+    "q15_simsearch_lsh" -> ((s, dir) => SimSearch.lshTopK(emb(s, dir), 5, 10)),
+    // ---- extraction pipeline (synthesized corpus; rows-only + sbt test gate) ----
+    "x16_extract" -> ((s, dir) => {
+      import s.implicits._
+      val pages = s.range(400).as[Long].map(Corpus.row(42L)).toDF()
+      ExtractJob.extract(ExtractJob.saltedRepartition(s, pages, 16))
+        .toDF()
+        .select(col("url"), col("status"), col("kind"), col("bytes_in"), col("chars_out"))
+    }),
+    "x17_golden_diff" -> ((s, dir) => {
+      import s.implicits._
+      val pages = s.range(400).as[Long].map(Corpus.row(42L)).toDF()
+      val extracted = ExtractJob.extract(ExtractJob.saltedRepartition(s, pages, 16)).toDF()
+      val golden = s.range(400).as[Long].map(Corpus.golden(42L)).toDF("url", "expected_text")
+      ExtractJob.goldenDiff(extracted, golden)
+        .select(col("url"), col("matches"))
+    }))
+
+  /** DuckDB oracles. Column names/aliases match the Spark plans exactly
+    * (the driver sorts columns by name before hashing). Money/double sums
+    * are projected to integers (cents / e3 / e4) so both engines sum
+    * exactly; per-row rounding is deterministic in both. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  cast(sum(cast(l_quantity AS bigint)) AS bigint) AS sum_qty,
+        |  cast(sum(cast(round(l_extendedprice * 100) AS bigint)) AS bigint) AS sum_price_cents,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_revenue_by_nation" ->
+      """SELECT n_name,
+        |  cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 10000) AS bigint)) AS bigint) AS revenue_e4,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q03_supplier_top_line" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, cast(l_quantity AS bigint) AS qty
+        |FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_quantity DESC, l_orderkey ASC, l_linenumber ASC) AS rn
+        |  FROM lineitem) WHERE rn = 1""".stripMargin,
+    "q04_events_rollup" ->
+      """SELECT event_type, cast(ts AS date) AS day,
+        |  count(*) AS n_events,
+        |  cast(sum(cast(round(value * 1000) AS bigint)) AS bigint) AS sum_value_e3,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type, cast(ts AS date)""".stripMargin,
+    "q05_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, length(text) AS text_len
+        |FROM documents GROUP BY text""".stripMargin,
+    "q11_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs, cast(sum(n_chars) AS bigint) AS total_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q10_text_stats" ->
+      """SELECT doc_id,
+        |  length(text) AS text_len,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+        |  len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      w -> w IN ('the','a','an','and','or','of','to','in','is','it',
+        |                 'that','on','for','with','as','at','by','this'))) AS n_stopwords,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |       ELSE round(cast(length(regexp_replace(text, '\s+', '', 'g')) AS double)
+        |            / len(regexp_split_to_array(trim(text), '\s+')), 6) END AS mean_word_len
+        |FROM documents""".stripMargin,
+    "q09_embedding_neardups" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) *
+        |         list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) *
+        |         list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) >= 0.2""".stripMargin,
+    "q14_simsearch_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS query_emb
+        |           FROM embeddings ORDER BY vec_id LIMIT 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_inner_product(q.query_emb::DOUBLE[], e.embedding::DOUBLE[]) /
+        |      sqrt(list_inner_product(q.query_emb::DOUBLE[], q.query_emb::DOUBLE[]) *
+        |           list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS cos_raw
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cos_raw,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_raw DESC, vec_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, vec_id AS neighbor_id, cast(rank AS bigint) AS rank, round(cos_raw, 6) AS cosine
+        |FROM ranked WHERE rank <= 10""".stripMargin)
 }

@@ -1,0 +1,261 @@
+package graft.core.html
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Main-content extraction for HTML pages: DOM-tree boilerplate stripping
+  * via text-density and tag-heuristic scoring.
+  *
+  * There is NO reference implementation for this path — the reference
+  * (kasha13/pdf_extract) is PDF-only. The algorithm here is designed from
+  * scratch per BASELINE.json's north_rule ("DOM-tree boilerplate stripping
+  * via text-density and tag-heuristic scoring") and is fully deterministic
+  * so the golden-diff harness applies:
+  *
+  *  1. tokenize: tags / text / comments / raw-text elements (script, style);
+  *  2. build a block tree on block-level elements, tolerating unclosed tags;
+  *  3. score each block: text density (chars per tag), link density, and a
+  *     tag prior (article/main/p boosted; nav/header/footer/aside/form
+  *     penalized, inherited by descendants);
+  *  4. keep blocks scoring above threshold; emit their text joined by
+  *     '\n' plus (start, end) char-offset spans.
+  */
+object HtmlExtract {
+
+  final case class Block(text: String, tagPath: String, score: Float)
+  final case class Result(text: String, blocks: Vector[Block])
+
+  private val blockTags = Set(
+    "p", "div", "article", "section", "main", "li", "ul", "ol", "td", "th",
+    "tr", "table", "h1", "h2", "h3", "h4", "h5", "h6", "blockquote", "pre",
+    "header", "footer", "nav", "aside", "form", "body", "figcaption", "dd", "dt")
+
+  private val dropTags = Set("script", "style", "noscript", "template", "svg", "head", "iframe")
+  private val rawTextTags = Set("script", "style", "noscript", "template")
+  private val penaltyTags = Set("nav", "header", "footer", "aside", "form")
+  private val boostTags = Set("article", "main", "p", "h1", "h2", "h3", "blockquote", "pre")
+
+  private val namedEntities = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+    "nbsp" -> " ", "mdash" -> "—", "ndash" -> "–",
+    "hellip" -> "…", "copy" -> "©", "reg" -> "®",
+    "laquo" -> "«", "raquo" -> "»", "deg" -> "°",
+    "lsquo" -> "‘", "rsquo" -> "’", "ldquo" -> "“", "rdquo" -> "”")
+
+  def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 10) {
+          val name = s.substring(i + 1, semi)
+          if (name.startsWith("#x") || name.startsWith("#X")) {
+            try {
+              sb.appendAll(Character.toChars(Integer.parseInt(name.substring(2), 16)))
+              i = semi
+            } catch { case _: Exception => sb.append(c) }
+          } else if (name.startsWith("#")) {
+            try {
+              sb.appendAll(Character.toChars(Integer.parseInt(name.substring(1))))
+              i = semi
+            } catch { case _: Exception => sb.append(c) }
+          } else namedEntities.get(name) match {
+            case Some(v) => sb.append(v); i = semi
+            case None => sb.append(c)
+          }
+        } else sb.append(c)
+      } else sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  private final class BlockAcc(val tag: String, val depth: Int, val penalized: Boolean) {
+    val text = new StringBuilder
+    var tagCount = 0 // descendant tags seen inside this block
+    var linkChars = 0
+    var ownBlock = false // has direct text (not only via child blocks)
+  }
+
+  sealed trait Tok
+  final case class TText(t: String) extends Tok
+  final case class TOpen(name: String, selfClosing: Boolean) extends Tok
+  final case class TClose(name: String) extends Tok
+
+  /** tolerant tokenizer: handles comments, doctype, raw-text elements,
+    * attribute quoting, unterminated tags */
+  def tokenize(html: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) {
+        if (i < n) out += TText(html.substring(i))
+        i = n
+      } else {
+        if (lt > i) out += TText(html.substring(i, lt))
+        if (lt + 1 >= n) i = n
+        else if (html.startsWith("<!--", lt)) {
+          val end = html.indexOf("-->", lt + 4)
+          i = if (end < 0) n else end + 3
+        } else if (html.charAt(lt + 1) == '!' || html.charAt(lt + 1) == '?') {
+          val end = html.indexOf('>', lt + 1)
+          i = if (end < 0) n else end + 1
+        } else if (html.charAt(lt + 1) == '/') {
+          val end = html.indexOf('>', lt + 2)
+          if (end < 0) i = n
+          else {
+            val name = html.substring(lt + 2, end).trim.toLowerCase
+            out += TClose(name.takeWhile(c => c.isLetterOrDigit))
+            i = end + 1
+          }
+        } else if (html.charAt(lt + 1).isLetter) {
+          // find tag end respecting quoted attributes
+          var j = lt + 1
+          var inQuote: Char = 0
+          var end = -1
+          while (j < n && end < 0) {
+            val c = html.charAt(j)
+            if (inQuote != 0) { if (c == inQuote) inQuote = 0 }
+            else if (c == '"' || c == '\'') inQuote = c
+            else if (c == '>') end = j
+            j += 1
+          }
+          if (end < 0) i = n
+          else {
+            val inner = html.substring(lt + 1, end)
+            val name = inner.takeWhile(c => c.isLetterOrDigit).toLowerCase
+            val selfClosing = inner.endsWith("/") || voidTags.contains(name)
+            out += TOpen(name, selfClosing)
+            i = end + 1
+            // raw-text elements: skip to the matching close tag verbatim
+            if (!selfClosing && rawTextTags.contains(name)) {
+              val closeIdx = html.toLowerCase.indexOf(s"</$name", i)
+              if (closeIdx < 0) i = n
+              else {
+                val gt = html.indexOf('>', closeIdx)
+                out += TClose(name)
+                i = if (gt < 0) n else gt + 1
+              }
+            }
+          }
+        } else {
+          out += TText("<")
+          i = lt + 1
+        }
+      }
+    }
+    out.result()
+  }
+
+  private val voidTags = Set("br", "hr", "img", "input", "meta", "link", "area",
+    "base", "col", "embed", "source", "track", "wbr")
+
+  /** threshold on the block score; blocks >= keep, < drop */
+  final val SCORE_THRESHOLD = 10f
+
+  def extract(html: String): Result = {
+    val toks = tokenize(html)
+    val blocks = ArrayBuffer.empty[(String, String, Float)] // (text, path, score)
+    // stack of open blocks; a synthetic root collects stray text
+    val root = new BlockAcc("root", 0, penalized = false)
+    val stack = ArrayBuffer(root)
+    val tagPath = ArrayBuffer.empty[String]
+    var dropDepth = 0
+    var linkDepth = 0
+
+    def scoreAndEmit(b: BlockAcc): Unit = {
+      val raw = b.text.toString
+      val text = normalizeWs(raw)
+      if (text.nonEmpty) {
+        val chars = text.length
+        val density = chars.toFloat / (1 + b.tagCount)
+        val linkDensity = if (chars == 0) 0f else math.min(1f, b.linkChars.toFloat / chars)
+        val prior =
+          if (b.penalized) 0.25f
+          else if (boostTags.contains(b.tag)) 2.0f
+          else 1.0f
+        val score = density * prior * (1.0f - 0.75f * linkDensity)
+        blocks += ((text, b.tag, score))
+      }
+    }
+
+    def closeBlock(): Unit = {
+      val b = stack.remove(stack.length - 1)
+      scoreAndEmit(b)
+      if (stack.nonEmpty) stack.last.tagCount += b.tagCount + 1
+    }
+
+    toks.foreach {
+      case TText(t) =>
+        if (dropDepth == 0) {
+          val decoded = decodeEntities(t)
+          stack.last.text.append(decoded)
+          if (linkDepth > 0) stack.last.linkChars += normalizeWs(decoded).length
+        }
+      case TOpen(name, selfClosing) =>
+        if (dropTags.contains(name) && !selfClosing && !voidTags.contains(name)) dropDepth += 1
+        else if (dropDepth == 0) {
+          if (name == "a" && !selfClosing) linkDepth += 1
+          if (name == "br") stack.last.text.append('\n')
+          if (blockTags.contains(name) && !selfClosing) {
+            val penalized = stack.last.penalized || penaltyTags.contains(name)
+            stack += new BlockAcc(name, stack.length, penalized)
+          } else if (!selfClosing) {
+            stack.last.tagCount += 1
+          }
+        }
+      case TClose(name) =>
+        if (dropTags.contains(name)) { if (dropDepth > 0) dropDepth -= 1 }
+        else if (dropDepth == 0) {
+          if (name == "a") { if (linkDepth > 0) linkDepth -= 1 }
+          if (blockTags.contains(name)) {
+            // close up to the matching open block (tolerates misnesting)
+            val idx = stack.lastIndexWhere(_.tag == name)
+            if (idx > 0) {
+              while (stack.length > idx) closeBlock()
+            }
+          }
+        }
+    }
+    while (stack.length > 1) closeBlock()
+    scoreAndEmit(root)
+
+    val kept = blocks.filter(_._3 >= SCORE_THRESHOLD)
+    val sb = new StringBuilder
+    val spans = Vector.newBuilder[Block]
+    kept.foreach { case (text, path, score) =>
+      if (sb.nonEmpty) sb.append('\n')
+      sb.append(text)
+      spans += Block(text, path, score)
+    }
+    Result(sb.toString, spans.result())
+  }
+
+  /** collapse whitespace runs to single spaces, preserving explicit newlines */
+  def normalizeWs(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    var pendingSpace = false
+    var pendingNewline = false
+    var started = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\n') { pendingNewline = true; pendingSpace = false }
+      else if (c.isWhitespace || c == ' ') { if (!pendingNewline) pendingSpace = true }
+      else {
+        if (pendingNewline && started) sb.append('\n')
+        else if (pendingSpace && started) sb.append(' ')
+        pendingNewline = false
+        pendingSpace = false
+        started = true
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  *  - `bruteForceTopK` is the exactness baseline: broadcast the (small) query
+  *    set, score every row with a codegen'd `aggregate(zip_with(...))` dot
+  *    product, window-rank per query. One narrow scan + one tiny shuffle on
+  *    query_id.
+  *  - `lshTopK` is the scale path: random-hyperplane signatures bucket both
+  *    sides (computed executor-locally, one pass); only same-bucket pairs
+  *    are scored. At 100 TB the per-query work drops from a full scan to
+  *    |bucket|-sized probes, and the bucket join shuffles 16-byte rows.
+  */
+object SimSearch {
+
+  /** cosine similarity of two float-array columns, computed in double with
+    * index-ordered sums (deterministic; matches the DuckDB oracle formula) */
+  def cosineCol(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+  }
+
+  /** exact top-k neighbors for the `nQueries` lowest vec_ids (excluding self).
+    * Output: (query_id, neighbor_id, rank, cosine) */
+  def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val queries = e.orderBy("vec_id").limit(nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+    val scored = e.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosineCol(col("query_emb"), col("embedding")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank").cast("long").as("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** deterministic pseudo-gaussian hyperplanes: planes(j)(i) in [-1,1] */
+  private[ops] def planes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(nBits, dim) { (j, i) =>
+      var z = seed + (j.toLong << 32) + i * 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^= (z >>> 31)
+      z.toDouble / Long.MaxValue.toDouble
+    }
+
+  /** sign-pattern signature of one vector under one plane table */
+  private[ops] def signature(emb: Seq[Float], table: Array[Array[Double]]): Long = {
+    var sig = 0L
+    var j = 0
+    while (j < table.length) {
+      val plane = table(j)
+      var dot = 0.0
+      var i = 0
+      val n = math.min(plane.length, emb.length)
+      while (i < n) { dot += emb(i) * plane(i); i += 1 }
+      if (dot >= 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  /** (vec_id, table, bucket) rows — one narrow pass, nTables rows per vector */
+  def lshBuckets(
+      embeddings: DataFrame,
+      nBits: Int = 12,
+      nTables: Int = 4,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val tables = Array.tabulate(nTables)(t => planes(nBits, dim, seed + t))
+    embeddings.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .flatMap { case (id, emb) =>
+        tables.iterator.zipWithIndex.map { case (tab, t) => (id, t, signature(emb, tab)) }
+      }
+      .toDF("vec_id", "table", "bucket")
+  }
+
+  /** ANN via LSH buckets: score only same-(table,bucket) candidates. */
+  def lshTopK(
+      embeddings: DataFrame,
+      nQueries: Int = 5,
+      k: Int = 10,
+      nBits: Int = 12,
+      nTables: Int = 4,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val buckets = lshBuckets(embeddings, nBits, nTables, dim, seed)
+    val queries = e.orderBy("vec_id").limit(nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+    val qBuckets = buckets.join(
+      queries.select(col("query_id")), col("vec_id") === col("query_id"))
+      .select(col("query_id"), col("table"), col("bucket"))
+    val candidates = buckets.join(broadcast(qBuckets), Seq("table", "bucket"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val scored = candidates
+      .join(e, "vec_id")
+      .join(broadcast(queries), "query_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosineCol(col("query_emb"), col("embedding")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank").cast("long").as("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+object SparkFixture {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+/** Golden-corpus diff suite (BASELINE.md correctness gate): full-outer join
+  * on url, byte-equality of extracted_text, zero missing/extra. */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkFixture.spark
+
+  test("kernel golden diff: 300 synthesized pages, 0 mismatches") {
+    // kernel-level check (no Spark): every row's extraction equals golden
+    val bad = (0L until 300L).flatMap { i =>
+      val row = Corpus.row(42L)(i)
+      val out = ExtractKernel.extractOne(row)
+      val (_, expected) = Corpus.golden(42L)(i)
+      if (out.status != "ok") Some((i, s"status=${out.status}"))
+      else if (out.extracted_text != expected)
+        Some((i, s"mismatch:\n--- got ---\n${out.extracted_text.take(300)}\n--- want ---\n${expected.take(300)}"))
+      else None
+    }
+    assert(bad.isEmpty, s"${bad.size} mismatches; first: ${bad.headOption}")
+  }
+
+  test("spark golden diff: full-outer join, all match, no missing/extra") {
+    import spark.implicits._
+    val pages = spark.range(200).as[Long].map(Corpus.row(42L)).toDF()
+    val extracted = ExtractJob.extract(ExtractJob.saltedRepartition(spark, pages, 8)).toDF()
+    val golden = spark.range(200).as[Long].map(Corpus.golden(42L)).toDF("url", "expected_text")
+    val diff = ExtractJob.goldenDiff(extracted, golden)
+    assert(diff.count() == 200)
+    assert(diff.filter(!org.apache.spark.sql.functions.col("matches")).count() == 0)
+  }
+
+  test("skewed oversize row extracts and does not error") {
+    val big = Corpus.row(42L)(Corpus.SKEW_EVERY.toLong)
+    assert(big.html.length > 10 * Corpus.row(42L)(1L).html.length)
+    val out = ExtractKernel.extractOne(big)
+    assert(out.status == "ok")
+    assert(out.extracted_text == Corpus.golden(42L)(Corpus.SKEW_EVERY.toLong)._2)
+  }
+
+  test("run(): lineage written per bucket; resume skips done buckets") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-job").toString
+    val pages = spark.range(60).as[Long].map(Corpus.row(42L)).toDF()
+    val (resultsPath, lineagePath) = ExtractJob.run(spark, pages, dir, nBuckets = 4, partitions = 4)
+    val results = spark.read.parquet(resultsPath)
+    assert(results.count() == 60)
+    val lineage = spark.read.parquet(lineagePath)
+    val buckets1 = lineage.select("warc_bucket").distinct().count()
+    assert(buckets1 >= 1)
+    // resume: re-run is a no-op (no new lineage rows)
+    ExtractJob.run(spark, pages, dir, nBuckets = 4, partitions = 4)
+    val lineage2 = spark.read.parquet(lineagePath)
+    assert(lineage2.count() == lineage.count())
+  }
+
+  test("quarantine: corrupt pdf rows get err status, job survives") {
+    import spark.implicits._
+    val rows = Seq(
+      PageRow("u1", new java.sql.Timestamp(0), "%PDF-1.4 truncated garbage".getBytes, "", "en"),
+      PageRow("u2", new java.sql.Timestamp(0), Corpus.pdfPayload(42L, 11L), "", "en"))
+    val out = ExtractJob.extract(rows.toDS()).collect()
+    assert(out.find(_.url == "u1").get.status.startsWith("err:"))
+    assert(out.find(_.url == "u2").get.status == "ok")
+  }
+}
