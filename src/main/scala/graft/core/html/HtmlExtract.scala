@@ -36,7 +36,7 @@ object HtmlExtract {
 
   private val namedEntities = Map(
     "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
-    "nbsp" -> " ", "mdash" -> "—", "ndash" -> "–",
+    "nbsp" -> " ", "mdash" -> "—", "ndash" -> "–",
     "hellip" -> "…", "copy" -> "©", "reg" -> "®",
     "laquo" -> "«", "raquo" -> "»", "deg" -> "°",
     "lsquo" -> "‘", "rsquo" -> "’", "ldquo" -> "“", "rdquo" -> "”")
