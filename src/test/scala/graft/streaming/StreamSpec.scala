@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.SparkFixture
+import StreamOps._
+
+class StreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    new Timestamp(1577836800000L + minute * 60000L + sec * 1000L)
+
+  test("watermarked windowed counts over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val agg = windowedCounts(input.toDF())
+    val q = agg.writeStream.format("memory").queryName("win_counts")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        Event(1, ts(0, 10), 1, "click", 1.0),
+        Event(2, ts(0, 40), 2, "click", 2.0),
+        Event(3, ts(1, 5), 1, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts").collect()
+      val clicks = rows.find(r => r.getAs[String]("event_type") == "click").get
+      assert(clicks.getAs[Long]("n_events") == 2L)
+      assert(clicks.getAs[Timestamp]("window_start") == ts(0))
+    } finally q.stop()
+  }
+
+  test("sessionization groups events within the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = sessionize(input.toDS(), gapMs = 5 * 60000L)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 2min apart (one session), then one 60min later (new session)
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(2), 1, "view", 1.0),
+        Event(3, ts(62), 1, "click", 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions").collect()
+      // the first session closes when the 62-min event arrives in the same batch
+      assert(closed.length == 1)
+      assert(closed(0).getAs[Long]("n_events") == 2L)
+      assert(closed(0).getAs[Timestamp]("start") == ts(0))
+      assert(closed(0).getAs[Timestamp]("end") == ts(2))
+    } finally q.stop()
+  }
+
+  test("streaming extraction: file-source pages through the same kernel") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream-pages").toString
+    val out = java.nio.file.Files.createTempDirectory("stream-out").toString
+    val pages = spark.range(20).as[Long].map(graft.pipeline.Corpus.row(42L)).toDF()
+    pages.write.mode("overwrite").parquet(s"$dir/batch0")
+    val extracted = streamingExtract(spark, s"$dir/batch0", pages.schema)
+    val q = extracted.writeStream.format("memory").queryName("stream_extract")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("stream_extract").collect()
+      assert(rows.length == 20)
+      assert(rows.forall(_.getAs[String]("status") == "ok"))
+    } finally q.stop()
+  }
+}
