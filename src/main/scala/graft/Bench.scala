@@ -20,6 +20,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
@@ -69,25 +70,43 @@ object Bench {
   * one JVM (quick look, efficiency inflated by shared warmup). */
 object Scaling {
   def main(args: Array[String]): Unit = {
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "20000").toLong
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "150000").toLong
+    val corpusDir = sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR", "/dev/shm/graft-bench-corpus")
     def runAt(cores: Int): Double = {
       val spark = SparkSession.builder()
         .master(s"local[$cores]")
         .config("spark.sql.shuffle.partitions", cores)
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+        // default 64MB advisory would coalesce the bench corpus into a few
+        // post-shuffle partitions and serialize the kernel stage; 4MB keeps
+        // bench-scale partitions parallel and is a no-op at real scale
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+        .config("spark.local.dir", "/dev/shm/graft-spark-local") // VM disk is noisy
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       import spark.implicits._
-      // warmup at full load (JIT + codegen settle), then the measured run
-      val rate = Seq(benchDocs, benchDocs).map { n =>
+      // materialize the corpus ONCE (generator cost excluded from the
+      // measurement; the engine's job shape is read-table -> extract)
+      val dir = s"$corpusDir-$benchDocs"
+      if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+        spark.range(benchDocs).repartition(32).as[Long]
+          .map(graft.pipeline.Corpus.row(42L)).toDF()
+          .write.mode("overwrite").parquet(dir) // fixed file layout across levels
+      }
+      def once(): Double = {
         val t0 = System.nanoTime()
-        val pages = spark.range(n).as[Long].map(graft.pipeline.Corpus.row(42L)).toDF()
+        val pages = spark.read.parquet(dir)
         graft.pipeline.ExtractJob.extract(
           graft.pipeline.ExtractJob.saltedRepartition(spark, pages, cores * 2))
           .filter(_.status == "ok").count()
-        n / ((System.nanoTime() - t0) / 1e9)
-      }.last
+        benchDocs / ((System.nanoTime() - t0) / 1e9)
+      }
+      once() // warmup at full load (JIT + codegen settle)
+      // median of N: this sandbox VM shows multi-x CPU-steal variance
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "3").toInt
+      val rates = (1 to reps).map(_ => once()).sorted
+      val rate = rates(rates.size / 2)
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -100,6 +100,12 @@ object SparkEntry {
         .toDF()
         .select(col("url"), col("status"), col("kind"), col("bytes_in"), col("chars_out"))
     }),
+    "q18_multimodal" -> ((s, dir) => {
+      import graft.ops.Multimodal
+      Multimodal.extractFeatures(Multimodal.synthetic(s, 500)).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("mean_luma"),
+          col("rms"), col("phash"))
+    }),
     "x17_golden_diff" -> ((s, dir) => {
       import s.implicits._
       val pages = s.range(400).as[Long].map(Corpus.row(42L)).toDF()
