@@ -173,11 +173,13 @@ object Dedup {
     * correctness baseline — the scale path is SimSearch.lshBuckets. */
   def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.95): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding"))
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      .withColumn("self_dot", SimSearch.dotCol(col("embedding"), col("embedding")))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("self_dot").as("dot_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("self_dot").as("dot_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", SimSearch.cosineCol(col("emb_a"), col("emb_b")))
+      .withColumn("cosine",
+        SimSearch.cosineWithNorms(col("emb_a"), col("emb_b"), col("dot_a"), col("dot_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }

@@ -17,25 +17,34 @@ import org.apache.spark.sql.functions._
   */
 object SimSearch {
 
-  /** cosine similarity of two float-array columns, computed in double with
-    * index-ordered sums (deterministic; matches the DuckDB oracle formula) */
-  def cosineCol(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
-  }
+  /** index-ordered double dot product (deterministic; matches the DuckDB
+    * oracle's list_inner_product on ::DOUBLE[] exactly) */
+  def dotCol(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** cosine similarity of two float-array columns */
+  def cosineCol(a: Column, b: Column): Column =
+    dotCol(a, b) / sqrt(dotCol(a, a) * dotCol(b, b))
+
+  /** cosine with precomputed self-dots (3x fewer array passes per pair;
+    * bit-identical to cosineCol since dot(v,v) is deterministic) */
+  def cosineWithNorms(a: Column, b: Column, dotAA: Column, dotBB: Column): Column =
+    dotCol(a, b) / sqrt(dotAA * dotBB)
 
   /** exact top-k neighbors for the `nQueries` lowest vec_ids (excluding self).
     * Output: (query_id, neighbor_id, rank, cosine) */
   def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = embeddings.select(col("vec_id"), col("embedding"))
+      .withColumn("self_dot", dotCol(col("embedding"), col("embedding")))
     val queries = e.orderBy("vec_id").limit(nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"),
+        col("self_dot").as("q_dot"))
     val scored = e.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cosineCol(col("query_emb"), col("embedding")))
+      .withColumn("cosine",
+        cosineWithNorms(col("query_emb"), col("embedding"), col("q_dot"), col("self_dot")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -110,7 +119,10 @@ object SimSearch {
       .join(e, "vec_id")
       .join(broadcast(queries), "query_id")
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cosineCol(col("query_emb"), col("embedding")))
+      .withColumn("cosine",
+        cosineWithNorms(col("query_emb"), col("embedding"),
+          dotCol(col("query_emb"), col("query_emb")),
+          dotCol(col("embedding"), col("embedding"))))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
