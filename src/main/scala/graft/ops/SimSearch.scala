@@ -18,10 +18,9 @@ import org.apache.spark.sql.functions._
 object SimSearch {
 
   /** index-ordered double dot product (deterministic; matches the DuckDB
-    * oracle's list_inner_product on ::DOUBLE[] exactly) */
-  def dotCol(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    * oracle's list_inner_product on ::DOUBLE[] exactly). Custom codegen'd
+    * Catalyst expression — see graft.functions.DotProduct. */
+  def dotCol(x: Column, y: Column): Column = graft.functions.DotProduct(x, y)
 
   /** cosine similarity of two float-array columns */
   def cosineCol(a: Column, b: Column): Column =
