@@ -1,0 +1,119 @@
+package graft.core.pdf
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.fixtures.PdfBuilder._
+import graft.fixtures.PdfBuilderAdvanced._
+
+/** Remaining fixture-matrix rows: Type3 fonts, MacRoman/Standard encodings,
+  * CJK charsets, malformed-PDF robustness (quarantine, never hang). */
+class EdgeCaseSpec extends AnyFunSuite {
+
+  private def extract(pdf: Array[Byte]): String =
+    new String(PdfExtract.pdf2txt(pdf), java.nio.charset.StandardCharsets.UTF_8)
+
+  private def simpleContent(text: String): Array[Byte] =
+    bytes(s"BT\n/F1 12 Tf\n72 720 Td\n($text) Tj\nET\n")
+
+  test("Type3 font: FontMatrix scales widths, Differences decode") {
+    val widths = (32 to 126).map(_ => "500").mkString(" ")
+    val font = ObjSpec(5,
+      "<< /Type /Font /Subtype /Type3 /FontMatrix [0.001 0 0 0.001 0 0] " +
+        "/FontBBox [0 -200 1000 800] /CharProcs << >> " +
+        s"/FirstChar 32 /LastChar 126 /Widths [$widths] " +
+        "/Encoding << /Type /Encoding /Differences [65 /Z] >> >>")
+    val pdf = onePage(simpleContent("AB type3"), Map("/F1" -> 5), Seq(font))
+    // code 65 remapped to /Z over the Standard base table
+    assert(extract(pdf) == "ZB type3\n")
+  }
+
+  test("MacRomanEncoding: high codes decode per Mac table") {
+    val font = ObjSpec(5,
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Courier /Encoding /MacRomanEncoding >>")
+    // hex bytes: c a f <0x8E>; 0x8E = 'é' in MacRoman
+    val content = bytes("BT\n/F1 12 Tf\n72 720 Td\n<6361668E> Tj\nET\n")
+    val pdf = onePage(content, Map("/F1" -> 5), Seq(font))
+    assert(extract(pdf) == "café\n")
+  }
+
+  test("StandardEncoding quirks: quotes map to curly glyphs") {
+    val font = ObjSpec(5,
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>") // no /Encoding => Standard
+    val content = bytes("BT\n/F1 12 Tf\n72 720 Td\n(it's `q') Tj\nET\n")
+    val pdf = onePage(content, Map("/F1" -> 5), Seq(font))
+    // 39 -> U+2019, 96 -> U+2018 in StandardEncoding
+    assert(extract(pdf) == "it’s ‘q’\n")
+  }
+
+  test("CJK predefined CMap: GBK-EUC-H via JDK charset") {
+    val fonts = Seq(
+      ObjSpec(5, "<< /Type /Font /Subtype /Type0 /BaseFont /Fixture-GBK " +
+        "/Encoding /GBK-EUC-H /DescendantFonts [7 0 R] >>"),
+      ObjSpec(7, "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fixture-GBK " +
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (GB1) /Supplement 2 >> /DW 1000 >>"))
+    // "中文" in GBK: D6 D0 CE C4
+    val content = bytes("BT\n/F1 12 Tf\n72 720 Td\n<D6D0CEC4> Tj\nET\n")
+    val pdf = onePage(content, Map("/F1" -> 5), fonts)
+    assert(extract(pdf) == "中文\n")
+  }
+
+  test("bad pdf: cyclic page tree does not hang") {
+    val objs = Seq(
+      ObjSpec(1, "<< /Type /Catalog /Pages 2 0 R >>"),
+      ObjSpec(2, "<< /Type /Pages /Kids [3 0 R 2 0 R] /Count 1 >>"), // self-referencing
+      ObjSpec(3, "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+      ObjSpec(4, "<< /Length 5 >>", Some(bytes("BT ET"))),
+      courier(5))
+    val pdf = classicXref(objs, 1)
+    assert(extract(pdf) == "")
+  }
+
+  test("bad pdf: cyclic /Contents array does not hang") {
+    val objs = Seq(
+      ObjSpec(1, "<< /Type /Catalog /Pages 2 0 R >>"),
+      ObjSpec(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+      ObjSpec(3, "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Resources << /Font << /F1 6 0 R >> >> /Contents [4 0 R 4 0 R] >>"),
+      ObjSpec(4, s"<< /Length 30 >>", Some(bytes("BT /F1 9 Tf 5 5 Td (x) Tj ET"))),
+      courier(6))
+    val pdf = classicXref(objs, 1)
+    assert(extract(pdf) == "x\n") // second visit skipped by visited-set
+  }
+
+  test("bad pdf: truncated stream quarantines via kernel, job survives") {
+    val good = onePage(simpleContent("fine"), Map("/F1" -> 5), Seq(courier(5)))
+    val truncated = good.take(good.length / 2) // cut mid-file: startxref gone
+    val out = graft.pipeline.ExtractKernel.extractOne(
+      graft.pipeline.PageRow("u", new java.sql.Timestamp(0), truncated, "", "en"))
+    assert(out.status.startsWith("err:"))
+  }
+
+  test("bad pdf: xref offset beyond buffer throws cleanly") {
+    intercept[PdfError] {
+      PdfExtract.pdf2txt(bytes("%PDF-1.4\nstartxref\n99999\n%%EOF\n"))
+    }
+  }
+
+  test("empty page (no /Contents) yields empty text") {
+    val objs = Seq(
+      ObjSpec(1, "<< /Type /Catalog /Pages 2 0 R >>"),
+      ObjSpec(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+      ObjSpec(3, "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] >>"))
+    val pdf = classicXref(objs, 1)
+    assert(extract(pdf) == "")
+  }
+
+  test("Tw word spacing expands gaps at bbox time") {
+    // Tw applies per space byte; with huge Tw the two words land far apart
+    // but remain one merged line with the inserted space
+    val content = bytes("BT\n/F1 12 Tf\n50 Tw\n72 720 Td\n(a b) Tj\nET\n")
+    val pdf = onePage(content, Map("/F1" -> 5), Seq(courier(5)))
+    assert(extract(pdf) == "a b\n")
+  }
+
+  test("Tz horizontal scaling changes advance without changing text") {
+    val content = bytes("BT\n/F1 12 Tf\n200 Tz\n72 720 Td\n(wide) Tj\nET\n")
+    val pdf = onePage(content, Map("/F1" -> 5), Seq(courier(5)))
+    assert(extract(pdf) == "wide\n")
+  }
+}
