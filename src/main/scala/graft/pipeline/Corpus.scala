@@ -50,7 +50,7 @@ object Corpus {
   /** deterministic line plan for PDF row i: (x, y, text) triples; layout-safe
     * positions (single column at x=72 or two columns), 12pt Courier. */
   private def pdfLines(seed: Long, i: Long, big: Boolean): Seq[(Float, Float, String)] = {
-    val variant = (i % 7).toInt
+    val variant = (i % PDF_VARIANTS).toInt
     val nLines = if (big) 1500 else 4 + (mix(seed ^ i) & 7).toInt // per column
     val twoCol = variant == 5 && !big
     val mkText = (k: Int) => sentence(seed, i, k, 3)
@@ -73,13 +73,17 @@ object Corpus {
     bytes(sb.toString)
   }
 
+  final val PDF_VARIANTS = 9
+
   def pdfPayload(seed: Long, i: Long): Array[Byte] = {
+    import graft.fixtures.PdfBuilderAdvanced
+    import graft.fixtures.PdfBuilderAdvanced.EncSpec
     val big = i % SKEW_EVERY == 0 && i > 0
     val lines = pdfLines(seed, i, big)
     val content = contentFor(lines)
     // skew rows are always uncompressed classic-xref so their byte size is
     // genuinely ~100x median (filters would deflate the repetitive text)
-    val variant = if (big) 0 else (i % 7).toInt
+    val variant = if (big) 0 else (i % PDF_VARIANTS).toInt
     variant match {
       case 0 | 5 => onePage(content, Map("/F1" -> 5), Seq(courier(5)))
       case 1 => onePage(content, Map("/F1" -> 5), Seq(courier(5)),
@@ -91,9 +95,31 @@ object Corpus {
         contentFilter = Some(("/FlateDecode", deflate _)))
       case 4 => onePage(content, Map("/F1" -> 5), Seq(courier(5)),
         contentFilter = Some(("/ASCII85Decode", ascii85Encode _)))
-      case _ => onePage(content, Map("/F1" -> 5), Seq(courier(5)),
+      case 6 => onePage(content, Map("/F1" -> 5), Seq(courier(5)),
         contentFilter = Some(("/ASCIIHexDecode", asciiHexEncode _)))
+      case 7 => // RC4-encrypted (golden text identical to plain)
+        PdfBuilderAdvanced.encryptedOnePage(content,
+          EncSpec(revision = 3, keyBits = 128, aes = false,
+            docId = Array.tabulate(16)(j => (mix(seed ^ i) >> (j * 4)).toByte)))
+      case _ => // Identity-H CID font; codes are UTF-16BE of the same text
+        val hexContent = identityHContent(lines)
+        val fonts = PdfBuilderAdvanced.type0IdentityH(5, 7)
+        onePage(hexContent, Map("/F1" -> 5), fonts)
     }
+  }
+
+  /** same line plan, but shown as <UTF-16BE hex> strings for Identity-H */
+  private def identityHContent(lines: Seq[(Float, Float, String)]): Array[Byte] = {
+    val sb = new StringBuilder("BT\n/F1 12 Tf\n")
+    var px = 0f
+    var py = 0f
+    lines.foreach { case (x, y, t) =>
+      val hex = t.flatMap(c => f"${c.toInt}%04X")
+      sb.append(s"${x - px} ${y - py} Td\n<$hex> Tj\n")
+      px = x; py = y
+    }
+    sb.append("ET\n")
+    bytes(sb.toString)
   }
 
   /** by-construction expected text for PDF row i: single column => lines in
@@ -101,7 +127,7 @@ object Corpus {
     * are 14pt apart at 12pt Courier => one text box per column (§2D). */
   def pdfGolden(seed: Long, i: Long): String = {
     val big = i % SKEW_EVERY == 0 && i > 0
-    val variant = (i % 7).toInt
+    val variant = (i % PDF_VARIANTS).toInt
     val nLines = if (big) 1500 else 4 + (mix(seed ^ i) & 7).toInt
     val mk = (k: Int) => sentence(seed, i, k, 3)
     if (variant == 5 && !big) {

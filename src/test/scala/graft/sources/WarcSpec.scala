@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.{Corpus, ExtractJob, SparkFixture}
+
+class WarcSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def fixtureRecords(n: Int): Seq[Warc.WarcRecord] =
+    (0 until n).map { i =>
+      val row = Corpus.row(42L)(i.toLong)
+      Warc.WarcRecord(row.url, "2020-01-01T00:00:00Z", "response", Warc.httpWrap(row.html))
+    } :+ Warc.WarcRecord("meta:info", "2020-01-01T00:00:00Z", "warcinfo", "crawler info".getBytes)
+
+  test("plain .warc round-trip into pages + extraction") {
+    val dir = java.nio.file.Files.createTempDirectory("warc").toString
+    Warc.writeFixture(s"$dir/test.warc", fixtureRecords(12), gzip = false)
+    val pages = Warc.readPages(spark, s"$dir/*.warc")
+    assert(pages.count() == 12) // warcinfo record filtered out
+    val extracted = ExtractJob.extract(ExtractJob.saltedRepartition(spark, pages, 4)).collect()
+    assert(extracted.length == 12)
+    assert(extracted.forall(_.status == "ok"))
+    // golden equality survives the WARC + HTTP envelope round-trip
+    val goldens = (0 until 12).map(i => Corpus.golden(42L)(i.toLong)).toMap
+    extracted.foreach(r => assert(r.extracted_text == goldens(r.url)))
+  }
+
+  test("per-record gzip members (.warc.gz Common Crawl convention)") {
+    val dir = java.nio.file.Files.createTempDirectory("warcgz").toString
+    Warc.writeFixture(s"$dir/test.warc.gz", fixtureRecords(8), gzip = true)
+    val pages = Warc.readPages(spark, s"$dir/*.warc.gz")
+    assert(pages.count() == 8)
+    val extracted = ExtractJob.extract(ExtractJob.saltedRepartition(spark, pages, 4)).collect()
+    assert(extracted.forall(_.status == "ok"))
+  }
+
+  test("httpBody strips response envelope, passes through raw payloads") {
+    val body = "hello".getBytes
+    assert(Warc.httpBody(Warc.httpWrap(body)).sameElements(body))
+    assert(Warc.httpBody(body).sameElements(body))
+  }
+}
