@@ -176,6 +176,36 @@ object SparkEntry {
         |WHERE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
         |    sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) *
         |         list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) >= 0.2""".stripMargin,
+    "q13_quality" ->
+      """SELECT doc_id,
+        |  round(
+        |    least(length(text) / 500.0, 1.0) * 0.4 +
+        |    (CASE WHEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+        |               / greatest(cast(length(text) AS double), 1.0) > 0.2 THEN 0.0
+        |          ELSE 1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+        |               / greatest(cast(length(text) AS double), 1.0) * 2 END) * 0.3 +
+        |    least((len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |        w -> w IN ('the','a','an','and','or','of','to','in','is','it',
+        |                   'that','on','for','with','as','at','by','this')))
+        |      / greatest(cast(CASE WHEN length(trim(text)) = 0 THEN 0
+        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS double), 1.0)) * 4.0,
+        |      1.0) * 0.3, 6) AS quality
+        |FROM documents""".stripMargin,
+    "q13_quality" ->
+      """SELECT doc_id,
+        |  round(
+        |    least(length(text) / 500.0, 1.0) * 0.4 +
+        |    (CASE WHEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+        |               / greatest(cast(length(text) AS double), 1.0) > 0.2 THEN 0.0
+        |          ELSE 1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+        |               / greatest(cast(length(text) AS double), 1.0) * 2 END) * 0.3 +
+        |    least((len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |        w -> w IN ('the','a','an','and','or','of','to','in','is','it',
+        |                   'that','on','for','with','as','at','by','this')))
+        |      / greatest(cast(CASE WHEN length(trim(text)) = 0 THEN 0
+        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS double), 1.0)) * 4.0,
+        |      1.0) * 0.3, 6) AS quality
+        |FROM documents""".stripMargin,
     "q14_simsearch_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS query_emb
         |           FROM embeddings ORDER BY vec_id LIMIT 5),
