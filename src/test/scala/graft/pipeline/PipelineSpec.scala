@@ -71,6 +71,26 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lineage2.count() == lineage.count())
   }
 
+  test("resume: pre-committed lineage bucket is skipped, rest completes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft-resume").toString
+    val pages = spark.range(60).as[Long].map(Corpus.row(42L)).toDF()
+    val bucketed = ExtractJob.withBucket(pages, 4)
+    val buckets = bucketed.select("warc_bucket").distinct().as[Long].collect().sorted
+    val skipBucket = buckets.head
+    // simulate a prior partial run: lineage committed for one bucket only
+    spark.createDataFrame(Seq((0L, 0L, 0L, 0L, skipBucket, 0L)))
+      .toDF("n_ok", "n_err", "bytes_in", "chars_out", "warc_bucket", "wall_ms")
+      .write.parquet(s"$dir/lineage")
+    ExtractJob.run(spark, pages, dir, nBuckets = 4, partitions = 4)
+    val results = spark.read.parquet(s"$dir/extracted")
+    val expected = bucketed.filter(col("warc_bucket") =!= skipBucket).count()
+    assert(results.count() == expected) // skipped bucket never reprocessed
+    val lineage = spark.read.parquet(s"$dir/lineage")
+    assert(lineage.select("warc_bucket").distinct().count() == buckets.length)
+  }
+
   test("quarantine: corrupt pdf rows get err status, job survives") {
     import spark.implicits._
     val rows = Seq(
