@@ -129,13 +129,15 @@ object Layout {
       else a.coordinates.x0 < b.coordinates.x0
     }
     val result = TextChunk(sorted(0).texts(0).text + "\n", sorted(0).coordinates.copyOf)
+    val acc = new StringBuilder(result.texts(0).text)
     var i = 1
     while (i < sorted.length) {
-      result.texts(0).text += sorted(i).texts(0).text + "\n"
+      acc.append(sorted(i).texts(0).text).append('\n')
       extendBBox(result.coordinates, sorted(i).coordinates)
       result.stringLen += sorted(i).stringLen
       i += 1
     }
+    result.texts(0).text = acc.toString
     result.texts(0).coordinates = result.coordinates.copyOf
     result
   }
@@ -196,16 +198,18 @@ object Layout {
       if (line.texts.nonEmpty) {
         val whole = TextT(line.coordinates.copyOf, "")
         val sorted = line.texts.sortWith((a, b) => a.coordinates.x0 < b.coordinates.x0)
+        val acc = new StringBuilder
         var i = 0
         while (i < sorted.length) {
-          whole.text += sorted(i).text
+          acc.append(sorted(i).text)
           if (i != sorted.length - 1 &&
             sorted(i).coordinates.x1 < sorted(i + 1).coordinates.x0 -
               widthText(sorted(i + 1)) * WORD_MARGIN) {
-            whole.text += " "
+            acc.append(' ')
           }
           i += 1
         }
+        whole.text = acc.toString
         line.texts = ArrayBuffer(whole)
       }
     }
@@ -257,10 +261,12 @@ object Layout {
   private def boxesAsIs(boxes: ArrayBuffer[TextChunk]): TextChunk = {
     val result = new TextChunk
     result.texts = ArrayBuffer(TextT(Coord(0, 0, 1, 1), ""))
+    val acc = new StringBuilder
     boxes.foreach { chunk =>
       result.isEmpty = false
-      result.texts(0).text += chunk.texts(0).text
+      acc.append(chunk.texts(0).text)
     }
+    result.texts(0).text = acc.toString
     result
   }
 
