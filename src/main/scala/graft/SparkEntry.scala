@@ -80,6 +80,12 @@ object SparkEntry {
     "q07_simhash_neardups" -> ((s, dir) => Dedup.simhashNearDups(docs(s, dir))),
     "q08_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardDups(docs(s, dir), 0.8)),
     "q09_embedding_neardups" -> ((s, dir) => Dedup.embeddingNearDups(emb(s, dir), 0.2)),
+    "q19_embedding_neardups_lsh" -> ((s, dir) =>
+      // the 100 TB near-dup path (LSH candidate+verify); probabilistic recall
+      // => rows-only driver check + OpsSpec recall-vs-exact gate. The
+      // synthetic embeddings have no true near-dups (max cosine ~0.48), so
+      // the smoke threshold sits at 0.35 with extra probe tables.
+      Dedup.embeddingNearDupsLsh(emb(s, dir), 0.35, nBits = 6, nTables = 12)),
     // ---- text analysis ----
     "q10_text_stats" -> ((s, dir) => TextOps.stats(docs(s, dir))),
     "q11_lang_stats" -> ((s, dir) => {
@@ -111,8 +117,15 @@ object SparkEntry {
       val pages = s.range(400).as[Long].map(Corpus.row(42L)).toDF()
       val extracted = ExtractJob.extract(ExtractJob.saltedRepartition(s, pages, 16)).toDF()
       val golden = s.range(400).as[Long].map(Corpus.golden(42L)).toDF("url", "expected_text")
-      ExtractJob.goldenDiff(extracted, golden)
-        .select(col("url"), col("matches"))
+      // one aggregate row so the driver's row/hash check actually fails when
+      // byte-identity breaks (n_mismatch/n_missing/n_extra must all be 0)
+      ExtractJob.goldenDiff(extracted, golden).agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("matches"), 1L).otherwise(0L)).as("n_match"),
+        sum(when(!col("matches") && col("extracted_text").isNotNull &&
+          col("expected_text").isNotNull, 1L).otherwise(0L)).as("n_mismatch"),
+        sum(when(col("extracted_text").isNull, 1L).otherwise(0L)).as("n_missing"),
+        sum(when(col("expected_text").isNull, 1L).otherwise(0L)).as("n_extra"))
     }))
 
   /** DuckDB oracles. Column names/aliases match the Spark plans exactly
@@ -176,21 +189,6 @@ object SparkEntry {
         |WHERE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
         |    sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) *
         |         list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) >= 0.2""".stripMargin,
-    "q13_quality" ->
-      """SELECT doc_id,
-        |  round(
-        |    least(length(text) / 500.0, 1.0) * 0.4 +
-        |    (CASE WHEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
-        |               / greatest(cast(length(text) AS double), 1.0) > 0.2 THEN 0.0
-        |          ELSE 1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
-        |               / greatest(cast(length(text) AS double), 1.0) * 2 END) * 0.3 +
-        |    least((len(list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |        w -> w IN ('the','a','an','and','or','of','to','in','is','it',
-        |                   'that','on','for','with','as','at','by','this')))
-        |      / greatest(cast(CASE WHEN length(trim(text)) = 0 THEN 0
-        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS double), 1.0)) * 4.0,
-        |      1.0) * 0.3, 6) AS quality
-        |FROM documents""".stripMargin,
     "q13_quality" ->
       """SELECT doc_id,
         |  round(

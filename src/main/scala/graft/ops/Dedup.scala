@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for web-text corpora.
@@ -9,10 +9,20 @@ import org.apache.spark.sql.functions._
   *  - exact dedup is one hash-shuffle on a 64-bit text hash (never on the
   *    full text: shuffle keys stay 8 bytes);
   *  - MinHash-LSH shuffles (band_id, band_hash) pairs — b small ints per
-  *    doc — then joins only within buckets, never all-pairs;
-  *  - SimHash banding likewise turns hamming-<=k search into 4 exact-match
-  *    bucket joins (pigeonhole over 16-bit segments);
-  *  - exact n-gram Jaccard runs only on LSH candidate pairs.
+  *    doc — then joins only within buckets, never all-pairs; giant buckets
+  *    (viral boilerplate) are capped by `maxBucketSize` before the pair
+  *    join, so one hot key cannot go quadratic;
+  *  - SimHash banding turns hamming-<=k search into exact-match bucket
+  *    joins over C(m, m-k) wide block-combination keys (~32-40 bits), so
+  *    bucket occupancy stays O(1) out to 10^10..10^12 docs — the 16-bit
+  *    segment scheme saturates at ~10^7;
+  *  - exact n-gram Jaccard runs only on LSH candidate pairs, and the grams
+  *    table is built only for docs that appear in some candidate pair
+  *    (broadcast semi-join) — never shuffled for the whole corpus;
+  *  - embedding near-dup: exact mode is a symmetric block-pair equi-join
+  *    (work spread over B(B+1)/2 reduce keys, bounded task memory, no
+  *    CartesianProduct/BroadcastNestedLoopJoin node); high thresholds can
+  *    use the LSH candidate+verify path reusing SimSearch.lshBuckets.
   */
 object Dedup {
 
@@ -28,6 +38,10 @@ object Dedup {
   final val N_HASHES = 64
   final val N_BANDS = 16 // 4 rows per band
   final val ROWS_PER_BAND = N_HASHES / N_BANDS
+  /** default cap on docs per (band, band_hash) bucket: a bucket of 1000+
+    * near-identical docs (viral boilerplate) would emit >=500k pairs from
+    * one reduce key; production near-dup pipelines drop such clusters. */
+  final val MAX_BUCKET_SIZE_DEFAULT = 1000
   private final val PRIME = 2305843009213693951L // 2^61 - 1
 
   /** deterministic affine hash params (seeded) */
@@ -64,8 +78,17 @@ object Dedup {
   }
 
   /** candidate near-duplicate pairs via banded MinHash-LSH; each pair carries
-    * the estimated jaccard = matching-minhash fraction */
-  def minhashLsh(documents: DataFrame, seed: Long = 42L): DataFrame = {
+    * the estimated jaccard = matching-minhash fraction.
+    *
+    * Scale shape: banding rows are (band, band_hash, doc_id, sig); buckets
+    * larger than `maxBucketSize` are dropped before the self-join (anti-join
+    * against the tiny hot-bucket list) so no reduce key goes quadratic; the
+    * pair output is deduped by a partial-aggregating groupBy on the 16-byte
+    * (doc_a, doc_b) key rather than a distinct over full rows. */
+  def minhashLsh(
+      documents: DataFrame,
+      seed: Long = 42L,
+      maxBucketSize: Int = MAX_BUCKET_SIZE_DEFAULT): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val params = hashParams(seed)
@@ -74,12 +97,19 @@ object Dedup {
       .map { case (id, text) => (id, minhashSignature(text, params)) }
       .toDF("doc_id", "sig")
     // explode into (band, band_hash) and bucket-join
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    val bandedAll = sigs.select(col("doc_id"), col("sig"),
       posexplode(expr(
         s"transform(sequence(0, ${N_BANDS - 1}), b -> " +
           s"hash(slice(sig, b * $ROWS_PER_BAND + 1, $ROWS_PER_BAND)))")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
+    // skew guard: drop buckets larger than the cap (few at any scale, so the
+    // anti-join side broadcasts; recall loss is confined to giant clusters)
+    val hot = bandedAll.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucketSize)
+      .select(col("band"), col("band_hash"))
+    val banded = bandedAll.join(broadcast(hot), Seq("band", "band_hash"), "left_anti")
     val a = banded.select(col("band"), col("band_hash"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("band_hash"),
@@ -89,7 +119,8 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))").cast("double")
           / N_HASHES).as("est_jaccard"))
-      .distinct()
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
   }
 
   // ---- SimHash ----------------------------------------------------------------
@@ -126,33 +157,105 @@ object Dedup {
       .toDF("doc_id", "simhash")
   }
 
-  /** near-dup pairs with hamming(simhash) <= 3 via 4x16-bit segment banding
-    * (pigeonhole: <=3 differing bits => >=1 identical segment) */
-  def simhashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = simhashes(documents)
-    val banded = sh.select(col("doc_id"), col("simhash"),
-      posexplode(expr("transform(sequence(0, 3), s -> (simhash >> (s * 16)) & 65535)")))
-      .withColumnRenamed("pos", "segment")
-      .withColumnRenamed("col", "seg_val")
-    val a = banded.select(col("segment"), col("seg_val"),
+  /** block boundaries for splitting 64 bits into m near-equal blocks */
+  private[ops] def blockBounds(m: Int): Array[(Int, Int)] = {
+    // (shift, width) per block; widths differ by at most 1
+    val base = 64 / m
+    val extra = 64 % m
+    val out = new Array[(Int, Int)](m)
+    var shift = 0
+    var i = 0
+    while (i < m) {
+      val w = base + (if (i < extra) 1 else 0)
+      out(i) = (shift, w)
+      shift += w
+      i += 1
+    }
+    out
+  }
+
+  /** exact banding keys for hamming <= k over m blocks: one key per
+    * combination of (m-k) blocks — by pigeonhole, any pair within hamming k
+    * leaves >= (m-k) blocks untouched, so it shares >= 1 key. Key = combo id
+    * in the top bits ‖ the concatenated block values (~32-40 bits wide, vs
+    * 16 bits for the classic 4-segment scheme — bucket occupancy stays flat
+    * out to 10^10..10^12 docs). */
+  private[ops] def simhashBandKeys(sh: Long, m: Int, k: Int): Array[Long] = {
+    val bounds = blockBounds(m)
+    val combos = (0 until m).combinations(m - k).toArray
+    val keys = new Array[Long](combos.length)
+    var c = 0
+    while (c < combos.length) {
+      var key = c.toLong // combo id disambiguates key spaces
+      val combo = combos(c)
+      var j = 0
+      while (j < combo.length) {
+        val (shift, w) = bounds(combo(j))
+        val bits = (sh >>> shift) & ((1L << w) - 1L)
+        key = (key << w) | bits
+        j += 1
+      }
+      keys(c) = key
+      c += 1
+    }
+    keys
+  }
+
+  /** near-dup pairs with hamming(simhash) <= maxHamming over a precomputed
+    * (doc_id, simhash) frame. `nBlocks` = m in the C(m, m-k) key scheme:
+    * m=6 gives 20 keys/doc of ~32 bits (good to ~10^10 docs); m=8 gives 56
+    * keys/doc of 40 bits (good to ~10^12). */
+  def simhashNearDupsFromHashes(
+      hashes: DataFrame,
+      maxHamming: Int = 3,
+      nBlocks: Int = 6): DataFrame = {
+    require(nBlocks > maxHamming, s"need nBlocks > maxHamming, got $nBlocks <= $maxHamming")
+    val spark = hashes.sparkSession
+    import spark.implicits._
+    val m = nBlocks
+    val k = maxHamming
+    val banded = hashes.select(col("doc_id").cast("long"), col("simhash"))
+      .as[(Long, Long)]
+      .flatMap { case (id, sh) =>
+        simhashBandKeys(sh, m, k).iterator.map(key => (key, id, sh))
+      }
+      .toDF("band_key", "doc_id", "simhash")
+    val a = banded.select(col("band_key"),
       col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-    val b = banded.select(col("segment"), col("seg_val"),
+    val b = banded.select(col("band_key"),
       col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("segment", "seg_val"))
+    a.join(b, Seq("band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(sh_a ^ sh_b)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("hamming")).as("hamming"))
   }
 
+  /** near-dup pairs with hamming(simhash(text)) <= maxHamming */
+  def simhashNearDups(documents: DataFrame, maxHamming: Int = 3, nBlocks: Int = 6): DataFrame =
+    simhashNearDupsFromHashes(simhashes(documents), maxHamming, nBlocks)
+
   // ---- exact n-gram Jaccard (verification pass over LSH candidates) ------------
-  /** exact word-3-gram Jaccard, computed ONLY for LSH candidate pairs */
+  /** exact word-3-gram Jaccard, computed ONLY for LSH candidate pairs.
+    *
+    * Scale shape: the grams table (largest column in the job — one array of
+    * 3-grams per doc) is built only for docs appearing in some candidate
+    * pair: documents are broadcast-semi-joined down to candidate ids BEFORE
+    * shingling, so full-corpus gram arrays are never materialized or
+    * shuffled. Candidate pairs are an LSH-confirmed small fraction of the
+    * corpus, so the id list broadcasts. */
   def ngramJaccardDups(documents: DataFrame, threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
-    val spark = documents.sparkSession
-    val candidates = minhashLsh(documents, seed).filter(col("est_jaccard") >= threshold * 0.7)
+    val candidates = minhashLsh(documents, seed)
+      .filter(col("est_jaccard") >= threshold * 0.7)
+      .select(col("doc_a"), col("doc_b"))
+    val candIds = candidates.select(col("doc_a").as("doc_id"))
+      .union(candidates.select(col("doc_b").as("doc_id")))
+      .distinct()
     val grams = documents.select(col("doc_id").cast("long"), col("text"))
-      .withColumn("grams", shingles3("text"))
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingles3("text").as("grams"))
     val a = grams.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
     val b = grams.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
     candidates.join(a, "doc_a").join(b, "doc_b")
@@ -164,20 +267,89 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  private def shingles3(textCol: String): org.apache.spark.sql.Column =
+  private def shingles3(textCol: String): Column =
     expr(s"transform(sequence(0, greatest(size(split(lower($textCol), '\\\\s+')) - 3, 0)), " +
       s"i -> concat_ws(' ', slice(split(lower($textCol), '\\\\s+'), i + 1, 3)))")
 
   // ---- embedding near-dup -------------------------------------------------------
-  /** cosine >= threshold pairs; brute force within blocks. Exposed as the
-    * correctness baseline — the scale path is SimSearch.lshBuckets. */
-  def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.95): DataFrame = {
+  /** cosine >= threshold pairs. Dispatch: thresholds >= `lshCutoff` use the
+    * LSH candidate+verify path (near-dup regime — tiny candidate sets, high
+    * recall with multi-table probing); lower thresholds need an exact join,
+    * served by the symmetric block-pair plan (no cartesian node). */
+  def embeddingNearDups(
+      embeddings: DataFrame,
+      threshold: Double = 0.95,
+      lshCutoff: Double = 0.7): DataFrame =
+    if (threshold >= lshCutoff) embeddingNearDupsLsh(embeddings, threshold)
+    else embeddingNearDupsExact(embeddings, threshold)
+
+  /** EXACT cosine-threshold self-join via symmetric block partitioning:
+    * each vector gets block b = hash(vec_id) mod B; side A replicates a
+    * vector to pair keys (b, j) for j >= b, side B to (i, b) for i <= b, and
+    * an equi-join on the pair key covers every unordered pair exactly once
+    * (same-block pairs deduped by id order, cross-block pairs normalized by
+    * least/greatest). Work is inherently O(n^2) for an exact low-threshold
+    * join, but it is spread evenly over B(B+1)/2 reduce keys with ~2n/B
+    * vectors per task — the scale-out shape — and the plan is a shuffled
+    * hash/sort-merge join, never CartesianProduct/BroadcastNestedLoopJoin. */
+  def embeddingNearDupsExact(
+      embeddings: DataFrame,
+      threshold: Double,
+      nBlocks: Int = 16): DataFrame = {
+    val bLit = lit(nBlocks)
     val e = embeddings.select(col("vec_id"), col("embedding"))
       .withColumn("self_dot", SimSearch.dotCol(col("embedding"), col("embedding")))
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("self_dot").as("dot_a"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("self_dot").as("dot_b"))
-    a.crossJoin(b)
+      .withColumn("blk", pmod(xxhash64(col("vec_id")), bLit).cast("int"))
+    val a = e.select(col("vec_id").as("vid_a"), col("embedding").as("emb_a"),
+        col("self_dot").as("dot_a"), col("blk").as("blk_a"))
+      .withColumn("pk", explode(expr(
+        s"transform(sequence(blk_a, ${nBlocks - 1}), j -> blk_a * $nBlocks + j)")))
+      .drop("blk_a")
+    val b = e.select(col("vec_id").as("vid_b"), col("embedding").as("emb_b"),
+        col("self_dot").as("dot_b"), col("blk").as("blk_b"))
+      .withColumn("pk", explode(expr(
+        s"transform(sequence(0, blk_b), i -> i * $nBlocks + blk_b)")))
+      .drop("blk_b")
+    a.join(b, Seq("pk"))
+      // same-block keys (pk = i*B+i): keep one id order; cross-block keys:
+      // the pair occurs exactly once, in arbitrary id order — keep it
+      .filter((col("pk") % (bLit + 1) =!= 0) || (col("vid_a") < col("vid_b")))
+      .filter(col("vid_a") =!= col("vid_b"))
+      .withColumn("cosine",
+        SimSearch.cosineWithNorms(col("emb_a"), col("emb_b"), col("dot_a"), col("dot_b")))
+      .filter(col("cosine") >= threshold)
+      .select(least(col("vid_a"), col("vid_b")).as("id_a"),
+        greatest(col("vid_a"), col("vid_b")).as("id_b"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** LSH candidate+verify near-dup pairs (the 100 TB path for the actual
+    * near-duplicate regime, cosine >= ~0.7): bucket both sides with
+    * SimSearch.lshBuckets (multi-table random hyperplanes), generate
+    * same-(table,bucket) candidate pairs, verify exact cosine within
+    * candidates only. Probabilistic recall, boosted by `nTables`
+    * multi-table probing; verified >= threshold pairs are exact. */
+  def embeddingNearDupsLsh(
+      embeddings: DataFrame,
+      threshold: Double,
+      nBits: Int = 8,
+      nTables: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val buckets = SimSearch.lshBuckets(embeddings, nBits, nTables, dim, seed)
+    val pa = buckets.select(col("table"), col("bucket"), col("vec_id").as("id_a"))
+    val pb = buckets.select(col("table"), col("bucket"), col("vec_id").as("id_b"))
+    val candidates = pa.join(pb, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("_n")).drop("_n")
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+      .withColumn("self_dot", SimSearch.dotCol(col("embedding"), col("embedding")))
+    val ea = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      col("self_dot").as("dot_a"))
+    val eb = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      col("self_dot").as("dot_b"))
+    candidates.join(ea, "id_a").join(eb, "id_b")
       .withColumn("cosine",
         SimSearch.cosineWithNorms(col("emb_a"), col("emb_b"), col("dot_a"), col("dot_b")))
       .filter(col("cosine") >= threshold)

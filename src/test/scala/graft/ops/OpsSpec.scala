@@ -115,4 +115,131 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.sampleFrames(5, 8) == (0 until 5))
     assert(Multimodal.sampleFrames(100, 4) == Seq(0, 25, 50, 75))
   }
+
+  // ---- scale-shape gates (round 2) -----------------------------------------
+
+  private def physicalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def assertNoCartesian(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+    val plan = physicalPlan(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"$what plan has an all-pairs join node:\n$plan")
+  }
+
+  private def randVec(id: Long, dim: Int): Array[Float] = {
+    var z = id * 0x9e3779b97f4a7c15L + 0xbf58476d1ce4e5b9L
+    Array.tabulate(dim) { j =>
+      z = (z ^ (z >>> 30)) * (0xbf58476d1ce4e5b9L + 2 * j)
+      ((z >>> 11).toDouble / (1L << 53).toDouble - 0.5).toFloat
+    }
+  }
+
+  test("embedding exact near-dup: block-pair join matches brute force, no cartesian node") {
+    val dim = 16
+    val vecs = (0L until 60L).map(i => (i, randVec(i, dim).toSeq)) ++
+      // planted near-identical pair: 100 ~ 3 with a tiny perturbation
+      Seq((100L, randVec(3L, dim).map(v => v * 1.0001f).toSeq))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDupsExact(df, threshold = 0.2, nBlocks = 4)
+    assertNoCartesian(got, "embeddingNearDupsExact")
+    // driver-side brute force oracle
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val expected = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib
+      c = cos(va, vb) if c >= 0.2
+    } yield (ia, ib)).toSet
+    val gotPairs = got.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(gotPairs == expected,
+      s"missing=${(expected -- gotPairs).take(5)} extra=${(gotPairs -- expected).take(5)}")
+    assert(gotPairs.contains((3L, 100L)))
+  }
+
+  test("embedding LSH near-dup: full recall on planted near-dups, no cartesian node") {
+    val dim = 64
+    val base = (0L until 80L).map(i => (i, randVec(i, dim).toSeq))
+    // planted near-dups of vectors 0..4 (cosine ~ 0.9999)
+    val planted = (0L until 5L).map(i =>
+      (200L + i, randVec(i, dim).zipWithIndex.map { case (v, j) => if (j == 0) v + 1e-4f else v }.toSeq))
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDupsLsh(df, threshold = 0.95, dim = dim)
+    assertNoCartesian(got, "embeddingNearDupsLsh")
+    val pairs = got.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    (0L until 5L).foreach(i => assert(pairs.contains((i, 200L + i)), s"missed planted pair $i"))
+    // verify step is exact: every reported pair really clears the threshold
+    got.collect().foreach(r => assert(r.getAs[Double]("cosine") >= 0.95))
+    // dispatcher sends high thresholds to the LSH path (same result shape)
+    assertNoCartesian(Dedup.embeddingNearDups(df, 0.95), "embeddingNearDups@0.95")
+    assertNoCartesian(Dedup.embeddingNearDups(df, 0.2), "embeddingNearDups@0.2")
+  }
+
+  test("simhash widened banding: all hamming<=3 pairs found despite engineered hot block") {
+    // synthetic (doc_id, simhash) set: 20k random hashes, 5k of which share
+    // an identical low block (the classic 16-bit-segment hot bucket), plus
+    // planted pairs at hamming 1..3
+    def rnd(i: Long): Long = {
+      var z = i * 0x9e3779b97f4a7c15L + 17
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val baseN = 20000L
+    val rows = (0L until baseN).map { i =>
+      val h = if (i < 5000) rnd(i) & ~0xffffL else rnd(i) // hot: low 16 bits all zero
+      (i, h)
+    }
+    val planted = (0 until 50).map { p =>
+      val src = (p * 37) % 20000
+      val flips = 1 + p % 3
+      var h = rows(src)._2
+      (0 until flips).foreach(f => h ^= (1L << ((p * 7 + f * 13) % 64)))
+      (30000L + p, h)
+    }
+    val df = (rows ++ planted).toDF("doc_id", "simhash")
+    val got = Dedup.simhashNearDupsFromHashes(df, maxHamming = 3, nBlocks = 6)
+    val pairs = got.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    (0 until 50).foreach { p =>
+      val src = ((p * 37) % 20000).toLong
+      assert(pairs.contains((src, 30000L + p)), s"missed planted pair src=$src p=$p")
+    }
+    got.collect().foreach(r => assert(r.getAs[Int]("hamming") <= 3))
+    // occupancy: widened keys break up the engineered hot bucket — the max
+    // band-key bucket stays tiny vs the 5000-doc 16-bit-segment bucket
+    val maxBucket = df.as[(Long, Long)].flatMap { case (id, sh) =>
+      Dedup.simhashBandKeys(sh, 6, 3).iterator.map(k => (k, 1))
+    }.toDF("k", "one").groupBy("k").count().agg(max("count")).collect()(0).getLong(0)
+    assert(maxBucket < 500, s"hot bucket survived widening: $maxBucket")
+  }
+
+  test("minhash hot-bucket cap drops giant boilerplate clusters, keeps normal pairs") {
+    val boiler = (1 to 30).map(i => s"same viral boilerplate text $i").mkString(" ")
+    val hot = (0L until 40L).map(i => (i, boiler)) // 40 identical docs: giant buckets
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val near = base.replace("word7", "changed7")
+    val df = (hot ++ Seq((100L, base), (101L, near))).toDF("doc_id", "text")
+    val capped = Dedup.minhashLsh(df, maxBucketSize = 10).collect()
+    // the 40-doc cluster saturates every bucket past the cap -> dropped
+    assert(!capped.exists(r => r.getAs[Long]("doc_a") < 40L && r.getAs[Long]("doc_b") < 40L))
+    // the normal near-pair is untouched
+    assert(capped.exists(r => r.getAs[Long]("doc_a") == 100L && r.getAs[Long]("doc_b") == 101L))
+    // default cap leaves small clusters alone
+    val uncapped = Dedup.minhashLsh(df).collect()
+    assert(uncapped.exists(r => r.getAs[Long]("doc_a") < 40L && r.getAs[Long]("doc_b") < 40L))
+  }
+
+  test("q08 grams are built only for LSH candidates (semi-join before shingling)") {
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val near = base.replace("word7", "changed7")
+    val far = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    val df = docsDf((1L, base), (2L, near), (3L, far))
+    val q = Dedup.ngramJaccardDups(df, 0.7)
+    val plan = physicalPlan(q)
+    assert(plan.contains("LeftSemi"), s"no semi-join filtering the grams build:\n$plan")
+    val dups = q.collect()
+    assert(dups.exists(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L))
+  }
 }
