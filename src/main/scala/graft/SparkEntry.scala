@@ -109,8 +109,8 @@ object SparkEntry {
     "q18_multimodal" -> ((s, dir) => {
       import graft.ops.Multimodal
       Multimodal.extractFeatures(Multimodal.synthetic(s, 500)).toDF()
-        .select(col("media_id"), col("kind"), col("n_bytes"), col("mean_luma"),
-          col("rms"), col("phash"))
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("decoded_w"),
+          col("decoded_h"), col("mean_luma"), col("rms"), col("phash"))
     }),
     "x17_golden_diff" -> ((s, dir) => {
       import s.implicits._

@@ -1,17 +1,24 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions._
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import javax.sound.sampled.AudioSystem
+
+import org.apache.spark.sql.{Dataset, SparkSession}
 
 /** Multimodal-column plumbing for training-data pipelines: image/audio/video
   * payloads as opaque `binary` columns with typed metadata, decoded and
   * feature-extracted inside `mapPartitions` batches.
   *
-  * The actual codec step is STUBBED with a deterministic fake decoder (no
-  * image/audio libraries exist in this sandbox) — the Spark-side plumbing
-  * (schema, batch shape, partition-local decoding, frame sampling) is real
-  * and tested. Swap `FakeCodec` for a real decoder (e.g. TwelveMonkeys /
-  * javacv) on a cluster with the jars.
+  * Codecs (pure JDK, no external jars):
+  *  - images: real PNG/JPEG decode via `javax.imageio.ImageIO`; features are
+  *    computed from decoded pixels (mean luma, 8x8 average-hash);
+  *  - audio: real WAV (RIFF/PCM16) decode via `javax.sound.sampled`; RMS and
+  *    a 64-bucket amplitude fingerprint over decoded samples;
+  *  - video: STUBBED — no video codec exists in the JDK or this sandbox's
+  *    jars; `StubVideoCodec` is a clearly-marked deterministic fake. The
+  *    Spark-side plumbing (schema, partition-batched decode, frame
+  *    sampling) is real and is what a javacv-backed codec would plug into.
   */
 object Multimodal {
 
@@ -29,16 +36,166 @@ object Multimodal {
       media_id: Long,
       kind: String,
       n_bytes: Long,
-      mean_luma: Double, // image/video: fake decoded pixel mean
-      rms: Double, // audio: fake decoded sample RMS
+      decoded_w: Int, // image: real decoded width (0 otherwise)
+      decoded_h: Int,
+      mean_luma: Double, // image: mean Rec.601 luma of decoded pixels
+      rms: Double, // audio: RMS of decoded samples, normalized to [-1,1]
       sampled_frames: Seq[Int], // video: deterministic frame indices
-      phash: Long) // perceptual-hash stand-in over decoded content
+      phash: Long) // image: 8x8 aHash; audio: amplitude fingerprint
 
-  /** Deterministic fake codec: "decodes" payload bytes into a stable pseudo
-    * pixel/sample stream. Replace with a real decoder on a real cluster. */
-  object FakeCodec {
+  // ---- image codec (javax.imageio: PNG + JPEG, real decode) -----------------
+  object ImageCodec {
+    ImageIO.setUseCache(false) // keep encode/decode fully in-memory
+
+    /** decode to (width, height, row-major Rec.601 luma 0..255) */
+    def decodeLuma(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      if (img == null) throw new IllegalArgumentException("undecodable image payload")
+      val w = img.getWidth
+      val h = img.getHeight
+      val luma = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          luma(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, luma)
+    }
+
+    /** 8x8 average-hash: block-average luma to an 8x8 grid, set bit
+      * (gy*8+gx) when the cell is >= the grid mean. The standard aHash. */
+    def aHash(w: Int, h: Int, luma: Array[Int]): Long = {
+      val grid = new Array[Double](64)
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          val y0 = gy * h / 8; val y1 = math.max((gy + 1) * h / 8, y0 + 1)
+          val x0 = gx * w / 8; val x1 = math.max((gx + 1) * w / 8, x0 + 1)
+          var s = 0L; var n = 0
+          var y = y0
+          while (y < y1 && y < h) {
+            var x = x0
+            while (x < x1 && x < w) { s += luma(y * w + x); n += 1; x += 1 }
+            y += 1
+          }
+          grid(gy * 8 + gx) = if (n == 0) 0.0 else s.toDouble / n
+          gx += 1
+        }
+        gy += 1
+      }
+      val mean = grid.sum / 64
+      var hash = 0L
+      var i = 0
+      while (i < 64) {
+        if (grid(i) >= mean) hash |= (1L << i)
+        i += 1
+      }
+      hash
+    }
+  }
+
+  // ---- audio codec (javax.sound.sampled: WAV/PCM16, real decode) ------------
+  object AudioCodec {
+    /** decode a RIFF/WAV payload to 16-bit samples (first channel) */
+    def decodePcm16(payload: Array[Byte]): Array[Short] = {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16, s"expected PCM16, got $fmt")
+        val bytes = in.readAllBytes()
+        val frame = fmt.getFrameSize
+        val le = !fmt.isBigEndian
+        val n = bytes.length / frame
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          val o = i * frame
+          val lo = bytes(o) & 0xff
+          val hi = bytes(o + 1) & 0xff
+          out(i) = (if (le) (hi << 8) | lo else (lo << 8) | hi).toShort
+          i += 1
+        }
+        out
+      } finally in.close()
+    }
+
+    /** RMS over samples normalized to [-1, 1] */
+    def rms(samples: Array[Short]): Double = {
+      if (samples.isEmpty) return 0.0
+      var s = 0.0
+      var i = 0
+      while (i < samples.length) {
+        val v = samples(i) / 32768.0
+        s += v * v
+        i += 1
+      }
+      math.sqrt(s / samples.length)
+    }
+
+    /** 64-bucket amplitude fingerprint: mean |amplitude| per bucket,
+      * bit set when the bucket is >= the overall mean (aHash analog) */
+    def fingerprint(samples: Array[Short]): Long = {
+      if (samples.isEmpty) return 0L
+      val buckets = new Array[Double](64)
+      val counts = new Array[Int](64)
+      var i = 0
+      while (i < samples.length) {
+        val b = (i.toLong * 64 / samples.length).toInt
+        buckets(b) += math.abs(samples(i).toDouble)
+        counts(b) += 1
+        i += 1
+      }
+      var mean = 0.0
+      var b = 0
+      while (b < 64) {
+        if (counts(b) > 0) buckets(b) /= counts(b)
+        mean += buckets(b) / 64
+        b += 1
+      }
+      var out = 0L
+      b = 0
+      while (b < 64) {
+        if (buckets(b) >= mean) out |= (1L << b)
+        b += 1
+      }
+      out
+    }
+
+    /** minimal RIFF/WAV writer: 16-bit PCM mono little-endian */
+    def wavBytes(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(1) // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate * 2) // byte rate
+        .putShort(2) // block align
+        .putShort(16) // bits/sample
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+  }
+
+  /** STUB — deterministic fake "decode" for video payloads only (no video
+    * codec exists in the JDK / this sandbox). Swap for javacv/ffmpeg where
+    * the jars exist; everything around it (schema, batching, frame
+    * sampling) is codec-agnostic. */
+  object StubVideoCodec {
     def decodeBytes(payload: Array[Byte]): Array[Int] = {
-      // deterministic "decode": xorshift over payload bytes
       val out = new Array[Int](math.min(payload.length, 4096))
       var h = 0x9e3779b9
       var i = 0
@@ -57,45 +214,101 @@ object Multimodal {
     else if (nFrames <= k) 0 until nFrames
     else (0 until k).map(i => (i.toLong * nFrames / k).toInt)
 
-  /** partition-batched decode + featurize; the executor-side batch shape
-    * mirrors mapInPandas batching: one codec instance per partition. */
+  private def round6(v: Double): Double = math.rint(v * 1e6) / 1e6
+
+  /** partition-batched decode + featurize; one decoder context per
+    * partition (mirrors mapInPandas batch shape — real codecs are
+    * expensive to init, so init cost amortizes per task, not per row). */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition "decoder" state (real codecs are expensive to init)
       rows.map { r =>
-        val decoded = FakeCodec.decodeBytes(r.payload)
-        val mean = if (decoded.isEmpty) 0.0 else decoded.map(_.toDouble).sum / decoded.length
-        val rms = if (decoded.isEmpty) 0.0
-          else math.sqrt(decoded.map(v => (v - 128.0) * (v - 128.0)).sum / decoded.length)
-        var ph = 0L
-        var i = 0
-        while (i < 64 && i < decoded.length) {
-          if (decoded(i) >= mean) ph |= (1L << i)
-          i += 1
+        r.kind match {
+          case "image" =>
+            val (w, h, luma) = ImageCodec.decodeLuma(r.payload)
+            val mean = if (luma.isEmpty) 0.0 else luma.map(_.toLong).sum.toDouble / luma.length
+            MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, w, h,
+              round6(mean), 0.0, Nil, ImageCodec.aHash(w, h, luma))
+          case "audio" =>
+            val samples = AudioCodec.decodePcm16(r.payload)
+            MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, 0, 0,
+              0.0, round6(AudioCodec.rms(samples)), Nil, AudioCodec.fingerprint(samples))
+          case _ => // video: stubbed decode, real frame-sampling plumbing
+            val decoded = StubVideoCodec.decodeBytes(r.payload)
+            val mean = if (decoded.isEmpty) 0.0 else decoded.map(_.toDouble).sum / decoded.length
+            var ph = 0L
+            var i = 0
+            while (i < 64 && i < decoded.length) {
+              if (decoded(i) >= mean) ph |= (1L << i)
+              i += 1
+            }
+            MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, 0, 0,
+              round6(mean), 0.0, sampleFrames(r.n_frames, 8), ph)
         }
-        MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
-          if (r.kind == "audio") 0.0 else math.rint(mean * 1e6) / 1e6,
-          if (r.kind == "audio") math.rint(rms * 1e6) / 1e6 else 0.0,
-          if (r.kind == "video") sampleFrames(r.n_frames, 8) else Nil,
-          ph)
       }
     }
   }
 
-  /** deterministic synthetic media table for tests/bench */
+  // ---- deterministic synthetic media (real formats) -------------------------
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** deterministic 64x64 RGB test image: smooth gradient + seeded blocks */
+  def syntheticImageBytes(seed: Long, i: Long, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 64) {
+      var x = 0
+      while (x < 64) {
+        val block = mix(seed ^ (i * 64) ^ ((y / 8) * 8 + (x / 8))) & 0xff
+        val r = (x * 4 + block) & 0xff
+        val g = (y * 4) & 0xff
+        val b = ((x + y) * 2) & 0xff
+        img.setRGB(x, y, (r.toInt << 16) | (g << 8) | b.toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, format, out)
+    out.toByteArray
+  }
+
+  /** deterministic WAV: PCM16 mono sine, frequency seeded per row */
+  def syntheticWavBytes(seed: Long, i: Long): Array[Byte] = {
+    val sampleRate = 8000
+    val n = 2000
+    val freq = 200.0 + (mix(seed ^ i) & 0x3ff).toDouble // 200..1223 Hz
+    val amp = 12000 + (mix(seed ^ (i + 7)) & 0x3fff).toInt // 12k..28k
+    val samples = Array.tabulate(n)(t =>
+      (amp * math.sin(2 * math.Pi * freq * t / sampleRate)).toShort)
+    AudioCodec.wavBytes(samples, sampleRate)
+  }
+
+  /** deterministic synthetic media table for tests/bench: real PNGs and
+    * JPEGs, real WAVs; video payloads are opaque bytes (codec stubbed). */
   def synthetic(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).as[Long].map { i =>
       val kinds = Array("image", "audio", "video")
       val kind = kinds((i % 3).toInt)
-      val len = 256 + ((i * 2654435761L) % 1024).toInt.abs
-      val payload = Array.tabulate(len)(j => ((i * 31 + j * 7 + seed) & 0xff).toByte)
-      MediaRow(i, kind, payload,
-        width = if (kind != "audio") 64 else 0,
-        height = if (kind != "audio") 64 else 0,
-        sample_rate = if (kind == "audio") 16000 else 0,
-        n_frames = if (kind == "video") 24 + (i % 100).toInt else if (kind == "image") 1 else 0)
+      kind match {
+        case "image" =>
+          val fmt = if (i % 6 == 0) "jpg" else "png" // exercise both decoders
+          val payload = syntheticImageBytes(seed, i, fmt)
+          MediaRow(i, kind, payload, 64, 64, 0, 1)
+        case "audio" =>
+          val payload = syntheticWavBytes(seed, i)
+          MediaRow(i, kind, payload, 0, 0, 8000, 0)
+        case _ =>
+          val len = 256 + ((i * 2654435761L) % 1024).toInt.abs
+          val payload = Array.tabulate(len)(j => ((i * 31 + j * 7 + seed) & 0xff).toByte)
+          MediaRow(i, kind, payload, 64, 64, 0, 24 + (i % 100).toInt)
+      }
     }
   }
 }

@@ -53,13 +53,50 @@ object ExtractJob {
     pages.mapPartitions(ExtractKernel.runPartition _)
   }
 
-  /** full job with sinks + resume. Returns (resultsPath, lineagePath). */
+  /** salted repartition that carries the warc_bucket key through the kernel
+    * (input must already have a warc_bucket column) */
+  private[pipeline] def saltedRepartitionKeyed(
+      spark: SparkSession,
+      pages: DataFrame,
+      partitions: Int): Dataset[(Long, PageRow)] = {
+    import spark.implicits._
+    val typed = pages.select(col("warc_bucket").cast("long").as("bucket"),
+      col("url"), col("warc_ts"), col("html"), lit("").as("text"), lit("").as("lang"))
+    val small = typed.filter(length(col("html")) <= SKEW_THRESHOLD_BYTES)
+      .repartition(partitions, col("url"))
+    val big = typed.filter(length(col("html")) > SKEW_THRESHOLD_BYTES)
+      .repartition(partitions)
+    small.union(big)
+      .select(col("bucket").as("_1"),
+        struct(col("url"), col("warc_ts"), col("html"), col("text"), col("lang")).as("_2"))
+      .as[(Long, PageRow)]
+  }
+
+  /** keyed extraction: (bucket, page) -> (bucket, extracted) */
+  private[pipeline] def extractKeyed(
+      pages: Dataset[(Long, PageRow)]): Dataset[(Long, ExtractedRow)] = {
+    import pages.sparkSession.implicits._
+    pages.mapPartitions(_.map { case (b, p) => (b, ExtractKernel.extractOne(p)) })
+  }
+
+  /** full job with sinks + resume. Returns (resultsPath, lineagePath).
+    *
+    * Buckets are processed in groups of `bucketsPerJob` (one Spark job per
+    * group instead of one per bucket: 64 buckets = 8 jobs, not 64), written
+    * once via dynamic partition overwrite, and the per-bucket lineage
+    * metrics come from `Dataset.observe` aggregates computed in the SAME
+    * pass as the write — no read-back of just-written results. Resume
+    * granularity stays per bucket: lineage rows are committed per bucket
+    * only after the group's results are durable, and a restart reprocesses
+    * exactly the buckets with no lineage row (dynamic overwrite makes the
+    * re-write of those bucket directories idempotent). */
   def run(
       spark: SparkSession,
       pages: DataFrame,
       outDir: String,
       nBuckets: Int = N_BUCKETS_DEFAULT,
-      partitions: Int = 0): (String, String) = {
+      partitions: Int = 0,
+      bucketsPerJob: Int = 8): (String, String) = {
     import spark.implicits._
     val resultsPath = s"$outDir/extracted"
     val lineagePath = s"$outDir/lineage"
@@ -73,23 +110,40 @@ object ExtractJob {
     val todo = bucketed.filter(!col("warc_bucket").isin(doneBuckets.toSeq: _*))
 
     val buckets = todo.select("warc_bucket").distinct().as[Long].collect().sorted
-    buckets.foreach { bucket =>
-      val slice = todo.filter(col("warc_bucket") === bucket)
-      val extracted = extract(saltedRepartition(spark, slice, nPart))
+    buckets.grouped(math.max(bucketsPerJob, 1)).zipWithIndex.foreach { case (group, gi) =>
+      val slice = todo.filter(col("warc_bucket").isin(group: _*))
+      val flat = extractKeyed(saltedRepartitionKeyed(spark, slice, nPart))
+        .toDF("warc_bucket", "row")
+        .select(col("warc_bucket"), col("row.*"))
       val t0 = System.currentTimeMillis()
-      extracted.withColumn("warc_bucket", lit(bucket))
+      // per-bucket metrics in the same pass as the write (no read-back)
+      val obs = org.apache.spark.sql.Observation(s"graft_lineage_$gi")
+      val aggs = group.toSeq.flatMap { b =>
+        Seq(
+          coalesce(sum(when(col("warc_bucket") === b && col("status") === "ok", 1L)
+            .otherwise(0L)), lit(0L)).as(s"ok_$b"),
+          coalesce(sum(when(col("warc_bucket") === b && col("status") =!= "ok", 1L)
+            .otherwise(0L)), lit(0L)).as(s"err_$b"),
+          coalesce(sum(when(col("warc_bucket") === b, col("bytes_in"))
+            .otherwise(0L)), lit(0L)).as(s"bytes_$b"),
+          coalesce(sum(when(col("warc_bucket") === b, col("chars_out"))
+            .otherwise(0L)), lit(0L)).as(s"chars_$b"))
+      }
+      flat.observe(obs, aggs.head, aggs.tail: _*)
         .write.mode(SaveMode.Overwrite)
-        .parquet(s"$resultsPath/warc_bucket=$bucket")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("warc_bucket")
+        .parquet(resultsPath)
       // lineage commit AFTER results are durable => idempotent resume
-      val m = spark.read.parquet(s"$resultsPath/warc_bucket=$bucket")
-        .agg(
-          sum(when(col("status") === "ok", 1L).otherwise(0L)).as("n_ok"),
-          sum(when(col("status") =!= "ok", 1L).otherwise(0L)).as("n_err"),
-          sum("bytes_in").as("bytes_in"),
-          sum("chars_out").as("chars_out"))
-        .withColumn("warc_bucket", lit(bucket))
-        .withColumn("wall_ms", lit(System.currentTimeMillis() - t0))
-      m.write.mode(SaveMode.Append).parquet(lineagePath)
+      val m = obs.get
+      val wall = System.currentTimeMillis() - t0
+      val lineageRows = group.toSeq.map { b =>
+        (m(s"ok_$b").asInstanceOf[Long], m(s"err_$b").asInstanceOf[Long],
+          m(s"bytes_$b").asInstanceOf[Long], m(s"chars_$b").asInstanceOf[Long], b, wall)
+      }
+      lineageRows.toDF("n_ok", "n_err", "bytes_in", "chars_out", "warc_bucket", "wall_ms")
+        .coalesce(1)
+        .write.mode(SaveMode.Append).parquet(lineagePath)
     }
     bucketed.unpersist()
     (resultsPath, lineagePath)

@@ -110,6 +110,47 @@ class OpsSpec extends AnyFunSuite {
     assert(feats.map(_.phash).toSeq == feats2.map(_.phash).toSeq)
   }
 
+  test("image codec golden: half-black/half-white PNG decodes to known luma and aHash") {
+    val img = new java.awt.image.BufferedImage(64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64)
+      img.setRGB(x, y, if (x < 32) 0x000000 else 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val (w, h, luma) = Multimodal.ImageCodec.decodeLuma(out.toByteArray)
+    assert(w == 64 && h == 64)
+    val mean = luma.map(_.toLong).sum.toDouble / luma.length
+    assert(mean == 127.5, s"mean luma $mean") // (0 + 255)/2 exactly
+    // aHash: right-half grid cells (gx >= 4) >= mean -> bits 4..7 per row
+    assert(Multimodal.ImageCodec.aHash(w, h, luma) == 0xf0f0f0f0f0f0f0f0L)
+  }
+
+  test("jpeg decode path works (lossy but deterministic)") {
+    val payload = Multimodal.syntheticImageBytes(42L, 0L, "jpg")
+    val (w, h, luma) = Multimodal.ImageCodec.decodeLuma(payload)
+    assert(w == 64 && h == 64 && luma.length == 64 * 64)
+    val (_, _, luma2) = Multimodal.ImageCodec.decodeLuma(
+      Multimodal.syntheticImageBytes(42L, 0L, "jpg"))
+    assert(luma.toSeq == luma2.toSeq)
+  }
+
+  test("audio codec golden: square-wave WAV round-trips with rms 0.5") {
+    val samples = Array.tabulate(4000)(t => (if (t % 2 == 0) 16384 else -16384).toShort)
+    val wav = Multimodal.AudioCodec.wavBytes(samples, 8000)
+    val decoded = Multimodal.AudioCodec.decodePcm16(wav)
+    assert(decoded.toSeq == samples.toSeq) // byte-exact PCM round-trip
+    assert(Multimodal.AudioCodec.rms(decoded) == 0.5) // |16384|/32768 exactly
+  }
+
+  test("multimodal features come from real decode: dims, luma range, audio rms") {
+    val feats = Multimodal.extractFeatures(Multimodal.synthetic(spark, 30)).collect()
+    val images = feats.filter(_.kind == "image")
+    assert(images.nonEmpty && images.forall(f => f.decoded_w == 64 && f.decoded_h == 64))
+    assert(images.forall(f => f.mean_luma > 0 && f.mean_luma < 255))
+    val audio = feats.filter(_.kind == "audio")
+    // sine at amplitude 12k..28k: rms ~ amp/(32768*sqrt(2)) in [0.2, 0.7]
+    assert(audio.nonEmpty && audio.forall(f => f.rms > 0.2 && f.rms < 0.7))
+  }
+
   test("frame sampling edge cases") {
     assert(Multimodal.sampleFrames(0, 8) == Nil)
     assert(Multimodal.sampleFrames(5, 8) == (0 until 5))

@@ -91,6 +91,26 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lineage.select("warc_bucket").distinct().count() == buckets.length)
   }
 
+  test("lineage metrics from observe() match the written results exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-observe").toString
+    val pages = spark.range(50).as[Long].map(Corpus.row(42L)).toDF()
+    val (resultsPath, lineagePath) = ExtractJob.run(spark, pages, dir,
+      nBuckets = 4, partitions = 4, bucketsPerJob = 2)
+    val results = spark.read.parquet(resultsPath)
+    val fromResults = results.groupBy("warc_bucket")
+      .agg(sum(when(col("status") === "ok", 1L).otherwise(0L)).as("n_ok"),
+        sum("bytes_in").as("bytes_in"), sum("chars_out").as("chars_out"))
+      .collect().map(r => (r.getAs[Number]("warc_bucket").longValue(),
+        (r.getAs[Long]("n_ok"), r.getAs[Long]("bytes_in"), r.getAs[Long]("chars_out")))).toMap
+    val fromLineage = spark.read.parquet(lineagePath)
+      .collect().map(r => (r.getAs[Long]("warc_bucket"),
+        (r.getAs[Long]("n_ok"), r.getAs[Long]("bytes_in"), r.getAs[Long]("chars_out")))).toMap
+    assert(fromLineage == fromResults, s"lineage $fromLineage != results $fromResults")
+    assert(fromLineage.values.map(_._1).sum == 50L)
+  }
+
   test("quarantine: corrupt pdf rows get err status, job survives") {
     import spark.implicits._
     val rows = Seq(
