@@ -80,12 +80,17 @@ object SparkEntry {
     "q07_simhash_neardups" -> ((s, dir) => Dedup.simhashNearDups(docs(s, dir))),
     "q08_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardDups(docs(s, dir), 0.8)),
     "q09_embedding_neardups" -> ((s, dir) => Dedup.embeddingNearDups(emb(s, dir), 0.2)),
-    "q19_embedding_neardups_lsh" -> ((s, dir) =>
-      // the 100 TB near-dup path (LSH candidate+verify); probabilistic recall
-      // => rows-only driver check + OpsSpec recall-vs-exact gate. The
-      // synthetic embeddings have no true near-dups (max cosine ~0.48), so
-      // the smoke threshold sits at 0.35 with extra probe tables.
-      Dedup.embeddingNearDupsLsh(emb(s, dir), 0.35, nBits = 6, nTables = 12)),
+    "q19_embedding_neardups_lsh" -> ((s, dir) => {
+      // the 100 TB near-dup path (LSH candidate+verify); probabilistic
+      // recall => rows-only driver check + OpsSpec recall-vs-exact gate.
+      // The synthetic embeddings have no true near-dups (max pairwise
+      // cosine ~0.48), so plant exact duplicates of the 100 lowest vec_ids
+      // (id+10^7): the query must recover all 100 at threshold 0.95.
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = e.orderBy("vec_id").limit(100)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      Dedup.embeddingNearDupsLsh(e.union(planted), 0.95, nBits = 16, nTables = 4)
+    }),
     // ---- text analysis ----
     "q10_text_stats" -> ((s, dir) => TextOps.stats(docs(s, dir))),
     "q11_lang_stats" -> ((s, dir) => {

@@ -80,11 +80,14 @@ object Dedup {
   /** candidate near-duplicate pairs via banded MinHash-LSH; each pair carries
     * the estimated jaccard = matching-minhash fraction.
     *
-    * Scale shape: banding rows are (band, band_hash, doc_id, sig); buckets
-    * larger than `maxBucketSize` are dropped before the self-join (anti-join
-    * against the tiny hot-bucket list) so no reduce key goes quadratic; the
-    * pair output is deduped by a partial-aggregating groupBy on the 16-byte
-    * (doc_a, doc_b) key rather than a distinct over full rows. */
+    * Scale shape: ONE pass computes signatures and emits (band, band_hash,
+    * doc_id, sig) rows; ONE shuffle groups them by bucket; pairs are
+    * generated executor-locally per bucket with `flatMapGroups` (streaming
+    * the group iterator, buffering at most maxBucketSize+1 rows — bounded
+    * task memory). Buckets larger than `maxBucketSize` (viral boilerplate)
+    * are dropped whole, so no reduce key goes quadratic. A self-join would
+    * shuffle — and recompute — the signature pipeline twice: Spark does not
+    * reuse exchanges under typed MapElements subtrees (verified on 4.1). */
   def minhashLsh(
       documents: DataFrame,
       seed: Long = 42L,
@@ -92,33 +95,49 @@ object Dedup {
     val spark = documents.sparkSession
     import spark.implicits._
     val params = hashParams(seed)
-    val sigs = documents.select(col("doc_id").cast("long"), col("text"))
+    val banded = documents.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
-      .map { case (id, text) => (id, minhashSignature(text, params)) }
-      .toDF("doc_id", "sig")
-    // explode into (band, band_hash) and bucket-join
-    val bandedAll = sigs.select(col("doc_id"), col("sig"),
-      posexplode(expr(
-        s"transform(sequence(0, ${N_BANDS - 1}), b -> " +
-          s"hash(slice(sig, b * $ROWS_PER_BAND + 1, $ROWS_PER_BAND)))")))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_hash")
-    // skew guard: drop buckets larger than the cap (few at any scale, so the
-    // anti-join side broadcasts; recall loss is confined to giant clusters)
-    val hot = bandedAll.groupBy(col("band"), col("band_hash"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxBucketSize)
-      .select(col("band"), col("band_hash"))
-    val banded = bandedAll.join(broadcast(hot), Seq("band", "band_hash"), "left_anti")
-    val a = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))").cast("double")
-          / N_HASHES).as("est_jaccard"))
+      .flatMap { case (id, text) =>
+        val sig = minhashSignature(text, params)
+        (0 until N_BANDS).iterator.map { b =>
+          var acc = 0x811c9dc5 // FNV-1a over the band's minhash rows
+          var r = 0
+          while (r < ROWS_PER_BAND) {
+            val v = sig(b * ROWS_PER_BAND + r)
+            acc = (acc ^ v.toInt) * 0x01000193
+            acc = (acc ^ (v >>> 32).toInt) * 0x01000193
+            r += 1
+          }
+          (b, acc, id, sig)
+        }
+      }
+    banded.groupByKey { case (b, h, _, _) => (b.toLong << 32) | (h & 0xffffffffL) }
+      .flatMapGroups { (_, it) =>
+        val buf = new scala.collection.mutable.ArrayBuffer[(Long, Array[Long])]()
+        var over = false
+        while (it.hasNext) {
+          val r = it.next()
+          if (!over) {
+            buf += ((r._3, r._4))
+            if (buf.length > maxBucketSize) { over = true; buf.clear() }
+          }
+        }
+        if (over) Iterator.empty
+        else {
+          val arr = buf.sortBy(_._1).toArray
+          (0 until arr.length).iterator.flatMap { i =>
+            (i + 1 until arr.length).iterator.map { j =>
+              val (ida, siga) = arr(i)
+              val (idb, sigb) = arr(j)
+              var m = 0
+              var h = 0
+              while (h < N_HASHES) { if (siga(h) == sigb(h)) m += 1; h += 1 }
+              (ida, idb, m.toDouble / N_HASHES)
+            }
+          }
+        }
+      }
+      .toDF("doc_a", "doc_b", "est_jaccard")
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(max(col("est_jaccard")).as("est_jaccard"))
   }
@@ -247,11 +266,15 @@ object Dedup {
     * shuffled. Candidate pairs are an LSH-confirmed small fraction of the
     * corpus, so the id list broadcasts. */
   def ngramJaccardDups(documents: DataFrame, threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
+    // the candidate set is referenced twice (id derivation + final join) and
+    // is tiny relative to the corpus: persist it so the LSH pipeline runs
+    // once (exchange reuse does not cover typed subtrees; see minhashLsh)
     val candidates = minhashLsh(documents, seed)
       .filter(col("est_jaccard") >= threshold * 0.7)
       .select(col("doc_a"), col("doc_b"))
-    val candIds = candidates.select(col("doc_a").as("doc_id"))
-      .union(candidates.select(col("doc_b").as("doc_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = candidates
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
     val grams = documents.select(col("doc_id").cast("long"), col("text"))
       .join(broadcast(candIds), Seq("doc_id"), "left_semi")
