@@ -115,8 +115,12 @@ object Tables {
     "UTF-16be" -> "UTF-16BE",
     "UTF-32be" -> "UTF-32BE",
     "Shift-JIS" -> "Shift_JIS",
-    "Big-5" -> "Big5",
-    "Big5" -> "Big5",
+    // glibc iconv's BIG-5 maps the ETen extension rows (0xC6A1-0xC8FE:
+    // kana/Cyrillic) to PUA U+F6A1.. — JDK "Big5" decodes them as kana.
+    // JDK x-windows-950 reproduces iconv byte-for-byte (verified by the
+    // full CMap sweep vs the reference binary).
+    "Big-5" -> "x-windows-950",
+    "Big5" -> "x-windows-950",
     "ISO-2022-JP" -> "ISO-2022-JP",
     "ISO-2022-JP-1" -> "ISO-2022-JP-2", // JDK lacks -1; -2 is a decode superset
     "ISO-2022-CN" -> "ISO-2022-CN",
@@ -140,7 +144,33 @@ object Tables {
       name -> (if (cs.isEmpty) None else Some(Charset.forName(iconv2jdk.getOrElse(cs, cs))))
     }.toMap
 
-  /** vertical-writing predefined CMaps (charset_converter.cc:67-89) */
-  lazy val verticalFonts: Set[String] =
-    cmapCharsets.keySet.filter(_.endsWith("-V")) ++ Set("/Identity-V", "/V")
+  /** vertical-writing predefined CMaps — the reference's EXPLICIT list
+    * (charset_converter.cc:65-93), quirks preserved: "/GBK-EUC_V" (with the
+    * underscore typo) IS in the list; "/GB-V", "/GB-EUC-V", "/GBK-EUC-V",
+    * "/HKdla-B5-V"-style names NOT in the list are rendered horizontally.
+    * A plain "-V"-suffix rule diverges (caught by the full CMap sweep). */
+  val verticalFonts: Set[String] = Set(
+    "/Identity-V", "/UniCNS-UCS2-V", "/GBK-EUC_V", "/GBpc-EUC-V",
+    "/GBT-V", "/GBT-EUC-V", "/GBTpc-EUC-V", "/GBKp-EUC-V", "/GBK2K-V",
+    "/UniGB-UCS2-V", "/UniGB-UTF8-V", "/UniGB-UTF16-V", "/UniGB-UTF32-V",
+    "/B5-V", "/B5pc-V", "/ETen-B5-V", "/ETenms-B5-V", "/CNS1-V",
+    "/CNS2-V", "/CNS-EUC-V", "/UniCNS-UTF8-V", "/UniCNS-UTF16-V",
+    "/UniCNS-UTF32-V", "/ETHK-B5-V", "/HKdla-B5-V", "/HKdlb-B5-V",
+    "/HKgccs-B5-V", "/HKm314-B5-V", "/HKm471-B5-V",
+    "/HKscs-B5-V", "/V", "/RKSJ-V", "/EUC-V", "/83pv-RKSJ-V", "/Add-V",
+    "/Add-RKSJ-V", "/Ext-V", "/Ext-RKSJ-V", "/NWP-V",
+    "/90pv-RKSJ-V", "/90ms-RKSJ-V", "/90msp-RKSJ-V",
+    "/78-V", "/78-RKSJ-V", "/78ms-RKSJ-V", "/78-EUC-V", "/UniJIS-UCS2-V",
+    "/UniJIS-UCS2-HW-V", "/UniJIS-UTF8-V", "/UniJIS-UTF16-V",
+    "/UniJIS-UTF32-V", "/UniJIS2004-UTF8-V",
+    "/UniJIS2004-UTF16-V", "/UniJIS2004-UTF32-V",
+    "/UniJISX0213-UTF32-V", "/UniJISX02132004-UTF32-V",
+    "/UniAKR-UTF8-V", "/UniAKR-UTF16-V", "/UniAKR-UTF32-V",
+    "/KSC-V", "/KSC-EUC-V",
+    "/KSCpv-EUC-V", "/KSCms-EUC-V", "/KSCms-EUC-HW-V",
+    "/KSC-Johab-V", "/UniKS-UCS2-V",
+    "/UniKS-UTF8-V", "/UniKS-UTF16-V",
+    "/UniKS-UTF32-V", "/Hojo-V", "/Hojo-EUC-V",
+    "/UniHojo-UCS2-V", "/UniHojo-UTF8-V", "/UniHojo-UTF16-V",
+    "/UniHojo-UTF32-V")
 }

@@ -56,6 +56,33 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(extract(pdf) == "中文\n")
   }
 
+  test("vertical CMap list quirks: /GBK-EUC_V vertical, /GB-EUC-V horizontal") {
+    // the reference's is_vertical uses an EXPLICIT list (charset_converter
+    // .cc:65-93): it contains "/GBK-EUC_V" (underscore typo) but NOT
+    // "/GB-EUC-V" — verified byte-identical by the full 152-CMap sweep
+    def cjkPdf(enc: String, hexStr: String): Array[Byte] = {
+      val fonts = Seq(
+        ObjSpec(5, s"<< /Type /Font /Subtype /Type0 /BaseFont /Fx " +
+          s"/Encoding $enc /DescendantFonts [7 0 R] >>"),
+        ObjSpec(7, "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fx /DW 1000 >>"))
+      onePage(bytes(s"BT\n/F1 12 Tf\n72 720 Td\n<$hexStr> Tj\nET\n"), Map("/F1" -> 5), fonts)
+    }
+    assert(extract(cjkPdf("/GBK-EUC_V", "D6D0")) == "") // vertical: show dropped
+    assert(extract(cjkPdf("/GB-EUC-V", "D6D0")) == "中\n") // NOT in the list
+    assert(extract(cjkPdf("/GBK-EUC-H", "D6D0")) == "中\n")
+  }
+
+  test("Big5 decodes ETen extension rows to PUA like iconv (x-windows-950)") {
+    // iconv BIG-5 maps 0xC6AF -> U+F6BF (PUA), not hiragana; sweep-verified
+    val fonts = Seq(
+      ObjSpec(5, "<< /Type /Font /Subtype /Type0 /BaseFont /Fx " +
+        "/Encoding /ETen-B5-H /DescendantFonts [7 0 R] >>"),
+      ObjSpec(7, "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fx /DW 1000 >>"))
+    val pdf = onePage(bytes("BT\n/F1 12 Tf\n72 720 Td\n<C6AF A4A4> Tj\nET\n"),
+      Map("/F1" -> 5), fonts)
+    assert(extract(pdf) == "\uf6bf中\n") // JDK "Big5" would give kana here
+  }
+
   test("bad pdf: cyclic page tree does not hang") {
     val objs = Seq(
       ObjSpec(1, "<< /Type /Catalog /Pages 2 0 R >>"),
