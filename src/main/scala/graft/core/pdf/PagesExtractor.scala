@@ -6,12 +6,42 @@ import scala.collection.mutable.{ArrayBuffer, Map => MMap, Set => MSet}
 /** Page-tree walk + content-stream interpreter + per-page rendering
   * (reference pages_extractor.cc).
   *
-  * The reference dispatches operators through a perfect-hash table over 1-2
-  * char tokens (pages_extractor.cc:56-69); a string match is the idiomatic
-  * equivalent (identical for all real operators; the reference would also
-  * fire on pathological hash-colliding garbage tokens, which we don't
-  * reproduce).
+  * Operator dispatch replicates the reference's perfect-hash table over
+  * 1-2 char tokens (pages_extractor.cc:56-69, gen_extract_handlers.pl)
+  * EXACTLY, including its collision acceptance: hash = signed(token[0])
+  * for 1-char tokens, signed(token[0])*'q' + signed(token[1]) for 2-char,
+  * guarded to ['"' .. 'c'*'q'+'m']. Pathological tokens whose hash lands on
+  * a real slot (only possible with high-bit bytes — printable 2-char pairs
+  * are collision-free since |c1-c1'| < 113) EXECUTE that handler, e.g.
+  * "U\xB9" runs T* and "C\xD8" runs the BI..EI skip. Differential-fuzzed
+  * vs the reference binary (FuzzR2 garbage-token family).
   */
+object PagesExtractor {
+  private val ops = Seq("\"", "'", "BT", "Do", "ET", "Q", "T*", "TD", "TJ",
+    "TL", "Tc", "Td", "Tf", "Tj", "Tm", "Ts", "Tz", "Tw", "cm", "q", "BI")
+
+  private def slotOf(s: String): Int =
+    if (s.length == 1) s.charAt(0).toByte.toInt
+    else s.charAt(0).toByte * 'q'.toInt + s.charAt(1).toByte.toInt
+
+  private val slot2op: Array[String] = {
+    val table = new Array[String]('c'.toInt * 'q'.toInt + 'm'.toInt + 1)
+    ops.foreach(op => table(slotOf(op)) = op)
+    table
+  }
+
+  /** reference get_extract_handler: token -> canonical op (or null). Chars
+    * sign-extend like C++ `char`, so high-bit bytes go negative. */
+  def canonicalOp(token: String): String = {
+    val hash =
+      if (token.length == 1) token.charAt(0).toByte.toInt
+      else if (token.length == 2) token.charAt(0).toByte * 'q'.toInt + token.charAt(1).toByte.toInt
+      else return null
+    if (hash < '"'.toInt || hash >= slot2op.length) null
+    else slot2op(hash)
+  }
+}
+
 final class PagesExtractor(
     catalogPagesId: Long,
     storage: ObjectStorage,
@@ -311,7 +341,8 @@ final class PagesExtractor(
     while (p.i >= 0 && p.i < pageContent.length) {
       if (!(arg.in && put2stack(st, pageContent, p))) {
         val token = getToken(pageContent, p)
-        if (!dispatch(token, arg, p)) st += ((Obj.VALUE, token))
+        val op = PagesExtractor.canonicalOp(token)
+        if (op == null || !dispatch(op, arg, p)) st += ((Obj.VALUE, token))
       }
       p.i = skipComments(pageContent, p.i, validate = false)
     }

@@ -263,6 +263,40 @@ object FuzzR2 {
     }
   }
 
+  // ---- family H: hash-colliding garbage tokens ----------------------------------
+  /** bytes legal inside a token (not PDF whitespace, not delimiters) */
+  private def tokenByte(): Char = {
+    while (true) {
+      val b = 1 + rnd.nextInt(255)
+      val c = b.toChar
+      if (!" \t\n\f\r ()<>[]{}/%".contains(c) && b != 0x0c) return c
+    }
+    'x'
+  }
+
+  /** content streams peppered with random 1-2-byte binary tokens; those
+    * whose signed-char hash collides with a real slot must EXECUTE the
+    * handler (perfect-hash quirk, pages_extractor.cc:56-69). Operands are
+    * pre-pushed so colliding handlers always have something to pop. */
+  def garbageTokens(outDir: String, n: Int): Unit = {
+    (0 until n).foreach { i =>
+      val sb = new StringBuilder
+      sb.append("BT\n/F1 10 Tf\n72 720 Td\n(start) Tj\n")
+      val nOps = 3 + rnd.nextInt(12)
+      (0 until nOps).foreach { _ =>
+        // keep the operand stack stocked: strings + numbers
+        sb.append(s"(${randWord()}) ${rnd.nextInt(40)} ${rnd.nextInt(700)} (${randWord()}) ")
+        val len = 1 + rnd.nextInt(2)
+        val tok = (0 until len).map(_ => tokenByte()).mkString
+        sb.append(tok).append('\n')
+        if (rnd.nextInt(3) == 0) sb.append(s"0 ${-8 - rnd.nextInt(6)} Td\n(${randWord()}) Tj\n")
+      }
+      sb.append("(end) Tj\nET\n")
+      val pdf = onePage(bytes(sb.toString), Map("/F1" -> 5), Seq(courier(5)))
+      dump(outDir, f"gt_$i%04d", pdf)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("/tmp/refcmp_r2")
     Files.createDirectories(Paths.get(outDir))
@@ -273,6 +307,7 @@ object FuzzR2 {
     multiByteToUnicode(outDir, 150)
     bfrangeArrayForm(outDir, 100)
     ttFormats(outDir, 150)
-    println(s"FuzzR2 dumped 1150 docs to $outDir")
+    garbageTokens(outDir, 200)
+    println(s"FuzzR2 dumped 1350 docs to $outDir")
   }
 }

@@ -205,4 +205,23 @@ class UnitSpec extends AnyFunSuite {
     assert(!r.text.contains("home"))
     assert(!r.text.contains("tiny footer"))
   }
+
+  test("perfect-hash dispatch: collision acceptance quirk (pages_extractor.cc:56-69)") {
+    import PagesExtractor.canonicalOp
+    // real operators hit their own slots
+    assert(canonicalOp("Tj") == "Tj" && canonicalOp("T*") == "T*" &&
+      canonicalOp("q") == "q" && canonicalOp("\"") == "\"")
+    // colliding garbage tokens EXECUTE the real handler (signed-char math):
+    // 'U'*113 + signed(0xB9 = -71) = 9534 = slot of T*
+    assert(canonicalOp("U¹") == "T*")
+    // 'C'*113 + signed(0xD8 = -40) = 7531 = slot of BI
+    assert(canonicalOp("CØ") == "BI")
+    // 0x01*113 + signed(0xE0 = -32) = 81 = slot of Q
+    assert(canonicalOp("\u0001\u00e0") == "Q")
+    // out-of-range and 3+-char tokens stay operands
+    assert(canonicalOp("Á") == null) // sign-extends negative
+    assert(canonicalOp("xy") == null) // empty slot
+    assert(canonicalOp("ABC") == null) // length > 2
+    assert(canonicalOp("!") == null) // below '"'
+  }
 }
