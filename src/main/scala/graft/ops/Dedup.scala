@@ -44,31 +44,56 @@ object Dedup {
   final val MAX_BUCKET_SIZE_DEFAULT = 1000
   private final val PRIME = 2305843009213693951L // 2^61 - 1
 
-  /** deterministic affine hash params (seeded) */
-  private def hashParams(seed: Long): Array[(Long, Long)] =
-    (0 until N_HASHES).map { i =>
+  /** deterministic affine hash params (seeded), flat arrays — the signature
+    * inner loop runs 64x per shingle, so no tuple boxing there */
+  private[ops] def hashParams(seed: Long): (Array[Long], Array[Long]) = {
+    val as = new Array[Long](N_HASHES)
+    val bs = new Array[Long](N_HASHES)
+    var i = 0
+    while (i < N_HASHES) {
       var z = seed + i * 0x9e3779b97f4a7c15L
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      val a = (z ^ (z >>> 27)) | 1L
+      as(i) = ((z ^ (z >>> 27)) | 1L) & 0x3fffffffffffffffL
       var z2 = z + 0x94d049bb133111ebL
       z2 = (z2 ^ (z2 >>> 31)) * 0xbf58476d1ce4e5b9L
-      (a & 0x3fffffffffffffffL, z2 & 0x3fffffffffffffffL)
-    }.toArray
+      bs(i) = z2 & 0x3fffffffffffffffL
+      i += 1
+    }
+    (as, bs)
+  }
 
-  /** word 3-shingles -> 64 minhashes (pure, executor-local) */
-  def minhashSignature(text: String, params: Array[(Long, Long)]): Array[Long] = {
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
+  /** word 3-shingles -> 64 minhashes (pure, executor-local). Shingle value =
+    * mix of the three token hashes — no per-shingle string building. */
+  def minhashSignature(text: String, as: Array[Long], bs: Array[Long]): Array[Long] = {
     val sig = Array.fill(N_HASHES)(Long.MaxValue)
     if (text == null) return sig
-    val tokens = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
-    val nShingles = math.max(tokens.length - 2, if (tokens.isEmpty) 0 else 1)
+    val raw = WS.split(text.toLowerCase)
+    // compact + hash tokens in one pass
+    val th = new Array[Long](raw.length)
+    var nTok = 0
+    var t = 0
+    while (t < raw.length) {
+      if (raw(t).nonEmpty) {
+        var z = raw(t).hashCode.toLong * 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        th(nTok) = z ^ (z >>> 27)
+        nTok += 1
+      }
+      t += 1
+    }
+    val nShingles = math.max(nTok - 2, if (nTok == 0) 0 else 1)
     var i = 0
     while (i < nShingles) {
-      val shingle = tokens.slice(i, math.min(i + 3, tokens.length)).mkString(" ")
-      val x = shingle.hashCode.toLong & 0xffffffffL
+      val h2 = if (i + 1 < nTok) th(i + 1) else 0L
+      val h3 = if (i + 2 < nTok) th(i + 2) else 0L
+      var m = th(i) * 31 + h2
+      m = (m ^ (m >>> 29)) * 31 + h3
+      val x = (m ^ (m >>> 32)) & 0xffffffffL
       var h = 0
       while (h < N_HASHES) {
-        val (a, b) = params(h)
-        val v = (a * x + b) % PRIME
+        val v = (as(h) * x + bs(h)) % PRIME
         if (v < sig(h)) sig(h) = v
         h += 1
       }
@@ -94,11 +119,11 @@ object Dedup {
       maxBucketSize: Int = MAX_BUCKET_SIZE_DEFAULT): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val params = hashParams(seed)
+    val (as, bs) = hashParams(seed)
     val banded = documents.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        val sig = minhashSignature(text, params)
+        val sig = minhashSignature(text, as, bs)
         (0 until N_BANDS).iterator.map { b =>
           var acc = 0x811c9dc5 // FNV-1a over the band's minhash rows
           var r = 0
@@ -278,7 +303,12 @@ object Dedup {
       .distinct()
     val grams = documents.select(col("doc_id").cast("long"), col("text"))
       .join(broadcast(candIds), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), shingles3("text").as("grams"))
+      // materialize the token array once per row: referencing split(...)
+      // inside the transform lambda would recompute it per shingle (O(n^2))
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, greatest(size(toks) - 3, 0)), " +
+          "i -> concat_ws(' ', slice(toks, i + 1, 3)))").as("grams"))
     val a = grams.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
     val b = grams.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
     candidates.join(a, "doc_a").join(b, "doc_b")
@@ -289,10 +319,6 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
-
-  private def shingles3(textCol: String): Column =
-    expr(s"transform(sequence(0, greatest(size(split(lower($textCol), '\\\\s+')) - 3, 0)), " +
-      s"i -> concat_ws(' ', slice(split(lower($textCol), '\\\\s+'), i + 1, 3)))")
 
   // ---- embedding near-dup -------------------------------------------------------
   /** cosine >= threshold pairs. Dispatch: thresholds >= `lshCutoff` use the
