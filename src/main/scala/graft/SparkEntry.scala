@@ -91,8 +91,12 @@ object SparkEntry {
         .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
       Dedup.embeddingNearDupsLsh(e.union(planted), 0.95, nBits = 16, nTables = 4)
     }),
+    "q21_jaccard_all_pairs" -> ((s, dir) => Dedup.ngramJaccardAllPairs(docs(s, dir), 0.5)),
     // ---- text analysis ----
     "q10_text_stats" -> ((s, dir) => TextOps.stats(docs(s, dir))),
+    "q20_repetition" -> ((s, dir) => TextOps.repetition(docs(s, dir))),
+    "q22_hash_split" -> ((s, dir) => TextOps.hashSplit(docs(s, dir))),
+    "q23_normalize" -> ((s, dir) => TextOps.normalized(docs(s, dir))),
     "q11_lang_stats" -> ((s, dir) => {
       docs(s, dir).groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
@@ -208,6 +212,71 @@ object SparkEntry {
         |      / greatest(cast(CASE WHEN length(trim(text)) = 0 THEN 0
         |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS double), 1.0)) * 4.0,
         |      1.0) * 0.3, 6) AS quality
+        |FROM documents""".stripMargin,
+    "q21_jaccard_all_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |gsets AS (
+        |  SELECT doc_id, list_distinct([array_to_string(t[i+1:i+3], ' ')
+        |          for i in range(0, greatest(len(t)-3, 0) + 1)]) AS gs
+        |  FROM toks),
+        |grams AS (SELECT doc_id, unnest(gs) AS g FROM gsets),
+        |sizes AS (SELECT doc_id, len(gs) AS sz FROM gsets),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(common / (sa.sz + sb.sz - common), 6) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE common / (sa.sz + sb.sz - common) >= 0.5""".stripMargin,
+    "q20_repetition" ->
+      """WITH lines AS (
+        |  SELECT doc_id, list_filter(list_transform(string_split(text, chr(10)),
+        |           l -> trim(l)), l -> length(l) > 0) AS ls
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+        |  FROM documents),
+        |g2 AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+        |           THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+        |           ELSE [] END) AS g
+        |  FROM toks),
+        |cnt AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |top AS (SELECT doc_id, max(c) AS top_c, cast(sum(c) AS bigint) AS n_g
+        |        FROM cnt GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  cast(len(l.ls) AS bigint) AS n_lines,
+        |  cast(len(list_distinct(l.ls)) AS bigint) AS n_distinct_lines,
+        |  CASE WHEN len(l.ls) = 0 THEN 0.0
+        |       ELSE round((len(l.ls) - len(list_distinct(l.ls)))
+        |            / cast(len(l.ls) AS double), 6) END AS dup_line_frac,
+        |  coalesce(t.n_g, 0) AS n_2grams,
+        |  cast(coalesce(t.top_c, 0) AS bigint) AS top_2gram_count,
+        |  CASE WHEN coalesce(t.n_g, 0) = 0 THEN 0.0
+        |       ELSE round(t.top_c / cast(t.n_g AS double), 6) END AS top_2gram_frac
+        |FROM documents d
+        |JOIN lines l USING (doc_id)
+        |LEFT JOIN top t USING (doc_id)""".stripMargin,
+    "q22_hash_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN substr(md5(cast(doc_id AS varchar) || ':graft'), 1, 2) < '1a'
+        |       THEN 'val' ELSE 'train' END AS split
+        |FROM documents""".stripMargin,
+    "q23_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |    '[ \t]+', ' ', 'g'),
+        |    '\n{3,}', chr(10) || chr(10), 'g')) AS norm_text,
+        |  length(trim(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |    '[ \t]+', ' ', 'g'),
+        |    '\n{3,}', chr(10) || chr(10), 'g'))) AS norm_len
         |FROM documents""".stripMargin,
     "q14_simsearch_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS query_emb

@@ -282,6 +282,66 @@ object Dedup {
     simhashNearDupsFromHashes(simhashes(documents), maxHamming, nBlocks)
 
   // ---- exact n-gram Jaccard (verification pass over LSH candidates) ------------
+
+  /** word-3-gram array for a lowercased text column, materializing the token
+    * array once per row (referencing split() inside the lambda would
+    * recompute it per shingle — O(n^2)). Same definition everywhere the
+    * engine shingles: `sequence(0, max(n-3, 0))` indices, `slice` +
+    * `concat_ws(' ')`, so short/empty docs yield one (possibly partial)
+    * gram — keeps Jaccard defined for every doc. */
+  private[ops] def withGrams(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, greatest(size(toks) - 3, 0)), " +
+          "i -> concat_ws(' ', slice(toks, i + 1, 3)))").as("grams"))
+
+  /** EXACT all-pairs word-3-gram Jaccard >= threshold via an inverted-index
+    * join — the scale shape for exact set-similarity self-joins:
+    *
+    *  1. one pass builds each doc's DISTINCT gram set (set size kept);
+    *  2. explode to (gram, doc_id) postings and equi-join postings with
+    *     themselves on the gram — only docs SHARING a gram ever meet
+    *     (never all-pairs; the plan is a shuffled equi-join, no cartesian);
+    *  3. count shared grams per pair (partial aggregation map-side), then
+    *     jaccard = common / (|A| + |B| - common), filter by threshold.
+    *
+    * Work is sum over grams of df^2 — at web scale ubiquitous grams
+    * (boilerplate n-grams with document frequency in the millions) must be
+    * dropped via `maxDf`: a gram shared by >maxDf docs contributes join
+    * pairs quadratically while adding at most 1 to `common`, so dropping it
+    * lowers computed jaccard by < 1/|union| per gram — bounded, documented
+    * recall loss at the threshold boundary only. maxDf = 0 disables the cap
+    * (exactness mode, used by the DuckDB-oracled query). */
+  def ngramJaccardAllPairs(
+      documents: DataFrame,
+      threshold: Double = 0.8,
+      maxDf: Int = 0): DataFrame = {
+    val gsets = withGrams(documents)
+      .select(col("doc_id"), array_distinct(col("grams")).as("gs"))
+    val sizes = gsets.select(col("doc_id"), size(col("gs")).as("sz"))
+    val postings0 = gsets.select(col("doc_id"), explode(col("gs")).as("g"))
+    val postings =
+      if (maxDf <= 0) postings0
+      else {
+        val hot = postings0.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select(col("g"))
+        postings0.join(hot, Seq("g"), "left_anti")
+      }
+    val pairs = postings.select(col("doc_id").as("doc_a"), col("g"))
+      .join(postings.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard", round(
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** exact word-3-gram Jaccard, computed ONLY for LSH candidate pairs.
     *
     * Scale shape: the grams table (largest column in the job — one array of

@@ -108,6 +108,95 @@ object TextOps {
     h
   }
 
+  // ---- repetition signals (Gopher-style quality filters) -------------------
+
+  /** non-empty trimmed lines of a text column */
+  private def linesCol(text: Column): Column =
+    filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+
+  /** word 2-gram array (lowercased, whitespace-tokenized); empty/1-token
+    * docs yield an empty array */
+  private def grams2Col: Column = expr(
+    "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), " +
+      "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) " +
+      "ELSE array() END")
+
+  /** count of the most frequent element of a (sorted) string array — a
+    * linear codegen'd fold over the row, NO shuffle: sorting groups equal
+    * grams into runs, the fold tracks the longest run. */
+  private def topRunCount(sortedArr: Column): Column =
+    aggregate(
+      sortedArr,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(acc.getField("prev") <=> x, acc.getField("run") + 1L).otherwise(1L)
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** per-doc repetition signals for boilerplate/spam filtering (the
+    * duplicate-line and top-n-gram fractions of Gopher-style web filtering).
+    * Entirely per-row codegen'd column math — no UDFs, NO shuffle: the
+    * top-2-gram mode is computed by sort-and-scan inside the row instead of
+    * an explode + groupBy (which would shuffle one row per gram occurrence
+    * — at 100 TB that's a shuffle bigger than the corpus). */
+  def repetition(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("text"), linesCol(col("text")).as("ls"),
+        when(length(trim(col("text"))) === 0, expr("array()"))
+          .otherwise(split(trim(lower(col("text"))), "\\s+")).as("toks"))
+      .withColumn("g2", grams2Col)
+      .withColumn("top2", topRunCount(array_sort(col("g2"))))
+      .select(
+        col("doc_id"),
+        size(col("ls")).cast("long").as("n_lines"),
+        size(array_distinct(col("ls"))).cast("long").as("n_distinct_lines"),
+        when(size(col("ls")) === 0, lit(0.0))
+          .otherwise(round((size(col("ls")) - size(array_distinct(col("ls"))))
+            .cast("double") / size(col("ls")), 6)).as("dup_line_frac"),
+        size(col("g2")).cast("long").as("n_2grams"),
+        col("top2").as("top_2gram_count"),
+        when(size(col("g2")) === 0, lit(0.0))
+          .otherwise(round(col("top2").cast("double") / size(col("g2")), 6))
+          .as("top_2gram_frac"))
+
+  // ---- deterministic splits ------------------------------------------------
+
+  /** deterministic, engine-portable train/val split: bucket = first md5 byte
+    * of "docId:salt"; rows with bucket < valPct256 go to "val"
+    * (valPct256=26 => ~10.2%). Pure per-row column math — no shuffle, no
+    * RNG, stable across reruns/engines/partitionings (the property that
+    * matters for training-data reproducibility at 10^12 rows; a rand()-based
+    * split is not reproducible under retries). */
+  def hashSplit(documents: DataFrame, salt: String = "graft", valPct256: Int = 26): DataFrame = {
+    require(valPct256 >= 0 && valPct256 <= 256)
+    val hexByte = substring(md5(concat(col("doc_id").cast("string"), lit(":" + salt))), 1, 2)
+    documents.select(
+      col("doc_id"), col("lang"),
+      when(hexByte < lit(f"$valPct256%02x"), lit("val")).otherwise(lit("train")).as("split"))
+  }
+
+  // ---- normalization -------------------------------------------------------
+
+  /** training-data text normalization: strip C0/DEL control chars (keeping
+    * \n and \t semantics: \t collapses with spaces, \n kept), collapse
+    * horizontal whitespace runs to one space, cap blank-line runs at one,
+    * trim. Deterministic, engine-portable regex only. */
+  def normalizeText(text: Column): Column =
+    trim(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+          "[ \\t]+", " "),
+        "\\n{3,}", "\n\n"))
+
+  def normalized(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      normalizeText(col("text")).as("norm_text"))
+      .withColumn("norm_len", length(col("norm_text")).cast("long"))
+
   /** documents -> per-doc text stats (one narrow pass, no shuffle) */
   def stats(documents: DataFrame): DataFrame =
     documents.select(

@@ -272,6 +272,89 @@ class OpsSpec extends AnyFunSuite {
     assert(uncapped.exists(r => r.getAs[Long]("doc_a") < 40L && r.getAs[Long]("doc_b") < 40L))
   }
 
+  test("exact all-pairs jaccard (inverted index): matches brute force, equi-join plan") {
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val near = base.replace("word7", "changed7")
+    val half = (1 to 20).map(i => s"word$i").mkString(" ")
+    val far = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    val df = docsDf((1L, base), (2L, near), (3L, far), (4L, half))
+    val got = Dedup.ngramJaccardAllPairs(df, threshold = 0.3)
+    assertNoCartesian(got, "ngramJaccardAllPairs")
+    // brute-force oracle with the same gram definition
+    def grams(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("\\s+")
+      (0 to math.max(toks.length - 3, 0)).map(i => toks.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val texts = Map(1L -> base, 2L -> near, 3L -> far, 4L -> half)
+    val expected = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      ga = grams(texts(a)); gb = grams(texts(b))
+      j = ga.intersect(gb).size.toDouble / ga.union(gb).size if j >= 0.3
+    } yield (a, b)).toSet
+    val gotPairs = got.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(gotPairs == expected, s"got $gotPairs expected $expected")
+    assert(gotPairs.contains((1L, 2L)))
+  }
+
+  test("jaccard maxDf cap drops ubiquitous grams, keeps rare-gram pairs") {
+    // 30 docs all sharing one boilerplate sentence (ubiquitous grams) plus
+    // two docs that are near-dups through RARE grams only
+    val boiler = "all rights reserved contact us for details"
+    val hot = (0L until 30L).map(i => (i, s"$boiler unique$i distinct$i marker$i"))
+    val base = (1 to 30).map(i => s"rare$i").mkString(" ")
+    val near = base.replace("rare7", "changed7")
+    val df = (hot ++ Seq((100L, base), (101L, near))).toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardAllPairs(df, threshold = 0.5, maxDf = 10).collect()
+    assert(capped.exists(r => r.getAs[Long]("doc_a") == 100L && r.getAs[Long]("doc_b") == 101L))
+    // boilerplate-only pairs cannot survive: their shared grams were capped
+    assert(!capped.exists(r => r.getAs[Long]("doc_b") < 30L))
+  }
+
+  test("repetition signals: dup lines and top-2-gram fraction, no shuffle") {
+    val df = docsDf(
+      (1L, "menu\nmenu\nmenu\nreal content line"),
+      (2L, "buy now buy now buy now buy now"),
+      (3L, "a single line of ordinary prose"),
+      (4L, ""))
+    val r = TextOps.repetition(df).collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Long]("n_lines") == 4 && r(1L).getAs[Long]("n_distinct_lines") == 2)
+    assert(r(1L).getAs[Double]("dup_line_frac") == 0.5)
+    // "buy now" appears 4x of 7 bigrams
+    assert(r(2L).getAs[Long]("n_2grams") == 7 && r(2L).getAs[Long]("top_2gram_count") == 4)
+    assert(r(3L).getAs[Double]("top_2gram_frac") == 0.2) // 1/5
+    assert(r(4L).getAs[Long]("n_lines") == 0 && r(4L).getAs[Double]("dup_line_frac") == 0.0)
+    assert(r(4L).getAs[Long]("n_2grams") == 0)
+    // per-row column math only: no exchange in the plan
+    val plan = physicalPlan(TextOps.repetition(df))
+    assert(!plan.contains("Exchange"), s"repetition shuffles:\n$plan")
+  }
+
+  test("hash split: deterministic, partition-invariant, ratio sane") {
+    val df = (0L until 2000L).map(i => (i, s"text $i", "en")).toDF("doc_id", "text", "lang")
+    val a = TextOps.hashSplit(df).collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val b = TextOps.hashSplit(df.repartition(13)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(a == b) // stable under repartitioning (rand() would not be)
+    val valFrac = a.values.count(_ == "val").toDouble / a.size
+    assert(valFrac > 0.06 && valFrac < 0.15, s"val fraction $valFrac") // ~26/256
+    val plan = physicalPlan(TextOps.hashSplit(df))
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("normalize: control chars stripped, whitespace collapsed, blank runs capped") {
+    val df = docsDf(
+      (1L, "a\u0000b\u0007c"),
+      (2L, "x  \t y\t\tz"),
+      (3L, "p\n\n\n\n\nq"),
+      (4L, "  padded  "))
+    val r = TextOps.normalized(df).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("norm_text")).toMap
+    assert(r(1L) == "abc")
+    assert(r(2L) == "x y z")
+    assert(r(3L) == "p\n\nq")
+    assert(r(4L) == "padded")
+  }
+
   test("q08 grams are built only for LSH candidates (semi-join before shingling)") {
     val base = (1 to 40).map(i => s"word$i").mkString(" ")
     val near = base.replace("word7", "changed7")
