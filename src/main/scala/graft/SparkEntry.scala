@@ -92,11 +92,15 @@ object SparkEntry {
       Dedup.embeddingNearDupsLsh(e.union(planted), 0.95, nBits = 16, nTables = 4)
     }),
     "q21_jaccard_all_pairs" -> ((s, dir) => Dedup.ngramJaccardAllPairs(docs(s, dir), 0.5)),
+    "q26_dup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(Dedup.ngramJaccardAllPairs(docs(s, dir), 0.5))),
     // ---- text analysis ----
     "q10_text_stats" -> ((s, dir) => TextOps.stats(docs(s, dir))),
     "q20_repetition" -> ((s, dir) => TextOps.repetition(docs(s, dir))),
     "q22_hash_split" -> ((s, dir) => TextOps.hashSplit(docs(s, dir))),
     "q23_normalize" -> ((s, dir) => TextOps.normalized(docs(s, dir))),
+    "q24_pii_scrub" -> ((s, dir) => TextOps.scrubbed(docs(s, dir))),
+    "q25_lang_len_stats" -> ((s, dir) => TextOps.langLenStats(docs(s, dir))),
     "q11_lang_stats" -> ((s, dir) => {
       docs(s, dir).groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
@@ -278,6 +282,50 @@ object SparkEntry {
         |    '[ \t]+', ' ', 'g'),
         |    '\n{3,}', chr(10) || chr(10), 'g'))) AS norm_len
         |FROM documents""".stripMargin,
+    "q24_pii_scrub" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g'),
+        |      '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS scrubbed_text
+        |  FROM documents)
+        |SELECT doc_id, scrubbed_text,
+        |  cast(len(regexp_split_to_array(scrubbed_text, '<EMAIL>|<PHONE>|<IP>')) - 1
+        |       AS bigint) AS n_redactions
+        |FROM s""".stripMargin,
+    "q25_lang_len_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  round(avg(n_chars), 6) AS mean_chars,
+        |  round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+        |  round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q26_dup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |gsets AS (
+        |  SELECT doc_id, list_distinct([array_to_string(t[i+1:i+3], ' ')
+        |          for i in range(0, greatest(len(t)-3, 0) + 1)]) AS gs
+        |  FROM toks),
+        |grams AS (SELECT doc_id, unnest(gs) AS g FROM gsets),
+        |sizes AS (SELECT doc_id, len(gs) AS sz FROM gsets),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT doc_a, doc_b FROM cand
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE common / (sa.sz + sb.sz - common) >= 0.5),
+        |bidir AS (SELECT doc_a AS a, doc_b AS b FROM edges
+        |          UNION SELECT doc_b, doc_a FROM edges),
+        |walk AS (
+        |  SELECT a AS node, a AS reach FROM bidir
+        |  UNION
+        |  SELECT w.node, e.b AS reach FROM walk w JOIN bidir e ON w.reach = e.a)
+        |SELECT node AS doc_id, min(reach) AS cluster_id
+        |FROM walk GROUP BY node""".stripMargin,
     "q14_simsearch_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS query_emb
         |           FROM embeddings ORDER BY vec_id LIMIT 5),

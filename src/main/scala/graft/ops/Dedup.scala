@@ -380,6 +380,47 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  // ---- duplicate-cluster assignment (connected components) --------------------
+  /** connected components over a near-dup pair table: every doc appearing in
+    * some (doc_a, doc_b) edge gets cluster_id = min doc_id reachable from it
+    * — the canonical "keep one representative per duplicate cluster" step
+    * after any near-dup pass.
+    *
+    * Algorithm: distributed min-label propagation. Each round every node
+    * takes the min of its own label and its neighbors' labels (one equi-join
+    * + one partial-aggregated groupBy per round); converges in O(cluster
+    * diameter) rounds — near-dup clusters are dense, so diameters are tiny
+    * (2-4). Lineage is cut per round with localCheckpoint so the plan does
+    * not grow unboundedly. For adversarial long-chain graphs at 10^12 edges
+    * the round count is the known limit — the fix is the large-star/
+    * small-star variant (alternating pointer-jumping, O(log n) rounds),
+    * same join shape per round. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
+    val bidir = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = bidir.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // neighbor labels flow along edges; keep the min of (own, neighbors)
+      val msgs = bidir.join(labels, bidir("src") === labels("id"))
+        .select(col("dst").as("id"), col("cluster_id"))
+      val next = labels.select(col("id"), col("cluster_id")).union(msgs)
+        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "id")
+        .filter(col("cluster_id") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    bidir.unpersist()
+    labels.select(col("id").as("doc_id"), col("cluster_id"))
+  }
+
   // ---- embedding near-dup -------------------------------------------------------
   /** cosine >= threshold pairs. Dispatch: thresholds >= `lshCutoff` use the
     * LSH candidate+verify path (near-dup regime — tiny candidate sets, high

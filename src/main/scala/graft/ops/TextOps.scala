@@ -197,6 +197,43 @@ object TextOps {
       normalizeText(col("text")).as("norm_text"))
       .withColumn("norm_len", length(col("norm_text")).cast("long"))
 
+  // ---- PII scrubbing ---------------------------------------------------------
+
+  /** redact common PII shapes (emails, phone-number-like digit runs, IPv4
+    * addresses) with typed placeholders — the standard pre-training scrub
+    * pass. Chained codegen'd regexp_replace, no UDFs, no shuffle; patterns
+    * are deliberately engine-portable (same semantics in RE2/Java/DuckDB).
+    * Order matters: emails first (their local parts contain digits), then
+    * phones, then IPs (dots break the phone pattern, so IPs survive to the
+    * IP pass intact). */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "\\+?\\d[\\d\\- ]{7,}\\d", "<PHONE>"),
+      "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
+
+  def scrubbed(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      scrubPii(col("text")).as("scrubbed_text"))
+      .withColumn("n_redactions",
+        (size(split(col("scrubbed_text"), "<EMAIL>|<PHONE>|<IP>")) - 1).cast("long"))
+
+  /** per-language length distribution: count, mean, EXACT interpolated
+    * p50/p90 (Spark `percentile`, the exact aggregate — percentile_approx
+    * would not be oracle-comparable). One shuffle on lang; at 10^12 rows
+    * exact percentiles need the full value multiset per group, so the
+    * production variant swaps in percentile_approx — same query shape. */
+  def langLenStats(documents: DataFrame): DataFrame =
+    documents.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 6).as("mean_chars"),
+        round(percentile(col("n_chars"), lit(0.5)), 6).as("p50_chars"),
+        round(percentile(col("n_chars"), lit(0.9)), 6).as("p90_chars"))
+
   /** documents -> per-doc text stats (one narrow pass, no shuffle) */
   def stats(documents: DataFrame): DataFrame =
     documents.select(

@@ -355,6 +355,41 @@ class OpsSpec extends AnyFunSuite {
     assert(r(4L) == "padded")
   }
 
+  test("connected components: clusters get min-id labels, chains converge") {
+    val edges = Seq((1L, 2L), (2L, 3L), (9L, 1L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+    // a 12-node chain needs ~diameter rounds — must still converge exactly
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc2 = Dedup.connectedComponents(chain).collect()
+    assert(cc2.length == 12 && cc2.forall(_.getAs[Long]("cluster_id") == 0L))
+  }
+
+  test("pii scrub: emails, phones, IPs redacted; counts right; clean text untouched") {
+    val df = docsDf(
+      (1L, "mail a.b@x.org or call +1-555-123-4567 from 192.168.0.1 end"),
+      (2L, "no pii here at all"),
+      (3L, "two mails: x@y.io and z@w.co"))
+    val r = TextOps.scrubbed(df).collect().map(x =>
+      x.getAs[Long]("doc_id") -> (x.getAs[String]("scrubbed_text"), x.getAs[Long]("n_redactions"))).toMap
+    assert(r(1L)._1 == "mail <EMAIL> or call <PHONE> from <IP> end")
+    assert(r(1L)._2 == 3L)
+    assert(r(2L) == ("no pii here at all", 0L))
+    assert(r(3L)._2 == 2L)
+  }
+
+  test("lang length stats: exact interpolated percentiles") {
+    val df = Seq((1L, "en", 10L), (2L, "en", 20L), (3L, "en", 30L), (4L, "en", 100L),
+      (5L, "de", 7L)).toDF("doc_id", "lang", "n_chars")
+    val r = TextOps.langLenStats(df).collect().map(x => x.getAs[String]("lang") -> x).toMap
+    assert(r("en").getAs[Long]("n_docs") == 4L)
+    assert(r("en").getAs[Double]("mean_chars") == 40.0)
+    assert(r("en").getAs[Double]("p50_chars") == 25.0) // interpolated between 20 and 30
+    assert(r("en").getAs[Double]("p90_chars") == 79.0) // 30 + 0.7*(100-30)
+    assert(r("de").getAs[Double]("p50_chars") == 7.0)
+  }
+
   test("q08 grams are built only for LSH candidates (semi-join before shingling)") {
     val base = (1 to 40).map(i => s"word$i").mkString(" ")
     val near = base.replace("word7", "changed7")

@@ -54,6 +54,33 @@ class PlanSpec extends AnyFunSuite {
       || plan.contains("GreaterThan(n_chars,100)"), s"filter not pushed:\n$plan")
   }
 
+  test("bucketed tables co-locate the join: no Exchange in a bucket-bucket join") {
+    import spark.implicits._
+    // the 100 TB pattern for repeated fact-fact joins: pre-bucket both sides
+    // on the join key so the shuffle happens once at write time, never per
+    // query. With matching bucket counts the join plan must be exchange-free.
+    val a = (0L until 1000L).map(i => (i, s"a$i")).toDF("k", "va")
+    val b = (0L until 1000L).map(i => (i % 500, s"b$i")).toDF("k", "vb")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    // the catalog is fresh per JVM but the warehouse dir persists: clear it
+    Seq("graft_bkt_a", "graft_bkt_b").foreach { t =>
+      val d = new java.io.File(s"/tmp/graft-test-warehouse/$t")
+      if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
+    }
+    a.write.bucketBy(8, "k").sortBy("k").saveAsTable("graft_bkt_a")
+    b.write.bucketBy(8, "k").sortBy("k").saveAsTable("graft_bkt_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("graft_bkt_a").join(spark.table("graft_bkt_b"), "k")
+      val plan = physicalPlan(j)
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(j.count() == 1000L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q01 aggregation is partial (map-side combine before shuffle)") {
     assume(haveTestdata)
     val plan = physicalPlan(graft.SparkEntry.queries("q01_lineitem_agg")(spark, sfDir))
