@@ -64,6 +64,19 @@ object StreamOps {
         })
   }
 
+  /** streaming exact dedup for crawl ingest: keep the FIRST occurrence of
+    * each text (by 8-byte xxhash64 key — never the full text as state), drop
+    * re-crawls arriving within the watermark horizon. State is bounded:
+    * `dropDuplicatesWithinWatermark` evicts keys older than the watermark,
+    * so a 10^12-row stream holds state only for the dedup window, not
+    * forever (the classic unbounded-state failure of plain dropDuplicates
+    * on an infinite stream). Input needs (doc_id, ts, text). */
+  def streamingDedup(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("text_hash", xxhash64(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** file-source ingestion: stream a directory of parquet page files into
     * the extraction kernel and append results — the streaming twin of
     * ExtractJob.extract (same kernel, same output schema). */

