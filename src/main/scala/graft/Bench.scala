@@ -101,6 +101,14 @@ object Scaling {
         // post-shuffle partitions and serialize the kernel stage; 4MB keeps
         // bench-scale partitions parallel and is a no-op at real scale
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+        // scan-stage parallelism: the default 128MB/4MB bin-packing folds a
+        // ~600MB multi-file corpus into ~6 scan tasks, serializing the map
+        // stage (scan + shuffle write) at 32 cores. 8MB/1MB sizes scan tasks
+        // to the bench corpus; at production scale partitions >> 128MB and
+        // the defaults are correct — this is the "size maxPartitionBytes so
+        // partitions fit the executor fleet" knob, not a semantics change.
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.local.dir", "/dev/shm/graft-spark-local") // VM disk is noisy
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -108,9 +116,9 @@ object Scaling {
       import spark.implicits._
       // materialize the corpus ONCE (generator cost excluded from the
       // measurement; the engine's job shape is read-table -> extract)
-      val dir = s"$corpusDir-$benchDocs"
+      val dir = s"$corpusDir-$benchDocs-f128"
       if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
-        spark.range(benchDocs).repartition(32).as[Long]
+        spark.range(benchDocs).repartition(128).as[Long]
           .map(graft.pipeline.Corpus.row(42L)).toDF()
           .write.mode("overwrite").parquet(dir) // fixed file layout across levels
       }
