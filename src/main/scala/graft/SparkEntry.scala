@@ -101,6 +101,8 @@ object SparkEntry {
     "q23_normalize" -> ((s, dir) => TextOps.normalized(docs(s, dir))),
     "q24_pii_scrub" -> ((s, dir) => TextOps.scrubbed(docs(s, dir))),
     "q25_lang_len_stats" -> ((s, dir) => TextOps.langLenStats(docs(s, dir))),
+    "q27_quality_filter" -> ((s, dir) => TextOps.qualityFilter(docs(s, dir))),
+    "q28_chunking" -> ((s, dir) => TextOps.chunked(docs(s, dir))),
     "q11_lang_stats" -> ((s, dir) => {
       docs(s, dir).groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
@@ -124,6 +126,29 @@ object SparkEntry {
       Multimodal.extractFeatures(Multimodal.synthetic(s, 500)).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"), col("decoded_w"),
           col("decoded_h"), col("mean_luma"), col("rms"), col("phash"))
+    }),
+    "x18_training_pipeline" -> ((s, dir) => {
+      // the whole training-data pipeline as ONE composed Spark plan:
+      // extract (PDF/HTML kernel) -> normalize -> quality/repetition gate ->
+      // exact dedup (keep first) -> deterministic split -> per-split rollup.
+      // Driver rows-check only (no single SQL oracle spans the kernel);
+      // every stage is individually oracled/tested above.
+      import s.implicits._
+      val pages = s.range(400).as[Long].map(Corpus.row(42L)).toDF()
+      val extracted = ExtractJob.extract(ExtractJob.saltedRepartition(s, pages, 16)).toDF()
+      val docsDf = extracted.filter(col("status") === "ok")
+        .select(xxhash64(col("url")).as("doc_id"),
+          col("extracted_text").as("text"), lit("und").as("lang"))
+      val normed = docsDf.select(col("doc_id"), TextOps.normalizeText(col("text")).as("text"),
+        col("lang"))
+      val kept = TextOps.qualityFilter(normed, minQuality = 0.2, maxTopFrac = 0.9,
+        minTokens = 5, maxTokens = 100000)
+      // keep one representative (min doc_id) per byte-identical text group
+      val keepers = normed.groupBy(xxhash64(col("text")).as("h"))
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
+      val deduped = kept.join(keepers, Seq("doc_id"), "left_semi")
+      val split = TextOps.hashSplit(normed.join(deduped.select("doc_id"), "doc_id"))
+      split.groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
     }),
     "x17_golden_diff" -> ((s, dir) => {
       import s.implicits._
@@ -326,6 +351,56 @@ object SparkEntry {
         |  SELECT w.node, e.b AS reach FROM walk w JOIN bidir e ON w.reach = e.a)
         |SELECT node AS doc_id, min(reach) AS cluster_id
         |FROM walk GROUP BY node""".stripMargin,
+    "q27_quality_filter" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+        |  FROM documents),
+        |g2 AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+        |           THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+        |           ELSE [] END) AS g
+        |  FROM toks),
+        |cnt AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |top AS (SELECT doc_id, max(c) AS top_c, cast(sum(c) AS bigint) AS n_g
+        |        FROM cnt GROUP BY doc_id),
+        |sig AS (
+        |  SELECT d.doc_id,
+        |    round(
+        |      least(length(text) / 500.0, 1.0) * 0.4 +
+        |      (CASE WHEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+        |                 / greatest(cast(length(text) AS double), 1.0) > 0.2 THEN 0.0
+        |            ELSE 1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+        |                 / greatest(cast(length(text) AS double), 1.0) * 2 END) * 0.3 +
+        |      least((len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |          w -> w IN ('the','a','an','and','or','of','to','in','is','it',
+        |                     'that','on','for','with','as','at','by','this')))
+        |        / greatest(cast(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS double), 1.0)) * 4.0,
+        |        1.0) * 0.3, 6) AS quality,
+        |    CASE WHEN coalesce(t.n_g, 0) = 0 THEN 0.0
+        |         ELSE round(t.top_c / cast(t.n_g AS double), 6) END AS top_2gram_frac,
+        |    cast(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS bigint) AS n_tokens
+        |  FROM documents d LEFT JOIN top t USING (doc_id))
+        |SELECT doc_id, quality, top_2gram_frac, n_tokens
+        |FROM sig
+        |WHERE quality >= 0.3 AND top_2gram_frac <= 0.3
+        |  AND n_tokens BETWEEN 10 AND 10000""".stripMargin,
+    "q28_chunking" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, unnest([{'idx': i, 'chunk': array_to_string(t[i*40+1 : i*40+50], ' ')}
+        |          for i in range(0, CASE WHEN len(t) = 0 THEN 0
+        |              ELSE 1 + greatest(cast(ceil((len(t) - 50.0) / 40.0) AS int), 0) END)],
+        |         recursive := true)
+        |  FROM toks)
+        |SELECT doc_id, cast(idx AS bigint) AS chunk_idx, chunk AS chunk_text,
+        |  cast(len(regexp_split_to_array(chunk, '\s+')) AS bigint) AS n_tokens
+        |FROM chunks""".stripMargin,
     "q14_simsearch_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS query_emb
         |           FROM embeddings ORDER BY vec_id LIMIT 5),

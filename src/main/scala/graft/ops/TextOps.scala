@@ -234,6 +234,60 @@ object TextOps {
         round(percentile(col("n_chars"), lit(0.5)), 6).as("p50_chars"),
         round(percentile(col("n_chars"), lit(0.9)), 6).as("p90_chars"))
 
+  // ---- composite filtering & chunking ---------------------------------------
+
+  /** the standard pre-training keep/drop gate, composed from the per-row
+    * signals (quality score, top-2-gram repetition fraction, token-count
+    * band) in ONE narrow pass — no joins, no shuffle: all three signals are
+    * per-row column math. */
+  def qualityFilter(
+      documents: DataFrame,
+      minQuality: Double = 0.3,
+      maxTopFrac: Double = 0.3,
+      minTokens: Int = 10,
+      maxTokens: Int = 10000): DataFrame =
+    documents
+      .select(col("doc_id"), col("text"),
+        when(length(trim(col("text"))) === 0, expr("array()"))
+          .otherwise(split(trim(lower(col("text"))), "\\s+")).as("toks"))
+      .withColumn("g2", grams2Col)
+      .withColumn("top2", topRunCount(array_sort(col("g2"))))
+      .select(
+        col("doc_id"),
+        qualityScore(col("text")).as("quality"),
+        when(size(col("g2")) === 0, lit(0.0))
+          .otherwise(round(col("top2").cast("double") / size(col("g2")), 6))
+          .as("top_2gram_frac"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+      .filter(col("quality") >= minQuality && col("top_2gram_frac") <= maxTopFrac &&
+        col("n_tokens").between(minTokens, maxTokens))
+
+  /** context-window chunking: split each doc's token stream into training
+    * sequences of `chunkTokens` tokens advancing by `stride` (overlap =
+    * chunkTokens - stride). Pure per-row transform + explode — the output
+    * is larger than the input (the point), but nothing shuffles: chunks are
+    * born in the partition that holds the doc. */
+  def chunked(documents: DataFrame, chunkTokens: Int = 50, stride: Int = 40): DataFrame = {
+    require(chunkTokens > 0 && stride > 0)
+    documents
+      .select(col("doc_id"),
+        when(length(trim(col("text"))) === 0, expr("array()"))
+          .otherwise(split(trim(col("text")), "\\s+")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("n_chunks",
+        lit(1) + greatest(
+          ceil((size(col("toks")) - lit(chunkTokens)).cast("double") / stride).cast("int"),
+          lit(0)))
+      .withColumn("c", explode(expr(
+        s"transform(sequence(0, n_chunks - 1), " +
+          s"i -> struct(i AS idx, concat_ws(' ', slice(toks, i * $stride + 1, $chunkTokens)) AS chunk))")))
+      .select(
+        col("doc_id"),
+        col("c.idx").cast("long").as("chunk_idx"),
+        col("c.chunk").as("chunk_text"),
+        size(split(col("c.chunk"), "\\s+")).cast("long").as("n_tokens"))
+  }
+
   /** documents -> per-doc text stats (one narrow pass, no shuffle) */
   def stats(documents: DataFrame): DataFrame =
     documents.select(

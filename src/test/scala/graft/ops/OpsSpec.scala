@@ -390,6 +390,38 @@ class OpsSpec extends AnyFunSuite {
     assert(r("de").getAs[Double]("p50_chars") == 7.0)
   }
 
+  test("quality filter: drops repetitive/short docs, keeps prose, single narrow pass") {
+    val prose = "The quick brown fox jumps over the lazy dog, and the dog is not amused. " * 8
+    val spam = "buy now " * 100
+    val short_ = "too short"
+    val df = docsDf((1L, prose), (2L, spam), (3L, short_))
+    val kept = TextOps.qualityFilter(df).collect()
+    assert(kept.map(_.getAs[Long]("doc_id")).toSet == Set(1L),
+      s"kept ${kept.map(_.getAs[Long]("doc_id")).toSeq}")
+    val plan = physicalPlan(TextOps.qualityFilter(df))
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), s"filter shuffles/joins:\n$plan")
+  }
+
+  test("chunking: stride windows, last partial chunk, empty docs dropped") {
+    val tokens120 = (1 to 120).map(i => s"t$i").mkString(" ")
+    val tokens50 = (1 to 50).map(i => s"t$i").mkString(" ")
+    val tokens3 = "a b c"
+    val df = docsDf((1L, tokens120), (2L, tokens50), (3L, tokens3), (4L, ""))
+    val chunks = TextOps.chunked(df, chunkTokens = 50, stride = 40).collect()
+    val byDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
+    // 120 tokens: chunks at 0,40,80 -> 1 + ceil((120-50)/40) = 3
+    assert(byDoc(1L).length == 3)
+    assert(byDoc(1L).map(_.getAs[Long]("n_tokens")).sorted.toSeq == Seq(40L, 50L, 50L))
+    val c0 = byDoc(1L).find(_.getAs[Long]("chunk_idx") == 0L).get
+    assert(c0.getAs[String]("chunk_text").startsWith("t1 t2 ") &&
+      c0.getAs[String]("chunk_text").endsWith(" t50"))
+    val c2 = byDoc(1L).find(_.getAs[Long]("chunk_idx") == 2L).get
+    assert(c2.getAs[String]("chunk_text") == (81 to 120).map(i => s"t$i").mkString(" "))
+    assert(byDoc(2L).length == 1 && byDoc(2L)(0).getAs[Long]("n_tokens") == 50L)
+    assert(byDoc(3L).length == 1 && byDoc(3L)(0).getAs[String]("chunk_text") == "a b c")
+    assert(!byDoc.contains(4L))
+  }
+
   test("q08 grams are built only for LSH candidates (semi-join before shingling)") {
     val base = (1 to 40).map(i => s"word$i").mkString(" ")
     val near = base.replace("word7", "changed7")
