@@ -113,6 +113,7 @@ object SparkEntry {
     // ---- similarity search ----
     "q14_simsearch_brute" -> ((s, dir) => SimSearch.bruteForceTopK(emb(s, dir), 5, 10)),
     "q15_simsearch_lsh" -> ((s, dir) => SimSearch.lshTopK(emb(s, dir), 5, 10)),
+    "q29_simsearch_ivf" -> ((s, dir) => SimSearch.ivfTopK(emb(s, dir), 5, 10)),
     // ---- extraction pipeline (synthesized corpus; rows-only + sbt test gate) ----
     "x16_extract" -> ((s, dir) => {
       import s.implicits._

@@ -95,6 +95,121 @@ object SimSearch {
       .toDF("vec_id", "table", "bucket")
   }
 
+  // ---- IVF (inverted-file) index ---------------------------------------------
+
+  /** deterministic Lloyd k-means over the embedding column. Init = the k
+    * lowest-vec_id vectors (no RNG, partition-invariant); each iteration is
+    * one executor-local assignment pass against BROADCAST centroids + one
+    * elementwise-mean shuffle of (centroid, dim) cells — k*dim rows to the
+    * driver per iteration, never the vectors themselves. Empty clusters
+    * keep their previous centroid. */
+  private[graft] def kmeansCentroids(
+      embeddings: DataFrame,
+      k: Int,
+      iters: Int,
+      dim: Int): Array[Array[Float]] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = embeddings.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+    var centroids: Array[Array[Float]] =
+      e.orderBy("vec_id").limit(k).collect().map(_._2.toArray)
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assigned = e.map { case (_, emb) => (nearestCentroid(emb, bc.value), emb) }
+        .toDF("cid", "embedding")
+      val means = assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("v")).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        next(r.getAs[Int]("cid"))(r.getAs[Int]("pos")) = r.getAs[Double]("m").toFloat
+      }
+      centroids = next
+      bc.destroy()
+      it += 1
+    }
+    centroids
+  }
+
+  private[graft] def nearestCentroid(emb: Seq[Float], cents: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var d = 0.0
+      var i = 0
+      val n = math.min(cent.length, emb.length)
+      while (i < n) { val x = emb(i) - cent(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private[graft] def nearestCentroids(emb: Seq[Float], cents: Array[Array[Float]], n: Int): Array[Int] = {
+    val ds = cents.indices.map { c =>
+      val cent = cents(c)
+      var d = 0.0
+      var i = 0
+      val m = math.min(cent.length, emb.length)
+      while (i < m) { val x = emb(i) - cent(i); d += x * x; i += 1 }
+      (d, c)
+    }
+    ds.sorted.take(n).map(_._2).toArray
+  }
+
+  /** ANN via an IVF index: k-means coarse quantizer, vectors assigned to
+    * their nearest centroid's posting list, queries probe the `nProbe`
+    * nearest lists and score exactly within them. The 100 TB shape: the
+    * quantizer is tiny and broadcast; the only full-corpus pass is the
+    * assignment (executor-local); per-query work is nProbe/k of a scan.
+    * Complements lshTopK — IVF partitions by geometry (good for clustered
+    * embeddings), LSH by random projection (good for uniform). */
+  def ivfTopK(
+      embeddings: DataFrame,
+      nQueries: Int = 5,
+      k: Int = 10,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      iters: Int = 3,
+      dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = kmeansCentroids(embeddings, nCentroids, iters, dim)
+    val bc = spark.sparkContext.broadcast(cents)
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val assigned = e.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, emb) => (id, nearestCentroid(emb, bc.value)) }
+      .toDF("vec_id", "cid")
+    val queries = e.orderBy("vec_id").limit(nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+    val qProbes = queries.select(col("query_id"), col("query_emb"))
+      .as[(Long, Seq[Float])]
+      .flatMap { case (qid, emb) => nearestCentroids(emb, bc.value, nProbe).iterator.map(c => (qid, c)) }
+      .toDF("query_id", "cid")
+    val candidates = assigned.join(broadcast(qProbes), Seq("cid"))
+      .select(col("query_id"), col("vec_id"))
+    val scored = candidates
+      .join(e, "vec_id")
+      .join(broadcast(queries), "query_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        cosineWithNorms(col("query_emb"), col("embedding"),
+          dotCol(col("query_emb"), col("query_emb")),
+          dotCol(col("embedding"), col("embedding"))))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank").cast("long").as("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** ANN via LSH buckets: score only same-(table,bucket) candidates. */
   def lshTopK(
       embeddings: DataFrame,

@@ -422,6 +422,28 @@ class OpsSpec extends AnyFunSuite {
     assert(!byDoc.contains(4L))
   }
 
+  test("IVF ANN: deterministic k-means, recall vs brute force, probe-limited candidates") {
+    val emb = (0 until 80).map { i =>
+      val v = Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val brute = SimSearch.bruteForceTopK(emb, nQueries = 3, k = 5).collect()
+    val ivf = SimSearch.ivfTopK(emb, nQueries = 3, k = 5,
+      nCentroids = 8, nProbe = 4, iters = 3, dim = 8).collect()
+    val bruteSet = brute.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivfSet = ivf.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(ivfSet.intersect(bruteSet).size >= bruteSet.size / 2,
+      s"recall too low: ${ivfSet.intersect(bruteSet).size}/${bruteSet.size}")
+    // determinism: identical output across runs and partitionings
+    val ivf2 = SimSearch.ivfTopK(emb.repartition(7), nQueries = 3, k = 5,
+      nCentroids = 8, nProbe = 4, iters = 3, dim = 8).collect()
+    assert(ivf.map(_.toString).sorted.toSeq == ivf2.map(_.toString).sorted.toSeq)
+    // centroids are partition-invariant
+    val c1 = SimSearch.kmeansCentroids(emb, 8, 3, 8)
+    val c2 = SimSearch.kmeansCentroids(emb.repartition(5), 8, 3, 8)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+  }
+
   test("q08 grams are built only for LSH candidates (semi-join before shingling)") {
     val base = (1 to 40).map(i => s"word$i").mkString(" ")
     val near = base.replace("word7", "changed7")
