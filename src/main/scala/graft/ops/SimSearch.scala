@@ -117,15 +117,40 @@ object SimSearch {
     var it = 0
     while (it < iters) {
       val bc = spark.sparkContext.broadcast(centroids)
-      val assigned = e.map { case (_, emb) => (nearestCentroid(emb, bc.value), emb) }
-        .toDF("cid", "embedding")
-      val means = assigned
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("cid"), col("pos")).agg(avg(col("v")).as("m"))
-        .collect()
+      // per-partition accumulators: each task reduces its rows into k
+      // (sum[dim], count) cells, so the data movement per iteration is
+      // k*partitions tiny rows — NOT n*dim exploded rows (a posexplode +
+      // groupBy here would shuffle the whole corpus every iteration)
+      val partials = e.mapPartitions { rows =>
+        val cents = bc.value
+        val sums = Array.ofDim[Double](cents.length, dim)
+        val counts = new Array[Long](cents.length)
+        rows.foreach { case (_, emb) =>
+          val c = nearestCentroid(emb, cents)
+          counts(c) += 1
+          var i = 0
+          val n = math.min(dim, emb.length)
+          while (i < n) { sums(c)(i) += emb(i); i += 1 }
+        }
+        (0 until cents.length).iterator
+          .filter(c => counts(c) > 0)
+          .map(c => (c, counts(c), sums(c).toSeq))
+      }.collect()
       val next = centroids.map(_.clone())
-      means.foreach { r =>
-        next(r.getAs[Int]("cid"))(r.getAs[Int]("pos")) = r.getAs[Double]("m").toFloat
+      val totSums = Array.ofDim[Double](centroids.length, dim)
+      val totCounts = new Array[Long](centroids.length)
+      partials.foreach { case (c, n, s) =>
+        totCounts(c) += n
+        var i = 0
+        while (i < dim) { totSums(c)(i) += s(i); i += 1 }
+      }
+      var c = 0
+      while (c < centroids.length) {
+        if (totCounts(c) > 0) {
+          var i = 0
+          while (i < dim) { next(c)(i) = (totSums(c)(i) / totCounts(c)).toFloat; i += 1 }
+        }
+        c += 1
       }
       centroids = next
       bc.destroy()
