@@ -16,7 +16,7 @@ import graft.fixtures.PdfBuilderR2._
   * formats 0/6/12 (and multi-subtable fonts).
   */
 object FuzzR2 {
-  val rnd = new scala.util.Random(20260817L)
+  var rnd = new scala.util.Random(20260817L)
 
   def randWord(): String = {
     val n = 1 + rnd.nextInt(8)
@@ -299,6 +299,7 @@ object FuzzR2 {
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("/tmp/refcmp_r2")
+    args.drop(1).headOption.foreach(s => rnd = new scala.util.Random(s.toLong))
     Files.createDirectories(Paths.get(outDir))
     nestedForms(outDir, 200)
     deepPrevChains(outDir, 150)

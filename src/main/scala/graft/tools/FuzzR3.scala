@@ -21,7 +21,7 @@ import graft.fixtures.PdfBuilderAdvanced._
   *    float formats like 1e3 that stof accepts).
   */
 object FuzzR3 {
-  val rnd = new scala.util.Random(20260818L)
+  var rnd = new scala.util.Random(20260818L)
 
   def randWord(): String = {
     val n = 1 + rnd.nextInt(8)
@@ -139,6 +139,7 @@ object FuzzR3 {
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("/tmp/refcmp_r3")
+    args.drop(1).headOption.foreach(s => rnd = new scala.util.Random(s.toLong))
     Files.createDirectories(Paths.get(outDir))
     encryptedState(outDir, 150)
     type3Matrices(outDir, 100)
