@@ -436,12 +436,12 @@ object Dedup {
     * Algorithm: distributed min-label propagation. Each round every node
     * takes the min of its own label and its neighbors' labels (one equi-join
     * + one partial-aggregated groupBy per round); converges in O(cluster
-    * diameter) rounds — near-dup clusters are dense, so diameters are tiny
-    * (2-4). Lineage is cut per round with localCheckpoint so the plan does
-    * not grow unboundedly. For adversarial long-chain graphs at 10^12 edges
-    * the round count is the known limit — the fix is the large-star/
-    * small-star variant (alternating pointer-jumping, O(log n) rounds),
-    * same join shape per round. */
+    * diameter) rounds, with a POINTER-JUMPING step folded into each round
+    * (label(id) <- label(label(id)), one self-join on the label table):
+    * paths halve every round, so even adversarial long chains converge in
+    * O(log diameter) rounds — the Hash-to-Min / large-star bound. Lineage
+    * is cut per round with localCheckpoint so the plan does not grow
+    * unboundedly. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
     val bidir = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -459,8 +459,18 @@ object Dedup {
       // neighbor labels flow along edges; keep the min of (own, neighbors)
       val msgs = bidir.join(labels, bidir("src") === labels("id"))
         .select(col("dst").as("id"), col("cluster_id"))
-      val next = labels.select(col("id"), col("cluster_id")).union(msgs)
+      val propagated = labels.select(col("id"), col("cluster_id")).union(msgs)
         .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint()
+      // pointer jumping: follow one more hop through the label table
+      // (labels only decrease and every label IS a node id, so the lookup
+      // side always resolves; left join guards the fixpoint rows; toDF
+      // re-aliases the lookup side so the self-join resolves cleanly)
+      val lookup = propagated.toDF("t_id", "t_cl")
+      val next = propagated
+        .join(lookup, propagated("cluster_id") === lookup("t_id"), "left")
+        .select(propagated("id"),
+          coalesce(lookup("t_cl"), propagated("cluster_id")).as("cluster_id"))
         .localCheckpoint()
       val sum = next.agg(org.apache.spark.sql.functions.sum(col("cluster_id")).cast("decimal(38,0)"))
         .collect()(0).getDecimal(0)

@@ -360,10 +360,11 @@ class OpsSpec extends AnyFunSuite {
     val cc = Dedup.connectedComponents(edges).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
-    // a 12-node chain needs ~diameter rounds — must still converge exactly
-    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // a 64-node chain (diameter 63) must converge within maxIter=20: the
+    // pointer-jumping step gives O(log diameter) rounds, not O(diameter)
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val cc2 = Dedup.connectedComponents(chain).collect()
-    assert(cc2.length == 12 && cc2.forall(_.getAs[Long]("cluster_id") == 0L))
+    assert(cc2.length == 64 && cc2.forall(_.getAs[Long]("cluster_id") == 0L))
   }
 
   test("pii scrub: emails, phones, IPs redacted; counts right; clean text untouched") {
@@ -428,8 +429,10 @@ class OpsSpec extends AnyFunSuite {
       (i.toLong, v.toSeq)
     }.toDF("vec_id", "embedding")
     val brute = SimSearch.bruteForceTopK(emb, nQueries = 3, k = 5).collect()
-    val ivf = SimSearch.ivfTopK(emb, nQueries = 3, k = 5,
-      nCentroids = 8, nProbe = 4, iters = 3, dim = 8).collect()
+    val ivfDf = SimSearch.ivfTopK(emb, nQueries = 3, k = 5,
+      nCentroids = 8, nProbe = 4, iters = 3, dim = 8)
+    assertNoCartesian(ivfDf, "ivfTopK")
+    val ivf = ivfDf.collect()
     val bruteSet = brute.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val ivfSet = ivf.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     assert(ivfSet.intersect(bruteSet).size >= bruteSet.size / 2,
