@@ -27,7 +27,23 @@ object GraftExtensions {
     })
 
   /** register on a live session (tests, notebooks) */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    registerUdfs(spark)
+  }
+
+  /** SQL-facing registrations of the pure text-analysis kernels, so the
+    * whole training-data toolkit is usable from spark.sql(...). These are
+    * Scala UDFs (per-row, no codegen) — the Column-API variants in
+    * graft.ops stay the hot path; the SQL names exist for ad-hoc/BI use:
+    *
+    *   SELECT graft_langid(text), graft_simhash(text) FROM docs
+    */
+  def registerUdfs(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.udf.register("graft_langid", (t: String) => graft.ops.TextOps.detectLang(t))
+    spark.udf.register("graft_fingerprint", (t: String) => graft.ops.TextOps.fingerprint(t))
+    spark.udf.register("graft_simhash", (t: String) => graft.ops.Dedup.simhash(t))
+    spark.udf.register("graft_top2gram_frac", (t: String) => graft.ops.TextOps.top2GramFrac(t))
+  }
 }

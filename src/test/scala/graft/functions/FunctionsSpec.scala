@@ -33,6 +33,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out(0).getDouble(1) == 32.0)
   }
 
+  test("text-kernel UDFs registered as SQL functions, parity with the Scala API") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((1L, "the quick brown fox is that with for"), (2L, "buy now buy now buy now"))
+      .toDF("doc_id", "text").createOrReplaceTempView("graft_docs")
+    val out = spark.sql(
+      """SELECT doc_id, graft_langid(text) AS lang, graft_fingerprint(text) AS fp,
+        |  graft_simhash(text) AS sh, graft_top2gram_frac(text) AS frac
+        |FROM graft_docs ORDER BY doc_id""".stripMargin).collect()
+    assert(out(0).getAs[String]("lang") == "en")
+    assert(out(0).getAs[Long]("fp") ==
+      graft.ops.TextOps.fingerprint("the quick brown fox is that with for"))
+    assert(out(0).getAs[Long]("sh") ==
+      graft.ops.Dedup.simhash("the quick brown fox is that with for"))
+    assert(out(1).getAs[Double]("frac") == 0.6) // "buy now" 3x of 5 bigrams
+  }
+
   test("type mismatch rejected at analysis") {
     val bad = Seq((1L, Seq(1.0, 2.0))).toDF("id", "a")
     intercept[Exception] {
