@@ -70,6 +70,32 @@ object SparkEntry {
           sum(round(col("value") * 1000).cast("long")).as("sum_value_e3"),
           countDistinct(col("user_id")).as("n_users"))
     }),
+    "q30_rollup" -> ((s, dir) => {
+      s.read.parquet(t(dir, "lineitem"))
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n"),
+          (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+            .cast("long").as("gid"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("gid"), col("sum_qty"), col("n"))
+    }),
+    "q31_window_running" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // (l_orderkey, l_linenumber) is not unique in the synthetic data;
+      // adding l_quantity makes the prefix sums order-invariant within ties
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      s.read.parquet(t(dir, "lineitem")).select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(col("l_quantity").cast("long"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("running_qty"),
+        lag(col("l_orderkey"), 1).over(w).cast("long").as("prev_order"))
+    }),
     // ---- dedup family ----
     "q05_dedup_exact" -> ((s, dir) => {
       docs(s, dir).groupBy(col("text"))
@@ -151,6 +177,20 @@ object SparkEntry {
       val split = TextOps.hashSplit(normed.join(deduped.select("doc_id"), "doc_id"))
       split.groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
     }),
+    "x19_error_taxonomy" -> ((s, dir) => {
+      // robustness surface: every 5th payload truncated mid-stream; the
+      // kernel must quarantine (status != ok) without failing the job, and
+      // the taxonomy rollup is the ops-facing health signal
+      import s.implicits._
+      val pages = s.range(300).as[Long].map { i =>
+        val r = Corpus.row(42L)(i)
+        if (i % 5 == 0 && r.html.length > 60) r.copy(html = r.html.take(r.html.length / 2))
+        else r
+      }.toDF()
+      ExtractJob.extract(ExtractJob.saltedRepartition(s, pages, 8)).toDF()
+        .groupBy(col("status"), col("kind"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
     "x17_golden_diff" -> ((s, dir) => {
       import s.implicits._
       val pages = s.range(400).as[Long].map(Corpus.row(42L)).toDF()
@@ -203,6 +243,21 @@ object SparkEntry {
     "q05_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, length(text) AS text_len
         |FROM documents GROUP BY text""".stripMargin,
+    "q30_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  cast(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS bigint) AS gid,
+        |  cast(sum(cast(l_quantity AS bigint)) AS bigint) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q31_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  cast(sum(cast(l_quantity AS bigint)) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_orderkey, l_linenumber, l_quantity ROWS UNBOUNDED PRECEDING) AS bigint)
+        |    AS running_qty,
+        |  cast(lag(l_orderkey) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_orderkey, l_linenumber, l_quantity) AS bigint) AS prev_order
+        |FROM lineitem""".stripMargin,
     "q11_lang_stats" ->
       """SELECT lang, count(*) AS n_docs, cast(sum(n_chars) AS bigint) AS total_chars
         |FROM documents GROUP BY lang""".stripMargin,
