@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-quality audit over every SparkEntry query: counts exchanges,
+  * flags all-pairs join nodes, and reports whether whole-stage codegen is
+  * present (a query whose plan has ZERO codegen'd stages silently runs
+  * interpreted — the q27 regression class). Run per round:
+  * `sbt "runMain graft.tools.PlanAudit"`. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sf)
+        df.collect() // execute THIS plan so AQE finalizes and codegen stages materialize
+        val plan = df.queryExecution.executedPlan.toString
+        val exchanges = plan.linesIterator.count(_.contains("Exchange")) -
+          plan.linesIterator.count(_.contains("ReusedExchange"))
+        val cartesian = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin")
+        val codegen = plan.linesIterator.exists(_.contains("*("))
+        val flags = Seq(
+          if (cartesian) Some("CARTESIAN") else None,
+          if (bnlj) Some("BNLJ") else None,
+          if (!codegen) Some("NO-CODEGEN") else None).flatten.mkString(",")
+        println(f"$name%-28s exchanges=$exchanges%-3d ${if (flags.isEmpty) "ok" else flags}")
+      } catch {
+        case e: Throwable => println(f"$name%-28s ERROR ${e.getMessage.take(80)}")
+      }
+    }
+    spark.stop()
+  }
+}
