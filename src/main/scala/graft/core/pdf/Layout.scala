@@ -157,19 +157,49 @@ object Layout {
 
   /** transitive closure pull of neighbours (pages_extractor.cc:317-329).
     * Mirrors the reference's move-semantics: pulled lines become empty in
-    * `lines` (moved-from => is_empty). */
-  private def getNeighbourLines(lines: ArrayBuffer[TextChunk], seed: TextChunk): ArrayBuffer[TextChunk] = {
+    * `lines` (moved-from => is_empty).
+    *
+    * Pruning index (`order`/`y0sorted`/`hmax`): isNeighbourLines requires
+    * o2.y0 < o1.y1 + d and o2.y1 > o1.y0 - d with d <= LINE_MARGIN*hmax, so
+    * only lines whose y0 falls in [o1.y0 - d - hmax, o1.y1 + d] can ever
+    * match — a binary-searched window over the y0-sorted index instead of a
+    * scan of all n lines (the O(n^2) hot spot: 74% of whale-document time).
+    * The window is a conservative SUPERSET (inverted boxes included — see
+    * the hmax = max|height| bound) and candidates are re-sorted to the
+    * original index order before testing, so the predicate sequence — and
+    * therefore the output bytes — are identical to the plain scan. */
+  private def getNeighbourLines(
+      lines: ArrayBuffer[TextChunk],
+      seed: TextChunk,
+      order: Array[Int],
+      y0sorted: Array[Float],
+      hmax: Float): ArrayBuffer[TextChunk] = {
     val result = ArrayBuffer(seed)
+    val dmax = LINE_MARGIN * hmax
     var i = 0
     while (i < result.length) {
-      var j = 0
-      while (j < lines.length) {
-        val line = lines(j)
+      val r = result(i).coordinates
+      val lo = r.y0 - dmax - hmax - 1f
+      val hi = r.y1 + dmax + 1f
+      // lower bound: first index with y0sorted >= lo
+      var a = 0
+      var b = y0sorted.length
+      while (a < b) { val m = (a + b) >>> 1; if (y0sorted(m) < lo) a = m + 1 else b = m }
+      val start = a
+      // upper bound: first index with y0sorted > hi
+      a = start; b = y0sorted.length
+      while (a < b) { val m = (a + b) >>> 1; if (y0sorted(m) <= hi) a = m + 1 else b = m }
+      val end = a
+      val cands = java.util.Arrays.copyOfRange(order, start, end)
+      java.util.Arrays.sort(cands) // restore original scan order (byte identity)
+      var k = 0
+      while (k < cands.length) {
+        val line = lines(cands(k))
         if (isNeighbourLines(line, result(i))) {
           result += line.shallowCopy
           line.isEmpty = true // moved-from
         }
-        j += 1
+        k += 1
       }
       i += 1
     }
@@ -178,12 +208,27 @@ object Layout {
 
   /** pages_extractor.cc:331-346 */
   private def makeTextBoxes(lines: ArrayBuffer[TextChunk]): ArrayBuffer[TextChunk] = {
+    // y0 index for the neighbour-window pruning (built once per page)
+    val n = lines.length
+    val order = Array.range(0, n)
+    val y0 = new Array[Float](n)
+    var hmax = 0f
+    var t = 0
+    while (t < n) {
+      y0(t) = lines(t).coordinates.y0
+      val h = math.abs(height(lines(t).coordinates))
+      if (h > hmax) hmax = h
+      t += 1
+    }
+    // sort indices by y0 (boxed sort acceptable: once per page)
+    val orderBoxed = order.sortBy(y0(_))
+    val y0sorted = orderBoxed.map(y0(_))
     val textBoxes = ArrayBuffer.empty[TextChunk]
     var idx = lines.indexWhere(l => !l.isEmpty)
     while (idx >= 0 && idx < lines.length) {
       val seed = lines(idx).shallowCopy
       lines(idx).isEmpty = true // moved-from (*make_move_iterator)
-      val line = mergeLines(getNeighbourLines(lines, seed))
+      val line = mergeLines(getNeighbourLines(lines, seed, orderBoxed, y0sorted, hmax))
       if (!line.isEmpty) textBoxes += line
       idx = lines.indexWhere(l => !l.isEmpty, idx)
     }
