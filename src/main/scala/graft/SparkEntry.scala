@@ -129,6 +129,7 @@ object SparkEntry {
     "q25_lang_len_stats" -> ((s, dir) => TextOps.langLenStats(docs(s, dir))),
     "q27_quality_filter" -> ((s, dir) => TextOps.qualityFilter(docs(s, dir))),
     "q28_chunking" -> ((s, dir) => TextOps.chunked(docs(s, dir))),
+    "q32_sequence_packing" -> ((s, dir) => TextOps.sequencePacking(docs(s, dir))),
     "q11_lang_stats" -> ((s, dir) => {
       docs(s, dir).groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
@@ -457,6 +458,18 @@ object SparkEntry {
         |SELECT doc_id, cast(idx AS bigint) AS chunk_idx, chunk AS chunk_text,
         |  cast(len(regexp_split_to_array(chunk, '\s+')) AS bigint) AS n_tokens
         |FROM chunks""".stripMargin,
+    "q32_sequence_packing" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM toks)
+        |SELECT doc_id, cast(n_tokens AS bigint) AS n_tokens,
+        |  cast(floor((cum - n_tokens) / 512.0) AS bigint) AS pack_id
+        |FROM c""".stripMargin,
     "q14_simsearch_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS query_emb
         |           FROM embeddings ORDER BY vec_id LIMIT 5),

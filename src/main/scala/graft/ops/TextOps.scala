@@ -322,6 +322,54 @@ object TextOps {
         size(split(col("c.chunk"), "\\s+")).cast("long").as("n_tokens"))
   }
 
+  /** deterministic sequence packing: assign docs (in doc_id order) to
+    * fixed token-budget packs — pack_id = floor(tokens-before-this-doc /
+    * packTokens). The global running sum is a DISTRIBUTED SCAN, not a
+    * single-partition Window (a global `ORDER BY` window funnels the whole
+    * corpus through one task): range-partition by doc_id, one tiny pass
+    * collects per-partition token totals (one row per partition), and a
+    * broadcast prefix-offset array seeds each partition's local cumsum.
+    * Output is independent of the partition count (range boundaries only
+    * split a totally-ordered sequence). */
+  def sequencePacking(
+      documents: DataFrame,
+      packTokens: Int = 512,
+      partitions: Int = 0): DataFrame = {
+    require(packTokens > 0)
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val nPart = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    // RDD mapPartitionsWithIndex is deliberate (the one genuine
+    // per-partition-imperative case): the partition INDEX must be bound to
+    // the parent partition at plan time. TaskContext.getPartitionId() is
+    // task-scoped and collapses to 0 under a downstream coalesce(1),
+    // silently zeroing every offset.
+    val base = documents
+      .select(col("doc_id").cast("long"), tokenCount(col("text")).cast("long").as("n_tokens"))
+      .repartitionByRange(nPart, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .as[(Long, Long)]
+      .rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = base.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L
+      it.foreach { case (_, tok) => s += tok }
+      Iterator.single((pid, s))
+    }.collect().toMap
+    val maxPid = if (totals.isEmpty) -1 else totals.keys.max
+    val offsets = new Array[Long](maxPid + 2)
+    (0 to maxPid).foreach(p => offsets(p + 1) = offsets(p) + totals.getOrElse(p, 0L))
+    val bc = spark.sparkContext.broadcast(offsets)
+    base.mapPartitionsWithIndex { (pid, it) =>
+      var cum = bc.value(pid)
+      it.map { case (id, tok) =>
+        val packId = cum / packTokens
+        cum += tok
+        (id, tok, packId)
+      }
+    }.toDF("doc_id", "n_tokens", "pack_id")
+  }
+
   /** documents -> per-doc text stats (one narrow pass, no shuffle) */
   def stats(documents: DataFrame): DataFrame =
     documents.select(

@@ -447,6 +447,25 @@ class OpsSpec extends AnyFunSuite {
     assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
   }
 
+  test("sequence packing: boundary math, partition-count invariance") {
+    // doc i has i+1 tokens; budget 10: cum-before = 0,1,3,6,10,15,21,28,...
+    val df = (0L until 12L).map(i => (i, (0L to i).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val packs = TextOps.sequencePacking(df, packTokens = 10).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pack_id")).toMap
+    val expected = {
+      var cum = 0L
+      (0L until 12L).map { i => val p = cum / 10; cum += i + 1; i -> p }.toMap
+    }
+    assert(packs == expected, s"got $packs expected $expected")
+    // invariant under the explicit partition count (distributed-scan offsets)
+    val p3 = TextOps.sequencePacking(df, packTokens = 10, partitions = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pack_id")).toMap
+    val p1 = TextOps.sequencePacking(df, packTokens = 10, partitions = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pack_id")).toMap
+    assert(p3 == expected && p1 == expected)
+  }
+
   test("q08 grams are built only for LSH candidates (semi-join before shingling)") {
     val base = (1 to 40).map(i => s"word$i").mkString(" ")
     val near = base.replace("word7", "changed7")
