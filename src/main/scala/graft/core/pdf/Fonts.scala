@@ -194,7 +194,7 @@ object Fonts {
               case t => err(s"wrong type for val ${result(i + 1).raw} type=$t")
             }
           }
-          widths(name) = fw.sortBy(_._1).toArray
+          widths(name) = fw.sortBy(pair => (pair._1, pair._2)) /* std::sort over pair<uint,float>: ties by width (fonts.cc:123) */.toArray
       }
     }
 
@@ -216,7 +216,7 @@ object Fonts {
             fw(i) = ((i + firstChar, stof(v)))
             i += 1
           }
-          widths(name) = fw.sortBy(_._1)
+          widths(name) = fw.sortBy(pair => (pair._1, pair._2)) /* std::sort over pair<uint,float>: ties by width (fonts.cc:123) */
       }
     }
 

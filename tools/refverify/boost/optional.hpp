@@ -3,6 +3,7 @@
 // codebase); reference types are pointer-backed.
 #ifndef BOOST_OPTIONAL_SHIM
 #define BOOST_OPTIONAL_SHIM
+#include <stdexcept>
 namespace boost {
   struct none_t { constexpr none_t() {} };
   inline constexpr none_t none;
@@ -20,7 +21,13 @@ namespace boost {
     T &operator*() { return v_; }
     const T *operator->() const { return &v_; }
     T *operator->() { return &v_; }
-    const T &value() const { return v_; }
+    // real boost::optional::value() throws on empty (bad_optional_access);
+    // the first shim version silently returned a default, which MASKED a
+    // genuine agree-on-error case (no-MediaBox documents) in round 2
+    const T &value() const {
+      if (!has_) throw std::runtime_error("bad optional access");
+      return v_;
+    }
   };
   template <class T> class optional<T&> {
     T *p = nullptr;
