@@ -64,7 +64,19 @@ object FuzzR5 {
         s"BT\n/F1 ${8 + rnd.nextInt(10)} Tf\n${50 + rnd.nextInt(400)} ${80 + rnd.nextInt(600)} Td\n" +
           s"(${randWord()} ${randWord()}) Tj\nET\n"
       }.mkString)
-      val good = onePage(content, Map("/F1" -> 5), Seq(courier(5)))
+      // rotate base shapes: classic xref, xref-stream + ObjStm (distinct
+      // recovery paths: /W parsing, BE ints, packed objects), encrypted
+      val good = (i % 3) match {
+        case 0 => onePage(content, Map("/F1" -> 5), Seq(courier(5)))
+        case 1 => onePage(content, Map("/F1" -> 5), Seq(courier(5)),
+          useXrefStream = true, packIntoObjStm = Set(1, 2, 5))
+        case _ =>
+          val docId = Array.tabulate(16)(j => ((i * 17 + j) & 0xff).toByte)
+          graft.fixtures.PdfBuilderAdvanced.encryptedOnePage(content,
+            graft.fixtures.PdfBuilderAdvanced.EncSpec(
+              revision = if (i % 2 == 0) 3 else 2,
+              keyBits = if (i % 2 == 0) 128 else 40, aes = false, docId = docId))
+      }
       val bad = rnd.nextInt(4) match {
         case 0 => // truncate somewhere in the tail half
           good.take(good.length / 2 + rnd.nextInt(good.length / 2))
