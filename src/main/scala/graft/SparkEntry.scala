@@ -130,6 +130,7 @@ object SparkEntry {
     "q27_quality_filter" -> ((s, dir) => TextOps.qualityFilter(docs(s, dir))),
     "q28_chunking" -> ((s, dir) => TextOps.chunked(docs(s, dir))),
     "q32_sequence_packing" -> ((s, dir) => TextOps.sequencePacking(docs(s, dir))),
+    "q33_tfidf_top_terms" -> ((s, dir) => TextOps.tfidfTopTerms(docs(s, dir))),
     "q11_lang_stats" -> ((s, dir) => {
       docs(s, dir).groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
@@ -470,6 +471,25 @@ object SparkEntry {
         |SELECT doc_id, cast(n_tokens AS bigint) AS n_tokens,
         |  cast(floor((cum - n_tokens) / 512.0) AS bigint) AS pack_id
         |FROM c""".stripMargin,
+    "q33_tfidf_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    round(tf.tf * ln((SELECT n_docs FROM n) / cast(dfreq.df AS double)), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (term)),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term ASC) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, term, cast(tf AS bigint) AS tf, cast(df AS bigint) AS df,
+        |  tfidf, cast(rnk AS bigint) AS rnk
+        |FROM ranked WHERE rnk <= 3""".stripMargin,
     "q14_simsearch_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS query_emb
         |           FROM embeddings ORDER BY vec_id LIMIT 5),

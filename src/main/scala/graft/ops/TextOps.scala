@@ -370,6 +370,30 @@ object TextOps {
     }.toDF("doc_id", "n_tokens", "pack_id")
   }
 
+  /** top-k TF-IDF terms per document — the classic keyword/topic signal.
+    * Shape: one explode pass feeds TWO partial-aggregated groupBys (term
+    * frequency per doc, document frequency per term), an equi-join on the
+    * term, and a per-doc window for the top-k. At web scale the DF side is
+    * vocabulary-sized (shuffle join, not broadcast); n_docs is one count
+    * job (a production pipeline reads it from table metadata). */
+  def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = documents.count()
+    val toks = documents.select(col("doc_id"),
+      explode(when(length(trim(col("text"))) === 0, expr("array()"))
+        .otherwise(split(trim(lower(col("text"))), "\\s+"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df").cast("double")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** documents -> per-doc text stats (one narrow pass, no shuffle) */
   def stats(documents: DataFrame): DataFrame =
     documents.select(

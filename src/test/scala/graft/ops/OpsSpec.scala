@@ -466,6 +466,19 @@ class OpsSpec extends AnyFunSuite {
     assert(p3 == expected && p1 == expected)
   }
 
+  test("tfidf top terms: rare terms outrank common, deterministic ties") {
+    val df = docsDf(
+      (1L, "common common zebra"),
+      (2L, "common words here"),
+      (3L, "common other words"))
+    val top = TextOps.tfidfTopTerms(df, k = 2).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    // "zebra" (df=1) must outrank "common" (df=3, tfidf=0) for doc 1
+    assert(top(1L).find(_.getAs[Long]("rnk") == 1L).get.getAs[String]("term") == "zebra")
+    // df=3 terms have tfidf 0 (ln(3/3)); ranks still deterministic by term asc
+    top.values.flatten.foreach(r => assert(r.getAs[Long]("rnk") <= 2L))
+  }
+
   test("q08 grams are built only for LSH candidates (semi-join before shingling)") {
     val base = (1 to 40).map(i => s"word$i").mkString(" ")
     val near = base.replace("word7", "changed7")
