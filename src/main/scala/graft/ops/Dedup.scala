@@ -120,10 +120,18 @@ object Dedup {
     val spark = documents.sparkSession
     import spark.implicits._
     val (as, bs) = hashParams(seed)
-    val banded = documents.select(col("doc_id").cast("long"), col("text"))
+    // signatures computed ONCE and persisted; the bucket shuffle moves only
+    // (bandKey, id) 12-byte rows — an earlier cut shipped the full 512-byte
+    // signature on every band row (16x per doc: ~8 KB/doc of shuffle, vs
+    // ~200 B/doc here). Signatures rejoin only for the DEDUPED candidate
+    // pairs, which are a tiny fraction of the corpus.
+    val sigs = documents.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val sig = minhashSignature(text, as, bs)
+      .map { case (id, text) => (id, minhashSignature(text, as, bs)) }
+      .toDF("doc_id", "sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.as[(Long, Array[Long])]
+      .flatMap { case (id, sig) =>
         (0 until N_BANDS).iterator.map { b =>
           var acc = 0x811c9dc5 // FNV-1a over the band's minhash rows
           var r = 0
@@ -133,38 +141,36 @@ object Dedup {
             acc = (acc ^ (v >>> 32).toInt) * 0x01000193
             r += 1
           }
-          (b, acc, id, sig)
+          ((b.toLong << 32) | (acc & 0xffffffffL), id)
         }
       }
-    banded.groupByKey { case (b, h, _, _) => (b.toLong << 32) | (h & 0xffffffffL) }
+    val pairs = banded.groupByKey(_._1)
       .flatMapGroups { (_, it) =>
-        val buf = new scala.collection.mutable.ArrayBuffer[(Long, Array[Long])]()
+        val buf = new scala.collection.mutable.ArrayBuffer[Long]()
         var over = false
         while (it.hasNext) {
           val r = it.next()
           if (!over) {
-            buf += ((r._3, r._4))
+            buf += r._2
             if (buf.length > maxBucketSize) { over = true; buf.clear() }
           }
         }
         if (over) Iterator.empty
         else {
-          val arr = buf.sortBy(_._1).toArray
+          val arr = buf.sorted.toArray
           (0 until arr.length).iterator.flatMap { i =>
-            (i + 1 until arr.length).iterator.map { j =>
-              val (ida, siga) = arr(i)
-              val (idb, sigb) = arr(j)
-              var m = 0
-              var h = 0
-              while (h < N_HASHES) { if (siga(h) == sigb(h)) m += 1; h += 1 }
-              (ida, idb, m.toDouble / N_HASHES)
-            }
+            (i + 1 until arr.length).iterator.map(j => (arr(i), arr(j)))
           }
         }
       }
-      .toDF("doc_a", "doc_b", "est_jaccard")
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(max(col("est_jaccard")).as("est_jaccard"))
+      .toDF("doc_a", "doc_b")
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("_n")).drop("_n")
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est_jaccard", expr(
+        s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m)) / ${N_HASHES}.0D"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
   }
 
   // ---- SimHash ----------------------------------------------------------------
