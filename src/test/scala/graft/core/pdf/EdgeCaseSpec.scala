@@ -14,6 +14,35 @@ class EdgeCaseSpec extends AnyFunSuite {
   private def simpleContent(text: String): Array[Byte] =
     bytes(s"BT\n/F1 12 Tf\n72 720 Td\n($text) Tj\nET\n")
 
+  test("overlapping /W ranges: std::sort pair tie order (round-5 fuzz regression)") {
+    // fuzz doc cid_059: /W [98 137 427 103 141 900 4 10 985 108 146 501
+    // 40 65 358] — duplicate codes across overlapping ranges. The reference
+    // std::sorts (code, width) pairs (ties by WIDTH), so a different width
+    // wins than under a stable sort-by-code; widths shift bboxes and flip
+    // the layout order of two blocks. Golden captured from the reference
+    // binary; a sort-order regression reorders the output lines.
+    val pdf = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/fixtures/w_overlap_cid.pdf").toURI))
+    val golden = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/fixtures/w_overlap_cid.golden").toURI))
+    assert(java.util.Arrays.equals(PdfExtract.pdf2txt(pdf), golden))
+  }
+
+  test("missing /MediaBox with no inheritable parent value throws (quarantine path)") {
+    // real boost::optional::value() throws here; a shim that defaulted the
+    // mediabox masked this class until the round-5 corruption fuzz
+    val objs = Seq(
+      ObjSpec(1, "<< /Type /Catalog /Pages 2 0 R >>"),
+      ObjSpec(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+      ObjSpec(3, "<< /Type /Page /Parent 2 0 R " +
+        "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+      ObjSpec(4, s"<< /Length ${bytes("BT\n/F1 12 Tf\n72 720 Td\n(x) Tj\nET\n").length} >>",
+        Some(bytes("BT\n/F1 12 Tf\n72 720 Td\n(x) Tj\nET\n"))),
+      courier(5))
+    val pdf = classicXref(objs, 1)
+    assertThrows[Exception](PdfExtract.pdf2txt(pdf))
+  }
+
   test("Type3 font: FontMatrix scales widths, Differences decode") {
     val widths = (32 to 126).map(_ => "500").mkString(" ")
     val font = ObjSpec(5,
