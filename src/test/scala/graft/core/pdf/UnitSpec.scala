@@ -194,6 +194,23 @@ class UnitSpec extends AnyFunSuite {
     assert(r.text.contains("unclosed paragraph text"))
   }
 
+  test("html: random tag soup never crashes and is deterministic (500 docs)") {
+    import graft.core.html.HtmlExtract
+    val rnd = new scala.util.Random(20260823L)
+    val atoms = Seq("<div>", "</div>", "<p>", "</p", "<a href='x", "&amp;", "&#xZZ;",
+      "<!-- c", "-->", "<script>", "</script>", "<", ">", "<br/>", "</html>",
+      "<table><tr><td>", "</b o g u s>", "<p class=\"a\"b>", "&#65")
+    (0 until 500).foreach { _ =>
+      val soup = (0 to 5 + rnd.nextInt(40)).map { _ =>
+        if (rnd.nextBoolean()) atoms(rnd.nextInt(atoms.length))
+        else (0 to rnd.nextInt(6)).map(_ => ('a' + rnd.nextInt(26)).toChar.toString * (1 + rnd.nextInt(5))).mkString(" ")
+      }.mkString(" ")
+      val r1 = HtmlExtract.extract(soup) // must not throw
+      val r2 = HtmlExtract.extract(soup)
+      assert(r1.text == r2.text) // deterministic
+    }
+  }
+
   test("html: nav/footer boilerplate dropped, article kept") {
     import graft.core.html.HtmlExtract
     val html =
