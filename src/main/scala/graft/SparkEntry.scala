@@ -131,6 +131,7 @@ object SparkEntry {
     "q28_chunking" -> ((s, dir) => TextOps.chunked(docs(s, dir))),
     "q32_sequence_packing" -> ((s, dir) => TextOps.sequencePacking(docs(s, dir))),
     "q33_tfidf_top_terms" -> ((s, dir) => TextOps.tfidfTopTerms(docs(s, dir))),
+    "q34_token_estimates" -> ((s, dir) => TextOps.tokenEstimates(docs(s, dir))),
     "q11_lang_stats" -> ((s, dir) => {
       docs(s, dir).groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
@@ -490,6 +491,15 @@ object SparkEntry {
         |SELECT doc_id, term, cast(tf AS bigint) AS tf, cast(df AS bigint) AS df,
         |  tfidf, cast(rnk AS bigint) AS rnk
         |FROM ranked WHERE rnk <= 3""".stripMargin,
+    "q34_token_estimates" ->
+      """SELECT doc_id,
+        |  cast(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS bigint) AS n_ws_tokens,
+        |  cast(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS bigint) AS n_bpeish,
+        |  round(cast(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS double) /
+        |    greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1), 6) AS subword_ratio
+        |FROM documents""".stripMargin,
     "q14_simsearch_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS query_emb
         |           FROM embeddings ORDER BY vec_id LIMIT 5),

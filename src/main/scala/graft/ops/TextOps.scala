@@ -394,6 +394,20 @@ object TextOps {
         col("tfidf"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** whitespace vs BPE-ish subword token estimates per doc (training-cost
+    * accounting; the subword_ratio flags code/punctuation-heavy docs whose
+    * real tokenizer cost far exceeds the whitespace estimate). Pure per-row
+    * regex columns, no shuffle. */
+  def tokenEstimates(documents: DataFrame): DataFrame = {
+    val ws = tokenCount(col("text")).cast("long")
+    val bpe = bpeishTokenCount("text").cast("long")
+    documents.select(
+      col("doc_id"),
+      ws.as("n_ws_tokens"),
+      bpe.as("n_bpeish"),
+      round(bpe.cast("double") / greatest(ws, lit(1L)), 6).as("subword_ratio"))
+  }
+
   /** documents -> per-doc text stats (one narrow pass, no shuffle) */
   def stats(documents: DataFrame): DataFrame =
     documents.select(

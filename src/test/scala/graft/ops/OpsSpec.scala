@@ -479,6 +479,16 @@ class OpsSpec extends AnyFunSuite {
     top.values.flatten.foreach(r => assert(r.getAs[Long]("rnk") <= 2L))
   }
 
+  test("token estimates: BPE-ish splits punctuation/digits, ws does not") {
+    val df = docsDf((1L, "hello, world! v2.0 (beta)"), (2L, "plain words only"), (3L, ""))
+    val r = TextOps.tokenEstimates(df).collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // hello , world ! v 2 . 0 ( beta ) = 11 bpeish vs 4 ws tokens
+    assert(r(1L).getAs[Long]("n_ws_tokens") == 4L && r(1L).getAs[Long]("n_bpeish") == 11L)
+    assert(r(1L).getAs[Double]("subword_ratio") == 2.75)
+    assert(r(2L).getAs[Double]("subword_ratio") == 1.0)
+    assert(r(3L).getAs[Long]("n_ws_tokens") == 0L && r(3L).getAs[Long]("n_bpeish") == 0L)
+  }
+
   test("q08 grams are built only for LSH candidates (semi-join before shingling)") {
     val base = (1 to 40).map(i => s"word$i").mkString(" ")
     val near = base.replace("word7", "changed7")
