@@ -169,8 +169,13 @@ object SparkEntry {
       val docsDf = extracted.filter(col("status") === "ok")
         .select(xxhash64(col("url")).as("doc_id"),
           col("extracted_text").as("text"), lit("und").as("lang"))
+      // the post-kernel frame feeds THREE consumers (quality gate, dedup
+      // keeper set, final split join): materialize it once — without this
+      // the mapPartitions extraction subtree re-executes per consumer
+      // (~3x the kernel cost; this composite is the template users copy)
       val normed = docsDf.select(col("doc_id"), TextOps.normalizeText(col("text")).as("text"),
         col("lang"))
+        .localCheckpoint(true)
       val kept = TextOps.qualityFilter(normed, minQuality = 0.2, maxTopFrac = 0.9,
         minTokens = 5, maxTokens = 100000)
       // keep one representative (min doc_id) per byte-identical text group

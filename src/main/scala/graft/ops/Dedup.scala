@@ -165,12 +165,20 @@ object Dedup {
       }
       .toDF("doc_a", "doc_b")
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("_n")).drop("_n")
-    pairs
+    val out = pairs
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("est_jaccard", expr(
         s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m)) / ${N_HASHES}.0D"))
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+    // materialize the (tiny) pair result eagerly, then RELEASE the corpus-
+    // sized signature cache: block-manager residency across repeated calls
+    // in a long session is bounded by O(pairs), not O(corpus). The
+    // checkpointed result blocks are reclaimed by the ContextCleaner once
+    // the frame is unreferenced (persisted plans are not).
+    val checkpointed = out.localCheckpoint(true)
+    sigs.unpersist()
+    checkpointed
   }
 
   // ---- SimHash ----------------------------------------------------------------
@@ -350,6 +358,21 @@ object Dedup {
       documents: DataFrame,
       threshold: Double = 0.8,
       maxDf: Int = 0): DataFrame = {
+    val (out, postings) = ngramJaccardAllPairsLazy(documents, threshold, maxDf)
+    // same release pattern as minhashLsh: result is O(pairs), postings are
+    // O(corpus grams) — materialize the former, free the latter
+    val checkpointed = out.localCheckpoint(true)
+    postings.unpersist()
+    checkpointed
+  }
+
+  /** lazy plan behind `ngramJaccardAllPairs` (plan-gate tests inspect the
+    * join shape here; the public method checkpoints the result to release
+    * the postings cache). Returns (result, postings-to-unpersist). */
+  private[graft] def ngramJaccardAllPairsLazy(
+      documents: DataFrame,
+      threshold: Double,
+      maxDf: Int): (DataFrame, DataFrame) = {
     val spark = documents.sparkSession
     import spark.implicits._
     // postings computed ONCE (typed flatMap) and persisted: the self-join
@@ -386,13 +409,18 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
-    pairs
+    val out = pairs
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-      .withColumn("jaccard", round(
-        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      // threshold the RAW ratio (like the DuckDB oracle); rounding happens
+      // only in the projected column — filtering on the rounded value kept/
+      // dropped pairs within 5e-7 of the threshold differently than the
+      // oracle did
+      .withColumn("jaccard_raw",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 6).as("jaccard"))
+    (out, postings0)
   }
 
   /** exact word-3-gram Jaccard, computed ONLY for LSH candidate pairs.
@@ -404,6 +432,18 @@ object Dedup {
     * shuffled. Candidate pairs are an LSH-confirmed small fraction of the
     * corpus, so the id list broadcasts. */
   def ngramJaccardDups(documents: DataFrame, threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
+    val (out, candidates) = ngramJaccardDupsLazy(documents, threshold, seed)
+    val checkpointed = out.localCheckpoint(true)
+    candidates.unpersist()
+    checkpointed
+  }
+
+  /** the lazy plan behind `ngramJaccardDups`, exposed for plan-gate tests
+    * (the public method eagerly checkpoints the small result to release the
+    * persisted candidate set, which hides the join shape from explain()).
+    * Returns (result, candidates-to-unpersist-after-materialization). */
+  private[graft] def ngramJaccardDupsLazy(
+      documents: DataFrame, threshold: Double, seed: Long): (DataFrame, DataFrame) = {
     // the candidate set is referenced twice (id derivation + final join) and
     // is tiny relative to the corpus: persist it so the LSH pipeline runs
     // once (exchange reuse does not cover typed subtrees; see minhashLsh)
@@ -424,13 +464,14 @@ object Dedup {
           "i -> concat_ws(' ', slice(toks, i + 1, 3)))").as("grams"))
     val a = grams.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
     val b = grams.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
-    candidates.join(a, "doc_a").join(b, "doc_b")
+    val out = candidates.join(a, "doc_a").join(b, "doc_b")
       .withColumn("jaccard",
         when(size(array_union(col("grams_a"), col("grams_b"))) === 0, lit(0.0))
           .otherwise(size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
             size(array_union(col("grams_a"), col("grams_b")))))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+    (out, candidates)
   }
 
   // ---- duplicate-cluster assignment (connected components) --------------------
@@ -478,11 +519,15 @@ object Dedup {
         .select(propagated("id"),
           coalesce(lookup("t_cl"), propagated("cluster_id")).as("cluster_id"))
         .localCheckpoint()
-      val sum = next.agg(org.apache.spark.sql.functions.sum(col("cluster_id")).cast("decimal(38,0)"))
+      val sumDec = next.agg(org.apache.spark.sql.functions.sum(col("cluster_id")).cast("decimal(38,0)"))
         .collect()(0).getDecimal(0)
       labels = next
-      converged = BigDecimal(sum) == prevSum
-      prevSum = BigDecimal(sum)
+      // sum over an EMPTY labels frame is null (zero near-dup pairs is a
+      // legitimate corpus outcome): converge immediately on the empty result
+      // instead of NPE-ing in BigDecimal
+      val sum = if (sumDec == null) prevSum else BigDecimal(sumDec)
+      converged = sumDec == null || sum == prevSum
+      prevSum = sum
       iter += 1
     }
     bidir.unpersist()
@@ -546,20 +591,48 @@ object Dedup {
     * SimSearch.lshBuckets (multi-table random hyperplanes), generate
     * same-(table,bucket) candidate pairs, verify exact cosine within
     * candidates only. Probabilistic recall, boosted by `nTables`
-    * multi-table probing; verified >= threshold pairs are exact. */
+    * multi-table probing; verified >= threshold pairs are exact.
+    *
+    * Scale shape (same pattern as minhashLsh): ONE pass computes bucket
+    * signatures; ONE shuffle groups rows by (table, bucket); pairs are
+    * generated executor-locally per bucket with flatMapGroups (bounded
+    * buffering). Buckets larger than `maxBucketSize` — degenerate
+    * (zero/constant) vectors or mass-duplicate embeddings hashing to one
+    * signature — are dropped whole, so no reduce key goes quadratic. A
+    * (table,bucket) self-join would both blow up on hot buckets AND compute
+    * the signature flatMap twice (no exchange reuse under typed subtrees). */
   def embeddingNearDupsLsh(
       embeddings: DataFrame,
       threshold: Double,
       nBits: Int = 8,
       nTables: Int = 8,
       dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
-    val buckets = SimSearch.lshBuckets(embeddings, nBits, nTables, dim, seed)
-    val pa = buckets.select(col("table"), col("bucket"), col("vec_id").as("id_a"))
-    val pb = buckets.select(col("table"), col("bucket"), col("vec_id").as("id_b"))
-    val candidates = pa.join(pb, Seq("table", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+      seed: Long = 42L,
+      maxBucketSize: Int = MAX_BUCKET_SIZE_DEFAULT): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val candidates = SimSearch.lshBuckets(embeddings, nBits, nTables, dim, seed)
+      .as[(Long, Int, Long)] // (vec_id, table, bucket); one row per vec per table
+      .groupByKey { case (_, t, b) => (t, b) }
+      .flatMapGroups { (_, it) =>
+        val buf = new scala.collection.mutable.ArrayBuffer[Long]()
+        var over = false
+        while (it.hasNext) {
+          val r = it.next()
+          if (!over) {
+            buf += r._1
+            if (buf.length > maxBucketSize) { over = true; buf.clear() }
+          }
+        }
+        if (over) Iterator.empty
+        else {
+          val arr = buf.sorted.toArray
+          (0 until arr.length).iterator.flatMap { i =>
+            (i + 1 until arr.length).iterator.map(j => (arr(i), arr(j)))
+          }
+        }
+      }
+      .toDF("id_a", "id_b")
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("_n")).drop("_n")
     val e = embeddings.select(col("vec_id"), col("embedding"))
       .withColumn("self_dot", SimSearch.dotCol(col("embedding"), col("embedding")))

@@ -110,8 +110,13 @@ object SimSearch {
       dim: Int): Array[Array[Float]] = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    // the training loop scans the corpus once per iteration, and each
+    // assignment pass ends in a collect (an action) — persist the projected
+    // (id, embedding) frame so iterations 2..n read cached blocks instead
+    // of re-scanning the source `iters` times; released before returning
     val e = embeddings.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Seq[Float])]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids: Array[Array[Float]] =
       e.orderBy("vec_id").limit(k).collect().map(_._2.toArray)
     var it = 0
@@ -156,6 +161,7 @@ object SimSearch {
       bc.destroy()
       it += 1
     }
+    e.unpersist()
     centroids
   }
 
@@ -187,36 +193,69 @@ object SimSearch {
     ds.sorted.take(n).map(_._2).toArray
   }
 
-  /** ANN via an IVF index: k-means coarse quantizer, vectors assigned to
-    * their nearest centroid's posting list, queries probe the `nProbe`
-    * nearest lists and score exactly within them. The 100 TB shape: the
-    * quantizer is tiny and broadcast; the only full-corpus pass is the
-    * assignment (executor-local); per-query work is nProbe/k of a scan.
+  /** a built IVF index — the tiny, broadcastable quantizer snapshot. A real
+    * deployment builds this ONCE per corpus (an index build job), persists
+    * the centroids, and serves every query batch from the snapshot instead
+    * of re-training k-means per query (the shape `ivfTopK` convenience
+    * wrapper still does in one call). */
+  final case class IvfIndex(centroids: Array[Array[Float]])
+
+  /** train the coarse quantizer. `nCentroids = 0` auto-tunes nlist to
+    * ~sqrt(n) (the standard IVF sizing: balances list count vs list length).
+    * Training runs on a deterministic hash-sample of at most `trainSample`
+    * vectors — k-means needs a representative sample, not the corpus; at
+    * 10^12 rows training on everything would be iters full scans. */
+  def buildIvfIndex(
+      embeddings: DataFrame,
+      nCentroids: Int = 0,
+      iters: Int = 3,
+      dim: Int = 64,
+      trainSample: Long = 200000L): IvfIndex = {
+    val n = embeddings.count()
+    val k = if (nCentroids > 0) nCentroids
+      else math.max(4, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
+    val training =
+      if (n <= trainSample) embeddings
+      else {
+        // deterministic modulus sample (no RNG: stable across retries);
+        // slight over-sample then exact limit keeps the size bounded
+        val keepOneIn = math.max(1L, n / trainSample)
+        embeddings.filter(pmod(xxhash64(col("vec_id")), lit(keepOneIn)) === 0)
+      }
+    IvfIndex(kmeansCentroids(training, k, iters, dim))
+  }
+
+  /** ANN search against a pre-built IVF index: vectors are assigned to their
+    * nearest centroid's posting list (one executor-local pass against the
+    * broadcast quantizer); queries probe the `nProbe` nearest lists and
+    * score exactly within them. Per-query work is ~nProbe/nlist of a scan.
     * Complements lshTopK — IVF partitions by geometry (good for clustered
     * embeddings), LSH by random projection (good for uniform). */
-  def ivfTopK(
+  def ivfTopKWithIndex(
       embeddings: DataFrame,
+      index: IvfIndex,
       nQueries: Int = 5,
       k: Int = 10,
-      nCentroids: Int = 16,
-      nProbe: Int = 4,
-      iters: Int = 3,
-      dim: Int = 64): DataFrame = {
+      nProbe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val cents = kmeansCentroids(embeddings, nCentroids, iters, dim)
+    val cents = index.centroids
     val bc = spark.sparkContext.broadcast(cents)
     val e = embeddings.select(col("vec_id"), col("embedding"))
     val assigned = e.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Seq[Float])]
       .map { case (id, emb) => (id, nearestCentroid(emb, bc.value)) }
       .toDF("vec_id", "cid")
-    val queries = e.orderBy("vec_id").limit(nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
-    val qProbes = queries.select(col("query_id"), col("query_emb"))
-      .as[(Long, Seq[Float])]
-      .flatMap { case (qid, emb) => nearestCentroids(emb, bc.value, nProbe).iterator.map(c => (qid, c)) }
+    // queries are tiny: collect once, derive probe lists driver-side (the
+    // quantizer is local anyway), broadcast both — no distributed pass over
+    // a 5-row frame, and the corpus is scanned once (assignment) + probed
+    val qLocal = e.orderBy("vec_id").limit(nQueries)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val queries = qLocal.toSeq.toDF("query_id", "query_emb")
+    val qProbes = qLocal.toSeq
+      .flatMap { case (qid, emb) => nearestCentroids(emb, cents, nProbe).toSeq.map(c => (qid, c)) }
       .toDF("query_id", "cid")
     val candidates = assigned.join(broadcast(qProbes), Seq("cid"))
       .select(col("query_id"), col("vec_id"))
@@ -235,7 +274,27 @@ object SimSearch {
         round(col("cosine"), 6).as("cosine"))
   }
 
-  /** ANN via LSH buckets: score only same-(table,bucket) candidates. */
+  /** one-call convenience: build (nCentroids, iters) + search. Production
+    * reuses `buildIvfIndex` output across query batches instead. */
+  def ivfTopK(
+      embeddings: DataFrame,
+      nQueries: Int = 5,
+      k: Int = 10,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      iters: Int = 3,
+      dim: Int = 64): DataFrame =
+    ivfTopKWithIndex(embeddings,
+      buildIvfIndex(embeddings, nCentroids, iters, dim), nQueries, k, nProbe)
+
+  /** ANN via LSH buckets: score only same-(table,bucket) candidates.
+    *
+    * Queries are tiny: collected once, their bucket signatures computed
+    * driver-side with the same plane tables, and broadcast — so the
+    * corpus-sized bucket frame is consumed exactly ONCE by the candidate
+    * join. (The previous shape joined `buckets` against itself for the
+    * query side: the typed signature flatMap computed twice — Spark does
+    * not reuse exchanges under typed subtrees.) */
   def lshTopK(
       embeddings: DataFrame,
       nQueries: Int = 5,
@@ -245,13 +304,20 @@ object SimSearch {
       dim: Int = 64,
       seed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val e = embeddings.select(col("vec_id"), col("embedding"))
     val buckets = lshBuckets(embeddings, nBits, nTables, dim, seed)
-    val queries = e.orderBy("vec_id").limit(nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
-    val qBuckets = buckets.join(
-      queries.select(col("query_id")), col("vec_id") === col("query_id"))
-      .select(col("query_id"), col("table"), col("bucket"))
+    val qLocal = e.orderBy("vec_id").limit(nQueries)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val queries = qLocal.toSeq.toDF("query_id", "query_emb")
+    val tables = Array.tabulate(nTables)(t => planes(nBits, dim, seed + t))
+    val qBuckets = qLocal.toSeq
+      .flatMap { case (qid, emb) =>
+        tables.iterator.zipWithIndex.map { case (tab, t) => (qid, t, signature(emb, tab)) }
+      }
+      .toDF("query_id", "table", "bucket")
     val candidates = buckets.join(broadcast(qBuckets), Seq("table", "bucket"))
       .select(col("query_id"), col("vec_id")).distinct()
     val scored = candidates

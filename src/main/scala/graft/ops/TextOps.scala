@@ -137,12 +137,19 @@ object TextOps {
 
   /** fraction of word-2-gram occurrences taken by the most frequent 2-gram,
     * as a pure Scala function. Bit-identical to the Catalyst column version
-    * in `repetition` (same trim/lower/\s+ tokenization; same
-    * round-HALF_UP-to-6 as Spark's round()). */
+    * in `repetition` (SPACE-only trim like Spark/DuckDB `trim` — Java
+    * String.trim would also strip \n\t\r and tokenize differently on texts
+    * with leading/trailing newlines; split keeps empty tokens like Spark's
+    * split limit -1; same round-HALF_UP-to-6 as Spark's round()). */
   def top2GramFrac(text: String): Double = {
-    val trimmed = if (text == null) "" else text.trim
+    val s = if (text == null) "" else text
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    val trimmed = s.substring(b, e)
     if (trimmed.isEmpty) return 0.0
-    val toks = trimmed.toLowerCase.split("\\s+")
+    val toks = trimmed.toLowerCase.split("\\s+", -1)
     if (toks.length < 2) return 0.0
     val counts = new java.util.HashMap[String, Int]()
     var top = 0
@@ -195,9 +202,13 @@ object TextOps {
   def hashSplit(documents: DataFrame, salt: String = "graft", valPct256: Int = 26): DataFrame = {
     require(valPct256 >= 0 && valPct256 <= 256)
     val hexByte = substring(md5(concat(col("doc_id").cast("string"), lit(":" + salt))), 1, 2)
+    // 256 means "everything val": f"%02x" of 256 is the 3-char "100", and a
+    // lexicographic 2-char-vs-3-char compare would mark only '0x'-leading
+    // bytes — special-case it instead of comparing
+    val isVal = if (valPct256 >= 256) lit(true) else hexByte < lit(f"$valPct256%02x")
     documents.select(
       col("doc_id"), col("lang"),
-      when(hexByte < lit(f"$valPct256%02x"), lit("val")).otherwise(lit("train")).as("split"))
+      when(isVal, lit("val")).otherwise(lit("train")).as("split"))
   }
 
   // ---- normalization -------------------------------------------------------
@@ -360,7 +371,7 @@ object TextOps {
     val offsets = new Array[Long](maxPid + 2)
     (0 to maxPid).foreach(p => offsets(p + 1) = offsets(p) + totals.getOrElse(p, 0L))
     val bc = spark.sparkContext.broadcast(offsets)
-    base.mapPartitionsWithIndex { (pid, it) =>
+    val out = base.mapPartitionsWithIndex { (pid, it) =>
       var cum = bc.value(pid)
       it.map { case (id, tok) =>
         val packId = cum / packTokens
@@ -368,6 +379,12 @@ object TextOps {
         (id, tok, packId)
       }
     }.toDF("doc_id", "n_tokens", "pack_id")
+      // materialize, then RELEASE the range-partitioned cache (block-manager
+      // residency across repeated calls must not accumulate; checkpointed
+      // result blocks are ContextCleaner-reclaimed once unreferenced)
+      .localCheckpoint(true)
+    base.unpersist()
+    out
   }
 
   /** top-k TF-IDF terms per document — the classic keyword/topic signal.

@@ -278,8 +278,12 @@ class OpsSpec extends AnyFunSuite {
     val half = (1 to 20).map(i => s"word$i").mkString(" ")
     val far = (1 to 40).map(i => s"zzz$i").mkString(" ")
     val df = docsDf((1L, base), (2L, near), (3L, far), (4L, half))
+    // plan gate on the lazy builder (the public method checkpoints the
+    // result to release the postings cache, hiding the join shape)
+    val (lazyQ, lazyPostings) = Dedup.ngramJaccardAllPairsLazy(df, 0.3, 0)
+    assertNoCartesian(lazyQ, "ngramJaccardAllPairs")
+    lazyPostings.unpersist()
     val got = Dedup.ngramJaccardAllPairs(df, threshold = 0.3)
-    assertNoCartesian(got, "ngramJaccardAllPairs")
     // brute-force oracle with the same gram definition
     def grams(t: String): Set[String] = {
       val toks = t.toLowerCase.split("\\s+")
@@ -494,10 +498,158 @@ class OpsSpec extends AnyFunSuite {
     val near = base.replace("word7", "changed7")
     val far = (1 to 40).map(i => s"zzz$i").mkString(" ")
     val df = docsDf((1L, base), (2L, near), (3L, far))
-    val q = Dedup.ngramJaccardDups(df, 0.7)
-    val plan = physicalPlan(q)
+    // plan gate on the LAZY builder: the public method eagerly checkpoints
+    // the small result (releasing the candidate cache), which collapses
+    // explain() to a checkpoint scan
+    val (lazyQ, lazyCands) = Dedup.ngramJaccardDupsLazy(df, 0.7, 42L)
+    val plan = physicalPlan(lazyQ)
+    lazyCands.unpersist()
     assert(plan.contains("LeftSemi"), s"no semi-join filtering the grams build:\n$plan")
+    val q = Dedup.ngramJaccardDups(df, 0.7)
     val dups = q.collect()
     assert(dups.exists(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L))
+  }
+
+  // ---- round-3 scale-hygiene + exact-recompute gates -------------------------
+
+  test("embedding LSH hot-bucket cap drops mass-duplicate buckets, keeps normal pairs") {
+    val dim = 32
+    // 300 byte-identical vectors: they share EVERY (table, bucket) key —
+    // uncapped, one reduce key would generate 300*299/2 pairs per table
+    val dupVec = randVec(7L, dim).toSeq
+    val mass = (0L until 300L).map(i => (i, dupVec))
+    val base = (1000L until 1080L).map(i => (i, randVec(i, dim).toSeq))
+    val planted = Seq((2000L,
+      randVec(1005L, dim).zipWithIndex.map { case (v, j) => if (j == 0) v + 1e-4f else v }.toSeq))
+    val df = (mass ++ base ++ planted).toDF("vec_id", "embedding")
+    val capped = Dedup.embeddingNearDupsLsh(df, threshold = 0.95, dim = dim, maxBucketSize = 100)
+    val pairs = capped.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // the 300-dup cluster saturates its buckets past the cap -> dropped whole
+    assert(!pairs.exists(p => p._1 < 300L && p._2 < 300L), s"mass-dup pair survived cap: $pairs")
+    // the planted normal near-pair is untouched
+    assert(pairs.contains((1005L, 2000L)), s"planted pair lost: $pairs")
+    // default cap (1000) leaves the 300-cluster alone
+    val uncapped = Dedup.embeddingNearDupsLsh(df, threshold = 0.95, dim = dim)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(uncapped.exists(p => p._1 < 300L && p._2 < 300L))
+  }
+
+  test("q06 exactness: distributed minhash LSH == sequential driver recompute") {
+    // independent sequential recompute of the whole banding/pairing/estimate
+    // pipeline (same signature kernel; banding + bucketing + pair dedup +
+    // est reimplemented driver-side) — the exact oracle DuckDB cannot be
+    val docs = (0L until 60L).map { i =>
+      val fam = i % 7
+      val text = (1 to 40).map(t => s"fam${fam}tok${if (t == 20 && i % 14 >= 7) i else t}").mkString(" ")
+      (i, text)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.minhashLsh(df).collect()
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")), r.getAs[Double]("est_jaccard")))
+      .toMap
+    val (as, bs) = Dedup.hashParams(42L)
+    val sigs = docs.map { case (id, t) => id -> Dedup.minhashSignature(t, as, bs) }.toMap
+    def bandKey(sig: Array[Long], b: Int): Long = {
+      var acc = 0x811c9dc5
+      var r = 0
+      while (r < Dedup.ROWS_PER_BAND) {
+        val v = sig(b * Dedup.ROWS_PER_BAND + r)
+        acc = (acc ^ v.toInt) * 0x01000193
+        acc = (acc ^ (v >>> 32).toInt) * 0x01000193
+        r += 1
+      }
+      (b.toLong << 32) | (acc & 0xffffffffL)
+    }
+    val buckets = docs.flatMap { case (id, _) =>
+      (0 until Dedup.N_BANDS).map(b => bandKey(sigs(id), b) -> id)
+    }.groupBy(_._1).values.map(_.map(_._2).sorted)
+    val expPairs = buckets.flatMap { ids =>
+      for (i <- ids.indices; j <- (i + 1) until ids.length) yield (ids(i), ids(j))
+    }.toSet
+    val expected = expPairs.map { case (a, b) =>
+      val est = sigs(a).zip(sigs(b)).count { case (x, y) => x == y } / Dedup.N_HASHES.toDouble
+      (a, b) -> est
+    }.toMap
+    assert(got == expected,
+      s"missing=${(expected.keySet -- got.keySet).take(5)} extra=${(got.keySet -- expected.keySet).take(5)}")
+  }
+
+  test("q19 exactness: distributed embedding-LSH near-dup == sequential driver recompute") {
+    val dim = 32
+    val nBits = 8
+    val nTables = 8
+    val threshold = 0.9
+    val vecs = (0L until 70L).map(i => (i, randVec(i, dim).toSeq)) ++
+      (0L until 6L).map(i =>
+        (300L + i, randVec(i, dim).zipWithIndex.map { case (v, j) => if (j == 1) v + 1e-4f else v }.toSeq))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDupsLsh(df, threshold, nBits, nTables, dim)
+      .collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("cosine")))
+      .toMap
+    // sequential recompute: same plane tables, same signature kernel; the
+    // bucketing/pairing/verify pipeline recomputed driver-side
+    val tables = Array.tabulate(nTables)(t => SimSearch.planes(nBits, dim, 42L + t))
+    val vmap = vecs.toMap
+    val candidates = (0 until nTables).flatMap { t =>
+      vecs.map { case (id, emb) => (t, SimSearch.signature(emb, tables(t))) -> id }
+        .groupBy(_._1).values.flatMap { g =>
+          val ids = g.map(_._2).sorted
+          for (i <- ids.indices; j <- (i + 1) until ids.length) yield (ids(i), ids(j))
+        }
+    }.toSet
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+      d
+    }
+    val expected = candidates.flatMap { case (a, b) =>
+      val c = dot(vmap(a), vmap(b)) / math.sqrt(dot(vmap(a), vmap(a)) * dot(vmap(b), vmap(b)))
+      if (c >= threshold)
+        Some((a, b) -> java.math.BigDecimal.valueOf(c).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+      else None
+    }.toMap
+    assert(got == expected,
+      s"missing=${(expected.keySet -- got.keySet).take(5)} extra=${(got.keySet -- expected.keySet).take(5)}")
+    assert(expected.nonEmpty) // the planted dups guarantee a non-vacuous check
+  }
+
+  test("connected components: empty pair table returns empty frame (no crash)") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty).collect().isEmpty)
+  }
+
+  test("hashSplit edge percents: 256 -> all val, 0 -> all train") {
+    val df = (0L until 50L).map(i => (i, "en")).toDF("doc_id", "lang")
+    val allVal = TextOps.hashSplit(df, valPct256 = 256).collect()
+    assert(allVal.forall(_.getAs[String]("split") == "val"))
+    val allTrain = TextOps.hashSplit(df, valPct256 = 0).collect()
+    assert(allTrain.forall(_.getAs[String]("split") == "train"))
+  }
+
+  test("top2GramFrac (typed) == repetition (Catalyst) on newline/tab-edged texts") {
+    val tricky = Seq(
+      "buy now buy now\n", "\nbuy now buy now", "a b a b\t", "\t\na b a b c\r\n",
+      "   spaces   only   trimmed   ", "\n\n", "", "one", "x\ny x\ny x\ny")
+    val df = tricky.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val catalyst = TextOps.repetition(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("top_2gram_frac")).toMap
+    tricky.zipWithIndex.foreach { case (t, i) =>
+      assert(TextOps.top2GramFrac(t) == catalyst(i.toLong),
+        s"divergence on ${t.replace("\n", "\\n").replace("\t", "\\t")}: " +
+          s"typed=${TextOps.top2GramFrac(t)} catalyst=${catalyst(i.toLong)}")
+    }
+  }
+
+  test("IVF index build/search split: snapshot reuse returns identical results") {
+    val dim = 16
+    val df = (0L until 400L).map(i => (i, randVec(i, dim).toSeq)).toDF("vec_id", "embedding")
+    val idx = SimSearch.buildIvfIndex(df, nCentroids = 8, iters = 2, dim = dim)
+    val r1 = SimSearch.ivfTopKWithIndex(df, idx, 3, 5).collect().map(_.toSeq).toSeq
+    val r2 = SimSearch.ivfTopKWithIndex(df, idx, 3, 5).collect().map(_.toSeq).toSeq
+    assert(r1 == r2)
+    // auto-tuned nlist ~ sqrt(n)
+    val auto = SimSearch.buildIvfIndex(df, nCentroids = 0, iters = 1, dim = dim)
+    assert(auto.centroids.length == 20, s"sqrt(400) expected, got ${auto.centroids.length}")
   }
 }
