@@ -102,7 +102,23 @@ object ExtractJob {
     val lineagePath = s"$outDir/lineage"
     val nPart = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism * 2
 
-    val bucketed = withBucket(pages, nBuckets).cache()
+    // Production shape: the input is staged ONCE, partitioned by the bucket
+    // column (the Parquet stand-in for an Iceberg bucket(warc_ts) transform
+    // — with Iceberg the source table is already partitioned and this write
+    // disappears). Each group's isin-filter then becomes a PARTITION FILTER
+    // on the staged scan: only that group's directories are read. A
+    // .cache() of the full input here (the round-2 shape) pins the corpus
+    // incl. payloads in the block manager — fine at bench scale, not at
+    // 10^12 rows. Staging is itself resumable (_SUCCESS-gated, reused on
+    // restart so a resumed job re-reads, not re-writes).
+    val stagedPath = s"$outDir/staged"
+    val fs = new java.io.File(s"${stagedPath.stripPrefix("file:")}/_SUCCESS")
+    if (!fs.exists()) {
+      withBucket(pages, nBuckets)
+        .write.mode(SaveMode.Overwrite).partitionBy("warc_bucket").parquet(stagedPath)
+    }
+    val bucketed = spark.read.parquet(stagedPath)
+      .withColumn("warc_bucket", col("warc_bucket").cast("long"))
     // resume: anti-join against committed lineage buckets (north_rule)
     val doneBuckets: Set[Long] =
       try spark.read.parquet(lineagePath).select("warc_bucket").as[Long].collect().toSet
@@ -145,7 +161,6 @@ object ExtractJob {
         .coalesce(1)
         .write.mode(SaveMode.Append).parquet(lineagePath)
     }
-    bucketed.unpersist()
     (resultsPath, lineagePath)
   }
 

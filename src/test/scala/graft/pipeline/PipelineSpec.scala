@@ -92,6 +92,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lineage.select("warc_bucket").distinct().count() == buckets.length)
   }
 
+  test("staged input: per-group scan prunes to the group's bucket partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    val pages = spark.range(60).as[Long].map(Corpus.row(42L)).toDF()
+    ExtractJob.run(spark, pages, dir, nBuckets = 4, partitions = 4)
+    // the shape run() uses per group: staged read + bucket isin filter
+    val staged = spark.read.parquet(s"$dir/staged")
+      .withColumn("warc_bucket", col("warc_bucket").cast("long"))
+    val oneGroup = staged.filter(col("warc_bucket").isin(0L, 1L))
+    val plan = oneGroup.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), s"no partition filter section:\n$plan")
+    val pf = plan.split("PartitionFilters: \\[")(1).split("]")(0)
+    assert(pf.trim.nonEmpty && pf.contains("warc_bucket"),
+      s"partition filter empty — group scan reads every bucket directory:\n$plan")
+  }
+
   test("lineage metrics from observe() match the written results exactly") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
