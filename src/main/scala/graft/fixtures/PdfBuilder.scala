@@ -160,7 +160,9 @@ object PdfBuilder {
   def xrefStream(
       objs: Seq[ObjSpec],
       rootId: Int,
-      packIntoObjStm: Set[Int] = Set.empty): Array[Byte] = {
+      packIntoObjStm: Set[Int] = Set.empty,
+      extraTrailer: String = "",
+      objStmTransform: Array[Byte] => Array[Byte] = identity): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(bytes(s))
     w("%PDF-1.5\n%âãÏÓ\n")
@@ -190,7 +192,10 @@ object PdfBuilder {
       objStmBody.append(o.body).append('\n')
     }
     val first = objStmIndex.length
-    val objStmContent = deflate(bytes(objStmIndex.toString + objStmBody.toString))
+    // readers decrypt THEN decode, so an encrypting transform applies after
+    // compression (objStmTransform = enc.encrypt(objStmId, 0, _) builds the
+    // encrypted + xref-stream + ObjStm combination)
+    val objStmContent = objStmTransform(deflate(bytes(objStmIndex.toString + objStmBody.toString)))
     if (packed.nonEmpty) {
       offsets(objStmId) = out.size()
       w(s"$objStmId 0 obj\n<< /Type /ObjStm /N ${packed.size} /First $first /Length ${objStmContent.length} /Filter /FlateDecode >>")
@@ -218,7 +223,8 @@ object PdfBuilder {
       else entry(0, 0, 0)
     }
     val enc = deflate(pngUpEncode(raw.toByteArray, entryW))
-    w(s"$xrefId 0 obj\n<< /Type /XRef /Size $size /W [1 4 2] /Root $rootId 0 R " +
+    val extra = if (extraTrailer.isEmpty) "" else s"$extraTrailer "
+    w(s"$xrefId 0 obj\n<< /Type /XRef /Size $size /W [1 4 2] /Root $rootId 0 R $extra" +
       s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns $entryW >> /Length ${enc.length} >>")
     w("\nstream\n")
     out.write(enc)

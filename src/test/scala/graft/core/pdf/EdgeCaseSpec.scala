@@ -28,6 +28,42 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(PdfExtract.pdf2txt(pdf), golden))
   }
 
+  test("encrypted + xref-stream + ObjStm composition extracts (round-8 fuzz family)") {
+    // the three file-structure features combined: AESV2/RC4 encryption,
+    // xref stream, catalog/pages/page/font packed in an encrypted /ObjStm
+    // (object_storage.cc:58 decrypts with the ObjStm's own per-object key;
+    // the xref stream itself stays plaintext). 2x500 fuzz docs agreed
+    // byte-identically with the reference; this pins one deterministic case.
+    Seq(
+      EncSpec(revision = 4, keyBits = 128, aes = true,
+        docId = Array.tabulate(16)(j => (j * 17 + 3).toByte)),
+      EncSpec(revision = 3, keyBits = 128, aes = false,
+        docId = Array.tabulate(16)(j => (j * 29 + 1).toByte))).foreach { enc =>
+      val pdf = graft.tools.FuzzR8.encXrefObjStm(
+        bytes("BT\n/F1 12 Tf\n72 720 Td\n(hello objstm) Tj\nET\n"), enc)
+      assert(extract(pdf).contains("hello objstm"))
+    }
+  }
+
+  test("TrueType cmap format 2 decodes via subheader mapping (round-8 fuzz family)") {
+    // format-2 subtable paired with format 4 (which sets the 2-byte lookup
+    // size; format 2 alone never touches cmap.sizes — the no-sizes quirk):
+    // high byte 1, firstCode 0x41, gid 0x141 -> code 0x0141 shown as <0141>
+    val f2 = graft.tools.FuzzR8.cmapFormat2(Seq((1, 0x41, 0, 0x141)))
+    val f4 = graft.fixtures.PdfBuilderR2.cmapFormat4(Seq(('A', 0x80)))
+    val tt = graft.fixtures.PdfBuilderR2.trueTypeWithCmaps(Seq(f2, f4))
+    val fontObjs = Seq(
+      ObjSpec(5, "<< /Type /Font /Subtype /TrueType /BaseFont /Fuzz2 " +
+        "/FirstChar 0 /LastChar 255 /FontDescriptor 7 0 R >>"),
+      ObjSpec(7, "<< /Type /FontDescriptor /FontName /Fuzz2 /Flags 4 /FontFile2 8 0 R >>"),
+      streamObj(8, tt))
+    val content = "BT\n/F1 10 Tf\n60 700 Td\n<0141> Tj\nET\n"
+    // code 0x0141 = (high byte 1 << 8) + firstCode 0x41; decoded output is
+    // the raw big-endian bytes of the codepoint (reference get_utf8 quirk)
+    val out = PdfExtract.pdf2txt(onePage(bytes(content), Map("/F1" -> 5), fontObjs))
+    assert(new String(out, java.nio.charset.StandardCharsets.ISO_8859_1).contains("A"))
+  }
+
   test("missing /MediaBox with no inheritable parent value throws (quarantine path)") {
     // real boost::optional::value() throws here; a shim that defaulted the
     // mediabox masked this class until the round-5 corruption fuzz
