@@ -81,8 +81,64 @@ object HtmlExtract {
 
   sealed trait Tok
   final case class TText(t: String) extends Tok
-  final case class TOpen(name: String, selfClosing: Boolean) extends Tok
+  final case class TOpen(name: String, selfClosing: Boolean, hint: String = "") extends Tok
   final case class TClose(name: String) extends Tok
+
+  /** lowercased `class` + `id` attribute values of a tag's attribute text
+    * (minimal scan; only called when the tag body mentions class/id) */
+  private[graft] def classIdHint(inner: String): String = {
+    val lower = inner.toLowerCase
+    if (!lower.contains("class") && !lower.contains("id")) return ""
+    val sb = new StringBuilder
+    def grab(attr: String): Unit = {
+      var from = 0
+      while (from >= 0) {
+        val at = lower.indexOf(attr, from)
+        if (at < 0) from = -1
+        else {
+          // must be a standalone attribute name followed by =
+          val before = if (at == 0) ' ' else lower.charAt(at - 1)
+          var j = at + attr.length
+          while (j < lower.length && lower.charAt(j).isWhitespace) j += 1
+          if ((before.isWhitespace || before == '"' || before == '\'') &&
+              j < lower.length && lower.charAt(j) == '=') {
+            j += 1
+            while (j < lower.length && lower.charAt(j).isWhitespace) j += 1
+            if (j < lower.length) {
+              val q = lower.charAt(j)
+              val end =
+                if (q == '"' || q == '\'') lower.indexOf(q, j + 1)
+                else {
+                  var k = j
+                  while (k < lower.length && !lower.charAt(k).isWhitespace) k += 1
+                  k
+                }
+              val start = if (q == '"' || q == '\'') j + 1 else j
+              if (end > start) { sb.append(' ').append(lower.substring(start, end)) }
+            }
+          }
+          from = at + attr.length
+        }
+      }
+    }
+    grab("class")
+    grab("id")
+    sb.toString
+  }
+
+  /** class/id tokens that mark boilerplate containers — the standard
+    * "unlikely candidates" heuristic of readability/boilerpipe-family
+    * extractors (public-domain pattern lists), plus consent-banner vintage */
+  private val unlikelyHint = java.util.regex.Pattern.compile(
+    "banner|breadcrumb|combx|comment|community|cookie|consent|gdpr|disqus|" +
+      "extra|foot|gutter|masthead|menu|modal|nav|pager|pagination|popup|promo|" +
+      "related|remark|rss|share|shoutbox|sidebar|skyscraper|social|sponsor|" +
+      "advert|\\bad\\b|ad-|-ad\\b|\\bads\\b|subscribe|newsletter|widget")
+  private val likelyHint = java.util.regex.Pattern.compile(
+    "\\band\\b|article|body|column|content|main|shadow|post|text|story")
+
+  private[graft] def hintPenalized(hint: String): Boolean =
+    hint.nonEmpty && unlikelyHint.matcher(hint).find() && !likelyHint.matcher(hint).find()
 
   /** tolerant tokenizer: handles comments, doctype, raw-text elements,
     * attribute quoting, unterminated tags */
@@ -129,7 +185,8 @@ object HtmlExtract {
             val inner = html.substring(lt + 1, end)
             val name = inner.takeWhile(c => c.isLetterOrDigit).toLowerCase
             val selfClosing = inner.endsWith("/") || voidTags.contains(name)
-            out += TOpen(name, selfClosing)
+            out += TOpen(name, selfClosing,
+              if (blockTags.contains(name)) classIdHint(inner.drop(name.length)) else "")
             i = end + 1
             // raw-text elements: skip to the matching close tag verbatim
             if (!selfClosing && rawTextTags.contains(name)) {
@@ -196,13 +253,25 @@ object HtmlExtract {
           stack.last.text.append(decoded)
           if (linkDepth > 0) stack.last.linkChars += normalizeWs(decoded).length
         }
-      case TOpen(name, selfClosing) =>
+      case TOpen(name, selfClosing, hint) =>
         if (dropTags.contains(name) && !selfClosing && !voidTags.contains(name)) dropDepth += 1
         else if (dropDepth == 0) {
           if (name == "a" && !selfClosing) linkDepth += 1
           if (name == "br") stack.last.text.append('\n')
           if (blockTags.contains(name) && !selfClosing) {
-            val penalized = stack.last.penalized || penaltyTags.contains(name)
+            // HTML5 implied end tags: an open <p> closes on ANY block-level
+            // start (tag-soup pages rarely close their p's — without this a
+            // page's first <p> swallows every later tag into its density
+            // denominator); <li> closes on <li>, <td>/<th> on cell/row
+            // starts, <tr> on <tr>
+            while (stack.length > 1 && (
+                stack.last.tag == "p" ||
+                (name == "li" && stack.last.tag == "li") ||
+                ((name == "td" || name == "th" || name == "tr") &&
+                  (stack.last.tag == "td" || stack.last.tag == "th")) ||
+                (name == "tr" && stack.last.tag == "tr"))) closeBlock()
+            val penalized = stack.last.penalized || penaltyTags.contains(name) ||
+              hintPenalized(hint)
             stack += new BlockAcc(name, stack.length, penalized)
           } else if (!selfClosing) {
             stack.last.tagCount += 1

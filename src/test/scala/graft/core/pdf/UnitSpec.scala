@@ -223,6 +223,43 @@ class UnitSpec extends AnyFunSuite {
     assert(!r.text.contains("tiny footer"))
   }
 
+  test("html: implied end tags — tag-soup <p>s score independently (round-3 calibration)") {
+    import graft.core.html.HtmlExtract
+    // three unclosed <p>s: without HTML5 implied-close the first <p> swallows
+    // every later tag into its density denominator and short paras drop
+    // (measured 0.69 short-para recall pre-fix, 1.00 post-fix — HtmlCalib)
+    val html = "<body><div><p>short para one here" +
+      "<p>" + ("much longer paragraph content with many words " * 4) +
+      "<p>short para two here</div></body>"
+    val r = HtmlExtract.extract(html)
+    assert(r.text.contains("short para one here"))
+    assert(r.text.contains("short para two here"))
+  }
+
+  test("html: class/id unlikely-candidates penalty with likely override (round-3 calibration)") {
+    import graft.core.html.HtmlExtract
+    // readability-family heuristic: cookie/ad/share class tokens penalize a
+    // block; article/post/content-ish tokens override the penalty
+    val html =
+      """<body>
+        |<div class="cookie-consent">We use cookies to improve your experience on this site <a href="#">Accept</a></div>
+        |<div class="ad-slot">Sponsored offer just for you today only <a href="/b">click</a></div>
+        |<div class="post-comment-box"><p>Real article text that must survive the mixed class signal here.</p></div>
+        |<article><p>Plainly kept article paragraph with enough words to clear the density threshold.</p></article>
+        |</body>""".stripMargin
+    val r = HtmlExtract.extract(html)
+    assert(!r.text.contains("We use cookies"))
+    assert(!r.text.contains("Sponsored offer"))
+    assert(r.text.contains("mixed class signal"))
+    assert(r.text.contains("Plainly kept article paragraph"))
+    // hint parser handles quoting/spacing/no-quotes
+    assert(HtmlExtract.classIdHint(""" class="a b" id=nav """) == " a b nav")
+    assert(HtmlExtract.classIdHint("""data-x="1"""") == "")
+    assert(HtmlExtract.hintPenalized(" cookie-banner"))
+    assert(!HtmlExtract.hintPenalized(" article-cookie")) // likely wins
+    assert(!HtmlExtract.hintPenalized(""))
+  }
+
   test("perfect-hash dispatch: collision acceptance quirk (pages_extractor.cc:56-69)") {
     import PagesExtractor.canonicalOp
     // real operators hit their own slots
