@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, SimSearch, TextOps}
+import graft.ops.{CorpusOps, Dedup, SimSearch, TextOps}
 import graft.pipeline.{Corpus, ExtractJob}
 
 /** Driver contract: one `queries` entry per implemented operator family
@@ -132,6 +132,15 @@ object SparkEntry {
     "q32_sequence_packing" -> ((s, dir) => TextOps.sequencePacking(docs(s, dir))),
     "q33_tfidf_top_terms" -> ((s, dir) => TextOps.tfidfTopTerms(docs(s, dir))),
     "q34_token_estimates" -> ((s, dir) => TextOps.tokenEstimates(docs(s, dir))),
+    // ---- source-level corpus curation ----
+    "q35_source_quota" -> ((s, dir) => CorpusOps.sourceQuota(docs(s, dir), 10)),
+    "q36_stratified_sample" -> ((s, dir) => CorpusOps.stratifiedSample(docs(s, dir))),
+    "q37_blocklist_filter" -> ((s, dir) => {
+      import s.implicits._
+      CorpusOps.blocklistFilter(docs(s, dir),
+        Seq("src3", "src7", "src13").toDF("source"))
+    }),
+    "q38_length_histogram" -> ((s, dir) => CorpusOps.lengthHistogram(docs(s, dir))),
     "q11_lang_stats" -> ((s, dir) => {
       docs(s, dir).groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
@@ -505,6 +514,27 @@ object SparkEntry {
         |    greatest(CASE WHEN length(trim(text)) = 0 THEN 0
         |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1), 6) AS subword_ratio
         |FROM documents""".stripMargin,
+    "q35_source_quota" ->
+      """SELECT doc_id, source, cast(rk AS bigint) AS rk FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rk
+        |  FROM documents) WHERE rk <= 10""".stripMargin,
+    "q36_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5(cast(doc_id AS varchar) || ':strat'), 1, 2) <
+        |  CASE lang WHEN 'en' THEN '80' WHEN 'de' THEN '40' ELSE '1a' END""".stripMargin,
+    "q37_blocklist_filter" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE source NOT IN ('src3', 'src7', 'src13')""".stripMargin,
+    "q38_length_histogram" ->
+      """WITH b AS (
+        |  SELECT source, cast(floor(n_chars / 100.0) AS bigint) AS len_bucket
+        |  FROM documents),
+        |c AS (SELECT source, len_bucket, count(*) AS n_docs FROM b GROUP BY 1, 2),
+        |t AS (SELECT source, count(*) AS n_total FROM b GROUP BY 1)
+        |SELECT c.source, c.len_bucket, c.n_docs,
+        |  round(c.n_docs / cast(t.n_total AS double), 6) AS share
+        |FROM c JOIN t USING (source)""".stripMargin,
     "q14_simsearch_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS query_emb
         |           FROM embeddings ORDER BY vec_id LIMIT 5),

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Source-level corpus curation operators — the knobs a training-data
+  * pipeline turns ABOVE the document level: capping any one source's
+  * contribution, stratified sampling per language, blocklist filtering,
+  * and distribution reporting. All deterministic (hash-based, no RNG) so
+  * reruns/retries at 10^12 rows reproduce byte-identical corpora.
+  */
+object CorpusOps {
+
+  /** cap each source's contribution at `maxDocs` documents, keeping the
+    * lowest doc_ids (deterministic retention). One shuffle on source; the
+    * per-group top-K is a window over the source partition — at web scale
+    * a single source can be huge, but the window only materializes rank
+    * counters, not the group. For quota-by-fraction instead of count,
+    * compose with `sourceStats` and derive maxDocs per source first. */
+  def sourceQuota(documents: DataFrame, maxDocs: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("doc_id").asc)
+    documents
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= maxDocs)
+      .select(col("doc_id"), col("source"), col("rk").cast("long").as("rk"))
+  }
+
+  /** deterministic stratified sampling: per-language keep-rates out of 256
+    * md5 buckets (engine-portable, retry-stable — the same property as
+    * TextOps.hashSplit). Unlisted languages use `defaultPct256`. Pure
+    * per-row column math, no shuffle, no RNG. */
+  def stratifiedSample(
+      documents: DataFrame,
+      pct256ByLang: Map[String, Int] = Map("en" -> 128, "de" -> 64),
+      defaultPct256: Int = 26,
+      salt: String = "strat"): DataFrame = {
+    require((defaultPct256 +: pct256ByLang.values.toSeq).forall(p => p >= 0 && p <= 256))
+    val hexByte = substring(md5(concat(col("doc_id").cast("string"), lit(":" + salt))), 1, 2)
+    // 256 -> keep all (the 2-char hex compare cannot express it: f"%02x" of
+    // 256 is the 3-char "100"); 0 -> drop all
+    def keepFor(p: Int) =
+      if (p >= 256) lit(true) else if (p <= 0) lit(false) else hexByte < lit(f"$p%02x")
+    val pred = pct256ByLang.foldLeft(keepFor(defaultPct256)) { case (acc, (lang, p)) =>
+      when(col("lang") === lang, keepFor(p)).otherwise(acc)
+    }
+    documents
+      .filter(pred)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  /** drop documents whose source appears in the blocklist frame
+    * (columns: source). The blocklist is dimension-sized — broadcast
+    * left-anti join, so the corpus never shuffles. */
+  def blocklistFilter(documents: DataFrame, blocklist: DataFrame): DataFrame =
+    documents
+      .join(broadcast(blocklist.select(col("source"))), Seq("source"), "left_anti")
+      .select(col("doc_id"), col("source"), col("lang"))
+
+  /** per-source length histogram: bucket = floor(n_chars / bucketWidth),
+    * count + share-of-source. One partial-aggregated shuffle on
+    * (source, bucket); the share join is vs the source totals (tiny). */
+  def lengthHistogram(documents: DataFrame, bucketWidth: Int = 100): DataFrame = {
+    val bucketed = documents.select(col("source"),
+      floor(col("n_chars").cast("double") / bucketWidth).cast("long").as("len_bucket"))
+    val counts = bucketed.groupBy(col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = bucketed.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+    counts.join(totals, "source")
+      .select(col("source"), col("len_bucket"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_total"), 6).as("share"))
+  }
+}

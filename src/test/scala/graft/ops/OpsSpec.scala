@@ -709,4 +709,52 @@ class OpsSpec extends AnyFunSuite {
     val auto = SimSearch.buildIvfIndex(df, nCentroids = 0, iters = 1, dim = dim)
     assert(auto.centroids.length == 20, s"sqrt(400) expected, got ${auto.centroids.length}")
   }
+
+  // ---- source-level corpus curation (round 3) --------------------------------
+
+  private def srcDf(rows: (Long, String, String, Long)*) =
+    rows.toSeq.toDF("doc_id", "lang", "source", "n_chars")
+
+  test("sourceQuota keeps the lowest doc_ids per source, caps contribution") {
+    val df = srcDf(
+      (5L, "en", "a", 10), (1L, "en", "a", 10), (3L, "en", "a", 10), (9L, "en", "a", 10),
+      (2L, "de", "b", 10), (7L, "de", "b", 10))
+    val got = CorpusOps.sourceQuota(df, maxDocs = 2).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSet
+    assert(got == Set(("a", 1L), ("a", 3L), ("b", 2L), ("b", 7L)))
+  }
+
+  test("stratifiedSample: 256/0 edge rates keep-all/drop-all per language") {
+    val df = srcDf((0L until 40L).map(i =>
+      (i, if (i % 2 == 0) "en" else "xx", s"s${i % 3}", 10L)): _*)
+    val got = CorpusOps.stratifiedSample(df,
+      pct256ByLang = Map("en" -> 256), defaultPct256 = 0).collect()
+    assert(got.length == 20 && got.forall(_.getAs[String]("lang") == "en"))
+    // default-rate path is deterministic across calls
+    val a = CorpusOps.stratifiedSample(df).collect().map(_.getAs[Long]("doc_id")).sorted
+    val b = CorpusOps.stratifiedSample(df).collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("blocklistFilter: broadcast left-anti plan, blocked sources removed") {
+    val df = srcDf((0L until 30L).map(i => (i, "en", s"src${i % 5}", 10L)): _*)
+    val block = Seq("src1", "src3").toDF("source")
+    val q = CorpusOps.blocklistFilter(df, block)
+    val plan = physicalPlan(q)
+    assert(plan.contains("LeftAnti") && plan.contains("Broadcast"),
+      s"blocklist should be a broadcast anti-join:\n$plan")
+    val got = q.collect().map(_.getAs[String]("source")).toSet
+    assert(got == Set("src0", "src2", "src4"))
+  }
+
+  test("lengthHistogram: buckets and shares are exact") {
+    val df = srcDf(
+      (1L, "en", "a", 50), (2L, "en", "a", 150), (3L, "en", "a", 160), (4L, "en", "b", 990))
+    val got = CorpusOps.lengthHistogram(df, bucketWidth = 100).collect()
+      .map(r => ((r.getAs[String]("source"), r.getAs[Long]("len_bucket")),
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("share")))).toMap
+    assert(got(("a", 0L)) == ((1L, 0.333333)))
+    assert(got(("a", 1L)) == ((2L, 0.666667)))
+    assert(got(("b", 9L)) == ((1L, 1.0)))
+  }
 }
