@@ -77,6 +77,29 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  final case class DocIn(doc_id: Long, ts: Timestamp, source: String)
+  final case class QuotaOut(doc_id: Long, source: String, rank: Long)
+
+  /** streaming twin of CorpusOps.sourceQuota: admit at most `maxDocs`
+    * documents per source ACROSS micro-batches — the ingest-time guard
+    * against one domain flooding a crawl. State is one counter per source
+    * (bounded by the domain universe, not the stream length); within a
+    * batch rows are admitted in (ts, doc_id) order for determinism. */
+  def streamingSourceQuota(docs: Dataset[DocIn], maxDocs: Long = 100L): Dataset[QuotaOut] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (source: String, rows: Iterator[DocIn], state: GroupState[Long]) => {
+          var n = state.getOption.getOrElse(0L)
+          val admitted = rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).flatMap { d =>
+            if (n < maxDocs) { n += 1; Some(QuotaOut(d.doc_id, source, n)) } else None
+          }
+          state.update(n)
+          admitted.iterator
+        })
+  }
+
   /** file-source ingestion: stream a directory of parquet page files into
     * the extraction kernel and append results — the streaming twin of
     * ExtractJob.extract (same kernel, same output schema). */

@@ -75,6 +75,33 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming source quota: cap enforced across micro-batches, per-source state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DocIn]
+    val quota = streamingSourceQuota(input.toDS(), maxDocs = 3L)
+    val q = quota.writeStream.format("memory").queryName("stream_quota")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        DocIn(1L, ts(0), "a"), DocIn(2L, ts(0, 10), "a"),
+        DocIn(10L, ts(0), "b"))
+      q.processAllAvailable()
+      // batch 2: source a already holds 2 — only ONE more admitted
+      input.addData(
+        DocIn(3L, ts(1), "a"), DocIn(4L, ts(1, 10), "a"), DocIn(5L, ts(1, 20), "a"),
+        DocIn(11L, ts(1), "b"))
+      q.processAllAvailable()
+      val rows = spark.table("stream_quota").collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Long]("rank")))
+      val aIds = rows.filter(_._1 == "a").map(_._2).sorted.toSeq
+      assert(aIds == Seq(1L, 2L, 3L), s"source a admitted $aIds")
+      assert(rows.filter(_._1 == "b").map(_._2).sorted.toSeq == Seq(10L, 11L))
+      // ranks are the cumulative admission counters
+      assert(rows.filter(_._1 == "a").map(_._3).sorted.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming extraction: file-source pages through the same kernel") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("stream-pages").toString
