@@ -21,6 +21,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      // the extraction small band is NARROW (no shuffle), so its
+      // parallelism is the scan partitioning: size scan tasks to the tiny
+      // bench corpus (the "fit maxPartitionBytes to the fleet" knob; at
+      // production scale the defaults are correct and this is a no-op)
+      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.sql.files.openCostInBytes", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))

@@ -32,18 +32,25 @@ object ExtractJob {
   def withBucket(pages: DataFrame, nBuckets: Int): DataFrame =
     pages.withColumn("warc_bucket", pmod(xxhash64(col("warc_ts")), lit(nBuckets)))
 
-  /** salted, size-banded repartition; input must have url/warc_ts/html.
+  /** size-banded skew mitigation; input must have url/warc_ts/html.
     * `text`/`lang` are NOT read from the source — the kernel never uses
     * them, and at corpus scale `text` is a full duplicate of the payload,
-    * so column pruning here halves scan bytes (verified by PlanSpec). */
+    * so column pruning here halves scan bytes (verified by PlanSpec).
+    *
+    * Only the LARGE-payload band shuffles (round-robin, so no task owns
+    * two whales — the north-rule salting); small rows stay in their scan
+    * partitions. An earlier shape hash-repartitioned the small band too,
+    * which at corpus scale moves ~100% of the bytes over the network for
+    * no balance benefit: scan-partition size is already bounded by
+    * `spark.sql.files.maxPartitionBytes` (the task-granularity knob), and
+    * whales — the actual skew — are exactly the rows split off here. */
   def saltedRepartition(spark: SparkSession, pages: DataFrame, partitions: Int): Dataset[PageRow] = {
     import spark.implicits._
     val typed = pages.select(col("url"), col("warc_ts"), col("html"),
       lit("").as("text"), lit("").as("lang"))
-    val small = typed.filter(length(col("html")) <= SKEW_THRESHOLD_BYTES)
-      .repartition(partitions, col("url")) // uniform hash spread
+    val small = typed.filter(length(col("html")) <= SKEW_THRESHOLD_BYTES) // narrow
     val big = typed.filter(length(col("html")) > SKEW_THRESHOLD_BYTES)
-      .repartition(partitions) // round-robin: each whale lands alone-ish
+      .repartition(math.max(partitions, 1)) // round-robin: each whale lands alone-ish
     small.union(big).as[PageRow]
   }
 
@@ -54,7 +61,8 @@ object ExtractJob {
   }
 
   /** salted repartition that carries the warc_bucket key through the kernel
-    * (input must already have a warc_bucket column) */
+    * (input must already have a warc_bucket column); same
+    * narrow-small/shuffled-whale shape as saltedRepartition */
   private[pipeline] def saltedRepartitionKeyed(
       spark: SparkSession,
       pages: DataFrame,
@@ -63,9 +71,8 @@ object ExtractJob {
     val typed = pages.select(col("warc_bucket").cast("long").as("bucket"),
       col("url"), col("warc_ts"), col("html"), lit("").as("text"), lit("").as("lang"))
     val small = typed.filter(length(col("html")) <= SKEW_THRESHOLD_BYTES)
-      .repartition(partitions, col("url"))
     val big = typed.filter(length(col("html")) > SKEW_THRESHOLD_BYTES)
-      .repartition(partitions)
+      .repartition(math.max(partitions, 1))
     small.union(big)
       .select(col("bucket").as("_1"),
         struct(col("url"), col("warc_ts"), col("html"), col("text"), col("lang")).as("_2"))

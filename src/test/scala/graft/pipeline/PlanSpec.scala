@@ -35,9 +35,13 @@ class PlanSpec extends AnyFunSuite {
     val pages = spark.range(50).as[Long].map(Corpus.row(42L)).toDF()
     val plan = physicalPlan(
       ExtractJob.extract(ExtractJob.saltedRepartition(spark, pages, 4)).toDF())
+    // ONE intentional exchange: the round-robin spread of the whale band.
+    // The small band stays in its scan partitions (shuffling it would move
+    // ~100% of corpus bytes for no balance benefit — maxPartitionBytes is
+    // the granularity knob there).
     val exchanges = plan.linesIterator.count(_.trim.startsWith("+- Exchange")) +
       plan.linesIterator.count(_.trim.startsWith("Exchange"))
-    assert(exchanges <= 2, s"unexpected extra shuffles ($exchanges):\n$plan")
+    assert(exchanges <= 1, s"unexpected extra shuffles ($exchanges):\n$plan")
   }
 
   test("dimension joins broadcast in q02") {
