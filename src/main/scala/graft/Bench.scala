@@ -148,7 +148,8 @@ object Scaling {
         val t0 = System.nanoTime()
         val pages = spark.read.parquet(dir)
         graft.pipeline.ExtractJob.extract(
-          graft.pipeline.ExtractJob.saltedRepartition(spark, pages, cores * 2))
+          graft.pipeline.ExtractJob.saltedRepartition(spark, pages, cores * 2,
+            shuffleSmall = sys.env.get("SPARK_GRAFT_SHUFFLE_SMALL").contains("true")))
           .filter(_.status == "ok").count()
         benchDocs / ((System.nanoTime() - t0) / 1e9)
       }

@@ -44,11 +44,18 @@ object ExtractJob {
     * no balance benefit: scan-partition size is already bounded by
     * `spark.sql.files.maxPartitionBytes` (the task-granularity knob), and
     * whales — the actual skew — are exactly the rows split off here. */
-  def saltedRepartition(spark: SparkSession, pages: DataFrame, partitions: Int): Dataset[PageRow] = {
+  def saltedRepartition(
+      spark: SparkSession,
+      pages: DataFrame,
+      partitions: Int,
+      shuffleSmall: Boolean = false): Dataset[PageRow] = {
     import spark.implicits._
     val typed = pages.select(col("url"), col("warc_ts"), col("html"),
       lit("").as("text"), lit("").as("lang"))
-    val small = typed.filter(length(col("html")) <= SKEW_THRESHOLD_BYTES) // narrow
+    val smallRows = typed.filter(length(col("html")) <= SKEW_THRESHOLD_BYTES)
+    // shuffleSmall=true restores the full hash spread (useful when the
+    // source layout is pathologically clustered); default is narrow
+    val small = if (shuffleSmall) smallRows.repartition(partitions, col("url")) else smallRows
     val big = typed.filter(length(col("html")) > SKEW_THRESHOLD_BYTES)
       .repartition(math.max(partitions, 1)) // round-robin: each whale lands alone-ish
     small.union(big).as[PageRow]
