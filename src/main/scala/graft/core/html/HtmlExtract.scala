@@ -133,7 +133,7 @@ object HtmlExtract {
     "banner|breadcrumb|combx|comment|community|cookie|consent|gdpr|disqus|" +
       "extra|foot|gutter|masthead|menu|modal|nav|pager|pagination|popup|promo|" +
       "related|remark|rss|share|shoutbox|sidebar|skyscraper|social|sponsor|" +
-      "advert|\\bad\\b|ad-|-ad\\b|\\bads\\b|subscribe|newsletter|widget")
+      "advert|\\bad\\b|\\bad-|-ad\\b|\\bads\\b|subscribe|newsletter|widget")
   private val likelyHint = java.util.regex.Pattern.compile(
     "\\band\\b|article|body|column|content|main|shadow|post|text|story")
 

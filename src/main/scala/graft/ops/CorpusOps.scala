@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Source-level corpus curation operators — the knobs a training-data
@@ -12,15 +12,39 @@ import org.apache.spark.sql.functions._
 object CorpusOps {
 
   /** cap each source's contribution at `maxDocs` documents, keeping the
-    * lowest doc_ids (deterministic retention). One shuffle on source; the
-    * per-group top-K is a window over the source partition — at web scale
-    * a single source can be huge, but the window only materializes rank
-    * counters, not the group. For quota-by-fraction instead of count,
-    * compose with `sourceStats` and derive maxDocs per source first. */
+    * lowest doc_ids (deterministic retention).
+    *
+    * Scale shape: a bare row_number window funnels EVERY row of a source
+    * through one reducer's sort — a hot source with 10^9 docs is a
+    * straggler/spill. So each scan partition first keeps only its local
+    * `maxDocs` smallest doc_ids per source (bounded heap, no shuffle);
+    * the window's reducer then sees at most partitions x maxDocs rows per
+    * source. Exactness: the global smallest-maxDocs set is a subset of the
+    * union of per-partition smallest-maxDocs sets, so the final ranks are
+    * identical to the unpruned window. For quota-by-fraction instead of
+    * count, derive maxDocs per source from `lengthHistogram`-style totals
+    * first. */
   def sourceQuota(documents: DataFrame, maxDocs: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val pruned = documents
+      .select(col("doc_id").cast("long"), col("source"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.HashMap
+          .empty[String, scala.collection.mutable.PriorityQueue[Long]] // max-heaps
+        it.foreach { case (id, src) =>
+          val h = heaps.getOrElseUpdate(src,
+            scala.collection.mutable.PriorityQueue.empty[Long])
+          if (h.size < maxDocs) h.enqueue(id)
+          else if (id < h.head) { h.dequeue(); h.enqueue(id) }
+        }
+        heaps.iterator.flatMap { case (src, h) => h.iterator.map(id => (id, src)) }
+      }
+      .toDF("doc_id", "source")
     val w = Window.partitionBy("source").orderBy(col("doc_id").asc)
-    documents
+    pruned
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= maxDocs)
       .select(col("doc_id"), col("source"), col("rk").cast("long").as("rk"))

@@ -218,9 +218,13 @@ object SimSearch {
       if (n <= trainSample) embeddings
       else {
         // deterministic modulus sample (no RNG: stable across retries);
-        // slight over-sample then exact limit keeps the size bounded
-        val keepOneIn = math.max(1L, n / trainSample)
-        embeddings.filter(pmod(xxhash64(col("vec_id")), lit(keepOneIn)) === 0)
+        // ceil division so the expected sample is <= trainSample (floor
+        // would keep 100% of the corpus for n in (trainSample, 2*trainSample))
+        val keepOneIn = (n + trainSample - 1L) / trainSample
+        val sampled = embeddings.filter(pmod(xxhash64(col("vec_id")), lit(keepOneIn)) === 0)
+        // a pathological hash draw (tiny trainSample) can leave the sample
+        // empty; k-means cannot init from zero vectors — fall back to full
+        if (sampled.isEmpty) embeddings else sampled
       }
     IvfIndex(kmeansCentroids(training, k, iters, dim))
   }

@@ -126,13 +126,27 @@ object ExtractJob {
     // 10^12 rows. Staging is itself resumable (_SUCCESS-gated, reused on
     // restart so a resumed job re-reads, not re-writes).
     val stagedPath = s"$outDir/staged"
-    val fs = new java.io.File(s"${stagedPath.stripPrefix("file:")}/_SUCCESS")
-    if (!fs.exists()) {
-      withBucket(pages, nBuckets)
+    // Hadoop FS API, not java.io.File: outDir may be hdfs://, s3a://, …;
+    // java.io.File.exists() is always false there, which would silently
+    // re-stage the whole corpus on every restart.
+    val hPath = new org.apache.hadoop.fs.Path(s"$stagedPath/_SUCCESS")
+    val hFs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hFs.exists(hPath)) {
+      // stage only the columns the kernel reads: `text` duplicates the
+      // payload at corpus scale and `lang` is unused, so pruning here
+      // halves staged bytes and write I/O.
+      withBucket(pages.select("url", "warc_ts", "html"), nBuckets)
         .write.mode(SaveMode.Overwrite).partitionBy("warc_bucket").parquet(stagedPath)
     }
-    val bucketed = spark.read.parquet(stagedPath)
-      .withColumn("warc_bucket", col("warc_bucket").cast("long"))
+    // explicit schema: an empty corpus stages zero part files (only
+    // _SUCCESS), and schema inference on that directory throws — an empty
+    // input is a legitimate no-op, not a crash.
+    val stagedSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("url", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("warc_ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("html", org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("warc_bucket", org.apache.spark.sql.types.LongType)))
+    val bucketed = spark.read.schema(stagedSchema).parquet(stagedPath)
     // resume: anti-join against committed lineage buckets (north_rule)
     val doneBuckets: Set[Long] =
       try spark.read.parquet(lineagePath).select("warc_bucket").as[Long].collect().toSet

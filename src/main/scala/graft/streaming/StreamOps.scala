@@ -92,11 +92,29 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (source: String, rows: Iterator[DocIn], state: GroupState[Long]) => {
           var n = state.getOption.getOrElse(0L)
-          val admitted = rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).flatMap { d =>
-            if (n < maxDocs) { n += 1; Some(QuotaOut(d.doc_id, source, n)) } else None
+          val remaining = math.max(0L, maxDocs - n)
+          if (remaining == 0L) {
+            // quota exhausted: drain without buffering anything
+            while (rows.hasNext) rows.next()
+            Iterator.empty
+          } else {
+            // bounded top-K over the (ts, doc_id) key instead of
+            // materializing+sorting the whole micro-batch group: a hot
+            // source flooding one batch costs O(remaining) heap, not O(batch)
+            implicit val ord: Ordering[DocIn] =
+              Ordering.by((d: DocIn) => (d.ts.getTime, d.doc_id))
+            val heap = scala.collection.mutable.PriorityQueue.empty[DocIn] // max-heap
+            rows.foreach { d =>
+              if (heap.size < remaining) heap.enqueue(d)
+              else if (ord.lt(d, heap.head)) { heap.dequeue(); heap.enqueue(d) }
+            }
+            val drained: Seq[DocIn] = heap.dequeueAll
+            val admitted = drained.reverse.map { d =>
+              n += 1; QuotaOut(d.doc_id, source, n)
+            }
+            state.update(n)
+            admitted.iterator
           }
-          state.update(n)
-          admitted.iterator
         })
   }
 

@@ -258,6 +258,12 @@ class UnitSpec extends AnyFunSuite {
     assert(HtmlExtract.hintPenalized(" cookie-banner"))
     assert(!HtmlExtract.hintPenalized(" article-cookie")) // likely wins
     assert(!HtmlExtract.hintPenalized(""))
+    // "ad-" needs a left word boundary: thread-/head-/download- are NOT ads
+    assert(!HtmlExtract.hintPenalized(" thread-item"))
+    assert(!HtmlExtract.hintPenalized(" head-line"))
+    assert(!HtmlExtract.hintPenalized(" download-box"))
+    assert(HtmlExtract.hintPenalized(" ad-break"))
+    assert(HtmlExtract.hintPenalized(" top-ad-slot"))
   }
 
   test("perfect-hash dispatch: collision acceptance quirk (pages_extractor.cc:56-69)") {

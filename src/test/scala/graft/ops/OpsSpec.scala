@@ -722,6 +722,11 @@ class OpsSpec extends AnyFunSuite {
     val got = CorpusOps.sourceQuota(df, maxDocs = 2).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSet
     assert(got == Set(("a", 1L), ("a", 3L), ("b", 2L), ("b", 7L)))
+    // partition-invariance of the local-top-K prune: any scan layout gives
+    // the same survivors and ranks as a global window
+    val spread = CorpusOps.sourceQuota(df.repartition(7), maxDocs = 2).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Long]("rk"))).toSet
+    assert(spread == Set(("a", 1L, 1L), ("a", 3L, 2L), ("b", 2L, 1L), ("b", 7L, 2L)))
   }
 
   test("stratifiedSample: 256/0 edge rates keep-all/drop-all per language") {

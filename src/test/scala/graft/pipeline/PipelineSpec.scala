@@ -72,6 +72,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lineage2.count() == lineage.count())
   }
 
+  test("run(): empty input completes as a no-op, not a crash") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-job-empty").toString
+    val pages = spark.range(0).as[Long].map(Corpus.row(42L)).toDF()
+    // an empty corpus stages zero part files; the schema-less read-back of
+    // that directory used to throw AnalysisException
+    val (resultsPath, lineagePath) = ExtractJob.run(spark, pages, dir, nBuckets = 4, partitions = 4)
+    assert(!new java.io.File(resultsPath.stripPrefix("file:")).exists() ||
+      spark.read.parquet(resultsPath).count() == 0)
+    assert(!new java.io.File(lineagePath.stripPrefix("file:")).exists())
+  }
+
   test("resume: pre-committed lineage bucket is skipped, rest completes") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}

@@ -99,6 +99,17 @@ class StreamSpec extends AnyFunSuite {
       assert(rows.filter(_._1 == "b").map(_._2).sorted.toSeq == Seq(10L, 11L))
       // ranks are the cumulative admission counters
       assert(rows.filter(_._1 == "a").map(_._3).sorted.toSeq == Seq(1L, 2L, 3L))
+      // batch 3: source a is EXHAUSTED (drain path, zero buffering) and
+      // source b has one slot left — the bounded heap must admit the
+      // smallest (ts, doc_id) of the flood, not the arrival order
+      input.addData(
+        DocIn(6L, ts(2), "a"),
+        DocIn(15L, ts(2, 30), "b"), DocIn(13L, ts(2, 20), "b"), DocIn(12L, ts(2, 10), "b"))
+      q.processAllAvailable()
+      val rows3 = spark.table("stream_quota").collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Long]("rank")))
+      assert(rows3.filter(_._1 == "a").map(_._2).sorted.toSeq == Seq(1L, 2L, 3L))
+      assert(rows3.filter(_._1 == "b").map(_._2).sorted.toSeq == Seq(10L, 11L, 12L))
     } finally q.stop()
   }
 
