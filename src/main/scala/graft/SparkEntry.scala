@@ -141,6 +141,24 @@ object SparkEntry {
         Seq("src3", "src7", "src13").toDF("source"))
     }),
     "q38_length_histogram" -> ((s, dir) => CorpusOps.lengthHistogram(docs(s, dir))),
+    "q39_url_canonical_dedup" -> ((s, dir) => {
+      // deterministic URL frame synthesized from documents (no url column
+      // in the table): tracking params + fragments + trailing slashes,
+      // with real collisions on (source, doc_id % 50)
+      val urls = docs(s, dir).select(col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".example.com/p/"),
+          (col("doc_id") % 50).cast("string"),
+          when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+          lit("?utm_source=feed&ref="), col("doc_id").cast("string"), lit("&q=keep"),
+          when(col("doc_id") % 3 === 0, lit("#sec-2")).otherwise(lit(""))).as("url"))
+      CorpusOps.canonicalUrlDedup(urls)
+    }),
+    "q40_decontaminate" -> ((s, dir) => {
+      val all = docs(s, dir)
+      val bench = all.filter(col("doc_id") % 97 === 0)
+      val corpus = all.filter(col("doc_id") % 97 =!= 0)
+      Dedup.benchmarkContamination(corpus, bench, gramLen = 8)
+    }),
     "q11_lang_stats" -> ((s, dir) => {
       docs(s, dir).groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
@@ -535,6 +553,46 @@ object SparkEntry {
         |SELECT c.source, c.len_bucket, c.n_docs,
         |  round(c.n_docs / cast(t.n_total AS double), 6) AS share
         |FROM c JOIN t USING (source)""".stripMargin,
+    "q39_url_canonical_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.example.com/p/' || (doc_id % 50) ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+        |    '?utm_source=feed&ref=' || doc_id || '&q=keep' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '#sec-2' ELSE '' END AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+        |c AS (
+        |  SELECT doc_id,
+        |    lower(regexp_replace(split_part(nofrag, '?', 1), '/$', '')) ||
+        |    CASE WHEN len(kept) > 0
+        |         THEN '?' || array_to_string(list_sort(kept), '&') ELSE '' END
+        |      AS canonical_url
+        |  FROM (SELECT doc_id, nofrag,
+        |          CASE WHEN strpos(nofrag, '?') > 0
+        |               THEN list_filter(
+        |                      string_split(substr(nofrag, strpos(nofrag, '?') + 1), '&'),
+        |                      x -> NOT regexp_matches(x, '^(utm_[^=]*|ref|fbclid|gclid)='))
+        |               ELSE CAST([] AS VARCHAR[]) END AS kept
+        |        FROM p))
+        |SELECT canonical_url, cast(min(doc_id) AS bigint) AS keeper_id,
+        |  cast(count(*) AS bigint) AS n_dups
+        |FROM c GROUP BY 1""".stripMargin,
+    "q40_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+        |        FROM tok WHERE len(t) >= 8)),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+        |SELECT g.doc_id, cast(count(*) AS bigint) AS n_bad_grams
+        |FROM g JOIN bench USING (gram)
+        |WHERE g.doc_id % 97 <> 0
+        |GROUP BY 1""".stripMargin,
     "q14_simsearch_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS query_emb
         |           FROM embeddings ORDER BY vec_id LIMIT 5),

@@ -81,6 +81,44 @@ object CorpusOps {
       .join(broadcast(blocklist.select(col("source"))), Seq("source"), "left_anti")
       .select(col("doc_id"), col("source"), col("lang"))
 
+  /** query parameters stripped by `urlCanonical` — the tracking/session
+    * params every crawl-dedup pipeline drops (utm_* campaign tags, ref,
+    * click ids). Kept params are sorted so param ORDER never splits a
+    * canonical group. */
+  private val TRACKING_PARAM = "^(utm_[^=]*|ref|fbclid|gclid)="
+
+  /** canonicalize a URL column for dedup keying:
+    *  1. strip the fragment (`#...`);
+    *  2. drop tracking query params (utm_*, ref, fbclid, gclid) and SORT
+    *     the survivors (param order is presentation, not identity);
+    *  3. lowercase and strip one trailing slash off the pre-query part.
+    * Pure codegen'd column math — no UDF, no shuffle; at 10^12 rows this
+    * runs inside the scan stage. (Multiple '?' are treated as in crawl
+    * practice: first '?' starts the query string.) */
+  def urlCanonical(url: Column): Column = {
+    val nofrag = regexp_replace(url, "#.*$", "")
+    val base = substring_index(nofrag, "?", 1)
+    val hasQ = instr(nofrag, "?") > 0
+    val qstr = regexp_replace(nofrag, "^[^?]*\\?", "") // after the FIRST '?'
+    val params = when(hasQ,
+      filter(split(qstr, "&"), p => !p.rlike(TRACKING_PARAM)))
+      .otherwise(array().cast("array<string>"))
+    concat(
+      lower(regexp_replace(base, "/$", "")),
+      when(size(params) > 0, concat(lit("?"), array_join(array_sort(params), "&")))
+        .otherwise(lit("")))
+  }
+
+  /** exact dedup on the canonical URL: one partial-aggregated shuffle on
+    * the canonical key; keeper = lowest doc_id (deterministic). The classic
+    * first-stage crawl dedup — at web scale ~30-40% of fetched URLs are
+    * alternate spellings of a page already held. */
+  def canonicalUrlDedup(urls: DataFrame): DataFrame =
+    urls
+      .select(col("doc_id"), urlCanonical(col("url")).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_dups"))
+
   /** per-source length histogram: bucket = floor(n_chars / bucketWidth),
     * count + share-of-source. One partial-aggregated shuffle on
     * (source, bucket); the share join is vs the source totals (tiny). */

@@ -646,4 +646,40 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  // ---- benchmark decontamination -----------------------------------------------
+
+  /** flag training documents that share at least one word-`gramLen`-gram
+    * with a benchmark/eval set — the standard pre-training decontamination
+    * pass (eval questions leaking into the corpus inflate downstream
+    * scores). Returns (doc_id, n_bad_grams): the number of the doc's
+    * DISTINCT grams that appear anywhere in the benchmark.
+    *
+    * Tokenization: lower + trim + split on whitespace; only FULL windows
+    * (docs shorter than gramLen tokens cannot be flagged).
+    *
+    * Scale shape: the benchmark is eval-set-sized (10^3..10^6 grams), the
+    * corpus is 10^12 docs — so benchmark gram hashes are collected into a
+    * BROADCAST semi-join side and the corpus side never shuffles: explode
+    * to (doc_id, gram_hash), hash-semi-join against the broadcast set,
+    * then a partial-aggregated count per doc_id. Grams travel as 8-byte
+    * xxhash64 values, never as strings. */
+  def benchmarkContamination(
+      documents: DataFrame,
+      benchmark: DataFrame,
+      gramLen: Int = 8): DataFrame = {
+    def gramHashes(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+        .filter(size(col("toks")) >= gramLen)
+        .select(col("doc_id"), expr(
+          s"transform(sequence(0, size(toks) - $gramLen), " +
+            "i -> xxhash64(concat_ws(' ', slice(toks, i + 1, " + gramLen + "))))")
+          .as("gram_hashes"))
+        .select(col("doc_id"), explode(array_distinct(col("gram_hashes"))).as("gram_hash"))
+    val benchGrams = gramHashes(benchmark).select(col("gram_hash")).distinct()
+    gramHashes(documents)
+      .join(broadcast(benchGrams), Seq("gram_hash"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bad_grams"))
+  }
 }

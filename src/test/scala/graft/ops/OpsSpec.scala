@@ -762,4 +762,55 @@ class OpsSpec extends AnyFunSuite {
     assert(got(("a", 1L)) == ((2L, 0.666667)))
     assert(got(("b", 9L)) == ((1L, 1.0)))
   }
+
+  test("urlCanonical: fragment/tracking-params/sort/trailing-slash/lowercase") {
+    val df = Seq(
+      (1L, "https://A.example.com/p/7?utm_source=x&ref=99&q=keep#frag"),
+      (2L, "https://a.example.com/p/7/?q=keep&utm_campaign=y"), // trailing slash + other order
+      (3L, "https://a.example.com/p/7?b=2&a=1"),                // param sort
+      (4L, "https://a.example.com/p/8"),                        // no query at all
+      (5L, "https://a.example.com/p/8#only-frag"),
+      (6L, "https://a.example.com/p/9?utm_medium=z&fbclid=abc") // ALL params stripped
+    ).toDF("doc_id", "url")
+    val got = df.select(col("doc_id"), CorpusOps.urlCanonical(col("url")).as("c"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("c")).toMap
+    assert(got(1L) == "https://a.example.com/p/7?q=keep")
+    assert(got(2L) == "https://a.example.com/p/7?q=keep")
+    assert(got(3L) == "https://a.example.com/p/7?a=1&b=2")
+    assert(got(4L) == "https://a.example.com/p/8")
+    assert(got(5L) == "https://a.example.com/p/8")
+    assert(got(6L) == "https://a.example.com/p/9")
+  }
+
+  test("canonicalUrlDedup: keeper is min doc_id, one shuffle with partial agg") {
+    val df = Seq(
+      (10L, "https://a.example.com/x?ref=1"),
+      (3L, "https://a.example.com/x?ref=2#f"),
+      (7L, "https://a.example.com/y")).toDF("doc_id", "url")
+    val got = CorpusOps.canonicalUrlDedup(df).collect()
+      .map(r => (r.getAs[String]("canonical_url"), r.getAs[Long]("keeper_id"),
+        r.getAs[Long]("n_dups"))).toSet
+    assert(got == Set(("https://a.example.com/x", 3L, 2L), ("https://a.example.com/y", 7L, 1L)))
+    val plan = physicalPlan(CorpusOps.canonicalUrlDedup(df))
+    assert(plan.contains("partial_"), s"expected map-side partial aggregation:\n$plan")
+  }
+
+  test("benchmarkContamination: full 8-gram windows, broadcast semi-join, counts exact") {
+    val benchText = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    val df = Seq(
+      // shares the 8-gram starting at 'alpha' AND at 'bravo' (9 shared tokens)
+      (1L, "xx " + benchText + " yy"),
+      (2L, "alpha bravo charlie delta echo foxtrot golf"), // 7 tokens: too short
+      (3L, "completely different text with eight tokens here ok"),
+      (4L, "ALPHA Bravo Charlie Delta Echo Foxtrot Golf Hotel") // case-folded exact 8
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val q = Dedup.benchmarkContamination(df, bench, gramLen = 8)
+    val got = q.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bad_grams")).toMap
+    assert(got == Map(1L -> 2L, 4L -> 1L), s"got $got")
+    val plan = physicalPlan(q)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"bench grams must broadcast, corpus must not shuffle for the join:\n$plan")
+  }
 }
