@@ -170,6 +170,7 @@ object SparkEntry {
     "q14_simsearch_brute" -> ((s, dir) => SimSearch.bruteForceTopK(emb(s, dir), 5, 10)),
     "q15_simsearch_lsh" -> ((s, dir) => SimSearch.lshTopK(emb(s, dir), 5, 10)),
     "q29_simsearch_ivf" -> ((s, dir) => SimSearch.ivfTopK(emb(s, dir), 5, 10)),
+    "q41_quantize_int8" -> ((s, dir) => SimSearch.quantizeInt8(emb(s, dir))),
     // ---- extraction pipeline (synthesized corpus; rows-only + sbt test gate) ----
     "x16_extract" -> ((s, dir) => {
       import s.implicits._
@@ -593,6 +594,25 @@ object SparkEntry {
         |FROM g JOIN bench USING (gram)
         |WHERE g.doc_id % 97 <> 0
         |GROUP BY 1""".stripMargin,
+    "q41_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |m AS (SELECT vec_id, emb,
+        |        list_aggregate(emb, 'min') AS off,
+        |        (list_aggregate(emb, 'max') - list_aggregate(emb, 'min')) / 255.0 AS scale
+        |      FROM e)
+        |SELECT vec_id,
+        |  CASE WHEN scale = 0
+        |       THEN array_to_string(list_transform(emb, x -> 0), ',')
+        |       ELSE array_to_string(list_transform(emb,
+        |              x -> CAST(least(floor((x - off) / scale), 255) AS INT)), ',')
+        |  END AS q_csv,
+        |  round(off, 6) AS "offset", round(scale, 6) AS scale,
+        |  CASE WHEN scale = 0 THEN 0.0
+        |       ELSE round(list_aggregate(list_transform(emb,
+        |              x -> abs(x - (off + CAST(least(floor((x - off) / scale), 255) AS INT)
+        |                               * scale))), 'max'), 6)
+        |  END AS max_err
+        |FROM m""".stripMargin,
     "q14_simsearch_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS query_emb
         |           FROM embeddings ORDER BY vec_id LIMIT 5),

@@ -338,4 +338,41 @@ object SimSearch {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank").cast("long").as("rank"),
         round(col("cosine"), 6).as("cosine"))
   }
+
+  // ---- embedding storage: int8 scalar quantization -----------------------------
+
+  /** per-vector int8 scalar quantization — the standard storage/serving
+    * compression for embedding corpora (4x over float32; at 100 TB of
+    * vectors the scan-bytes win IS the latency win). Per vector:
+    * offset = min(x), scale = (max - min)/255, code = least(floor((x -
+    * offset)/scale), 255); constant vectors (scale 0) code to all-zeros.
+    * Also emits the max elementwise reconstruction error (bounded by
+    * `scale`, i.e. the bin width) so downstream recall analysis is
+    * data-driven, not assumed.
+    *
+    * Pure codegen'd column math (transform/array_max on doubles) — no UDF,
+    * no shuffle: runs inside the scan stage. Codes are emitted as a CSV
+    * string column (`q_csv`) for engine-portable byte comparison; a
+    * production sink would write the packed binary column instead. */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val withParams = e
+      .withColumn("offset", array_min(col("emb")))
+      .withColumn("scale", (array_max(col("emb")) - col("offset")) / 255.0)
+    val code: Column => Column = x =>
+      least(floor((x - col("offset")) / col("scale")), lit(255.0)).cast("int")
+    withParams
+      .withColumn("q_csv",
+        when(col("scale") === 0.0,
+          concat_ws(",", transform(col("emb"), _ => lit(0))))
+          .otherwise(concat_ws(",", transform(col("emb"), code))))
+      .withColumn("max_err",
+        when(col("scale") === 0.0, lit(0.0))
+          .otherwise(array_max(transform(col("emb"),
+            x => abs(x - (col("offset") + code(x) * col("scale")))))))
+      .select(col("vec_id"), col("q_csv"),
+        round(col("offset"), 6).as("offset"), round(col("scale"), 6).as("scale"),
+        round(col("max_err"), 6).as("max_err"))
+  }
 }

@@ -763,6 +763,27 @@ class OpsSpec extends AnyFunSuite {
     assert(got(("b", 9L)) == ((1L, 1.0)))
   }
 
+  test("quantizeInt8: codes, params, and reconstruction-error bound") {
+    val df = Seq(
+      (1L, Seq(0.0f, 1.0f, 2.0f, 4.0f)),   // off=0, scale=4/255
+      (2L, Seq(3.0f, 3.0f, 3.0f, 3.0f))    // constant vector: scale=0 edge
+    ).toDF("vec_id", "embedding")
+    val got = SimSearch.quantizeInt8(df).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[String]("q_csv"), r.getAs[Double]("offset"),
+          r.getAs[Double]("scale"), r.getAs[Double]("max_err")))).toMap
+    val (csv1, off1, scale1, err1) = got(1L)
+    assert(off1 == 0.0 && scale1 == math.rint(4.0 / 255.0 * 1e6) / 1e6)
+    // codes: floor(x * 255 / 4) = 0, 63, 127, 255
+    assert(csv1 == "0,63,127,255", csv1)
+    // reconstruction error is bounded by one bin width
+    assert(err1 <= 4.0 / 255.0 + 1e-9, s"err $err1")
+    assert(got(2L) == (("0,0,0,0", 3.0, 0.0, 0.0)))
+    // no shuffle: quantization runs inside the scan stage
+    val plan = physicalPlan(SimSearch.quantizeInt8(df))
+    assert(!plan.contains("Exchange"), s"quantization must not shuffle:\n$plan")
+  }
+
   test("urlCanonical: fragment/tracking-params/sort/trailing-slash/lowercase") {
     val df = Seq(
       (1L, "https://A.example.com/p/7?utm_source=x&ref=99&q=keep#frag"),
