@@ -153,6 +153,19 @@ object SparkEntry {
           when(col("doc_id") % 3 === 0, lit("#sec-2")).otherwise(lit(""))).as("url"))
       CorpusOps.canonicalUrlDedup(urls)
     }),
+    "q42_line_boilerplate" -> ((s, dir) => {
+      // synthesize a multi-line frame (documents.text is single-line):
+      // a universal header (df = all docs), a per-source footer (df =
+      // source size), and a unique promo line — only the header+footer
+      // cross maxDf
+      val multi = docs(s, dir).select(col("doc_id"),
+        concat_ws("\n",
+          lit("header site nav"),
+          col("text"),
+          concat(lit("copyright footer "), col("source")),
+          concat(lit("promo "), col("doc_id").cast("string"))).as("text"))
+      TextOps.removeBoilerplateLines(multi, maxDf = 10)
+    }),
     "q40_decontaminate" -> ((s, dir) => {
       val all = docs(s, dir)
       val bench = all.filter(col("doc_id") % 97 === 0)
@@ -581,6 +594,28 @@ object SparkEntry {
         |SELECT canonical_url, cast(min(doc_id) AS bigint) AS keeper_id,
         |  cast(count(*) AS bigint) AS n_dups
         |FROM c GROUP BY 1""".stripMargin,
+    "q42_line_boilerplate" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    'header site nav' || chr(10) || text || chr(10) ||
+        |    'copyright footer ' || source || chr(10) ||
+        |    'promo ' || doc_id AS text
+        |  FROM documents),
+        |s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM m),
+        |l AS (
+        |  SELECT doc_id, i AS pos, ls[i] AS line
+        |  FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM s)),
+        |f AS (SELECT line FROM l GROUP BY 1 HAVING count(*) > 10),
+        |k AS (SELECT l.doc_id, l.pos, l.line FROM l ANTI JOIN f USING (line)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM k GROUP BY 1)
+        |SELECT s.doc_id,
+        |  coalesce(agg.clean_text, '') AS clean_text,
+        |  cast(coalesce(agg.n_kept, 0) AS bigint) AS n_kept,
+        |  cast(len(s.ls) - coalesce(agg.n_kept, 0) AS bigint) AS n_removed
+        |FROM s LEFT JOIN agg USING (doc_id)""".stripMargin,
     "q40_decontaminate" ->
       """WITH tok AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t

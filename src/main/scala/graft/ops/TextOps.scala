@@ -445,4 +445,49 @@ object TextOps {
       }
       .toDF("doc_id", "pred_lang", "lang", "fingerprint")
   }
+
+  // ---- cross-document line-level boilerplate removal ---------------------------
+
+  /** remove lines that repeat across the corpus more than `maxDf` times —
+    * the CCNet/C4-family line-level dedup that strips nav bars, cookie
+    * notices and footers surviving per-document extraction. df counts
+    * OCCURRENCES (a line twice in one doc counts twice); the doc's
+    * surviving lines are reassembled in original order, and fully-
+    * boilerplate docs come back with an empty `clean_text` (downstream
+    * length filters drop them — silently losing the rows here would make
+    * corpus accounting lie).
+    *
+    * Scale shape: three shuffles, all on 8-byte line hashes or doc_id —
+    * (1) partial-aggregated line-hash df count, (2) the anti-join of
+    * exploded lines vs frequent lines (the frequent set is NOT broadcast:
+    * with maxDf ~ O(10) it is corpus-scale/maxDf, far beyond driver
+    * memory — a shuffled anti-join is the honest plan; a top-k-only
+    * approximate variant could broadcast, with documented recall loss),
+    * (3) regroup by doc_id for reassembly. Lines travel as (hash, pos)
+    * next to the line string only on the kept path. */
+  def removeBoilerplateLines(documents: DataFrame, maxDf: Int = 2): DataFrame = {
+    val lines = documents
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .withColumn("line_hash", xxhash64(col("line")))
+    val frequent = lines
+      .groupBy(col("line_hash"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("line_hash"))
+    val kept = lines.join(frequent, Seq("line_hash"), "left_anti")
+    val reassembled = kept
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    documents
+      .select(col("doc_id"), size(split(col("text"), "\n")).cast("long").as("n_lines"))
+      .join(reassembled, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
 }

@@ -37,7 +37,15 @@ object StreamOps {
     * beyond the gap; a production deployment would add a timeout flush for
     * idle users (ProcessingTimeTimeout) — omitted here because pending
     * timeouts keep micro-batches firing, which makes deterministic
-    * memory-sink testing impossible. */
+    * memory-sink testing impossible.
+    *
+    * Memory note: the per-group sort materializes ONE USER's micro-batch
+    * slice (session semantics need time order, and the state iterator is
+    * unordered). Unlike the source-quota case there is no bounded top-K
+    * rewrite — every event affects the output — so the bound is the
+    * trigger interval: per-user events per micro-batch, not per stream.
+    * A user hot enough to overflow that (~10^7 events per trigger) is a
+    * bot signature and belongs in a quota guard upstream. */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events

@@ -763,6 +763,24 @@ class OpsSpec extends AnyFunSuite {
     assert(got(("b", 9L)) == ((1L, 1.0)))
   }
 
+  test("removeBoilerplateLines: df threshold, order preserved, all-boilerplate doc kept") {
+    val df = Seq(
+      (1L, "nav bar\nunique one\nfooter"),
+      (2L, "nav bar\nunique two\nfooter"),
+      (3L, "nav bar\nfooter"), // fully boilerplate -> empty clean_text, row kept
+      (4L, "nav bar\nzz\naa\nfooter") // order: zz before aa must survive as-is
+    ).toDF("doc_id", "text")
+    val got = TextOps.removeBoilerplateLines(df, maxDf = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"), r.getAs[Long]("n_removed"))))
+      .toMap
+    // 'nav bar' df=4 > 3 removed; 'footer' df=4 removed; uniques kept
+    assert(got(1L) == (("unique one", 1L, 2L)))
+    assert(got(2L) == (("unique two", 1L, 2L)))
+    assert(got(3L) == (("", 0L, 2L)))
+    assert(got(4L) == (("zz\naa", 2L, 2L)))
+  }
+
   test("quantizeInt8: codes, params, and reconstruction-error bound") {
     val df = Seq(
       (1L, Seq(0.0f, 1.0f, 2.0f, 4.0f)),   // off=0, scale=4/255
