@@ -167,7 +167,14 @@ object SparkEntry {
       TextOps.removeBoilerplateLines(multi, maxDf = 10)
     }),
     "q40_decontaminate" -> ((s, dir) => {
-      val all = docs(s, dir)
+      // docs sharing no natural 8-grams at some scales would make this a
+      // zero-row gate — plant a deterministic eval-question canary in
+      // every 11th doc so contamination exists (and is exactly known) at
+      // every sf
+      val canary = "what is the capital of france answer paris"
+      val all = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" " + canary)))
+          .otherwise(col("text")).as("text"))
       val bench = all.filter(col("doc_id") % 97 === 0)
       val corpus = all.filter(col("doc_id") % 97 =!= 0)
       Dedup.benchmarkContamination(corpus, bench, gramLen = 8)
@@ -617,9 +624,15 @@ object SparkEntry {
         |  cast(len(s.ls) - coalesce(agg.n_kept, 0) AS bigint) AS n_removed
         |FROM s LEFT JOIN agg USING (doc_id)""".stripMargin,
     "q40_decontaminate" ->
-      """WITH tok AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0
+        |         THEN text || ' what is the capital of france answer paris'
+        |         ELSE text END AS text
         |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM d),
         |g AS (
         |  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gram
         |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
