@@ -207,30 +207,56 @@ object SparkEntry {
     }),
     "x18_training_pipeline" -> ((s, dir) => {
       // the whole training-data pipeline as ONE composed Spark plan:
-      // extract (PDF/HTML kernel) -> normalize -> quality/repetition gate ->
-      // exact dedup (keep first) -> deterministic split -> per-split rollup.
+      // source curation (URL canonical dedup + blocklist) -> extract
+      // (PDF/HTML kernel) -> normalize -> line-level boilerplate removal ->
+      // quality/repetition gate -> exact dedup (keep first) -> benchmark
+      // decontamination -> deterministic split -> per-split rollup.
       // Driver rows-check only (no single SQL oracle spans the kernel);
       // every stage is individually oracled/tested above.
       import s.implicits._
       val pages = s.range(400).as[Long].map(Corpus.row(42L)).toDF()
-      val extracted = ExtractJob.extract(ExtractJob.saltedRepartition(s, pages, 16)).toDF()
+      // source-level curation BEFORE the expensive kernel: canonical-URL
+      // dedup keeps one fetch per page identity, blocklist drops bad hosts
+      val keeperUrls = CorpusOps.canonicalUrlDedup(
+        pages.select(xxhash64(col("url")).as("doc_id"), col("url")))
+        .select(col("keeper_id").as("doc_id"))
+      val curated = pages
+        .withColumn("doc_id", xxhash64(col("url")))
+        .join(keeperUrls, Seq("doc_id"), "left_semi")
+        .drop("doc_id")
+      val extracted = ExtractJob.extract(ExtractJob.saltedRepartition(s, curated, 16)).toDF()
       val docsDf = extracted.filter(col("status") === "ok")
         .select(xxhash64(col("url")).as("doc_id"),
           col("extracted_text").as("text"), lit("und").as("lang"))
-      // the post-kernel frame feeds THREE consumers (quality gate, dedup
-      // keeper set, final split join): materialize it once — without this
-      // the mapPartitions extraction subtree re-executes per consumer
-      // (~3x the kernel cost; this composite is the template users copy)
+      // the post-kernel frame feeds multiple consumers (boilerplate df,
+      // quality gate, dedup keeper set, final split join): materialize it
+      // once — without this the mapPartitions extraction subtree
+      // re-executes per consumer (this composite is the template users copy)
       val normed = docsDf.select(col("doc_id"), TextOps.normalizeText(col("text")).as("text"),
         col("lang"))
         .localCheckpoint(true)
-      val kept = TextOps.qualityFilter(normed, minQuality = 0.2, maxTopFrac = 0.9,
+      // cross-document boilerplate lines out before quality scoring (nav/
+      // footer survivors would depress quality of good docs)
+      val cleaned = TextOps.removeBoilerplateLines(normed, maxDf = 50)
+        .select(col("doc_id"), col("clean_text").as("text"), lit("und").as("lang"))
+        .filter(length(col("text")) > 0)
+        .localCheckpoint(true)
+      val kept = TextOps.qualityFilter(cleaned, minQuality = 0.2, maxTopFrac = 0.9,
         minTokens = 5, maxTokens = 100000)
       // keep one representative (min doc_id) per byte-identical text group
-      val keepers = normed.groupBy(xxhash64(col("text")).as("h"))
+      val keepers = cleaned.groupBy(xxhash64(col("text")).as("h"))
         .agg(min("doc_id").as("doc_id")).select("doc_id")
       val deduped = kept.join(keepers, Seq("doc_id"), "left_semi")
-      val split = TextOps.hashSplit(normed.join(deduped.select("doc_id"), "doc_id"))
+      // decontaminate vs a tiny synthetic eval set; eval docs themselves
+      // never reach the training output
+      val bench = cleaned.filter(col("doc_id") % 97 === 0).select("doc_id", "text")
+      val nonBench = cleaned.filter(col("doc_id") % 97 =!= 0)
+      val contaminated = Dedup.benchmarkContamination(nonBench, bench, gramLen = 8)
+        .select("doc_id")
+      val finalDocs = nonBench
+        .join(deduped.select("doc_id"), "doc_id")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      val split = TextOps.hashSplit(finalDocs)
       split.groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
     }),
     "x19_error_taxonomy" -> ((s, dir) => {
