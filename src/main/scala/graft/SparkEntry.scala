@@ -170,13 +170,17 @@ object SparkEntry {
       // docs sharing no natural 8-grams at some scales would make this a
       // zero-row gate — plant a deterministic eval-question canary in
       // every 11th doc so contamination exists (and is exactly known) at
-      // every sf
+      // every sf. The bench side is a FIXED-size eval set (doc_id < 50 —
+      // eval sets don't grow with the corpus), honoring the operator's
+      // documented broadcast assumption at any scale; a modular slice
+      // would make bench grams corpus-proportional and eventually blow
+      // the broadcast limit.
       val canary = "what is the capital of france answer paris"
       val all = docs(s, dir).select(col("doc_id"),
         when(col("doc_id") % 11 === 0, concat(col("text"), lit(" " + canary)))
           .otherwise(col("text")).as("text"))
-      val bench = all.filter(col("doc_id") % 97 === 0)
-      val corpus = all.filter(col("doc_id") % 97 =!= 0)
+      val bench = all.filter(col("doc_id") < 50)
+      val corpus = all.filter(col("doc_id") >= 50)
       Dedup.benchmarkContamination(corpus, bench, gramLen = 8)
     }),
     "q11_lang_stats" -> ((s, dir) => {
@@ -243,14 +247,16 @@ object SparkEntry {
         .localCheckpoint(true)
       val kept = TextOps.qualityFilter(cleaned, minQuality = 0.2, maxTopFrac = 0.9,
         minTokens = 5, maxTokens = 100000)
-      // keep one representative (min doc_id) per byte-identical text group
-      val keepers = cleaned.groupBy(xxhash64(col("text")).as("h"))
-        .agg(min("doc_id").as("doc_id")).select("doc_id")
-      val deduped = kept.join(keepers, Seq("doc_id"), "left_semi")
-      // decontaminate vs a tiny synthetic eval set; eval docs themselves
-      // never reach the training output
+      // eval split decided BEFORE dedup: keepers are chosen among
+      // NON-bench docs only, so a training doc byte-identical to an eval
+      // doc deterministically survives dedup (and is then caught — or
+      // not — by decontamination alone, never by hash ordering)
       val bench = cleaned.filter(col("doc_id") % 97 === 0).select("doc_id", "text")
       val nonBench = cleaned.filter(col("doc_id") % 97 =!= 0)
+      // keep one representative (min doc_id) per byte-identical text group
+      val keepers = nonBench.groupBy(xxhash64(col("text")).as("h"))
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
+      val deduped = kept.join(keepers, Seq("doc_id"), "left_semi")
       val contaminated = Dedup.benchmarkContamination(nonBench, bench, gramLen = 8)
         .select("doc_id")
       val finalDocs = nonBench
@@ -613,15 +619,20 @@ object SparkEntry {
         |    regexp_replace(url, '#.*$', '') AS nofrag FROM u),
         |c AS (
         |  SELECT doc_id,
-        |    lower(regexp_replace(split_part(nofrag, '?', 1), '/$', '')) ||
+        |    CASE WHEN regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)(.*)$', 1) <> ''
+        |         THEN lower(regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)(.*)$', 1)) ||
+        |              regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)(.*)$', 2)
+        |         ELSE lower(base) END ||
         |    CASE WHEN len(kept) > 0
         |         THEN '?' || array_to_string(list_sort(kept), '&') ELSE '' END
         |      AS canonical_url
-        |  FROM (SELECT doc_id, nofrag,
+        |  FROM (SELECT doc_id,
+        |          regexp_replace(split_part(nofrag, '?', 1), '/$', '') AS base,
         |          CASE WHEN strpos(nofrag, '?') > 0
         |               THEN list_filter(
         |                      string_split(substr(nofrag, strpos(nofrag, '?') + 1), '&'),
-        |                      x -> NOT regexp_matches(x, '^(utm_[^=]*|ref|fbclid|gclid)='))
+        |                      x -> len(x) > 0 AND
+        |                           NOT regexp_matches(x, '^(utm_[^=]*|ref|fbclid|gclid)='))
         |               ELSE CAST([] AS VARCHAR[]) END AS kept
         |        FROM p))
         |SELECT canonical_url, cast(min(doc_id) AS bigint) AS keeper_id,
@@ -638,7 +649,7 @@ object SparkEntry {
         |l AS (
         |  SELECT doc_id, i AS pos, ls[i] AS line
         |  FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM s)),
-        |f AS (SELECT line FROM l GROUP BY 1 HAVING count(*) > 10),
+        |f AS (SELECT line FROM l WHERE trim(line) <> '' GROUP BY 1 HAVING count(*) > 10),
         |k AS (SELECT l.doc_id, l.pos, l.line FROM l ANTI JOIN f USING (line)),
         |agg AS (
         |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
@@ -663,10 +674,10 @@ object SparkEntry {
         |  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gram
         |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
         |        FROM tok WHERE len(t) >= 8)),
-        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 50)
         |SELECT g.doc_id, cast(count(*) AS bigint) AS n_bad_grams
         |FROM g JOIN bench USING (gram)
-        |WHERE g.doc_id % 97 <> 0
+        |WHERE g.doc_id >= 50
         |GROUP BY 1""".stripMargin,
     "q41_quantize_int8" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -89,22 +89,31 @@ object CorpusOps {
 
   /** canonicalize a URL column for dedup keying:
     *  1. strip the fragment (`#...`);
-    *  2. drop tracking query params (utm_*, ref, fbclid, gclid) and SORT
-    *     the survivors (param order is presentation, not identity);
-    *  3. lowercase and strip one trailing slash off the pre-query part.
+    *  2. drop tracking query params (utm_*, ref, fbclid, gclid) AND empty
+    *     params ('p?' == 'p', trailing '&' is noise), SORT the survivors
+    *     (param order is presentation, not identity);
+    *  3. lowercase scheme+host ONLY (RFC 3986: paths are case-sensitive —
+    *     lowercasing them would conflate distinct resources; URLs with no
+    *     scheme://host prefix are lowercased whole) and strip one
+    *     trailing slash off the pre-query part.
     * Pure codegen'd column math — no UDF, no shuffle; at 10^12 rows this
     * runs inside the scan stage. (Multiple '?' are treated as in crawl
     * practice: first '?' starts the query string.) */
   def urlCanonical(url: Column): Column = {
     val nofrag = regexp_replace(url, "#.*$", "")
-    val base = substring_index(nofrag, "?", 1)
+    val base = regexp_replace(substring_index(nofrag, "?", 1), "/$", "")
+    val schemeHostRe = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)(.*)$"
+    val schemeHost = regexp_extract(base, schemeHostRe, 1)
+    val caseFixed = when(schemeHost =!= "",
+      concat(lower(schemeHost), regexp_extract(base, schemeHostRe, 2)))
+      .otherwise(lower(base))
     val hasQ = instr(nofrag, "?") > 0
     val qstr = regexp_replace(nofrag, "^[^?]*\\?", "") // after the FIRST '?'
     val params = when(hasQ,
-      filter(split(qstr, "&"), p => !p.rlike(TRACKING_PARAM)))
+      filter(split(qstr, "&"), p => (length(p) > 0) && !p.rlike(TRACKING_PARAM)))
       .otherwise(array().cast("array<string>"))
     concat(
-      lower(regexp_replace(base, "/$", "")),
+      caseFixed,
       when(size(params) > 0, concat(lit("?"), array_join(array_sort(params), "&")))
         .otherwise(lit("")))
   }

@@ -457,37 +457,40 @@ object TextOps {
     * length filters drop them — silently losing the rows here would make
     * corpus accounting lie).
     *
-    * Scale shape: three shuffles, all on 8-byte line hashes or doc_id —
-    * (1) partial-aggregated line-hash df count, (2) the anti-join of
-    * exploded lines vs frequent lines (the frequent set is NOT broadcast:
-    * with maxDf ~ O(10) it is corpus-scale/maxDf, far beyond driver
-    * memory — a shuffled anti-join is the honest plan; a top-k-only
+    * Blank/whitespace-only lines are NEVER counted or removed: paragraph
+    * separators repeat corpus-wide by construction, and stripping them
+    * would collapse every document's paragraph structure.
+    *
+    * Scale shape: the corpus is scanned ONCE (exploded to lines), then
+    * three shuffles on 8-byte line hashes or doc_id — (1) partial-
+    * aggregated line-hash df count over non-blank lines, (2) a marker
+    * join of exploded lines vs frequent lines (the frequent set is NOT
+    * broadcast: with maxDf ~ O(10) it is corpus-scale/maxDf, far beyond
+    * driver memory — a shuffled join is the honest plan; a top-k-only
     * approximate variant could broadcast, with documented recall loss),
-    * (3) regroup by doc_id for reassembly. Lines travel as (hash, pos)
-    * next to the line string only on the kept path. */
+    * (3) one regroup by doc_id reassembling kept lines AND counting
+    * totals in the same aggregate (no second scan of the input). */
   def removeBoilerplateLines(documents: DataFrame, maxDf: Int = 2): DataFrame = {
     val lines = documents
       .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
       .withColumn("line_hash", xxhash64(col("line")))
     val frequent = lines
+      .filter(trim(col("line")) =!= "")
       .groupBy(col("line_hash"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
-      .select(col("line_hash"))
-    val kept = lines.join(frequent, Seq("line_hash"), "left_anti")
-    val reassembled = kept
+      .select(col("line_hash"), lit(true).as("is_freq"))
+    lines
+      .join(frequent, Seq("line_hash"), "left_outer")
+      .withColumn("freq", coalesce(col("is_freq"), lit(false)))
       .groupBy(col("doc_id"))
       .agg(
         array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          transform(
+            filter(array_sort(collect_list(struct(col("pos"), col("line"), col("freq")))),
+              x => !x.getField("freq")),
             x => x.getField("line")), "\n").as("clean_text"),
-        count(lit(1)).as("n_kept"))
-    documents
-      .select(col("doc_id"), size(split(col("text"), "\n")).cast("long").as("n_lines"))
-      .join(reassembled, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+        sum(when(col("freq"), 0L).otherwise(1L)).as("n_kept"),
+        sum(when(col("freq"), 1L).otherwise(0L)).as("n_removed"))
   }
 }

@@ -27,18 +27,10 @@ import graft.fixtures.PdfBuilder._
 object FuzzR11 {
   var rnd = new scala.util.Random(20261111L)
 
-  def randWord(): String = {
-    val n = 1 + rnd.nextInt(8)
-    (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
-  }
+  def randWord(): String = FuzzUtil.randWord(rnd)
 
-  def dump(outDir: String, name: String, pdf: Array[Byte]): Unit = {
-    Files.write(Paths.get(s"$outDir/$name.pdf"), pdf)
-    val mine =
-      try graft.core.pdf.PdfExtract.pdf2txt(pdf)
-      catch { case e: Throwable => ("KERNEL-ERR " + e.getClass.getName).getBytes }
-    Files.write(Paths.get(s"$outDir/$name.mine"), mine)
-  }
+  def dump(outDir: String, name: String, pdf: Array[Byte]): Unit =
+    FuzzUtil.dump(outDir, name, pdf)
 
   // ---- family A: inline image skip ---------------------------------------------
 
@@ -65,18 +57,28 @@ object FuzzR11 {
     (0 until n).foreach { i =>
       val sb = new StringBuilder
       val blocks = 2 + rnd.nextInt(4)
-      // one doc in five ends with an unterminated image swallowing the tail
+      // docs rotate through three terminator regimes:
+      //  i%5==0: an UNTERMINATED image mid-stream — all later text (which
+      //          IS generated) must be swallowed identically;
+      //  i%5==1: the content stream ends with "EI" as its very last bytes
+      //          (idx+2 == length: the EOF branch of the skip scanner);
+      //  else:   every image terminated by EI+blank mid-stream.
       val cut = if (i % 5 == 0) rnd.nextInt(blocks) else -1
       var b = 0
-      var open = true
-      while (b < blocks && open) {
+      while (b < blocks) {
         sb.append(s"BT\n/F1 ${9 + rnd.nextInt(6)} Tf\n" +
           s"${50 + rnd.nextInt(300)} ${700 - b * 60 - rnd.nextInt(20)} Td\n" +
           s"(${randWord()} ${randWord()} before$b) Tj\nET\n")
-        if (b == cut) { sb.append("BI ").append(imageData(unterminated = true)); open = false }
+        if (b == cut) sb.append("BI ").append(imageData(unterminated = true))
         else sb.append("BI ").append(imageData(unterminated = false))
-        if (open) sb.append(s"BT\n(${randWord()} after$b) Tj\nET\n")
+        // after-text is ALWAYS emitted: past an unterminated image it must
+        // be lost byte-identically, past a terminated one it must survive
+        sb.append(s"BT\n(${randWord()} after$b) Tj\nET\n")
         b += 1
+      }
+      if (i % 5 == 1) {
+        // final image whose "EI" is the last 2 bytes of the stream
+        sb.append("BI ").append(imageData(unterminated = true)).append("EI")
       }
       dump(outDir, f"binl_$i%03d",
         onePage(bytes(sb.toString), Map("/F1" -> 5), Seq(courier(5))))

@@ -18,10 +18,7 @@ import graft.fixtures.PdfBuilderR2._
 object FuzzR2 {
   var rnd = new scala.util.Random(20260817L)
 
-  def randWord(): String = {
-    val n = 1 + rnd.nextInt(8)
-    (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
-  }
+  def randWord(): String = FuzzUtil.randWord(rnd)
 
   def randShows(nBlocks: Int, fontName: String = "/F1"): String = {
     val sb = new StringBuilder
@@ -44,13 +41,8 @@ object FuzzR2 {
     sb.toString
   }
 
-  def dump(outDir: String, name: String, pdf: Array[Byte]): Unit = {
-    Files.write(Paths.get(s"$outDir/$name.pdf"), pdf)
-    val mine =
-      try graft.core.pdf.PdfExtract.pdf2txt(pdf)
-      catch { case e: Throwable => ("KERNEL-ERR " + e.getClass.getName).getBytes }
-    Files.write(Paths.get(s"$outDir/$name.mine"), mine)
-  }
+  def dump(outDir: String, name: String, pdf: Array[Byte]): Unit =
+    FuzzUtil.dump(outDir, name, pdf)
 
   // ---- family A: nested Form XObjects ---------------------------------------
   def nestedForms(outDir: String, n: Int): Unit = {

@@ -23,18 +23,10 @@ import graft.fixtures.PdfBuilderAdvanced._
 object FuzzR3 {
   var rnd = new scala.util.Random(20260818L)
 
-  def randWord(): String = {
-    val n = 1 + rnd.nextInt(8)
-    (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
-  }
+  def randWord(): String = FuzzUtil.randWord(rnd)
 
-  def dump(outDir: String, name: String, pdf: Array[Byte]): Unit = {
-    Files.write(Paths.get(s"$outDir/$name.pdf"), pdf)
-    val mine =
-      try graft.core.pdf.PdfExtract.pdf2txt(pdf)
-      catch { case e: Throwable => ("KERNEL-ERR " + e.getClass.getName).getBytes }
-    Files.write(Paths.get(s"$outDir/$name.mine"), mine)
-  }
+  def dump(outDir: String, name: String, pdf: Array[Byte]): Unit =
+    FuzzUtil.dump(outDir, name, pdf)
 
   /** random BT..ET blocks with state churn (Td, TD, Tm, T-star, TL, Tc, Tw, Tz, quotes) */
   def randStateShows(nBlocks: Int): String = {

@@ -18,18 +18,10 @@ import graft.fixtures.PdfBuilder._
 object FuzzR4 {
   var rnd = new scala.util.Random(20260819L)
 
-  def randWord(): String = {
-    val n = 1 + rnd.nextInt(8)
-    (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
-  }
+  def randWord(): String = FuzzUtil.randWord(rnd)
 
-  def dump(outDir: String, name: String, pdf: Array[Byte]): Unit = {
-    Files.write(Paths.get(s"$outDir/$name.pdf"), pdf)
-    val mine =
-      try graft.core.pdf.PdfExtract.pdf2txt(pdf)
-      catch { case e: Throwable => ("KERNEL-ERR " + e.getClass.getName).getBytes }
-    Files.write(Paths.get(s"$outDir/$name.mine"), mine)
-  }
+  def dump(outDir: String, name: String, pdf: Array[Byte]): Unit =
+    FuzzUtil.dump(outDir, name, pdf)
 
   def simpleShows(nBlocks: Int): String =
     (0 until nBlocks).map { _ =>

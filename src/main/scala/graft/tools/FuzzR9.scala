@@ -28,18 +28,10 @@ import graft.fixtures.PdfBuilderR2.formX
 object FuzzR9 {
   var rnd = new scala.util.Random(20260909L)
 
-  def randWord(): String = {
-    val n = 1 + rnd.nextInt(8)
-    (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
-  }
+  def randWord(): String = FuzzUtil.randWord(rnd)
 
-  def dump(outDir: String, name: String, pdf: Array[Byte]): Unit = {
-    Files.write(Paths.get(s"$outDir/$name.pdf"), pdf)
-    val mine =
-      try graft.core.pdf.PdfExtract.pdf2txt(pdf)
-      catch { case e: Throwable => ("KERNEL-ERR " + e.getClass.getName).getBytes }
-    Files.write(Paths.get(s"$outDir/$name.mine"), mine)
-  }
+  def dump(outDir: String, name: String, pdf: Array[Byte]): Unit =
+    FuzzUtil.dump(outDir, name, pdf)
 
   private def simpleContent(text: String): Array[Byte] =
     bytes(s"BT\n/F1 11 Tf\n70 ${640 + rnd.nextInt(100)} Td\n($text) Tj\nET\n")

@@ -779,6 +779,16 @@ class OpsSpec extends AnyFunSuite {
     assert(got(2L) == (("unique two", 1L, 2L)))
     assert(got(3L) == (("", 0L, 2L)))
     assert(got(4L) == (("zz\naa", 2L, 2L)))
+    // blank lines are paragraph structure, never boilerplate — preserved
+    // no matter how often they repeat
+    val para = Seq(
+      (1L, "nav\np1\n\np2"), (2L, "nav\nx1\n\nx2"),
+      (3L, "nav\ny1\n\ny2"), (4L, "nav\nz1\n\nz2")
+    ).toDF("doc_id", "text")
+    val got2 = TextOps.removeBoilerplateLines(para, maxDf = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    assert(got2(1L) == "p1\n\np2", got2(1L))
+    assert(got2(4L) == "z1\n\nz2")
   }
 
   test("quantizeInt8: codes, params, and reconstruction-error bound") {
@@ -819,6 +829,17 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == "https://a.example.com/p/8")
     assert(got(5L) == "https://a.example.com/p/8")
     assert(got(6L) == "https://a.example.com/p/9")
+    // RFC 3986: host case-insensitive, PATH case-sensitive; empty query
+    // and trailing '&' are noise
+    val df2 = Seq(
+      (7L, "HTTPS://A.example.com/CaseSensitivePath"),
+      (8L, "https://a.example.com/p?"),
+      (9L, "https://a.example.com/p?q=1&")).toDF("doc_id", "url")
+    val got2 = df2.select(col("doc_id"), CorpusOps.urlCanonical(col("url")).as("c"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("c")).toMap
+    assert(got2(7L) == "https://a.example.com/CaseSensitivePath", got2(7L))
+    assert(got2(8L) == "https://a.example.com/p")
+    assert(got2(9L) == "https://a.example.com/p?q=1")
   }
 
   test("canonicalUrlDedup: keeper is min doc_id, one shuffle with partial agg") {
