@@ -141,6 +141,7 @@ object SparkEntry {
         Seq("src3", "src7", "src13").toDF("source"))
     }),
     "q38_length_histogram" -> ((s, dir) => CorpusOps.lengthHistogram(docs(s, dir))),
+    "q43_token_budget" -> ((s, dir) => CorpusOps.tokenBudgetSelect(docs(s, dir), 1000L)),
     "q39_url_canonical_dedup" -> ((s, dir) => {
       // deterministic URL frame synthesized from documents (no url column
       // in the table): tracking params + fragments + trailing slashes,
@@ -606,6 +607,31 @@ object SparkEntry {
         |SELECT c.source, c.len_bucket, c.n_docs,
         |  round(c.n_docs / cast(t.n_total AS double), 6) AS share
         |FROM c JOIN t USING (source)""".stripMargin,
+    "q43_token_budget" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |    round(
+        |      least(length(text) / 500.0, 1.0) * 0.4 +
+        |      (CASE WHEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+        |                 / greatest(cast(length(text) AS double), 1.0) > 0.2 THEN 0.0
+        |            ELSE 1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+        |                 / greatest(cast(length(text) AS double), 1.0) * 2 END) * 0.3 +
+        |      least((len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |          w -> w IN ('the','a','an','and','or','of','to','in','is','it',
+        |                     'that','on','for','with','as','at','by','this')))
+        |        / greatest(cast(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS double), 1.0)) * 4.0,
+        |        1.0) * 0.3, 6) AS quality,
+        |    cast(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS bigint) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, source, quality, n_tokens, cast(cum_tokens AS bigint) AS cum_tokens
+        |FROM (
+        |  SELECT doc_id, source, quality, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM scored)
+        |WHERE cum_tokens <= 1000""".stripMargin,
     "q39_url_canonical_dedup" ->
       """WITH u AS (
         |  SELECT doc_id,

@@ -128,6 +128,36 @@ object CorpusOps {
       .groupBy(col("canonical_url"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_dups"))
 
+  /** quality-ordered token-budget selection per source — the corpus-mixing
+    * primitive: each source contributes its highest-quality documents
+    * until its token budget is spent (running whitespace-token sum,
+    * cutoff inclusive-sum <= budget). Ordering is (quality desc, doc_id
+    * asc) on the ROUNDED quality so the selection is engine-portable and
+    * retry-stable.
+    *
+    * Scale note: the running sum is a per-source window — a hot source
+    * sorts in one reducer. Unlike sourceQuota's count cap, a token budget
+    * has no exact local pre-prune (a scan partition cannot know the global
+    * quality cutoff); production shape for web-scale sources is two-pass:
+    * estimate the cutoff quality via approx quantiles of the token-
+    * weighted quality distribution, pre-filter to ~cutoff - epsilon, then
+    * run this window on the survivors. */
+  def tokenBudgetSelect(documents: DataFrame, budgetTokens: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = documents.select(col("doc_id"), col("source"),
+      round(TextOps.qualityScore(col("text")), 6).as("quality"),
+      when(length(trim(col("text"))) === 0, 0L)
+        .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col("doc_id"), col("source"), col("quality"),
+        col("n_tokens"), col("cum_tokens"))
+  }
+
   /** per-source length histogram: bucket = floor(n_chars / bucketWidth),
     * count + share-of-source. One partial-aggregated shuffle on
     * (source, bucket); the share join is vs the source totals (tiny). */

@@ -752,6 +752,25 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Set("src0", "src2", "src4"))
   }
 
+  test("tokenBudgetSelect: highest quality first, inclusive running sum, per-source budget") {
+    // identical text => identical quality; doc_id breaks ties, so the
+    // running order within each source is deterministic
+    val good = "the quick brown fox jumps over the lazy dog and runs on." // has stopwords+punct
+    val df = Seq(
+      (1L, "en", "a", good), (2L, "en", "a", good), (3L, "en", "a", good),
+      (9L, "en", "b", good)).toDF("doc_id", "lang", "source", "text")
+    // each doc is 12 tokens; budget 25 admits exactly two docs per source
+    val got = CorpusOps.tokenBudgetSelect(df, budgetTokens = 25L).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Long]("cum_tokens")))
+      .toSet
+    assert(got == Set(("a", 1L, 12L), ("a", 2L, 24L), ("b", 9L, 12L)), got)
+    // a higher-quality doc preempts earlier doc_ids
+    val junk = "zzzzzzzz qqqq xxxxxx wwww pppp mmmm nnnn kkkk jjjj hhhh gggg ffff"
+    val df2 = Seq((1L, "en", "a", junk), (2L, "en", "a", good)).toDF("doc_id", "lang", "source", "text")
+    val first = CorpusOps.tokenBudgetSelect(df2, budgetTokens = 12L).collect()
+    assert(first.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L))
+  }
+
   test("lengthHistogram: buckets and shares are exact") {
     val df = srcDf(
       (1L, "en", "a", 50), (2L, "en", "a", 150), (3L, "en", "a", 160), (4L, "en", "b", 990))
