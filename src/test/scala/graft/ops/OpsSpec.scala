@@ -861,6 +861,32 @@ class OpsSpec extends AnyFunSuite {
     assert(got2(9L) == "https://a.example.com/p?q=1")
   }
 
+  test("urlCanonical is idempotent over random URLs") {
+    val rnd = new scala.util.Random(4242L)
+    def randUrl(): String = {
+      val scheme = if (rnd.nextBoolean()) "https" else "HTTP"
+      val host = (0 to rnd.nextInt(2)).map(_ => s"H${rnd.nextInt(99)}").mkString(".") + ".Example.com"
+      val path = (0 to rnd.nextInt(3)).map(_ => s"Seg${rnd.nextInt(50)}").mkString("/", "/", "") +
+        (if (rnd.nextBoolean()) "/" else "")
+      val params = (0 until rnd.nextInt(4)).map(_ => rnd.nextInt(5) match {
+        case 0 => s"utm_${rnd.nextInt(9)}=x"
+        case 1 => "ref=" + rnd.nextInt(99)
+        case 2 => ""
+        case _ => s"k${rnd.nextInt(9)}=v${rnd.nextInt(9)}"
+      })
+      val q = if (params.nonEmpty || rnd.nextBoolean()) "?" + params.mkString("&") else ""
+      val frag = if (rnd.nextBoolean()) s"#Frag${rnd.nextInt(9)}" else ""
+      s"$scheme://$host$path$q$frag"
+    }
+    val urls = (0 until 300).map(i => (i.toLong, randUrl()))
+    val once = urls.toDF("doc_id", "url")
+      .select(col("doc_id"), CorpusOps.urlCanonical(col("url")).as("url"))
+    val twice = once.select(col("doc_id"), CorpusOps.urlCanonical(col("url")).as("url"))
+    val a = once.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val b = twice.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"not idempotent: $x vs $y") }
+  }
+
   test("canonicalUrlDedup: keeper is min doc_id, one shuffle with partial agg") {
     val df = Seq(
       (10L, "https://a.example.com/x?ref=1"),
