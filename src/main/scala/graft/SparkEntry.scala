@@ -196,6 +196,12 @@ object SparkEntry {
     "q15_simsearch_lsh" -> ((s, dir) => SimSearch.lshTopK(emb(s, dir), 5, 10)),
     "q29_simsearch_ivf" -> ((s, dir) => SimSearch.ivfTopK(emb(s, dir), 5, 10)),
     "q41_quantize_int8" -> ((s, dir) => SimSearch.quantizeInt8(emb(s, dir))),
+    "q44_simsearch_pq" -> ((s, dir) => {
+      // PQ ADC scan + exact rerank; no SQL oracle (k-means codebook) —
+      // gated by OpsSpec recall-vs-brute + exact-rerank-cosine checks
+      val e = emb(s, dir)
+      SimSearch.pqTopK(e, SimSearch.buildPqCodebook(e), 5, 10)
+    }),
     // ---- extraction pipeline (synthesized corpus; rows-only + sbt test gate) ----
     "x16_extract" -> ((s, dir) => {
       import s.implicits._

@@ -214,20 +214,22 @@ object SimSearch {
     val n = embeddings.count()
     val k = if (nCentroids > 0) nCentroids
       else math.max(4, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
-    val training =
-      if (n <= trainSample) embeddings
-      else {
-        // deterministic modulus sample (no RNG: stable across retries);
-        // ceil division so the expected sample is <= trainSample (floor
-        // would keep 100% of the corpus for n in (trainSample, 2*trainSample))
-        val keepOneIn = (n + trainSample - 1L) / trainSample
-        val sampled = embeddings.filter(pmod(xxhash64(col("vec_id")), lit(keepOneIn)) === 0)
-        // a pathological hash draw (tiny trainSample) can leave the sample
-        // empty; k-means cannot init from zero vectors — fall back to full
-        if (sampled.isEmpty) embeddings else sampled
-      }
-    IvfIndex(kmeansCentroids(training, k, iters, dim))
+    IvfIndex(kmeansCentroids(hashSample(embeddings, n, trainSample), k, iters, dim))
   }
+
+  /** deterministic modulus sample of at most ~trainSample rows (no RNG:
+    * stable across retries); ceil division so the expected sample is
+    * <= trainSample (floor would keep 100% of the corpus for n in
+    * (trainSample, 2*trainSample)). Falls back to the full frame if a
+    * pathological hash draw leaves the sample empty (k-means cannot init
+    * from zero vectors). */
+  private def hashSample(embeddings: DataFrame, n: Long, trainSample: Long): DataFrame =
+    if (n <= trainSample) embeddings
+    else {
+      val keepOneIn = (n + trainSample - 1L) / trainSample
+      val sampled = embeddings.filter(pmod(xxhash64(col("vec_id")), lit(keepOneIn)) === 0)
+      if (sampled.isEmpty) embeddings else sampled
+    }
 
   /** ANN search against a pre-built IVF index: vectors are assigned to their
     * nearest centroid's posting list (one executor-local pass against the
@@ -374,5 +376,158 @@ object SimSearch {
       .select(col("vec_id"), col("q_csv"),
         round(col("offset"), 6).as("offset"), round(col("scale"), 6).as("scale"),
         round(col("max_err"), 6).as("max_err"))
+  }
+
+  // ---- product quantization (PQ) -----------------------------------------------
+
+  /** a trained PQ codebook: `m` subvectors, each with its own `k`-centroid
+    * quantizer over `subDim` dims — centroids(j)(c) is centroid c of
+    * subvector j. Tiny (m*k*subDim floats) and broadcastable; like
+    * IvfIndex, a real deployment trains ONCE per corpus and serves every
+    * encode/search from the snapshot. */
+  final case class PqCodebook(subDim: Int, centroids: Array[Array[Array[Float]]]) {
+    def m: Int = centroids.length
+    def k: Int = if (centroids.isEmpty) 0 else centroids(0).length
+  }
+
+  /** train a PQ codebook: the embedding is split into `m` contiguous
+    * subvectors and each gets an independent deterministic k-means
+    * quantizer (trained on the same bounded hash-sample as IVF). Memory
+    * per encoded vector is m*ceil(log2 k)/8 bytes — m=8,k=16 compresses a
+    * 64-dim float32 vector 64x (256 -> 4 bytes packed; codes are emitted
+    * unpacked as array<int> here, the sink packs). */
+  def buildPqCodebook(
+      embeddings: DataFrame,
+      m: Int = 8,
+      k: Int = 16,
+      iters: Int = 3,
+      dim: Int = 64,
+      trainSample: Long = 200000L): PqCodebook = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subvectors")
+    val subDim = dim / m
+    val training = hashSample(embeddings, embeddings.count(), trainSample)
+    val cents = (0 until m).map { j =>
+      val sub = training.select(col("vec_id"),
+        expr(s"slice(embedding, ${j * subDim + 1}, $subDim)").as("embedding"))
+      kmeansCentroids(sub, k, iters, subDim)
+    }.toArray
+    PqCodebook(subDim, cents)
+  }
+
+  /** squared L2 of one subvector slice against a centroid */
+  private def subDist2(emb: Seq[Float], off: Int, cent: Array[Float]): Double = {
+    var d = 0.0
+    var i = 0
+    val n = math.min(cent.length, math.max(emb.length - off, 0))
+    while (i < n) { val x = emb(off + i) - cent(i); d += x * x; i += 1 }
+    d
+  }
+
+  private def nearestSub(emb: Seq[Float], off: Int, cents: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val d = subDist2(emb, off, cents(c))
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** encode every vector to its m PQ codes — one executor-local pass
+    * against the broadcast codebook, no shuffle */
+  def pqEncode(embeddings: DataFrame, cb: PqCodebook): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cb)
+    embeddings.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val c = bc.value
+        it.map { case (id, emb) =>
+          val codes = new Array[Int](c.m)
+          var j = 0
+          while (j < c.m) { codes(j) = nearestSub(emb, j * c.subDim, c.centroids(j)); j += 1 }
+          (id, codes.toSeq)
+        }
+      }
+      .toDF("vec_id", "codes")
+  }
+
+  /** PQ ANN: asymmetric-distance (ADC) scan over the CODES (m table
+    * lookups per vector instead of dim multiplies over float32 — the scan
+    * reads ~m bytes/vector, the 100 TB win), shortlist the top
+    * `rerank * k` per query, then EXACT cosine re-rank of the shortlist
+    * only (the standard PQ serving shape). Queries stay float; per-query
+    * dot tables (m x k) and the query-independent centroid norms are
+    * driver-computed and broadcast with the codebook. Output schema
+    * matches bruteForceTopK (exact cosines on the returned rows). */
+  def pqTopK(
+      embeddings: DataFrame,
+      cb: PqCodebook,
+      nQueries: Int = 5,
+      k: Int = 10,
+      rerank: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val qLocal = e.orderBy("vec_id").limit(nQueries)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    // per-query [m][k] dot tables + query norms; centroid norm^2 per (j,c)
+    val centNorm2 = cb.centroids.map(_.map(c => c.map(x => x.toDouble * x).sum))
+    val tables = qLocal.map { case (qid, qemb) =>
+      val t = Array.tabulate(cb.m, cb.k) { (j, c) =>
+        val cent = cb.centroids(j)(c)
+        var d = 0.0
+        var i = 0
+        val off = j * cb.subDim
+        while (i < cent.length && off + i < qemb.length) { d += qemb(off + i) * cent(i); i += 1 }
+        d
+      }
+      val qn = math.sqrt(qemb.map(x => x.toDouble * x).sum)
+      (qid, t, qn)
+    }
+    val bcTables = spark.sparkContext.broadcast(tables)
+    val bcNorm2 = spark.sparkContext.broadcast(centNorm2)
+    val scored = pqEncode(embeddings, cb).as[(Long, Seq[Int])]
+      .mapPartitions { it =>
+        val ts = bcTables.value
+        val n2 = bcNorm2.value
+        it.flatMap { case (vid, codes) =>
+          // approx |x| from the reconstruction: sqrt(sum_j |c_j|^2)
+          var xn2 = 0.0
+          var j = 0
+          while (j < codes.length) { xn2 += n2(j)(codes(j)); j += 1 }
+          val xn = math.max(math.sqrt(xn2), 1e-12)
+          ts.iterator.flatMap { case (qid, t, qn) =>
+            if (qid == vid) None
+            else {
+              var dot = 0.0
+              var jj = 0
+              while (jj < codes.length) { dot += t(jj)(codes(jj)); jj += 1 }
+              Some((qid, vid, dot / (math.max(qn, 1e-12) * xn)))
+            }
+          }
+        }
+      }
+      .toDF("query_id", "vec_id", "approx_cos")
+    val wA = Window.partitionBy("query_id").orderBy(col("approx_cos").desc, col("vec_id").asc)
+    val shortlist = scored.withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= k * rerank)
+      .select(col("query_id"), col("vec_id"))
+    // exact re-rank of the shortlist only
+    val queries = qLocal.toSeq.toDF("query_id", "query_emb")
+    val exact = shortlist
+      .join(e, "vec_id")
+      .join(broadcast(queries), "query_id")
+      .withColumn("cosine", cosineCol(col("query_emb"), col("embedding")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("cosine"), 6).as("cosine"))
   }
 }

@@ -667,6 +667,40 @@ class OpsSpec extends AnyFunSuite {
       s"missing=${(expected.keySet -- got.keySet).take(5)} extra=${(got.keySet -- expected.keySet).take(5)}")
   }
 
+  test("PQ: codebook shape, encode determinism, ADC+rerank recall vs brute force") {
+    val dim = 32
+    def clustered(i: Long): Seq[Float] = {
+      val c = (i % 8).toInt
+      val center = randVec(9000L + c, dim)
+      randVec(i, dim).zipWithIndex.map { case (v, j) => center(j) + 0.15f * v }.toSeq
+    }
+    val nVec = 600L
+    val cdf = (0L until nVec).map(i => (i, clustered(i))).toDF("vec_id", "embedding")
+    val cb = SimSearch.buildPqCodebook(cdf, m = 8, k = 16, dim = dim)
+    assert(cb.m == 8 && cb.k == 16 && cb.subDim == 4)
+    // encode: every code in range; partition-invariant and deterministic
+    val codes1 = SimSearch.pqEncode(cdf, cb).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[scala.collection.Seq[Int]]("codes").toSeq).toMap
+    assert(codes1.values.forall(cs => cs.length == 8 && cs.forall(c => c >= 0 && c < 16)))
+    val codes2 = SimSearch.pqEncode(cdf.repartition(7), cb).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[scala.collection.Seq[Int]]("codes").toSeq).toMap
+    assert(codes1 == codes2, "pqEncode must be partition-invariant")
+    // ADC scan + exact rerank: recall@10 vs brute force on clustered data
+    val exact = SimSearch.bruteForceTopK(cdf, 5, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val pq = SimSearch.pqTopK(cdf, cb, 5, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"PQ recall@10 $recall")
+    // returned cosines are EXACT (rerank), matching brute values per pair
+    val exactCos = SimSearch.bruteForceTopK(cdf, 5, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine")).toMap
+    SimSearch.pqTopK(cdf, cb, 5, 10).collect().foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      exactCos.get(key).foreach(c => assert(c == r.getAs[Double]("cosine"), s"cosine mismatch at $key"))
+    }
+  }
+
   test("IVF vs LSH recall curves: IVF wins on clustered, both >=0.9@k on their regimes") {
     // clustered embeddings: 8 tight gaussian-ish clusters; uniform: randVec.
     // Recall@10 vs the brute-force exact top-10 for 5 queries.
