@@ -196,6 +196,13 @@ object SparkEntry {
     "q15_simsearch_lsh" -> ((s, dir) => SimSearch.lshTopK(emb(s, dir), 5, 10)),
     "q29_simsearch_ivf" -> ((s, dir) => SimSearch.ivfTopK(emb(s, dir), 5, 10)),
     "q41_quantize_int8" -> ((s, dir) => SimSearch.quantizeInt8(emb(s, dir))),
+    "q45_simsearch_ivfpq" -> ((s, dir) => {
+      // composed big-index shape: coarse IVF probe + residual-PQ ADC +
+      // exact rerank; no SQL oracle (two k-means layers) — gated by
+      // OpsSpec recall/probe-limit/encode-range checks
+      val e = emb(s, dir)
+      SimSearch.ivfPqTopK(e, SimSearch.buildIvfPqIndex(e), 5, 10)
+    }),
     "q44_simsearch_pq" -> ((s, dir) => {
       // PQ ADC scan + exact rerank; no SQL oracle (k-means codebook) —
       // gated by OpsSpec recall-vs-brute + exact-rerank-cosine checks

@@ -530,4 +530,174 @@ object SimSearch {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rank").cast("long").as("rank"), round(col("cosine"), 6).as("cosine"))
   }
+
+  // ---- IVF-PQ: the composed big-index serving shape ----------------------------
+
+  /** coarse IVF quantizer + PQ codebook trained on RESIDUALS (vector minus
+    * its assigned coarse centroid — residuals are what PQ sees at query
+    * time, so training on them is the accuracy-preserving choice; raw-
+    * vector PQ wastes codebook capacity re-describing the coarse
+    * structure). Both snapshots are tiny and broadcastable. */
+  final case class IvfPqIndex(ivf: IvfIndex, pq: PqCodebook)
+
+  def buildIvfPqIndex(
+      embeddings: DataFrame,
+      nCentroids: Int = 16,
+      m: Int = 8,
+      k: Int = 16,
+      iters: Int = 3,
+      dim: Int = 64,
+      trainSample: Long = 200000L): IvfPqIndex = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val ivf = buildIvfIndex(embeddings, nCentroids, iters, dim, trainSample)
+    val bc = spark.sparkContext.broadcast(ivf.centroids)
+    val sample = hashSample(embeddings, embeddings.count(), trainSample)
+    val residuals = sample.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val cents = bc.value
+        it.map { case (id, emb) =>
+          val c = cents(nearestCentroid(emb, cents))
+          (id, emb.toArray.zipWithIndex.map { case (x, i) =>
+            x - (if (i < c.length) c(i) else 0f) }.toSeq)
+        }
+      }
+      .toDF("vec_id", "embedding")
+    IvfPqIndex(ivf, buildPqCodebook(residuals, m, k, iters, dim, trainSample))
+  }
+
+  /** encode: assign each vector to its coarse list, PQ-encode its RESIDUAL
+    * — one executor-local pass, no shuffle. Output (vec_id, list, codes). */
+  def ivfPqEncode(embeddings: DataFrame, index: IvfPqIndex): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(index)
+    embeddings.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val idx = bc.value
+        it.map { case (id, emb) =>
+          val li = nearestCentroid(emb, idx.ivf.centroids)
+          val cent = idx.ivf.centroids(li)
+          val res: Seq[Float] = emb.toArray.zipWithIndex.map { case (x, i) =>
+            x - (if (i < cent.length) cent(i) else 0f) }.toSeq
+          val codes = new Array[Int](idx.pq.m)
+          var j = 0
+          while (j < idx.pq.m) {
+            codes(j) = nearestSub(res, j * idx.pq.subDim, idx.pq.centroids(j)); j += 1
+          }
+          (id, li, codes.toSeq)
+        }
+      }
+      .toDF("vec_id", "list", "codes")
+  }
+
+  /** IVF-PQ ANN (the FAISS-IVFPQ serving shape): probe the `nProbe`
+    * nearest coarse lists per query, ADC-score the CODES inside probed
+    * lists only (per-(query,list) residual dot tables — the query residual
+    * differs per probed centroid), shortlist, exact-rerank. Per-query work
+    * is ~nProbe/nlist of a PQ scan, which itself reads ~m bytes/vector:
+    * the two compressions multiply, which is how 10^11-vector indexes
+    * serve. */
+  def ivfPqTopK(
+      embeddings: DataFrame,
+      index: IvfPqIndex,
+      nQueries: Int = 5,
+      k: Int = 10,
+      nProbe: Int = 4,
+      rerank: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val qLocal = e.orderBy("vec_id").limit(nQueries)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val cents = index.ivf.centroids
+    // FULL-SPACE ADC over the reconstruction x^ = c_li + r^ (subvectors
+    // are disjoint, so every term is exactly table-decomposable):
+    //   dot(q, x^)  = dot(q, c_li) + sum_j qtab[j][code_j]
+    //   |x^|^2      = |c_li|^2 + 2*sum_j cdot[li][j][code_j]
+    //                          +   sum_j pqNorm2[j][code_j]
+    //   approx_cos  = dot(q, x^) / (|q| * |x^|)
+    // A residual-space cosine would rank fine WITHIN one list but is not
+    // comparable ACROSS probed lists (measured: recall@10 0.6 vs 0.9+).
+    val pqNorm2 = index.pq.centroids.map(_.map(c => c.map(x => x.toDouble * x).sum))
+    val centNorm2 = cents.map(c => c.map(x => x.toDouble * x).sum)
+    // cdot[li][j][c] = dot(c_li restricted to subvector j, pq centroid c)
+    val cdot = Array.tabulate(cents.length, index.pq.m, index.pq.k) { (li, j, c) =>
+      val cent = cents(li)
+      val sub = index.pq.centroids(j)(c)
+      var d = 0.0
+      var i = 0
+      val off = j * index.pq.subDim
+      while (i < sub.length && off + i < cent.length) { d += cent(off + i) * sub(i); i += 1 }
+      d
+    }
+    val probes = qLocal.map { case (qid, qemb) =>
+      val lists = nearestCentroids(qemb, cents, math.min(nProbe, cents.length))
+      val qtab = Array.tabulate(index.pq.m, index.pq.k) { (j, c) =>
+        val sub = index.pq.centroids(j)(c)
+        var d = 0.0
+        var i = 0
+        val off = j * index.pq.subDim
+        while (i < sub.length && off + i < qemb.length) { d += qemb(off + i) * sub(i); i += 1 }
+        d
+      }
+      val qDotCent = lists.map { li =>
+        val cent = cents(li)
+        var d = 0.0
+        var i = 0
+        while (i < cent.length && i < qemb.length) { d += qemb(i) * cent(i); i += 1 }
+        li -> d
+      }.toMap
+      val qn = math.sqrt(qemb.map(x => x.toDouble * x).sum)
+      (qid, lists.toSet, qtab, qDotCent, qn)
+    }
+    val bcProbes = spark.sparkContext.broadcast(probes)
+    val bcPqNorm2 = spark.sparkContext.broadcast(pqNorm2)
+    val bcCentNorm2 = spark.sparkContext.broadcast(centNorm2)
+    val bcCdot = spark.sparkContext.broadcast(cdot)
+    val scored = ivfPqEncode(embeddings, index).as[(Long, Int, Seq[Int])]
+      .mapPartitions { it =>
+        val ps = bcProbes.value
+        val n2 = bcPqNorm2.value
+        val cn2 = bcCentNorm2.value
+        val cd = bcCdot.value
+        it.flatMap { case (vid, li, codes) =>
+          // |x^|^2 from the list + codes (query-independent)
+          var xn2 = cn2(li)
+          var j = 0
+          while (j < codes.length) {
+            xn2 += 2.0 * cd(li)(j)(codes(j)) + n2(j)(codes(j)); j += 1
+          }
+          val xn = math.max(math.sqrt(math.max(xn2, 0.0)), 1e-12)
+          ps.iterator.flatMap { case (qid, probedSet, qtab, qDotCent, qn) =>
+            if (qid == vid || !probedSet.contains(li)) None
+            else {
+              var dot = qDotCent(li)
+              var jj = 0
+              while (jj < codes.length) { dot += qtab(jj)(codes(jj)); jj += 1 }
+              Some((qid, vid, dot / (math.max(qn, 1e-12) * xn)))
+            }
+          }
+        }
+      }
+      .toDF("query_id", "vec_id", "approx_cos")
+    val wA = Window.partitionBy("query_id").orderBy(col("approx_cos").desc, col("vec_id").asc)
+    val shortlist = scored.withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= k * rerank)
+      .select(col("query_id"), col("vec_id"))
+    val queries = qLocal.toSeq.toDF("query_id", "query_emb")
+    val exact = shortlist
+      .join(e, "vec_id")
+      .join(broadcast(queries), "query_id")
+      .withColumn("cosine", cosineCol(col("query_emb"), col("embedding")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("cosine"), 6).as("cosine"))
+  }
 }

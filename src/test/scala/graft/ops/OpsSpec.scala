@@ -701,6 +701,37 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ: residual encode, probe-limited ADC, recall vs brute force") {
+    val dim = 32
+    def clustered(i: Long): Seq[Float] = {
+      val c = (i % 8).toInt
+      val center = randVec(9000L + c, dim)
+      randVec(i, dim).zipWithIndex.map { case (v, j) => center(j) + 0.15f * v }.toSeq
+    }
+    val nVec = 600L
+    val cdf = (0L until nVec).map(i => (i, clustered(i))).toDF("vec_id", "embedding")
+    val idx = SimSearch.buildIvfPqIndex(cdf, nCentroids = 16, m = 8, k = 16, dim = dim)
+    // encode: every vector gets a valid list + m in-range codes
+    val enc = SimSearch.ivfPqEncode(cdf, idx).collect()
+    assert(enc.length == nVec)
+    assert(enc.forall { r =>
+      val li = r.getAs[Int]("list")
+      val cs = r.getAs[scala.collection.Seq[Int]]("codes")
+      li >= 0 && li < 16 && cs.length == 8 && cs.forall(c => c >= 0 && c < 16)
+    })
+    // recall@10 vs brute on clustered data with 4/16 lists probed
+    val exact = SimSearch.bruteForceTopK(cdf, 5, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val got = SimSearch.ivfPqTopK(cdf, idx, 5, 10, nProbe = 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"IVF-PQ recall@10 $recall")
+    // probe-limiting is real: a 1-probe search scans fewer candidates and
+    // still returns k rows per query
+    val narrow = SimSearch.ivfPqTopK(cdf, idx, 5, 10, nProbe = 1).collect()
+    assert(narrow.length <= 50 && narrow.nonEmpty)
+  }
+
   test("IVF vs LSH recall curves: IVF wins on clustered, both >=0.9@k on their regimes") {
     // clustered embeddings: 8 tight gaussian-ish clusters; uniform: randVec.
     // Recall@10 vs the brute-force exact top-10 for 5 queries.
