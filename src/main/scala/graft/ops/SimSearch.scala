@@ -406,12 +406,82 @@ object SimSearch {
     require(dim % m == 0, s"dim $dim must divide into m=$m subvectors")
     val subDim = dim / m
     val training = hashSample(embeddings, embeddings.count(), trainSample)
-    val cents = (0 until m).map { j =>
-      val sub = training.select(col("vec_id"),
-        expr(s"slice(embedding, ${j * subDim + 1}, $subDim)").as("embedding"))
-      kmeansCentroids(sub, k, iters, subDim)
-    }.toArray
-    PqCodebook(subDim, cents)
+    PqCodebook(subDim, kmeansCentroidsMulti(training, k, iters, m, subDim))
+  }
+
+  /** train ALL m subvector quantizers simultaneously: identical math to m
+    * independent `kmeansCentroids` runs over the slices (same lowest-k
+    * init, same mean updates — verified by the PQ OpsSpec gates), but ONE
+    * scan of the training sample per iteration instead of m — at any
+    * scale that turns ~m*(iters+1) sequential jobs into (iters+1). */
+  private def kmeansCentroidsMulti(
+      embeddings: DataFrame,
+      k: Int,
+      iters: Int,
+      m: Int,
+      subDim: Int): Array[Array[Array[Float]]] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = embeddings.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // init: the k lowest-vec_id vectors, sliced per subvector (identical
+    // to each slice-run's own lowest-k init)
+    val initRows = e.orderBy("vec_id").limit(k).collect().map(_._2)
+    var cents: Array[Array[Array[Float]]] = Array.tabulate(m) { j =>
+      initRows.map { emb =>
+        Array.tabulate(subDim)(i =>
+          if (j * subDim + i < emb.length) emb(j * subDim + i) else 0f)
+      }
+    }
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val partials = e.mapPartitions { rows =>
+        val cs = bc.value
+        val sums = Array.ofDim[Double](m, k, subDim)
+        val counts = Array.ofDim[Long](m, k)
+        rows.foreach { case (_, emb) =>
+          var j = 0
+          while (j < m) {
+            val c = nearestSub(emb, j * subDim, cs(j))
+            counts(j)(c) += 1
+            var i = 0
+            val off = j * subDim
+            while (i < subDim && off + i < emb.length) { sums(j)(c)(i) += emb(off + i); i += 1 }
+            j += 1
+          }
+        }
+        (for { j <- 0 until m; c <- 0 until k if counts(j)(c) > 0 }
+          yield (j, c, counts(j)(c), sums(j)(c).toSeq)).iterator
+      }.collect()
+      val next = cents.map(_.map(_.clone()))
+      val totSums = Array.ofDim[Double](m, k, subDim)
+      val totCounts = Array.ofDim[Long](m, k)
+      partials.foreach { case (j, c, n, s) =>
+        totCounts(j)(c) += n
+        var i = 0
+        while (i < subDim) { totSums(j)(c)(i) += s(i); i += 1 }
+      }
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < k) {
+          if (totCounts(j)(c) > 0) {
+            var i = 0
+            while (i < subDim) {
+              next(j)(c)(i) = (totSums(j)(c)(i) / totCounts(j)(c)).toFloat; i += 1
+            }
+          }
+          c += 1
+        }
+        j += 1
+      }
+      cents = next
+      it += 1
+    }
+    e.unpersist()
+    cents
   }
 
   /** squared L2 of one subvector slice against a centroid */
