@@ -455,6 +455,7 @@ object SimSearch {
         (for { j <- 0 until m; c <- 0 until k if counts(j)(c) > 0 }
           yield (j, c, counts(j)(c), sums(j)(c).toSeq)).iterator
       }.collect()
+      bc.destroy() // same per-iteration cleanup as kmeansCentroids
       val next = cents.map(_.map(_.clone()))
       val totSums = Array.ofDim[Double](m, k, subDim)
       val totCounts = Array.ofDim[Long](m, k)
@@ -584,11 +585,26 @@ object SimSearch {
         }
       }
       .toDF("query_id", "vec_id", "approx_cos")
+    rerankShortlist(scored, e, qLocal, k, rerank)
+  }
+
+  /** shared ADC-serving tail for pqTopK/ivfPqTopK: window the approx
+    * scores to a `rerank * k` shortlist per query, then EXACT cosine
+    * re-rank of the shortlist only. One place so the two paths can never
+    * diverge in schema or tie-breaking (output matches bruteForceTopK). */
+  private def rerankShortlist(
+      scored: DataFrame,
+      e: DataFrame,
+      qLocal: Array[(Long, Seq[Float])],
+      k: Int,
+      rerank: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = scored.sparkSession
+    import spark.implicits._
     val wA = Window.partitionBy("query_id").orderBy(col("approx_cos").desc, col("vec_id").asc)
     val shortlist = scored.withColumn("arank", row_number().over(wA))
       .filter(col("arank") <= k * rerank)
       .select(col("query_id"), col("vec_id"))
-    // exact re-rank of the shortlist only
     val queries = qLocal.toSeq.toDF("query_id", "query_emb")
     val exact = shortlist
       .join(e, "vec_id")
@@ -610,6 +626,13 @@ object SimSearch {
     * structure). Both snapshots are tiny and broadcastable. */
   final case class IvfPqIndex(ivf: IvfIndex, pq: PqCodebook)
 
+  /** vector minus its coarse centroid (zero-padded) — ONE definition used
+    * by both codebook training and serving-time encode: the PQ codebook
+    * only matches what ivfPqEncode produces if these are byte-identical */
+  private def residual(emb: Seq[Float], cent: Array[Float]): Seq[Float] =
+    emb.toArray.zipWithIndex.map { case (x, i) =>
+      x - (if (i < cent.length) cent(i) else 0f) }.toSeq
+
   def buildIvfPqIndex(
       embeddings: DataFrame,
       nCentroids: Int = 16,
@@ -618,23 +641,34 @@ object SimSearch {
       iters: Int = 3,
       dim: Int = 64,
       trainSample: Long = 200000L): IvfPqIndex = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subvectors")
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val ivf = buildIvfIndex(embeddings, nCentroids, iters, dim, trainSample)
+    // count ONCE, sample ONCE, and persist: the coarse training, the
+    // residual pass and the PQ training all read this frame (re-sampling
+    // the sample would also be wrong — modulus samples of the same hash
+    // do not compose: a second keepOneIn either keeps ~100% or a
+    // correlated biased half)
+    val n = embeddings.count()
+    val nlist = if (nCentroids > 0) nCentroids
+      else math.max(4, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
+    val sample = hashSample(embeddings, n, trainSample)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ivf = IvfIndex(kmeansCentroids(sample, nlist, iters, dim))
     val bc = spark.sparkContext.broadcast(ivf.centroids)
-    val sample = hashSample(embeddings, embeddings.count(), trainSample)
-    val residuals = sample.select(col("vec_id").cast("long"), col("embedding"))
+    val residuals = sample
       .as[(Long, Seq[Float])]
       .mapPartitions { it =>
         val cents = bc.value
-        it.map { case (id, emb) =>
-          val c = cents(nearestCentroid(emb, cents))
-          (id, emb.toArray.zipWithIndex.map { case (x, i) =>
-            x - (if (i < c.length) c(i) else 0f) }.toSeq)
-        }
+        it.map { case (id, emb) => (id, residual(emb, cents(nearestCentroid(emb, cents)))) }
       }
       .toDF("vec_id", "embedding")
-    IvfPqIndex(ivf, buildPqCodebook(residuals, m, k, iters, dim, trainSample))
+    // residuals are already sample-sized: train directly, no re-sampling
+    val pq = PqCodebook(dim / m, kmeansCentroidsMulti(residuals, k, iters, m, dim / m))
+    sample.unpersist()
+    bc.destroy()
+    IvfPqIndex(ivf, pq)
   }
 
   /** encode: assign each vector to its coarse list, PQ-encode its RESIDUAL
@@ -649,9 +683,7 @@ object SimSearch {
         val idx = bc.value
         it.map { case (id, emb) =>
           val li = nearestCentroid(emb, idx.ivf.centroids)
-          val cent = idx.ivf.centroids(li)
-          val res: Seq[Float] = emb.toArray.zipWithIndex.map { case (x, i) =>
-            x - (if (i < cent.length) cent(i) else 0f) }.toSeq
+          val res = residual(emb, idx.ivf.centroids(li))
           val codes = new Array[Int](idx.pq.m)
           var j = 0
           while (j < idx.pq.m) {
@@ -725,49 +757,45 @@ object SimSearch {
       val qn = math.sqrt(qemb.map(x => x.toDouble * x).sum)
       (qid, lists.toSet, qtab, qDotCent, qn)
     }
+    // union of every query's probed lists: vectors outside it (most of
+    // the corpus at realistic nlist/nProbe ratios) are skipped before any
+    // per-vector work — including the reconstruction-norm loop
+    val unionProbed: Set[Int] = probes.iterator.flatMap(_._2).toSet
     val bcProbes = spark.sparkContext.broadcast(probes)
+    val bcUnion = spark.sparkContext.broadcast(unionProbed)
     val bcPqNorm2 = spark.sparkContext.broadcast(pqNorm2)
     val bcCentNorm2 = spark.sparkContext.broadcast(centNorm2)
     val bcCdot = spark.sparkContext.broadcast(cdot)
     val scored = ivfPqEncode(embeddings, index).as[(Long, Int, Seq[Int])]
       .mapPartitions { it =>
         val ps = bcProbes.value
+        val union = bcUnion.value
         val n2 = bcPqNorm2.value
         val cn2 = bcCentNorm2.value
         val cd = bcCdot.value
         it.flatMap { case (vid, li, codes) =>
-          // |x^|^2 from the list + codes (query-independent)
-          var xn2 = cn2(li)
-          var j = 0
-          while (j < codes.length) {
-            xn2 += 2.0 * cd(li)(j)(codes(j)) + n2(j)(codes(j)); j += 1
-          }
-          val xn = math.max(math.sqrt(math.max(xn2, 0.0)), 1e-12)
-          ps.iterator.flatMap { case (qid, probedSet, qtab, qDotCent, qn) =>
-            if (qid == vid || !probedSet.contains(li)) None
-            else {
-              var dot = qDotCent(li)
-              var jj = 0
-              while (jj < codes.length) { dot += qtab(jj)(codes(jj)); jj += 1 }
-              Some((qid, vid, dot / (math.max(qn, 1e-12) * xn)))
+          if (!union.contains(li)) Iterator.empty
+          else {
+            // |x^|^2 from the list + codes (query-independent)
+            var xn2 = cn2(li)
+            var j = 0
+            while (j < codes.length) {
+              xn2 += 2.0 * cd(li)(j)(codes(j)) + n2(j)(codes(j)); j += 1
+            }
+            val xn = math.max(math.sqrt(math.max(xn2, 0.0)), 1e-12)
+            ps.iterator.flatMap { case (qid, probedSet, qtab, qDotCent, qn) =>
+              if (qid == vid || !probedSet.contains(li)) None
+              else {
+                var dot = qDotCent(li)
+                var jj = 0
+                while (jj < codes.length) { dot += qtab(jj)(codes(jj)); jj += 1 }
+                Some((qid, vid, dot / (math.max(qn, 1e-12) * xn)))
+              }
             }
           }
         }
       }
       .toDF("query_id", "vec_id", "approx_cos")
-    val wA = Window.partitionBy("query_id").orderBy(col("approx_cos").desc, col("vec_id").asc)
-    val shortlist = scored.withColumn("arank", row_number().over(wA))
-      .filter(col("arank") <= k * rerank)
-      .select(col("query_id"), col("vec_id"))
-    val queries = qLocal.toSeq.toDF("query_id", "query_emb")
-    val exact = shortlist
-      .join(e, "vec_id")
-      .join(broadcast(queries), "query_id")
-      .withColumn("cosine", cosineCol(col("query_emb"), col("embedding")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
-    exact.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("rank").cast("long").as("rank"), round(col("cosine"), 6).as("cosine"))
+    rerankShortlist(scored, e, qLocal, k, rerank)
   }
 }

@@ -35,13 +35,14 @@ object StressRun {
     val n = spark.read.parquet(r).count()
     val lin = spark.read.parquet(l)
     val okSum = lin.agg(sum("n_ok")).head.getLong(0)
+    val linRows1 = lin.count() // buckets PRESENT in the data (<= 64 for small runs)
     require(n == nDocs, s"results $n != $nDocs")
     require(okSum == nDocs, s"lineage ok=$okSum != $nDocs")
     println(f"STRESS done: $n rows in $dt%.1f s (${nDocs / dt}%.0f docs/s incl. staging+lineage)")
     val t1 = System.nanoTime()
     graft.pipeline.ExtractJob.run(spark, pages, dir, nBuckets = 64, partitions = 64)
     val linRows = spark.read.parquet(l).count()
-    require(linRows == 64, s"resume appended lineage: $linRows rows")
+    require(linRows == linRows1, s"resume appended lineage: $linRows vs $linRows1 rows")
     println(f"STRESS resume no-op in ${(System.nanoTime() - t1) / 1e9}%.1f s, lineage rows=$linRows")
     spark.stop()
   }

@@ -175,6 +175,17 @@ class OpsSpec extends AnyFunSuite {
       ((z >>> 11).toDouble / (1L << 53).toDouble - 0.5).toFloat
     }
   }
+  /** 8 tight gaussian-ish clusters in `dim` dims — the shared fixture for
+    * the ANN recall tests (one definition so the regimes cannot drift) */
+  private def clusteredEmbeddings(dim: Int, nVec: Long) = {
+    def clustered(i: Long): Seq[Float] = {
+      val c = (i % 8).toInt
+      val center = randVec(9000L + c, dim)
+      randVec(i, dim).zipWithIndex.map { case (v, j) => center(j) + 0.15f * v }.toSeq
+    }
+    (0L until nVec).map(i => (i, clustered(i)))
+  }
+
 
   test("embedding exact near-dup: block-pair join matches brute force, no cartesian node") {
     val dim = 16
@@ -669,13 +680,8 @@ class OpsSpec extends AnyFunSuite {
 
   test("PQ: codebook shape, encode determinism, ADC+rerank recall vs brute force") {
     val dim = 32
-    def clustered(i: Long): Seq[Float] = {
-      val c = (i % 8).toInt
-      val center = randVec(9000L + c, dim)
-      randVec(i, dim).zipWithIndex.map { case (v, j) => center(j) + 0.15f * v }.toSeq
-    }
     val nVec = 600L
-    val cdf = (0L until nVec).map(i => (i, clustered(i))).toDF("vec_id", "embedding")
+    val cdf = clusteredEmbeddings(dim, nVec).toDF("vec_id", "embedding")
     val cb = SimSearch.buildPqCodebook(cdf, m = 8, k = 16, dim = dim)
     assert(cb.m == 8 && cb.k == 16 && cb.subDim == 4)
     // encode: every code in range; partition-invariant and deterministic
@@ -686,30 +692,25 @@ class OpsSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[scala.collection.Seq[Int]]("codes").toSeq).toMap
     assert(codes1 == codes2, "pqEncode must be partition-invariant")
     // ADC scan + exact rerank: recall@10 vs brute force on clustered data
-    val exact = SimSearch.bruteForceTopK(cdf, 5, 10).collect()
-      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
-    val pq = SimSearch.pqTopK(cdf, cb, 5, 10).collect()
-      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
-    val recall = pq.intersect(exact).size.toDouble / exact.size
+    // (each job collected ONCE, with ids and cosines from the same rows)
+    val exactRows = SimSearch.bruteForceTopK(cdf, 5, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine"))
+    val pqRows = SimSearch.pqTopK(cdf, cb, 5, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine"))
+    val exact = exactRows.map(_._1).toSet
+    val recall = pqRows.map(_._1).toSet.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.8, s"PQ recall@10 $recall")
     // returned cosines are EXACT (rerank), matching brute values per pair
-    val exactCos = SimSearch.bruteForceTopK(cdf, 5, 10).collect()
-      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine")).toMap
-    SimSearch.pqTopK(cdf, cb, 5, 10).collect().foreach { r =>
-      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
-      exactCos.get(key).foreach(c => assert(c == r.getAs[Double]("cosine"), s"cosine mismatch at $key"))
+    val exactCos = exactRows.toMap
+    pqRows.foreach { case (key, cos) =>
+      exactCos.get(key).foreach(c => assert(c == cos, s"cosine mismatch at $key"))
     }
   }
 
   test("IVF-PQ: residual encode, probe-limited ADC, recall vs brute force") {
     val dim = 32
-    def clustered(i: Long): Seq[Float] = {
-      val c = (i % 8).toInt
-      val center = randVec(9000L + c, dim)
-      randVec(i, dim).zipWithIndex.map { case (v, j) => center(j) + 0.15f * v }.toSeq
-    }
     val nVec = 600L
-    val cdf = (0L until nVec).map(i => (i, clustered(i))).toDF("vec_id", "embedding")
+    val cdf = clusteredEmbeddings(dim, nVec).toDF("vec_id", "embedding")
     val idx = SimSearch.buildIvfPqIndex(cdf, nCentroids = 16, m = 8, k = 16, dim = dim)
     // encode: every vector gets a valid list + m in-range codes
     val enc = SimSearch.ivfPqEncode(cdf, idx).collect()
@@ -736,13 +737,8 @@ class OpsSpec extends AnyFunSuite {
     // clustered embeddings: 8 tight gaussian-ish clusters; uniform: randVec.
     // Recall@10 vs the brute-force exact top-10 for 5 queries.
     val dim = 32
-    def clustered(i: Long): Seq[Float] = {
-      val c = (i % 8).toInt
-      val center = randVec(9000L + c, dim)
-      randVec(i, dim).zipWithIndex.map { case (v, j) => center(j) + 0.15f * v }.toSeq
-    }
     val nVec = 600L
-    val cdf = (0L until nVec).map(i => (i, clustered(i))).toDF("vec_id", "embedding")
+    val cdf = clusteredEmbeddings(dim, nVec).toDF("vec_id", "embedding")
     val udf_ = (0L until nVec).map(i => (i, randVec(i, dim).toSeq)).toDF("vec_id", "embedding")
     def recallAt10(approx: org.apache.spark.sql.DataFrame, exact: org.apache.spark.sql.DataFrame): Double = {
       val a = approx.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
