@@ -526,6 +526,24 @@ object SimSearch {
       .toDF("vec_id", "codes")
   }
 
+  /** pack k<=16 PQ codes into a binary column, one nibble per code (m=8,
+    * k=16 -> 4 bytes/vector, the storage the 64x-compression claim is
+    * about). Pure codegen'd column math: code -> hex digit -> unhex.
+    * Requires even m (whole bytes). */
+  def packCodes4bit(codes: Column): Column =
+    unhex(concat_ws("", transform(codes, c => lower(conv(c.cast("long"), 10, 16)))))
+
+  /** inverse of packCodes4bit: binary -> array<int> of nibbles */
+  def unpackCodes4bit(packed: Column): Column =
+    transform(split(regexp_replace(hex(packed), "(.)", "$1,"), ",").dropRight,
+      c => conv(c, 16, 10).cast("int"))
+
+  private implicit class ColOps(c: Column) {
+    /** split(...) on a trailing-delimiter string leaves one empty tail
+      * element; drop it */
+    def dropRight: Column = slice(c, lit(1), size(c) - 1)
+  }
+
   /** PQ ANN: asymmetric-distance (ADC) scan over the CODES (m table
     * lookups per vector instead of dim multiplies over float32 — the scan
     * reads ~m bytes/vector, the 100 TB win), shortlist the top

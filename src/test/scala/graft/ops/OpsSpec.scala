@@ -707,6 +707,19 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("packCodes4bit: nibble roundtrip, 4 bytes for m=8, codegen'd (no UDF)") {
+    val df = Seq((1L, Seq(0, 15, 7, 8, 1, 2, 3, 4)), (2L, Seq(9, 9, 0, 0, 15, 15, 5, 10)))
+      .toDF("vec_id", "codes")
+    val packed = df.select(col("vec_id"), SimSearch.packCodes4bit(col("codes")).as("p"))
+    val sizes = packed.select(length(col("p"))).collect().map(_.getInt(0)).toSet
+    assert(sizes == Set(4), s"m=8 must pack to 4 bytes, got $sizes")
+    val back = packed.select(col("vec_id"), SimSearch.unpackCodes4bit(col("p")).as("codes"))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Int]]("codes").toSeq).toMap
+    assert(back(1L) == Seq(0, 15, 7, 8, 1, 2, 3, 4))
+    assert(back(2L) == Seq(9, 9, 0, 0, 15, 15, 5, 10))
+  }
+
   test("IVF-PQ: residual encode, probe-limited ADC, recall vs brute force") {
     val dim = 32
     val nVec = 600L
