@@ -132,6 +132,32 @@ object Warc {
       .toDF()
   }
 
+  /** read WET files (Common Crawl's extracted-text sibling of WARC: the
+    * same container, `conversion`-type records whose payload is plain
+    * UTF-8 text) straight into the engine's `documents` shape — the
+    * ingest path for pipelines that consume CC's own extraction instead
+    * of running the HTML kernel. doc_id = xxhash64(url) (the engine's
+    * standard deterministic id); source = registrable host. Same
+    * one-file-per-task distribution model as readPages. */
+  def readWetDocuments(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(path)
+      .flatMap { case (name, pds) =>
+        val gz = name.endsWith(".gz")
+        parseStream(pds.open(), gz)
+          .filter(_.recordType == "conversion")
+          .map(r => (r.url, new String(r.payload, UTF_8)))
+      }
+      .toDF("url", "text")
+      .select(
+        xxhash64(col("url")).as("doc_id"),
+        col("text"),
+        lit("").as("lang"), // WET carries no language; compose with TextOps.detectLang
+        regexp_extract(col("url"), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:]*)", 1).as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+  }
+
   // ---- fixture writer (tests/bench; deterministic) -------------------------
   def writeFixture(path: String, records: Seq[WarcRecord], gzip: Boolean): Unit = {
     val raw = new ByteArrayOutputStream()

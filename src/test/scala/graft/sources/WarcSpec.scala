@@ -39,4 +39,24 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.httpBody(Warc.httpWrap(body)).sameElements(body))
     assert(Warc.httpBody(body).sameElements(body))
   }
+
+  test("WET conversion records read into the documents shape") {
+    val dir = java.nio.file.Files.createTempDirectory("wet").toString
+    val recs = (0 until 6).map { i =>
+      Warc.WarcRecord(s"https://site$i.example.com/p/$i", "2024-01-01T00:00:00Z",
+        "conversion", s"extracted text body $i with several words".getBytes("UTF-8"))
+    } :+ Warc.WarcRecord("meta", "2024-01-01T00:00:00Z", "warcinfo", "ignored".getBytes)
+    Warc.writeFixture(s"$dir/test.warc.wet.gz", recs, gzip = true)
+    val docs = Warc.readWetDocuments(spark, s"$dir/*.wet.gz")
+    assert(docs.columns.toSeq == Seq("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = docs.collect()
+    assert(rows.length == 6) // warcinfo filtered
+    val bySource = rows.map(r => r.getAs[String]("source") -> r.getAs[String]("text")).toMap
+    assert(bySource("site3.example.com") == "extracted text body 3 with several words")
+    assert(rows.forall(r => r.getAs[Long]("n_chars") == r.getAs[String]("text").length.toLong))
+    // doc_id is the engine-standard xxhash64(url): deterministic across reads
+    val again = Warc.readWetDocuments(spark, s"$dir/*.wet.gz").collect()
+      .map(_.getAs[Long]("doc_id")).sorted
+    assert(again.sameElements(rows.map(_.getAs[Long]("doc_id")).sorted))
+  }
 }
