@@ -279,6 +279,21 @@ object SparkEntry {
       val split = TextOps.hashSplit(finalDocs)
       split.groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
     }),
+    "x20_wet_ingest" -> ((s, dir) => {
+      // WET source surface: deterministic conversion-record fixture ->
+      // documents shape -> langid + stats compose (rows-only driver
+      // check; WarcSpec holds the parse/shape gates)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-wet").toString
+      val recs = (0 until 50).map { i =>
+        graft.sources.Warc.WarcRecord(
+          s"https://s${i % 7}.example.com/d/$i", "2024-01-01T00:00:00Z", "conversion",
+          s"the quick document $i with some shared words and unique token t$i"
+            .getBytes("UTF-8"))
+      }
+      graft.sources.Warc.writeFixture(s"$tmp/f.warc.wet.gz", recs, gzip = true)
+      val docs = graft.sources.Warc.readWetDocuments(s, s"$tmp/*.wet.gz")
+      TextOps.withLangAndFingerprint(docs.select(col("doc_id"), col("text"), col("lang")))
+    }),
     "x19_error_taxonomy" -> ((s, dir) => {
       // robustness surface: every 5th payload truncated mid-stream; the
       // kernel must quarantine (status != ok) without failing the job, and
