@@ -283,14 +283,21 @@ object SparkEntry {
       // WET source surface: deterministic conversion-record fixture ->
       // documents shape -> langid + stats compose (rows-only driver
       // check; WarcSpec holds the parse/shape gates)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-wet").toString
-      val recs = (0 until 50).map { i =>
-        graft.sources.Warc.WarcRecord(
-          s"https://s${i % 7}.example.com/d/$i", "2024-01-01T00:00:00Z", "conversion",
-          s"the quick document $i with some shared words and unique token t$i"
-            .getBytes("UTF-8"))
+      // fixture is deterministic: write ONCE to a stable path and reuse,
+      // so repeated Verify/bench reps measure the READ path and /tmp does
+      // not accumulate a directory per invocation
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-wet-fixture"
+      val f = new java.io.File(s"$tmp/f.warc.wet.gz")
+      if (!f.exists()) {
+        new java.io.File(tmp).mkdirs()
+        val recs = (0 until 50).map { i =>
+          graft.sources.Warc.WarcRecord(
+            s"https://s${i % 7}.example.com/d/$i", "2024-01-01T00:00:00Z", "conversion",
+            s"the quick document $i with some shared words and unique token t$i"
+              .getBytes("UTF-8"))
+        }
+        graft.sources.Warc.writeFixture(f.getPath, recs, gzip = true)
       }
-      graft.sources.Warc.writeFixture(s"$tmp/f.warc.wet.gz", recs, gzip = true)
       val docs = graft.sources.Warc.readWetDocuments(s, s"$tmp/*.wet.gz")
       TextOps.withLangAndFingerprint(docs.select(col("doc_id"), col("text"), col("lang")))
     }),

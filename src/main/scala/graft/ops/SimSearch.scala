@@ -529,9 +529,13 @@ object SimSearch {
   /** pack k<=16 PQ codes into a binary column, one nibble per code (m=8,
     * k=16 -> 4 bytes/vector, the storage the 64x-compression claim is
     * about). Pure codegen'd column math: code -> hex digit -> unhex.
-    * Requires even m (whole bytes). */
+    * Requires even m (whole bytes). Codes outside 0..15 or null elements
+    * would silently shift every later nibble (conv emits 2+ hex digits,
+    * concat_ws drops nulls) — such rows pack to NULL instead, so contract
+    * violations are loud, never silently-wrong ANN results. */
   def packCodes4bit(codes: Column): Column =
-    unhex(concat_ws("", transform(codes, c => lower(conv(c.cast("long"), 10, 16)))))
+    when(exists(codes, c => c.isNull || c < 0 || c > 15), lit(null))
+      .otherwise(unhex(concat_ws("", transform(codes, c => lower(conv(c.cast("long"), 10, 16))))))
 
   /** inverse of packCodes4bit: binary -> array<int> of nibbles */
   def unpackCodes4bit(packed: Column): Column =

@@ -81,7 +81,12 @@ object Warc {
               nextRec = WarcRecord(url, date, tpe, payload)
             }
           } catch {
-            case _: EOFException => done = true
+            case _: EOFException =>
+              done = true
+              // end of container: close eagerly — at crawl scale a task
+              // parses thousands of files, and waiting for finalization
+              // leaks fds and GZIP Inflater native memory
+              try in.close() catch { case _: Exception => }
           }
         }
       }
@@ -154,7 +159,11 @@ object Warc {
         xxhash64(col("url")).as("doc_id"),
         col("text"),
         lit("").as("lang"), // WET carries no language; compose with TextOps.detectLang
-        regexp_extract(col("url"), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:]*)", 1).as("source"),
+        // lowercase + userinfo-stripped host (RFC 3986 — same normalization
+        // as CorpusOps.urlCanonical), so per-source quotas/blocklists never
+        // fragment across casing variants of one crawl host
+        lower(regexp_extract(col("url"),
+          "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:@]*)", 1)).as("source"),
         length(col("text")).cast("long").as("n_chars"))
   }
 

@@ -718,6 +718,11 @@ class OpsSpec extends AnyFunSuite {
         r.getAs[scala.collection.Seq[Int]]("codes").toSeq).toMap
     assert(back(1L) == Seq(0, 15, 7, 8, 1, 2, 3, 4))
     assert(back(2L) == Seq(9, 9, 0, 0, 15, 15, 5, 10))
+    // contract violations pack to NULL, never to silently-shifted bytes
+    val bad = Seq((1L, Seq(0, 16, 1, 2, 3, 4, 5, 6)), (2L, Seq(-1, 0, 1, 2, 3, 4, 5, 6)))
+      .toDF("vec_id", "codes")
+      .select(SimSearch.packCodes4bit(col("codes")).as("p")).collect()
+    assert(bad.forall(_.isNullAt(0)), "out-of-range codes must yield null")
   }
 
   test("IVF-PQ: residual encode, probe-limited ADC, recall vs brute force") {

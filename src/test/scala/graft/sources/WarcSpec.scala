@@ -59,4 +59,16 @@ class WarcSpec extends AnyFunSuite {
       .map(_.getAs[Long]("doc_id")).sorted
     assert(again.sameElements(rows.map(_.getAs[Long]("doc_id")).sorted))
   }
+
+  test("WET source host is lowercased and userinfo-stripped (RFC 3986)") {
+    val dir = java.nio.file.Files.createTempDirectory("wet2").toString
+    val recs = Seq(
+      Warc.WarcRecord("https://Example.COM/a", "2024-01-01T00:00:00Z", "conversion", "x".getBytes),
+      Warc.WarcRecord("https://example.com/b", "2024-01-01T00:00:00Z", "conversion", "y".getBytes),
+      Warc.WarcRecord("https://user:pw@Host.Net:8080/c", "2024-01-01T00:00:00Z", "conversion", "z".getBytes))
+    Warc.writeFixture(s"$dir/h.warc.wet", recs, gzip = false)
+    val src = Warc.readWetDocuments(spark, s"$dir/*.wet").collect()
+      .map(_.getAs[String]("source")).sorted.toSeq
+    assert(src == Seq("example.com", "example.com", "host.net"), src)
+  }
 }
