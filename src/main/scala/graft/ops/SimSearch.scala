@@ -561,6 +561,19 @@ object SimSearch {
       cb: PqCodebook,
       nQueries: Int = 5,
       k: Int = 10,
+      rerank: Int = 4): DataFrame =
+    pqTopKFromCodes(pqEncode(embeddings, cb), embeddings, cb, nQueries, k, rerank)
+
+  /** serve from a PRE-ENCODED codes frame (vec_id, codes) — the deployment
+    * shape: encode once per corpus (a build job, persisted next to the
+    * codebook snapshot), serve every query batch from the codes table;
+    * the convenience pqTopK wrapper re-encodes per call. */
+  def pqTopKFromCodes(
+      codesDf: DataFrame,
+      embeddings: DataFrame,
+      cb: PqCodebook,
+      nQueries: Int = 5,
+      k: Int = 10,
       rerank: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = embeddings.sparkSession
@@ -585,7 +598,7 @@ object SimSearch {
     }
     val bcTables = spark.sparkContext.broadcast(tables)
     val bcNorm2 = spark.sparkContext.broadcast(centNorm2)
-    val scored = pqEncode(embeddings, cb).as[(Long, Seq[Int])]
+    val scored = codesDf.select(col("vec_id").cast("long"), col("codes")).as[(Long, Seq[Int])]
       .mapPartitions { it =>
         val ts = bcTables.value
         val n2 = bcNorm2.value
@@ -730,6 +743,19 @@ object SimSearch {
       nQueries: Int = 5,
       k: Int = 10,
       nProbe: Int = 4,
+      rerank: Int = 4): DataFrame =
+    ivfPqTopKFromCodes(ivfPqEncode(embeddings, index), embeddings, index,
+      nQueries, k, nProbe, rerank)
+
+  /** serve from a PRE-ENCODED (vec_id, list, codes) frame — encode once
+    * per corpus, serve every query batch from the codes table */
+  def ivfPqTopKFromCodes(
+      codesDf: DataFrame,
+      embeddings: DataFrame,
+      index: IvfPqIndex,
+      nQueries: Int = 5,
+      k: Int = 10,
+      nProbe: Int = 4,
       rerank: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = embeddings.sparkSession
@@ -788,7 +814,9 @@ object SimSearch {
     val bcPqNorm2 = spark.sparkContext.broadcast(pqNorm2)
     val bcCentNorm2 = spark.sparkContext.broadcast(centNorm2)
     val bcCdot = spark.sparkContext.broadcast(cdot)
-    val scored = ivfPqEncode(embeddings, index).as[(Long, Int, Seq[Int])]
+    val scored = codesDf
+      .select(col("vec_id").cast("long"), col("list").cast("int"), col("codes"))
+      .as[(Long, Int, Seq[Int])]
       .mapPartitions { it =>
         val ps = bcProbes.value
         val union = bcUnion.value

@@ -741,10 +741,16 @@ class OpsSpec extends AnyFunSuite {
     // recall@10 vs brute on clustered data with 4/16 lists probed
     val exact = SimSearch.bruteForceTopK(cdf, 5, 10).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
-    val got = SimSearch.ivfPqTopK(cdf, idx, 5, 10, nProbe = 4).collect()
-      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val gotRows = SimSearch.ivfPqTopK(cdf, idx, 5, 10, nProbe = 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))
+    val got = gotRows.map(r => (r._1, r._2)).toSet
     val recall = got.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.7, s"IVF-PQ recall@10 $recall")
+    // serve-from-snapshot path returns the identical result set
+    val fromCodes = SimSearch.ivfPqTopKFromCodes(
+      SimSearch.ivfPqEncode(cdf, idx), cdf, idx, 5, 10, nProbe = 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))
+    assert(fromCodes.toSet == gotRows.toSet, "FromCodes must equal the wrapper path")
     // probe-limiting is real: a 1-probe search scans fewer candidates and
     // still returns k rows per query
     val narrow = SimSearch.ivfPqTopK(cdf, idx, 5, 10, nProbe = 1).collect()
