@@ -706,6 +706,40 @@ object SimSearch {
     IvfPqIndex(ivf, pq)
   }
 
+  /** persist an IVF-PQ index snapshot as a parquet table — the index
+    * LIFECYCLE is data, not process state: a build job trains once, saves,
+    * and every serving job loads the snapshot (alongside a persisted
+    * `ivfPqEncode` codes table) instead of re-training. Layout: one row
+    * per centroid, (component, a, b, vec) where component is "ivf"
+    * (a = list id) or "pq" (a = subvector, b = code). */
+  def saveIvfPqIndex(index: IvfPqIndex, path: String, spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    val ivfRows = index.ivf.centroids.zipWithIndex.map { case (c, li) =>
+      ("ivf", li, 0, c.toSeq)
+    }.toSeq
+    val pqRows = for {
+      (sub, j) <- index.pq.centroids.zipWithIndex.toSeq
+      (c, code) <- sub.zipWithIndex
+    } yield ("pq", j, code, c.toSeq)
+    (ivfRows ++ pqRows).toDF("component", "a", "b", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select(col("component"), col("a"), col("b"), col("vec"))
+      .as[(String, Int, Int, Seq[Float])].collect()
+    val ivf = rows.filter(_._1 == "ivf").sortBy(_._2).map(_._4.toArray)
+    val pqRows = rows.filter(_._1 == "pq")
+    val m = pqRows.map(_._2).max + 1
+    val k = pqRows.map(_._3).max + 1
+    val pq = Array.ofDim[Array[Float]](m, k)
+    pqRows.foreach { case (_, j, c, v) => pq(j)(c) = v.toArray }
+    val subDim = pqRows.head._4.length
+    IvfPqIndex(IvfIndex(ivf), PqCodebook(subDim, pq))
+  }
+
   /** encode: assign each vector to its coarse list, PQ-encode its RESIDUAL
     * — one executor-local pass, no shuffle. Output (vec_id, list, codes). */
   def ivfPqEncode(embeddings: DataFrame, index: IvfPqIndex): DataFrame = {

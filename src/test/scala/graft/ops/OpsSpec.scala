@@ -751,6 +751,17 @@ class OpsSpec extends AnyFunSuite {
       SimSearch.ivfPqEncode(cdf, idx), cdf, idx, 5, 10, nProbe = 4).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))
     assert(fromCodes.toSet == gotRows.toSet, "FromCodes must equal the wrapper path")
+    // index persists as parquet and loads back bit-identical: same search
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-idx").toString
+    SimSearch.saveIvfPqIndex(idx, dir, spark)
+    val loaded = SimSearch.loadIvfPqIndex(spark, dir)
+    assert(loaded.pq.subDim == idx.pq.subDim)
+    assert(loaded.ivf.centroids.map(_.toSeq).toSeq == idx.ivf.centroids.map(_.toSeq).toSeq)
+    assert(loaded.pq.centroids.map(_.map(_.toSeq).toSeq).toSeq ==
+      idx.pq.centroids.map(_.map(_.toSeq).toSeq).toSeq)
+    val viaLoaded = SimSearch.ivfPqTopK(cdf, loaded, 5, 10, nProbe = 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))
+    assert(viaLoaded.toSet == gotRows.toSet, "loaded index must search identically")
     // probe-limiting is real: a 1-probe search scans fewer candidates and
     // still returns k rows per query
     val narrow = SimSearch.ivfPqTopK(cdf, idx, 5, 10, nProbe = 1).collect()
