@@ -19,9 +19,12 @@ import graft.fixtures.PdfBuilderAdvanced._
   *     after the image inside the form — a skip overrun inside a form
   *     corrupts the form's remaining shows, not the page's;
   *
-  *  C. TWO-OBJSTM INDIRECTION under an xref stream: page dicts packed in
-  *     ObjStm-1, the font dicts they reference packed in ObjStm-2 —
-  *     get_object must chase references ACROSS compressed containers.
+  *  C. MULTI-HOP COMPRESSED-OBJECT chasing under an xref stream: the page
+  *     dict, an INDIRECT /Resources dict, and the font dict it references
+  *     are all ObjStm-packed (single ObjStm — the fixture builder packs
+  *     one container; the chase page -> /Resources -> font still resolves
+  *     each hop through id2obj_stm rather than direct offsets, which is
+  *     the code path under test).
   */
 object FuzzR13 {
   var rnd = new scala.util.Random(20261313L)
