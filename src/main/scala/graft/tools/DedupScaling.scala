@@ -1,0 +1,79 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Two-parallelism scaling evidence for the SECOND heavy job shape:
+  * MinHash-LSH near-dup detection end-to-end (shingle -> 64 minhashes ->
+  * banded bucket shuffle -> candidate pairing -> signature-verify). Same
+  * protocol as `graft.Scaling` (the extraction job): deterministic corpus
+  * materialized once to /dev/shm with a fixed file layout, one JVM per
+  * parallelism level via spark-submit, full-load warmup then median of 3
+  * in-JVM reps, interleaved (2,8) pairs run by the harness.
+  *
+  * `runMain graft.tools.DedupScaling <cores>` prints one JSON line.
+  */
+object DedupScaling {
+
+  /** deterministic word-salad corpus with planted near-dups: every 10th
+    * doc is a light mutation of its predecessor, so the LSH path does
+    * real candidate+verify work, not just signature hashing */
+  def docText(i: Long): String = {
+    var z = i * 0x9e3779b97f4a7c15L + 0x243f6a8885a308d3L
+    def nextInt(bound: Int): Int = {
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      (((z ^ (z >>> 31)) >>> 1) % bound).toInt
+    }
+    val base = if (i % 10 == 3) i - 1 else i // plant a near-dup pair
+    var zb = base * 0x9e3779b97f4a7c15L + 0x243f6a8885a308d3L
+    def baseInt(bound: Int): Int = {
+      zb = (zb ^ (zb >>> 30)) * 0xbf58476d1ce4e5b9L
+      zb = (zb ^ (zb >>> 27)) * 0x94d049bb133111ebL
+      (((zb ^ (zb >>> 31)) >>> 1) % bound).toInt
+    }
+    val n = 30 + baseInt(30)
+    val words = (0 until n).map(_ => s"w${baseInt(5000)}").toArray
+    if (i % 10 == 3) { // mutate 2 positions so the pair is NEAR, not exact
+      words(nextInt(words.length)) = s"m${nextInt(5000)}"
+      words(nextInt(words.length)) = s"m${nextInt(5000)}"
+    }
+    words.mkString(" ")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cores = args.headOption.map(_.toInt).getOrElse(8)
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_DEDUP_DOCS", "150000").toLong
+    val corpusDir = s"/dev/shm/graft-dedup-corpus-$nDocs-f128"
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cores.toString).toInt)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      .config("spark.local.dir", "/dev/shm/graft-spark-local")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    if (!new java.io.File(s"$corpusDir/_SUCCESS").exists()) {
+      spark.range(nDocs).repartition(128).as[Long]
+        .map(i => (i, docText(i)))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(corpusDir)
+    }
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      val docs = spark.read.parquet(corpusDir)
+      graft.ops.Dedup.minhashLsh(docs).count()
+      nDocs / ((System.nanoTime() - t0) / 1e9)
+    }
+    once() // warmup (JIT + codegen settle)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "3").toInt
+    val rates = (1 to reps).map(_ => once()).sorted
+    val rate = rates(rates.size / 2)
+    println(f"""{"job":"minhash_lsh","cores":$cores,"docs_per_sec":$rate%.1f,"reps":[${rates.map(r => f"$r%.1f").mkString(",")}],"n_docs":$nDocs}""")
+    spark.stop()
+  }
+}
