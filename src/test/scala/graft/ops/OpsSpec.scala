@@ -725,6 +725,39 @@ class OpsSpec extends AnyFunSuite {
     assert(bad.forall(_.isNullAt(0)), "out-of-range codes must yield null")
   }
 
+  test("randomRotation: orthogonal, cosine-invariant (exact search identical), PQ stays above floor") {
+    val dim = 32
+    val rot = SimSearch.randomRotation(dim, 7L)
+    // R * R^T = I within float tolerance
+    for (i <- 0 until dim; j <- 0 until dim) {
+      var d = 0.0
+      for (k <- 0 until dim) d += rot(i)(k).toDouble * rot(j)(k)
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-5, s"RR^T[$i][$j]=$d")
+    }
+    val cdf = clusteredEmbeddings(dim, 400L).toDF("vec_id", "embedding")
+    val rotated = SimSearch.rotateEmbeddings(cdf, rot)
+    // cosine invariance: EXACT search on rotated vectors = same neighbors,
+    // cosines equal within float-rotation noise
+    val a = SimSearch.bruteForceTopK(cdf, 5, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))).toMap
+    val b = SimSearch.bruteForceTopK(rotated, 5, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))).toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (key, (nid, cos)) =>
+      val (nid2, cos2) = b(key)
+      assert(math.abs(cos - cos2) < 1e-4, s"cosine drift at $key: $cos vs $cos2")
+      if (math.abs(cos - cos2) < 1e-9) assert(nid == nid2)
+    }
+    // PQ in the rotated basis still clears the recall floor
+    val cb = SimSearch.buildPqCodebook(rotated, m = 8, k = 16, dim = dim)
+    val exact = a.values.map(_._1).toSet
+    val pq = SimSearch.pqTopK(rotated, cb, 5, 10).collect()
+      .map(_.getAs[Long]("neighbor_id")).toSet
+    assert(pq.intersect(exact).size.toDouble / exact.size >= 0.7)
+  }
+
   test("IVF-PQ: residual encode, probe-limited ADC, recall vs brute force") {
     val dim = 32
     val nVec = 600L
