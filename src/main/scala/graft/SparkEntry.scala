@@ -167,6 +167,16 @@ object SparkEntry {
           concat(lit("promo "), col("doc_id").cast("string"))).as("text"))
       TextOps.removeBoilerplateLines(multi, maxDf = 10)
     }),
+    "q46_decontaminate_spans" -> ((s, dir) => {
+      // same canary frame as q40; span-level variant cuts the windows
+      val canary = "what is the capital of france answer paris"
+      val all = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" " + canary)))
+          .otherwise(col("text")).as("text"))
+      val bench = all.filter(col("doc_id") < 50)
+      val corpus = all.filter(col("doc_id") >= 50)
+      Dedup.decontaminateSpans(corpus, bench, gramLen = 8)
+    }),
     "q40_decontaminate" -> ((s, dir) => {
       // docs sharing no natural 8-grams at some scales would make this a
       // zero-row gate — plant a deterministic eval-question canary in
@@ -721,6 +731,38 @@ object SparkEntry {
         |  cast(coalesce(agg.n_kept, 0) AS bigint) AS n_kept,
         |  cast(len(s.ls) - coalesce(agg.n_kept, 0) AS bigint) AS n_removed
         |FROM s LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q46_decontaminate_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0
+        |         THEN text || ' what is the capital of france answer paris'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |s AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM d),
+        |tok AS (
+        |  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM s)
+        |  WHERE doc_id >= 50),
+        |g AS (
+        |  SELECT doc_id, i - 1 AS start, array_to_string(t[i:i+7], ' ') AS gram
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+        |        FROM s WHERE len(t) >= 8)),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 50),
+        |bad AS (
+        |  SELECT g.doc_id, g.start FROM g JOIN bench USING (gram)
+        |  WHERE g.doc_id >= 50),
+        |marked AS (
+        |  SELECT t.doc_id, t.pos, t.tok,
+        |    CASE WHEN EXISTS (SELECT 1 FROM bad b
+        |                      WHERE b.doc_id = t.doc_id
+        |                        AND t.pos BETWEEN b.start AND b.start + 7)
+        |         THEN 1 ELSE 0 END AS bad
+        |  FROM tok t)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN bad = 0 THEN tok END, ' ' ORDER BY pos), '')
+        |    AS clean_text,
+        |  cast(sum(bad) AS bigint) AS n_tokens_removed
+        |FROM marked GROUP BY 1""".stripMargin,
     "q40_decontaminate" ->
       """WITH d AS (
         |  SELECT doc_id,

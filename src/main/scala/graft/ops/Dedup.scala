@@ -682,4 +682,58 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bad_grams"))
   }
+
+  /** SPAN-LEVEL decontamination: instead of flagging/dropping a whole
+    * document (`benchmarkContamination`), cut exactly the tokens covered
+    * by any benchmark-matching `gramLen`-gram window and keep the rest —
+    * the variant used when contaminated docs are too valuable to discard
+    * wholesale. Tokenization identical to the flag variant (lower + trim +
+    * whitespace split, full windows only).
+    *
+    * Returns every input doc: (doc_id, clean_text, n_tokens_removed);
+    * uncontaminated docs pass through with their (lowercased, trimmed,
+    * space-normalized) token stream intact and n_tokens_removed = 0.
+    *
+    * Scale shape: bench gram hashes BROADCAST (eval-set-sized); the
+    * corpus explodes to positioned grams once, semi-joins to find bad
+    * window STARTS (rare rows), and the start set — contamination-sized,
+    * not corpus-sized — broadcasts into a range join that marks covered
+    * tokens; one regroup by doc_id reassembles. The corpus-side frames
+    * never shuffle except that final doc_id regroup. */
+  def decontaminateSpans(
+      documents: DataFrame,
+      benchmark: DataFrame,
+      gramLen: Int = 8): DataFrame = {
+    def toks(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), posexplode(split(lower(trim(col("text"))), "\\s+"))
+        .as(Seq("pos", "tok")))
+    def gramStarts(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("t"))
+        .filter(size(col("t")) >= gramLen)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, size(t) - $gramLen), " +
+            s"i -> xxhash64(concat_ws(' ', slice(t, i + 1, $gramLen))))"))
+          .as(Seq("pos", "gram_hash")))
+    val benchGrams = gramStarts(benchmark).select(col("gram_hash")).distinct()
+    val badStarts = gramStarts(documents)
+      .join(broadcast(benchGrams), Seq("gram_hash"), "left_semi")
+      .select(col("doc_id").as("b_doc"), col("pos").as("start"))
+    val tokens = toks(documents)
+    val covered = tokens
+      .join(broadcast(badStarts),
+        col("doc_id") === col("b_doc") &&
+          col("pos") >= col("start") && col("pos") < col("start") + gramLen,
+        "left_outer")
+      .groupBy(col("doc_id"), col("pos"), col("tok"))
+      .agg(max(col("start").isNotNull).as("bad"))
+    covered
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            filter(array_sort(collect_list(struct(col("pos"), col("tok"), col("bad")))),
+              x => !x.getField("bad")),
+            x => x.getField("tok")), " ").as("clean_text"),
+        sum(when(col("bad"), 1L).otherwise(0L)).as("n_tokens_removed"))
+  }
 }

@@ -1029,6 +1029,24 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("partial_"), s"expected map-side partial aggregation:\n$plan")
   }
 
+  test("decontaminateSpans: covered windows cut, clean docs pass through, overlaps merge") {
+    // 9 bench tokens => TWO 8-gram windows; embedding them in a doc makes
+    // two OVERLAPPING bad windows whose covered union is 9 tokens
+    val benchText = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val df = Seq(
+      (1L, "keep1 keep2 " + benchText + " keep3 keep4"),
+      (2L, "totally clean document with eight tokens here ok"),
+      (3L, "x y " + benchText + " z")
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminateSpans(df, bench, gramLen = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_tokens_removed")))).toMap
+    assert(got(1L) == (("keep1 keep2 keep3 keep4", 9L)), got(1L))
+    assert(got(2L) == (("totally clean document with eight tokens here ok", 0L)))
+    assert(got(3L) == (("x y z", 9L)), got(3L))
+  }
+
   test("benchmarkContamination: full 8-gram windows, broadcast semi-join, counts exact") {
     val benchText = "alpha bravo charlie delta echo foxtrot golf hotel india"
     val df = Seq(
