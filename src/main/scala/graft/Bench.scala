@@ -115,26 +115,7 @@ object Scaling {
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "150000").toLong
     val corpusDir = sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR", "/dev/shm/graft-bench-corpus")
     def runAt(cores: Int): Double = {
-      val spark = SparkSession.builder()
-        .master(s"local[$cores]")
-        .config("spark.sql.shuffle.partitions", cores)
-        .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
-        // default 64MB advisory would coalesce the bench corpus into a few
-        // post-shuffle partitions and serialize the kernel stage; 4MB keeps
-        // bench-scale partitions parallel and is a no-op at real scale
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
-        // scan-stage parallelism: the default 128MB/4MB bin-packing folds a
-        // ~600MB multi-file corpus into ~6 scan tasks, serializing the map
-        // stage (scan + shuffle write) at 32 cores. 8MB/1MB sizes scan tasks
-        // to the bench corpus; at production scale partitions >> 128MB and
-        // the defaults are correct — this is the "size maxPartitionBytes so
-        // partitions fit the executor fleet" knob, not a semantics change.
-        .config("spark.sql.files.maxPartitionBytes", "8m")
-        .config("spark.sql.files.openCostInBytes", "1m")
-        .config("spark.local.dir", "/dev/shm/graft-spark-local") // VM disk is noisy
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("WARN")
+      val spark = ScalingHarness.session(cores)
       import spark.implicits._
       // materialize the corpus ONCE (generator cost excluded from the
       // measurement; the engine's job shape is read-table -> extract)
@@ -173,5 +154,36 @@ object Scaling {
         val eff = r32 / (4.0 * r8)
         println(f"""{"docs_per_sec_local8":${r8}%.1f,"docs_per_sec_local32":${r32}%.1f,"scaling_efficiency":$eff%.3f,"bench_docs":$benchDocs}""")
     }
+  }
+}
+
+/** ONE SparkSession recipe for every two-parallelism scaling measurement
+  * (extraction in `Scaling`, dedup in `graft.tools.DedupScaling`): the
+  * comparative claims between job shapes are only valid if the harness
+  * config is provably identical, so it lives here once.
+  *
+  *  - AQE advisory 4MB: the default 64MB would coalesce a bench-scale
+  *    corpus into a few post-shuffle partitions and serialize the stage
+  *    (a no-op at real scale where partitions >> advisory);
+  *  - maxPartitionBytes 8MB / openCost 1MB: sizes scan tasks to a
+  *    ~600MB multi-file corpus (the default 128MB bin-packing folds it
+  *    into ~6 scan tasks) — the "size maxPartitionBytes to the fleet"
+  *    knob, not a semantics change;
+  *  - /dev/shm local dir: the VM's disk latency is noisy. */
+private[graft] object ScalingHarness {
+  def session(cores: Int): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cores.toString).toInt)
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      .config("spark.local.dir", "/dev/shm/graft-spark-local")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
   }
 }

@@ -690,50 +690,46 @@ object Dedup {
     * wholesale. Tokenization identical to the flag variant (lower + trim +
     * whitespace split, full windows only).
     *
-    * Returns every input doc: (doc_id, clean_text, n_tokens_removed);
-    * uncontaminated docs pass through with their (lowercased, trimmed,
-    * space-normalized) token stream intact and n_tokens_removed = 0.
+    * Returns every input doc (NULL text treated as empty):
+    * (doc_id, clean_text, n_tokens_removed); uncontaminated docs pass
+    * through with their (lowercased, trimmed, space-normalized) token
+    * stream intact and n_tokens_removed = 0.
     *
-    * Scale shape: bench gram hashes BROADCAST (eval-set-sized); the
-    * corpus explodes to positioned grams once, semi-joins to find bad
-    * window STARTS (rare rows), and the start set — contamination-sized,
-    * not corpus-sized — broadcasts into a range join that marks covered
-    * tokens; one regroup by doc_id reassembles. The corpus-side frames
-    * never shuffle except that final doc_id regroup. */
+    * Scale shape — ZERO corpus-side shuffles: bench gram hashes BROADCAST
+    * (eval-set-sized); the corpus explodes positioned grams NARROWLY for
+    * a broadcast semi-join finding bad window starts (rare rows — the
+    * only shuffle in the job is the contamination-sized groupBy of those
+    * starts); the per-doc start arrays then broadcast-join back at DOC
+    * level and the cut happens inside the row with higher-order
+    * functions (exists/filter are interpreted, not codegen'd — the
+    * per-token work is array-local and tiny next to a corpus shuffle,
+    * which an earlier token-exploded formulation paid twice). */
   def decontaminateSpans(
       documents: DataFrame,
       benchmark: DataFrame,
       gramLen: Int = 8): DataFrame = {
-    def toks(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), posexplode(split(lower(trim(col("text"))), "\\s+"))
-        .as(Seq("pos", "tok")))
     def gramStarts(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("t"))
+      df.select(col("doc_id"), split(lower(trim(coalesce(col("text"), lit("")))), "\\s+").as("t"))
         .filter(size(col("t")) >= gramLen)
         .select(col("doc_id"), posexplode(expr(
           s"transform(sequence(0, size(t) - $gramLen), " +
             s"i -> xxhash64(concat_ws(' ', slice(t, i + 1, $gramLen))))"))
           .as(Seq("pos", "gram_hash")))
     val benchGrams = gramStarts(benchmark).select(col("gram_hash")).distinct()
-    val badStarts = gramStarts(documents)
+    val startsPerDoc = gramStarts(documents)
       .join(broadcast(benchGrams), Seq("gram_hash"), "left_semi")
-      .select(col("doc_id").as("b_doc"), col("pos").as("start"))
-    val tokens = toks(documents)
-    val covered = tokens
-      .join(broadcast(badStarts),
-        col("doc_id") === col("b_doc") &&
-          col("pos") >= col("start") && col("pos") < col("start") + gramLen,
-        "left_outer")
-      .groupBy(col("doc_id"), col("pos"), col("tok"))
-      .agg(max(col("start").isNotNull).as("bad"))
-    covered
       .groupBy(col("doc_id"))
-      .agg(
-        array_join(
-          transform(
-            filter(array_sort(collect_list(struct(col("pos"), col("tok"), col("bad")))),
-              x => !x.getField("bad")),
-            x => x.getField("tok")), " ").as("clean_text"),
-        sum(when(col("bad"), 1L).otherwise(0L)).as("n_tokens_removed"))
+      .agg(collect_list(col("pos")).as("starts"))
+    val g = lit(gramLen)
+    documents
+      .select(col("doc_id"),
+        split(lower(trim(coalesce(col("text"), lit("")))), "\\s+").as("t"))
+      .join(broadcast(startsPerDoc), Seq("doc_id"), "left_outer")
+      .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn("kept", filter(col("t"),
+        (tok, i) => !exists(col("starts"), s => i >= s && i < s + g)))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        (size(col("t")) - size(col("kept"))).cast("long").as("n_tokens_removed"))
   }
 }

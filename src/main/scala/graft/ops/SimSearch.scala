@@ -754,14 +754,17 @@ object SimSearch {
       .mapPartitions { it =>
         val r = bc.value
         it.map { case (id, emb) =>
+          // fail fast: a truncated matmul is NOT a rotation — cosine
+          // invariance breaks and every downstream search is silently wrong
+          require(emb.length == r.length,
+            s"rotation built for dim ${r.length} applied to ${emb.length}-dim vector $id")
           val out = new Array[Float](r.length)
           var i = 0
           while (i < r.length) {
             val row = r(i)
             var acc = 0.0
             var k = 0
-            val n = math.min(row.length, emb.length)
-            while (k < n) { acc += row(k) * emb(k); k += 1 }
+            while (k < row.length) { acc += row(k) * emb(k); k += 1 }
             out(i) = acc.toFloat
             i += 1
           }

@@ -44,18 +44,9 @@ object DedupScaling {
     val cores = args.headOption.map(_.toInt).getOrElse(8)
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_DEDUP_DOCS", "150000").toLong
     val corpusDir = s"/dev/shm/graft-dedup-corpus-$nDocs-f128"
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cores.toString).toInt)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
-      .config("spark.sql.files.maxPartitionBytes", "8m")
-      .config("spark.sql.files.openCostInBytes", "1m")
-      .config("spark.local.dir", "/dev/shm/graft-spark-local")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // identical harness config to graft.Scaling BY CONSTRUCTION — the
+    // 0.74-vs-0.86 job-shape comparison depends on it
+    val spark = graft.ScalingHarness.session(cores)
     import spark.implicits._
     if (!new java.io.File(s"$corpusDir/_SUCCESS").exists()) {
       spark.range(nDocs).repartition(128).as[Long]

@@ -745,10 +745,18 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
         ((r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))).toMap
     assert(a.keySet == b.keySet)
-    a.foreach { case (key, (nid, cos)) =>
-      val (nid2, cos2) = b(key)
+    // per-rank cosines drift only by float-rotation noise
+    a.foreach { case (key, (_, cos)) =>
+      val (_, cos2) = b(key)
       assert(math.abs(cos - cos2) < 1e-4, s"cosine drift at $key: $cos vs $cos2")
-      if (math.abs(cos - cos2) < 1e-9) assert(nid == nid2)
+    }
+    // neighbor SETS per query match at >= 9/10 (near-ties may legitimately
+    // swap ranks under float rotation noise; full-set vacuity avoided by
+    // requiring the overlap, not just cosine closeness)
+    a.keys.map(_._1).toSeq.distinct.foreach { qid =>
+      val na = a.collect { case ((q, _), (nid, _)) if q == qid => nid }.toSet
+      val nb = b.collect { case ((q, _), (nid, _)) if q == qid => nid }.toSet
+      assert(na.intersect(nb).size >= 9, s"query $qid neighbor overlap ${na.intersect(nb).size}/10")
     }
     // PQ in the rotated basis still clears the recall floor
     val cb = SimSearch.buildPqCodebook(rotated, m = 8, k = 16, dim = dim)
@@ -1045,6 +1053,14 @@ class OpsSpec extends AnyFunSuite {
     assert(got(1L) == (("keep1 keep2 keep3 keep4", 9L)), got(1L))
     assert(got(2L) == (("totally clean document with eight tokens here ok", 0L)))
     assert(got(3L) == (("x y z", 9L)), got(3L))
+    // NULL text: the doc still comes back (contract: every input doc)
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(9L, null: String))),
+      new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("text", "string"))
+    val got2 = Dedup.decontaminateSpans(withNull, bench, gramLen = 8).collect()
+    assert(got2.length == 1 && got2.head.getAs[String]("clean_text") == "" &&
+      got2.head.getAs[Long]("n_tokens_removed") == 0L)
   }
 
   test("benchmarkContamination: full 8-gram windows, broadcast semi-join, counts exact") {
