@@ -162,16 +162,23 @@ object PdfBuilder {
       rootId: Int,
       packIntoObjStm: Set[Int] = Set.empty,
       extraTrailer: String = "",
-      objStmTransform: Array[Byte] => Array[Byte] = identity): Array[Byte] = {
+      objStmTransform: Array[Byte] => Array[Byte] = identity,
+      packIntoObjStm2: Set[Int] = Set.empty): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(bytes(s))
     w("%PDF-1.5\n%âãÏÓ\n")
     val maxId = objs.map(_.id).max
     val objStmId = maxId + 1
-    val xrefId = maxId + 2
+    // a SECOND sibling container (cross-container reference chasing);
+    // when unused the layout is unchanged (xref id stays maxId+2)
+    val objStm2Id = maxId + 2
+    val xrefId = if (packIntoObjStm2.nonEmpty) maxId + 3 else maxId + 2
+    require((packIntoObjStm intersect packIntoObjStm2).isEmpty, "object packed twice")
     val packed = objs.filter(o => packIntoObjStm.contains(o.id)).sortBy(_.id)
-    val direct = objs.filterNot(o => packIntoObjStm.contains(o.id))
-    require(packed.forall(_.stream.isEmpty), "cannot pack stream objects into ObjStm")
+    val packed2 = objs.filter(o => packIntoObjStm2.contains(o.id)).sortBy(_.id)
+    val direct = objs.filterNot(o =>
+      packIntoObjStm.contains(o.id) || packIntoObjStm2.contains(o.id))
+    require((packed ++ packed2).forall(_.stream.isEmpty), "cannot pack stream objects into ObjStm")
 
     val offsets = scala.collection.mutable.Map.empty[Int, Int]
     direct.sortBy(_.id).foreach { o =>
@@ -185,24 +192,26 @@ object PdfBuilder {
       w("\nendobj\n")
     }
     // /ObjStm: header of "id off" pairs, then bodies
-    val objStmIndex = new StringBuilder
-    val objStmBody = new StringBuilder
-    packed.foreach { o =>
-      objStmIndex.append(s"${o.id} ${objStmBody.length} ")
-      objStmBody.append(o.body).append('\n')
-    }
-    val first = objStmIndex.length
-    // readers decrypt THEN decode, so an encrypting transform applies after
-    // compression (objStmTransform = enc.encrypt(objStmId, 0, _) builds the
-    // encrypted + xref-stream + ObjStm combination)
-    val objStmContent = objStmTransform(deflate(bytes(objStmIndex.toString + objStmBody.toString)))
-    if (packed.nonEmpty) {
-      offsets(objStmId) = out.size()
-      w(s"$objStmId 0 obj\n<< /Type /ObjStm /N ${packed.size} /First $first /Length ${objStmContent.length} /Filter /FlateDecode >>")
+    def writeObjStm(id: Int, members: Seq[ObjSpec], transform: Array[Byte] => Array[Byte]): Unit = {
+      val objStmIndex = new StringBuilder
+      val objStmBody = new StringBuilder
+      members.foreach { o =>
+        objStmIndex.append(s"${o.id} ${objStmBody.length} ")
+        objStmBody.append(o.body).append('\n')
+      }
+      val first = objStmIndex.length
+      // readers decrypt THEN decode, so an encrypting transform applies after
+      // compression (transform = enc.encrypt(id, 0, _) builds the
+      // encrypted + xref-stream + ObjStm combination)
+      val content = transform(deflate(bytes(objStmIndex.toString + objStmBody.toString)))
+      offsets(id) = out.size()
+      w(s"$id 0 obj\n<< /Type /ObjStm /N ${members.size} /First $first /Length ${content.length} /Filter /FlateDecode >>")
       w("\nstream\n")
-      out.write(objStmContent)
+      out.write(content)
       w("\nendstream\nendobj\n")
     }
+    if (packed.nonEmpty) writeObjStm(objStmId, packed, objStmTransform)
+    if (packed2.nonEmpty) writeObjStm(objStm2Id, packed2, identity)
     // xref stream: W [1 4 2]; entries for ids 0..xrefId
     val xrefOff = out.size()
     val size = xrefId + 1
@@ -215,9 +224,11 @@ object PdfBuilder {
       raw.write((f3 >> 8) & 0xff); raw.write(f3 & 0xff)
     }
     val packedIdx = packed.map(_.id).zipWithIndex.toMap
+    val packedIdx2 = packed2.map(_.id).zipWithIndex.toMap
     (0 until size).foreach { id =>
       if (id == 0) entry(0, 0, 65535)
       else if (packedIdx.contains(id)) entry(2, objStmId, packedIdx(id)) // in-objstm
+      else if (packedIdx2.contains(id)) entry(2, objStm2Id, packedIdx2(id)) // in sibling
       else if (offsets.contains(id)) entry(1, offsets(id), 0)
       else if (id == xrefId) entry(1, xrefOff, 0)
       else entry(0, 0, 0)
