@@ -66,11 +66,21 @@ object Bench {
     // INTERLEAVED passes — an epoch inflates one pass, and the per-query
     // median across passes survives it. Per-rep times are emitted in the
     // JSON so the record self-documents its noise.
+    // a failing query must FAIL the bench run, not contribute a plausible-
+    // looking elapsed time to the official record: failures are recorded
+    // per query, surfaced in the JSON, and flip the exit code (the elapsed
+    // sample of a throwing rep measures time-to-throw, not the query)
+    val failedQueries = scala.collection.mutable.LinkedHashSet[String]()
     val tasks: Seq[(String, () => Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         name -> (() => time {
-          try fn(spark, sfDir).count()
-          catch { case _: Throwable => -1L }
+          try { fn(spark, sfDir).count(); () }
+          catch {
+            case t: Throwable =>
+              failedQueries += name
+              System.err.println(
+                s"[graft.Bench] $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
+          }
         }._2)
       } :+ ("x00_extract_bench" -> (() => extractRun()))
     tasks.foreach { case (_, run) => run() } // warmup pass
@@ -94,12 +104,14 @@ object Bench {
       "\"" + name + "\":[" + reps(name).map(v => f"$v%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = medians.map(_._2).sum
+    val failuresJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""reps":$repsJson,"protocol":"warmup-pass+interleaved-median$nReps",""" +
-        s""""docs_per_sec":${docsPerSec.round},""" +
+        s""""docs_per_sec":${docsPerSec.round},"failures":$failuresJson,""" +
         s""""bench_docs":$benchDocs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failedQueries.nonEmpty) sys.exit(1)
   }
 }
 

@@ -259,16 +259,19 @@ object SparkEntry {
       // the post-kernel frame feeds multiple consumers (boilerplate df,
       // quality gate, dedup keeper set, final split join): materialize it
       // once — without this the mapPartitions extraction subtree
-      // re-executes per consumer (this composite is the template users copy)
-      val normed = docsDf.select(col("doc_id"), TextOps.normalizeText(col("text")).as("text"),
-        col("lang"))
-        .localCheckpoint(true)
+      // re-executes per consumer (this composite is the template users
+      // copy). Checkpoints.eager picks reliable checkpoint when a
+      // checkpoint dir is configured (executor-loss recovery), local
+      // otherwise — tradeoff documented on graft.ops.Checkpoints.
+      val normed = graft.ops.Checkpoints.eager(
+        docsDf.select(col("doc_id"), TextOps.normalizeText(col("text")).as("text"),
+          col("lang"))) {}
       // cross-document boilerplate lines out before quality scoring (nav/
       // footer survivors would depress quality of good docs)
-      val cleaned = TextOps.removeBoilerplateLines(normed, maxDf = 50)
-        .select(col("doc_id"), col("clean_text").as("text"), lit("und").as("lang"))
-        .filter(length(col("text")) > 0)
-        .localCheckpoint(true)
+      val cleaned = graft.ops.Checkpoints.eager(
+        TextOps.removeBoilerplateLines(normed, maxDf = 50)
+          .select(col("doc_id"), col("clean_text").as("text"), lit("und").as("lang"))
+          .filter(length(col("text")) > 0)) {}
       val kept = TextOps.qualityFilter(cleaned, minQuality = 0.2, maxTopFrac = 0.9,
         minTokens = 5, maxTokens = 100000)
       // eval split decided BEFORE dedup: keepers are chosen among
@@ -698,12 +701,12 @@ object SparkEntry {
         |         THEN '?' || array_to_string(list_sort(kept), '&') ELSE '' END
         |      AS canonical_url
         |  FROM (SELECT doc_id,
-        |          regexp_replace(split_part(nofrag, '?', 1), '/$', '') AS base,
+        |          regexp_replace(split_part(nofrag, '?', 1), '/+$', '') AS base,
         |          CASE WHEN strpos(nofrag, '?') > 0
         |               THEN list_filter(
         |                      string_split(substr(nofrag, strpos(nofrag, '?') + 1), '&'),
         |                      x -> len(x) > 0 AND
-        |                           NOT regexp_matches(x, '^(utm_[^=]*|ref|fbclid|gclid)='))
+        |                           NOT regexp_matches(x, '^(utm_[^=]*|ref|fbclid|gclid)(=|$)'))
         |               ELSE CAST([] AS VARCHAR[]) END AS kept
         |        FROM p))
         |SELECT canonical_url, cast(min(doc_id) AS bigint) AS keeper_id,

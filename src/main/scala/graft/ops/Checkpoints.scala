@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Materialize-and-release discipline for operators whose plan reads a
+  * corpus-sized cached intermediate more than once (minhashLsh signatures,
+  * jaccard postings, packing's range-partitioned base, x18's post-kernel
+  * frame): the SMALL result is materialized eagerly, then the big cache is
+  * unpersisted, so block-manager residency across repeated calls in a long
+  * session is bounded by O(result), not O(corpus).
+  *
+  * Fault tolerance (the round-3 finding this object closes): the
+  * materialization mechanism is chosen by whether the session has a
+  * RELIABLE checkpoint directory configured
+  * (`spark.sparkContext.setCheckpointDir(...)`):
+  *
+  *  - checkpoint dir SET (production clusters — any job that can lose
+  *    executors, esp. under dynamic allocation): `Dataset.checkpoint` —
+  *    result blocks are written to the checkpoint FS (HDFS/S3A/...); an
+  *    executor loss after this call recovers by re-reading those files.
+  *    Checkpoint files are cleaned by the ContextCleaner once the frame is
+  *    unreferenced when `spark.cleaner.referenceTracking.cleanCheckpoints`
+  *    is true (set it in long sessions), else at checkpoint-dir cleanup.
+  *
+  *  - checkpoint dir UNSET (local runs, tests, short-lived batch jobs):
+  *    `Dataset.localCheckpoint` — result blocks live on executors and are
+  *    ContextCleaner-reclaimed once unreferenced, but lineage is SEVERED:
+  *    losing an executor that holds blocks makes later reads of the
+  *    returned frame fail rather than recompute. That trade is acceptable
+  *    only when executor loss fails the whole job anyway (local mode) or
+  *    the caller re-runs the operator on failure.
+  *
+  * Callers that want full laziness instead (no eager job at call time, no
+  * severed lineage) use the `*Lazy` plan builders next to each public
+  * operator and manage persistence themselves.
+  */
+private[graft] object Checkpoints {
+
+  /** Eagerly materialize `out` (reliable checkpoint if a checkpoint dir is
+    * configured, local otherwise — see object doc), then run `release`
+    * (unpersist of the corpus-sized caches the plan consumed). */
+  def eager(out: DataFrame)(release: => Unit): DataFrame = {
+    val cp =
+      if (out.sparkSession.sparkContext.getCheckpointDir.isDefined) out.checkpoint(eager = true)
+      else out.localCheckpoint(eager = true)
+    release
+    cp
+  }
+
+  /** Lineage cut for iterative loops (connectedComponents label rounds):
+    * same dir-aware mechanism choice as `eager`, no release hook. */
+  def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+}

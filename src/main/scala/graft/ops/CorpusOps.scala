@@ -28,6 +28,13 @@ object CorpusOps {
     import org.apache.spark.sql.expressions.Window
     val spark = documents.sparkSession
     import spark.implicits._
+    // maxDocs <= 0 means "keep nothing" — short-circuit to an empty frame;
+    // without the guard the first row of a source dereferences the empty
+    // heap's head inside the task (NoSuchElementException fails the job)
+    if (maxDocs <= 0)
+      return documents
+        .select(col("doc_id").cast("long"), col("source"), lit(0L).as("rk"))
+        .filter(lit(false))
     val pruned = documents
       .select(col("doc_id").cast("long"), col("source"))
       .as[(Long, String)]
@@ -83,9 +90,11 @@ object CorpusOps {
 
   /** query parameters stripped by `urlCanonical` — the tracking/session
     * params every crawl-dedup pipeline drops (utm_* campaign tags, ref,
-    * click ids). Kept params are sorted so param ORDER never splits a
-    * canonical group. */
-  private val TRACKING_PARAM = "^(utm_[^=]*|ref|fbclid|gclid)="
+    * click ids). Matched WITH or WITHOUT a value (`?ref` and `?ref=x` are
+    * both tracking noise; requiring '=' let valueless forms survive and
+    * split dedup groups). Kept params are sorted so param ORDER never
+    * splits a canonical group. */
+  private val TRACKING_PARAM = "^(utm_[^=]*|ref|fbclid|gclid)(=|$)"
 
   /** canonicalize a URL column for dedup keying:
     *  1. strip the fragment (`#...`);
@@ -94,14 +103,16 @@ object CorpusOps {
     *     (param order is presentation, not identity);
     *  3. lowercase scheme+host ONLY (RFC 3986: paths are case-sensitive —
     *     lowercasing them would conflate distinct resources; URLs with no
-    *     scheme://host prefix are lowercased whole) and strip one
-    *     trailing slash off the pre-query part.
+    *     scheme://host prefix are lowercased whole) and strip ALL trailing
+    *     slashes off the pre-query part ('/+$', not '/$': stripping one
+    *     slash per application made '…/x//' canonicalize differently on a
+    *     second pass, breaking idempotence).
     * Pure codegen'd column math — no UDF, no shuffle; at 10^12 rows this
     * runs inside the scan stage. (Multiple '?' are treated as in crawl
     * practice: first '?' starts the query string.) */
   def urlCanonical(url: Column): Column = {
     val nofrag = regexp_replace(url, "#.*$", "")
-    val base = regexp_replace(substring_index(nofrag, "?", 1), "/$", "")
+    val base = regexp_replace(substring_index(nofrag, "?", 1), "/+$", "")
     val schemeHostRe = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)(.*)$"
     val schemeHost = regexp_extract(base, schemeHostRe, 1)
     val caseFixed = when(schemeHost =!= "",

@@ -173,12 +173,10 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
     // materialize the (tiny) pair result eagerly, then RELEASE the corpus-
     // sized signature cache: block-manager residency across repeated calls
-    // in a long session is bounded by O(pairs), not O(corpus). The
-    // checkpointed result blocks are reclaimed by the ContextCleaner once
-    // the frame is unreferenced (persisted plans are not).
-    val checkpointed = out.localCheckpoint(true)
-    sigs.unpersist()
-    checkpointed
+    // in a long session is bounded by O(pairs), not O(corpus). Mechanism
+    // (reliable checkpoint vs local) and the executor-loss tradeoff are
+    // documented on Checkpoints.
+    Checkpoints.eager(out) { sigs.unpersist() }
   }
 
   // ---- SimHash ----------------------------------------------------------------
@@ -361,9 +359,7 @@ object Dedup {
     val (out, postings) = ngramJaccardAllPairsLazy(documents, threshold, maxDf)
     // same release pattern as minhashLsh: result is O(pairs), postings are
     // O(corpus grams) — materialize the former, free the latter
-    val checkpointed = out.localCheckpoint(true)
-    postings.unpersist()
-    checkpointed
+    Checkpoints.eager(out) { postings.unpersist() }
   }
 
   /** lazy plan behind `ngramJaccardAllPairs` (plan-gate tests inspect the
@@ -433,9 +429,7 @@ object Dedup {
     * corpus, so the id list broadcasts. */
   def ngramJaccardDups(documents: DataFrame, threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
     val (out, candidates) = ngramJaccardDupsLazy(documents, threshold, seed)
-    val checkpointed = out.localCheckpoint(true)
-    candidates.unpersist()
-    checkpointed
+    Checkpoints.eager(out) { candidates.unpersist() }
   }
 
   /** the lazy plan behind `ngramJaccardDups`, exposed for plan-gate tests
@@ -487,15 +481,15 @@ object Dedup {
     * (label(id) <- label(label(id)), one self-join on the label table):
     * paths halve every round, so even adversarial long chains converge in
     * O(log diameter) rounds — the Hash-to-Min / large-star bound. Lineage
-    * is cut per round with localCheckpoint so the plan does not grow
-    * unboundedly. */
+    * is cut per round (Checkpoints.cut: reliable checkpoint when a dir is
+    * configured, local otherwise) so the plan does not grow unboundedly. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
     val bidir = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = bidir.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
-      .localCheckpoint()
+    var labels = Checkpoints.cut(
+      bidir.select(col("src").as("id")).distinct()
+        .withColumn("cluster_id", col("id")))
     var converged = false
     var iter = 0
     // labels only ever decrease, so sum(cluster_id) is a strictly-monotone
@@ -506,19 +500,19 @@ object Dedup {
       // neighbor labels flow along edges; keep the min of (own, neighbors)
       val msgs = bidir.join(labels, bidir("src") === labels("id"))
         .select(col("dst").as("id"), col("cluster_id"))
-      val propagated = labels.select(col("id"), col("cluster_id")).union(msgs)
-        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
-        .localCheckpoint()
+      val propagated = Checkpoints.cut(
+        labels.select(col("id"), col("cluster_id")).union(msgs)
+          .groupBy("id").agg(min("cluster_id").as("cluster_id")))
       // pointer jumping: follow one more hop through the label table
       // (labels only decrease and every label IS a node id, so the lookup
       // side always resolves; left join guards the fixpoint rows; toDF
       // re-aliases the lookup side so the self-join resolves cleanly)
       val lookup = propagated.toDF("t_id", "t_cl")
-      val next = propagated
-        .join(lookup, propagated("cluster_id") === lookup("t_id"), "left")
-        .select(propagated("id"),
-          coalesce(lookup("t_cl"), propagated("cluster_id")).as("cluster_id"))
-        .localCheckpoint()
+      val next = Checkpoints.cut(
+        propagated
+          .join(lookup, propagated("cluster_id") === lookup("t_id"), "left")
+          .select(propagated("id"),
+            coalesce(lookup("t_cl"), propagated("cluster_id")).as("cluster_id")))
       val sumDec = next.agg(org.apache.spark.sql.functions.sum(col("cluster_id")).cast("decimal(38,0)"))
         .collect()(0).getDecimal(0)
       labels = next
@@ -695,19 +689,29 @@ object Dedup {
     * through with their (lowercased, trimmed, space-normalized) token
     * stream intact and n_tokens_removed = 0.
     *
-    * Scale shape — ZERO corpus-side shuffles: bench gram hashes BROADCAST
-    * (eval-set-sized); the corpus explodes positioned grams NARROWLY for
-    * a broadcast semi-join finding bad window starts (rare rows — the
-    * only shuffle in the job is the contamination-sized groupBy of those
-    * starts); the per-doc start arrays then broadcast-join back at DOC
-    * level and the cut happens inside the row with higher-order
-    * functions (exists/filter are interpreted, not codegen'd — the
-    * per-token work is array-local and tiny next to a corpus shuffle,
-    * which an earlier token-exploded formulation paid twice). */
+    * Scale shape: bench gram hashes BROADCAST (eval-set-sized); the corpus
+    * explodes positioned grams NARROWLY for a broadcast semi-join finding
+    * bad window starts; the per-doc start arrays join back at DOC level
+    * and the cut happens inside the row with higher-order functions
+    * (exists/filter are interpreted, not codegen'd — the per-token work is
+    * array-local and tiny next to a corpus shuffle, which an earlier
+    * token-exploded formulation paid twice).
+    *
+    * The starts-side join is SIZE-GATED (the round-3 scale finding): the
+    * flagged-doc frame is contamination-sized, which scales with the
+    * CORPUS, not the eval set — a force-broadcast blows the driver/
+    * broadcast limit on any heavily contaminated corpus (the shipped q46
+    * surface alone contaminates every 11th doc). So the operator first
+    * counts flagged docs (one extra narrow pass: scan → broadcast
+    * semi-join → partial-agg count; no corpus shuffle) and only hints
+    * broadcast under `maxBroadcastDocs`; above it the doc-level join runs
+    * as a plain shuffled left-outer — slower, but it finishes. The plan
+    * stays lazy either way (no persist to leak, no eager result). */
   def decontaminateSpans(
       documents: DataFrame,
       benchmark: DataFrame,
-      gramLen: Int = 8): DataFrame = {
+      gramLen: Int = 8,
+      maxBroadcastDocs: Long = 4000000L): DataFrame = {
     def gramStarts(df: DataFrame): DataFrame =
       df.select(col("doc_id"), split(lower(trim(coalesce(col("text"), lit("")))), "\\s+").as("t"))
         .filter(size(col("t")) >= gramLen)
@@ -716,15 +720,19 @@ object Dedup {
             s"i -> xxhash64(concat_ws(' ', slice(t, i + 1, $gramLen))))"))
           .as(Seq("pos", "gram_hash")))
     val benchGrams = gramStarts(benchmark).select(col("gram_hash")).distinct()
-    val startsPerDoc = gramStarts(documents)
+    val flaggedStarts = gramStarts(documents)
       .join(broadcast(benchGrams), Seq("gram_hash"), "left_semi")
+    val startsPerDoc = flaggedStarts
       .groupBy(col("doc_id"))
       .agg(collect_list(col("pos")).as("starts"))
+    val nFlagged = flaggedStarts.select(col("doc_id")).distinct().count()
+    val startsSide =
+      if (nFlagged <= maxBroadcastDocs) broadcast(startsPerDoc) else startsPerDoc
     val g = lit(gramLen)
     documents
       .select(col("doc_id"),
         split(lower(trim(coalesce(col("text"), lit("")))), "\\s+").as("t"))
-      .join(broadcast(startsPerDoc), Seq("doc_id"), "left_outer")
+      .join(startsSide, Seq("doc_id"), "left_outer")
       .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
       .withColumn("kept", filter(col("t"),
         (tok, i) => !exists(col("starts"), s => i >= s && i < s + g)))

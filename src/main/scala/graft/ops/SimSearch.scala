@@ -212,10 +212,17 @@ object SimSearch {
       dim: Int = 64,
       trainSample: Long = 200000L): IvfIndex = {
     val n = embeddings.count()
-    val k = if (nCentroids > 0) nCentroids
-      else math.max(4, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
-    IvfIndex(kmeansCentroids(hashSample(embeddings, n, trainSample), k, iters, dim))
+    IvfIndex(kmeansCentroids(hashSample(embeddings, n, trainSample),
+      autoNlist(n, nCentroids), iters, dim))
   }
+
+  /** nlist sizing shared by `buildIvfIndex` and `buildIvfPqIndex` (ONE
+    * definition so the two builders cannot silently diverge): explicit
+    * `nCentroids > 0` wins; 0 auto-tunes to ~sqrt(n) clamped to [4, 4096]
+    * — the standard IVF balance of list count vs list length. */
+  private def autoNlist(n: Long, nCentroids: Int): Int =
+    if (nCentroids > 0) nCentroids
+    else math.max(4, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
 
   /** deterministic modulus sample of at most ~trainSample rows (no RNG:
     * stable across retries); ceil division so the expected sample is
@@ -532,9 +539,12 @@ object SimSearch {
     * Requires even m (whole bytes). Codes outside 0..15 or null elements
     * would silently shift every later nibble (conv emits 2+ hex digits,
     * concat_ws drops nulls) — such rows pack to NULL instead, so contract
-    * violations are loud, never silently-wrong ANN results. */
+    * violations are loud, never silently-wrong ANN results. A NULL codes
+    * ARRAY also packs to NULL: exists(NULL, …) is NULL, which would fall
+    * through the `when` and emit a 0-byte binary that unpacks to an empty
+    * code list — the silent corruption this contract exists to prevent. */
   def packCodes4bit(codes: Column): Column =
-    when(exists(codes, c => c.isNull || c < 0 || c > 15), lit(null))
+    when(codes.isNull.or(exists(codes, c => c.isNull || c < 0 || c > 15)), lit(null))
       .otherwise(unhex(concat_ws("", transform(codes, c => lower(conv(c.cast("long"), 10, 16))))))
 
   /** inverse of packCodes4bit: binary -> array<int> of nibbles */
@@ -670,7 +680,7 @@ object SimSearch {
 
   def buildIvfPqIndex(
       embeddings: DataFrame,
-      nCentroids: Int = 16,
+      nCentroids: Int = 0,
       m: Int = 8,
       k: Int = 16,
       iters: Int = 3,
@@ -685,8 +695,7 @@ object SimSearch {
     // do not compose: a second keepOneIn either keeps ~100% or a
     // correlated biased half)
     val n = embeddings.count()
-    val nlist = if (nCentroids > 0) nCentroids
-      else math.max(4, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
+    val nlist = autoNlist(n, nCentroids)
     val sample = hashSample(embeddings, n, trainSample)
       .select(col("vec_id").cast("long"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

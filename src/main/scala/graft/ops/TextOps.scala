@@ -379,12 +379,10 @@ object TextOps {
         (id, tok, packId)
       }
     }.toDF("doc_id", "n_tokens", "pack_id")
-      // materialize, then RELEASE the range-partitioned cache (block-manager
-      // residency across repeated calls must not accumulate; checkpointed
-      // result blocks are ContextCleaner-reclaimed once unreferenced)
-      .localCheckpoint(true)
-    base.unpersist()
-    out
+    // materialize, then RELEASE the range-partitioned cache (block-manager
+    // residency across repeated calls must not accumulate; mechanism and
+    // executor-loss tradeoff documented on graft.ops.Checkpoints)
+    graft.ops.Checkpoints.eager(out) { base.unpersist() }
   }
 
   /** top-k TF-IDF terms per document — the classic keyword/topic signal.
@@ -471,8 +469,14 @@ object TextOps {
     * (3) one regroup by doc_id reassembling kept lines AND counting
     * totals in the same aggregate (no second scan of the input). */
   def removeBoilerplateLines(documents: DataFrame, maxDf: Int = 2): DataFrame = {
+    // NULL text coalesces to "" BEFORE the split: split(NULL) is NULL and
+    // posexplode(NULL) emits ZERO rows, which would silently drop the
+    // document from the output — exactly the corpus-accounting lie the
+    // docstring promises not to tell. A NULL-text doc behaves like an
+    // empty-text doc: one blank line, kept, clean_text = "".
     val lines = documents
-      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .select(col("doc_id"),
+        posexplode(split(coalesce(col("text"), lit("")), "\n")).as(Seq("pos", "line")))
       .withColumn("line_hash", xxhash64(col("line")))
     val frequent = lines
       .filter(trim(col("line")) =!= "")

@@ -131,12 +131,51 @@ object ExtractJob {
     // re-stage the whole corpus on every restart.
     val hPath = new org.apache.hadoop.fs.Path(s"$stagedPath/_SUCCESS")
     val hFs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!hFs.exists(hPath)) {
+    // Staging-reuse is gated on INPUT IDENTITY, not just _SUCCESS (the
+    // round-3 silent-wrong-output hole): a rerun at the same outDir with a
+    // different `pages` input or nBuckets must RE-STAGE, not extract the
+    // stale snapshot. The fingerprint is (nBuckets, staged schema, input
+    // row count) written beside _SUCCESS after a successful stage; the
+    // count is one pass over the input — footer-only for parquet sources,
+    // and resume is when identity checking matters most. Distinct inputs
+    // with identical schema+count are indistinguishable to this check
+    // (fingerprinting content would cost a full scan + hash of the corpus)
+    // — callers mutating data in place at constant cardinality should use
+    // a fresh outDir.
+    val idPath = new org.apache.hadoop.fs.Path(s"$stagedPath/_GRAFT_IDENTITY")
+    val prunedPages = pages.select("url", "warc_ts", "html")
+    val stagingId =
+      s"v1|nBuckets=$nBuckets|schema=${prunedPages.schema.catalogString}|rows=${prunedPages.count()}"
+    val reusable = hFs.exists(hPath) && hFs.exists(idPath) && {
+      val st = hFs.getFileStatus(idPath)
+      val buf = new Array[Byte](st.getLen.toInt)
+      val in = hFs.open(idPath)
+      try in.readFully(buf) finally in.close()
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8) == stagingId
+    }
+    if (!reusable) {
+      if (hFs.exists(hPath)) {
+        // identity mismatch: the staged snapshot — and any results/lineage
+        // extracted FROM it — describe a different (input, nBuckets).
+        // Keeping lineage would make resume skip buckets "done" on the old
+        // corpus: complete-looking results over stale data. Wipe all three
+        // and start clean, loudly.
+        System.err.println(
+          s"[graft.ExtractJob] staged snapshot at $stagedPath does not match the " +
+            s"current input (expected '$stagingId') — re-staging and clearing " +
+            "previous results/lineage at this outDir")
+        hFs.delete(new org.apache.hadoop.fs.Path(stagedPath), true)
+        hFs.delete(new org.apache.hadoop.fs.Path(resultsPath), true)
+        hFs.delete(new org.apache.hadoop.fs.Path(lineagePath), true)
+      }
       // stage only the columns the kernel reads: `text` duplicates the
       // payload at corpus scale and `lang` is unused, so pruning here
       // halves staged bytes and write I/O.
-      withBucket(pages.select("url", "warc_ts", "html"), nBuckets)
+      withBucket(prunedPages, nBuckets)
         .write.mode(SaveMode.Overwrite).partitionBy("warc_bucket").parquet(stagedPath)
+      val out = hFs.create(idPath, true)
+      try out.write(stagingId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
     }
     // explicit schema: an empty corpus stages zero part files (only
     // _SUCCESS), and schema inference on that directory throws — an empty

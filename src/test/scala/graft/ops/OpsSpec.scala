@@ -1081,4 +1081,137 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
       s"bench grams must broadcast, corpus must not shuffle for the join:\n$plan")
   }
+
+  test("decontaminateSpans size gate: heavy contamination runs the shuffled join, values unchanged") {
+    val benchText = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    // 4 of 6 docs contaminated (>50%): the regime where the round-3
+    // force-broadcast would ship a corpus-proportional side to every task
+    val df = Seq(
+      (1L, "keep1 keep2 " + benchText + " keep3"),
+      (2L, "clean document with eight tokens here ok"),
+      (3L, "x y " + benchText + " z"),
+      (4L, benchText),
+      (5L, "pre " + benchText),
+      (6L, "another clean doc entirely unrelated words")
+    ).toDF("doc_id", "text")
+    // disable size-based auto-broadcast so the plan reflects ONLY the
+    // operator's own gate decision (tiny test frames would otherwise be
+    // statically broadcast regardless)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val viaBroadcast = Dedup.decontaminateSpans(df, bench, gramLen = 8,
+        maxBroadcastDocs = 1000000L)
+      val viaShuffle = Dedup.decontaminateSpans(df, bench, gramLen = 8,
+        maxBroadcastDocs = 0L)
+      def toMapOf(f: org.apache.spark.sql.DataFrame) = f.collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("clean_text"), r.getAs[Long]("n_tokens_removed")))).toMap
+      val a = toMapOf(viaBroadcast)
+      val b = toMapOf(viaShuffle)
+      assert(a == b, s"gate changed values:\n$a\nvs\n$b")
+      assert(a(4L)._1 == "" && a(4L)._2 == 9L, a(4L))
+      assert(a(2L)._2 == 0L)
+      // plan gates: under the threshold the doc-level LeftOuter is
+      // broadcast; over it (maxBroadcastDocs=0) it must NOT be — a
+      // shuffled join is the only shape that survives heavy contamination
+      val pb = physicalPlan(viaBroadcast)
+      val ps = physicalPlan(viaShuffle)
+      def broadcastLeftOuter(p: String): Boolean =
+        p.linesIterator.exists(l => l.contains("Broadcast") && l.contains("LeftOuter"))
+      assert(broadcastLeftOuter(pb), s"under-threshold path should broadcast:\n$pb")
+      assert(!broadcastLeftOuter(ps), s"over-threshold path must not broadcast:\n$ps")
+      assert(ps.contains("SortMergeJoin") || ps.contains("ShuffledHashJoin"),
+        s"over-threshold path should shuffle-join:\n$ps")
+      // the eval-set gram side stays hint-broadcast in BOTH regimes
+      assert(ps.contains("LeftSemi"), ps)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("sourceQuota: maxDocs <= 0 returns an empty frame, not a task crash") {
+    val df = Seq((1L, "s1"), (2L, "s1"), (3L, "s2")).toDF("doc_id", "source")
+    val got = CorpusOps.sourceQuota(df, maxDocs = 0)
+    assert(got.columns.toSeq == Seq("doc_id", "source", "rk"))
+    assert(got.count() == 0L)
+    assert(CorpusOps.sourceQuota(df, maxDocs = -3).count() == 0L)
+  }
+
+  test("urlCanonical: multi-slash tails and valueless tracking params") {
+    val df = Seq(
+      (1L, "https://A.example.com/p//"),
+      (2L, "https://a.example.com/p?ref"),
+      (3L, "https://a.example.com/p?ref&q=1#f"),
+      (4L, "https://a.example.com/p///?utm_source"),
+      (5L, "https://a.example.com/p?fbclid"),
+      (6L, "https://a.example.com/p?refx=1") // NOT a tracking param: prefix only
+    ).toDF("doc_id", "url")
+    val got = df.select(col("doc_id"), CorpusOps.urlCanonical(col("url")).as("c"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("c")).toMap
+    assert(got(1L) == "https://a.example.com/p", got(1L))
+    assert(got(2L) == "https://a.example.com/p", got(2L))
+    assert(got(3L) == "https://a.example.com/p?q=1", got(3L))
+    assert(got(4L) == "https://a.example.com/p", got(4L))
+    assert(got(5L) == "https://a.example.com/p", got(5L))
+    assert(got(6L) == "https://a.example.com/p?refx=1", got(6L))
+    // idempotence on the multi-slash shape specifically (the round-3
+    // property-test generator never emitted '//', masking the '/$' bug)
+    val twice = df.select(col("doc_id"),
+      CorpusOps.urlCanonical(CorpusOps.urlCanonical(col("url"))).as("c"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("c")).toMap
+    assert(twice == got, s"not idempotent: $twice vs $got")
+  }
+
+  test("removeBoilerplateLines: NULL-text docs are kept, not silently dropped") {
+    val rows = Seq[(java.lang.Long, String)]((1L, "unique line one\nunique line two"),
+      (2L, null), (3L, "another unique line"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => org.apache.spark.sql.Row(r._1.longValue(), r._2))),
+      new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("text", "string"))
+    val got = TextOps.removeBoilerplateLines(df, maxDf = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_kept")))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), s"corpus accounting lost rows: ${got.keySet}")
+    assert(got(2L)._1 == "", got(2L))
+    assert(got(1L)._1 == "unique line one\nunique line two")
+  }
+
+  test("packCodes4bit: NULL codes array packs to NULL, not empty binary") {
+    val rows = Seq(org.apache.spark.sql.Row(1L, Seq(1, 2, 3, 4, 5, 6, 7, 8)),
+      org.apache.spark.sql.Row(2L, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows),
+      new org.apache.spark.sql.types.StructType()
+        .add("vec_id", "long")
+        .add("codes", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType)))
+    val got = df.select(col("vec_id"), SimSearch.packCodes4bit(col("codes")).as("p"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Array[Byte]]("p")).toMap
+    assert(got(1L) != null && got(1L).length == 4)
+    assert(got(2L) == null, "NULL array must pack to NULL (empty binary unpacks to an empty code list)")
+  }
+
+  test("Checkpoints: reliable checkpoint is used when a checkpoint dir is configured") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
+    try {
+      val base = (1 to 40).map(i => s"word$i").mkString(" ")
+      val near = base.replace("word7", "changed7")
+      val pairs = Dedup.minhashLsh(docsDf((1L, base), (2L, near))).collect()
+      assert(pairs.exists(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L))
+      // the eager materialization must have landed rdd checkpoint files
+      def rddDirs(f: java.io.File): Array[java.io.File] =
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .flatMap(c => if (c.isDirectory) c +: rddDirs(c) else Array.empty[java.io.File])
+      assert(rddDirs(dir).exists(_.getName.startsWith("rdd-")),
+        s"no reliable checkpoint written under $dir")
+    } finally {
+      spark.sparkContext.setCheckpointDir(null)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(dir)
+    }
+  }
 }

@@ -72,6 +72,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lineage2.count() == lineage.count())
   }
 
+  test("run(): staged snapshot is NOT reused when the input or nBuckets changes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-job-id").toString
+    val pages40 = spark.range(40).as[Long].map(Corpus.row(42L)).toDF()
+    val (resultsPath, _) = ExtractJob.run(spark, pages40, dir, nBuckets = 4, partitions = 4)
+    assert(spark.read.parquet(resultsPath).count() == 40)
+    // different INPUT at the same outDir: round-3 behavior silently
+    // extracted the stale 40-doc snapshot; now the job re-stages and the
+    // results reflect the 70-doc corpus
+    val pages70 = spark.range(70).as[Long].map(Corpus.row(42L)).toDF()
+    val (resultsPath2, lineagePath2) = ExtractJob.run(spark, pages70, dir, nBuckets = 4, partitions = 4)
+    assert(spark.read.parquet(resultsPath2).count() == 70,
+      "changed input must re-stage, not reuse the stale snapshot")
+    // lineage was cleared with the stale snapshot: rows describe only the new corpus
+    val l = spark.read.parquet(lineagePath2)
+    assert(l.agg(org.apache.spark.sql.functions.sum("n_ok")).head.getLong(0) == 70L)
+    // different nBuckets, same input: also re-stages (bucket layout changed)
+    ExtractJob.run(spark, pages70, dir, nBuckets = 8, partitions = 4)
+    val staged = spark.read.parquet(s"$dir/staged")
+    assert(staged.select("warc_bucket").distinct().count() > 4,
+      "nBuckets change must re-stage with the new bucket count")
+    assert(spark.read.parquet(resultsPath2).count() == 70)
+  }
+
   test("run(): empty input completes as a no-op, not a crash") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-job-empty").toString
