@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{CorpusOps, Dedup, SimSearch, TextOps}
+import graft.ops.{Bpe, CorpusOps, Dedup, SimSearch, TextOps}
 import graft.pipeline.{Corpus, ExtractJob}
 
 /** Driver contract: one `queries` entry per implemented operator family
@@ -199,8 +199,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
     }),
     "q12_langid_fingerprint" -> ((s, dir) => TextOps.withLangAndFingerprint(docs(s, dir))),
+    "q47_langid_wide" -> ((s, dir) => {
+      // golden-oracled language ID over all supported languages: inject
+      // one fixed sample sentence per doc_id % n class (n = number of
+      // supported languages), run the real detector; the DuckDB oracle
+      // enumerates the EXPECTED label per class, so a value-exact match
+      // means every sample classifies correctly at this scale
+      import s.implicits._
+      val samples = TextOps.langSamples
+      val textArr = array(samples.map(t => lit(t._2)): _*)
+      docs(s, dir)
+        .select(col("doc_id").cast("long"),
+          element_at(textArr, (col("doc_id") % samples.length + 1).cast("int")).as("text"))
+        .as[(Long, String)]
+        .map { case (id, t) => (id, TextOps.detectLang(t)) }
+        .toDF("doc_id", "lang")
+    }),
     "q13_quality" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))),
+    "q48_bpe_token_estimates" -> ((s, dir) => {
+      // trained-BPE token accounting over the frozen golden texts (one per
+      // doc_id % n class); the oracle enumerates the expected counts, so
+      // value-exact means the trained tokenizer reproduces its committed
+      // vocabulary end-to-end through the Spark path
+      val g = Bpe.golden
+      val textArr = array(g.map(t => lit(t._1)): _*)
+      TextOps.tokenEstimatesBpe(
+        docs(s, dir).select(col("doc_id").cast("long"),
+          element_at(textArr, (col("doc_id") % g.length + 1).cast("int")).as("text")))
+    }),
     // ---- similarity search ----
     "q14_simsearch_brute" -> ((s, dir) => SimSearch.bruteForceTopK(emb(s, dir), 5, 10)),
     "q15_simsearch_lsh" -> ((s, dir) => SimSearch.lshTopK(emb(s, dir), 5, 10)),
@@ -766,6 +793,32 @@ object SparkEntry {
         |    AS clean_text,
         |  cast(sum(bad) AS bigint) AS n_tokens_removed
         |FROM marked GROUP BY 1""".stripMargin,
+    // golden oracle: enumerate the EXPECTED label per doc_id % n class —
+    // generated from the same TextOps.langSamples table the Spark query
+    // injects from (one source of truth; value-exact = every sample
+    // classifies correctly)
+    "q47_langid_wide" -> {
+      val whens = graft.ops.TextOps.langSamples.zipWithIndex
+        .map { case ((lang, _), i) => s"WHEN $i THEN '$lang'" }.mkString(" ")
+      s"SELECT cast(doc_id AS bigint) AS doc_id, " +
+        s"CASE cast(doc_id % ${graft.ops.TextOps.langSamples.length} AS int) " +
+        s"$whens END AS lang FROM documents"
+    },
+    // golden oracle generated from the same frozen Bpe.golden table the
+    // Spark query injects from (one source of truth for texts AND counts)
+    "q48_bpe_token_estimates" -> {
+      val g = graft.ops.Bpe.golden
+      val n = g.length
+      def chain(f: ((String, Long, Long)) => Long) =
+        g.zipWithIndex.map { case (t, i) => s"WHEN $i THEN ${f(t)}" }.mkString(" ")
+      val cls = s"cast(doc_id % $n AS int)"
+      s"SELECT cast(doc_id AS bigint) AS doc_id, " +
+        s"cast(CASE $cls ${chain(_._2)} END AS bigint) AS n_ws_tokens, " +
+        s"cast(CASE $cls ${chain(_._3)} END AS bigint) AS n_bpe_tokens, " +
+        s"round(cast(CASE $cls ${chain(_._3)} END AS double) / " +
+        s"greatest(CASE $cls ${chain(_._2)} END, 1), 6) AS bpe_ratio " +
+        "FROM documents"
+    },
     "q40_decontaminate" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -77,7 +77,31 @@ object HtmlExtract {
     var tagCount = 0 // descendant tags seen inside this block
     var linkChars = 0
     var ownBlock = false // has direct text (not only via child blocks)
+    // table-composite state (allocated only for tag == "table"): cells are
+    // BUFFERED here per row instead of emitted as prose blocks, so the
+    // close of the table can decide data-vs-layout with the full picture
+    var tableRows: ArrayBuffer[ArrayBuffer[BufferedCell]] = null
+    def currentRow(): ArrayBuffer[BufferedCell] = {
+      if (tableRows == null) tableRows = ArrayBuffer(ArrayBuffer.empty[BufferedCell])
+      tableRows.last
+    }
+    def newRow(): Unit = {
+      if (tableRows == null) tableRows = ArrayBuffer(ArrayBuffer.empty[BufferedCell])
+      else if (tableRows.last.nonEmpty) tableRows += ArrayBuffer.empty[BufferedCell]
+    }
   }
+
+  private final case class BufferedCell(
+      text: String, tag: String, tagCount: Int, linkChars: Int, penalized: Boolean)
+
+  /** data-table detection bounds: a table renders ROW-WISE (cells joined
+    * by " | ", rows by '\n', one scored block for the whole table) when it
+    * has at least MIN_DATA_CELLS non-empty cells in at least 2 rows and
+    * the average cell is short (data, not paragraphs-in-layout-tables);
+    * otherwise it is a LAYOUT table and its cells score as prose blocks
+    * exactly as before. */
+  final val MIN_DATA_CELLS = 4
+  final val MAX_AVG_CELL_CHARS = 80f
 
   sealed trait Tok
   final case class TText(t: String) extends Tok
@@ -240,9 +264,67 @@ object HtmlExtract {
       }
     }
 
+    def nearestTable(): BlockAcc = {
+      var i = stack.length - 1
+      while (i >= 0 && stack(i).tag != "table") i -= 1
+      if (i >= 0) stack(i) else null
+    }
+
+    def emitTable(t: BlockAcc): Unit = {
+      val own = normalizeWs(t.text.toString) // caption / stray table text
+      val rows =
+        if (t.tableRows == null) ArrayBuffer.empty[ArrayBuffer[BufferedCell]]
+        else t.tableRows.map(_.filter(_.text.nonEmpty)).filter(_.nonEmpty)
+      val cells = rows.flatten
+      val totalCellChars = cells.iterator.map(_.text.length).sum
+      val isData = cells.length >= MIN_DATA_CELLS && rows.length >= 2 &&
+        totalCellChars.toFloat / cells.length <= MAX_AVG_CELL_CHARS
+      if (isData) {
+        // one row-wise block for the whole table: " | " between cells,
+        // '\n' between rows; scored by chars-per-row (cell-level density
+        // would charge each tiny cell its own tag overhead — the reason
+        // data tables used to lose their short cells)
+        val body = rows.map(_.map(_.text).mkString(" | ")).mkString("\n")
+        val text = if (own.nonEmpty) own + "\n" + body else body
+        val chars = text.length
+        val linkChars = cells.iterator.map(_.linkChars).sum + t.linkChars
+        val linkDensity = if (chars == 0) 0f else math.min(1f, linkChars.toFloat / chars)
+        val prior = if (t.penalized) 0.25f else 1.0f
+        val score = (chars.toFloat / (1 + rows.length)) * prior * (1.0f - 0.75f * linkDensity)
+        if (text.nonEmpty) blocks += ((text, "table", score)) // threshold-filtered with all blocks
+      } else {
+        // layout table: buffered cells score as prose blocks, original order
+        if (t.tableRows != null) t.tableRows.foreach(_.foreach { c =>
+          if (c.text.nonEmpty) {
+            val density = c.text.length.toFloat / (1 + c.tagCount)
+            val linkDensity = math.min(1f, c.linkChars.toFloat / math.max(c.text.length, 1))
+            val prior = if (c.penalized) 0.25f else 1.0f
+            blocks += ((c.text, c.tag, density * prior * (1.0f - 0.75f * linkDensity)))
+          }
+        })
+        scoreAndEmit(t)
+      }
+    }
+
     def closeBlock(): Unit = {
       val b = stack.remove(stack.length - 1)
-      scoreAndEmit(b)
+      val table = nearestTable()
+      b.tag match {
+        case "td" | "th" if table != null =>
+          // buffer the cell on the enclosing table instead of emitting
+          table.currentRow() += BufferedCell(
+            normalizeWs(b.text.toString), b.tag, b.tagCount, b.linkChars, b.penalized)
+        case "tr" if table != null =>
+          // stray text directly inside <tr> joins the row as a pseudo-cell
+          val stray = normalizeWs(b.text.toString)
+          if (stray.nonEmpty)
+            table.currentRow() += BufferedCell(stray, "tr", b.tagCount, b.linkChars, b.penalized)
+          table.newRow()
+        case "table" =>
+          emitTable(b)
+        case _ =>
+          scoreAndEmit(b)
+      }
       if (stack.nonEmpty) stack.last.tagCount += b.tagCount + 1
     }
 

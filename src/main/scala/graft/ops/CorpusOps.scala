@@ -153,12 +153,21 @@ object CorpusOps {
     * estimate the cutoff quality via approx quantiles of the token-
     * weighted quality distribution, pre-filter to ~cutoff - epsilon, then
     * run this window on the survivors. */
-  def tokenBudgetSelect(documents: DataFrame, budgetTokens: Long = 1000L): DataFrame = {
+  def tokenBudgetSelect(
+      documents: DataFrame,
+      budgetTokens: Long = 1000L,
+      tokenizer: String = "ws"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // "ws" keeps the exact codegen'd expression the DuckDB oracle mirrors;
+    // "bpe" charges the budget in real model tokens (TextOps.bpeTokens)
+    val nTokens =
+      if (tokenizer == "ws")
+        when(length(trim(col("text"))) === 0, 0L)
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+      else TextOps.tokensFor(tokenizer, col("text"))
     val scored = documents.select(col("doc_id"), col("source"),
       round(TextOps.qualityScore(col("text")), 6).as("quality"),
-      when(length(trim(col("text"))) === 0, 0L)
-        .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens"))
+      nTokens.as("n_tokens"))
     val w = Window.partitionBy("source")
       .orderBy(col("quality").desc, col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -46,48 +46,143 @@ object TextOps {
     round((lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3), 6)
   }
 
-  // ---- language ID (n-gram/charclass heuristic; executor-local) -----------
-  private val langMarkers: Seq[(String, Set[String])] = Seq(
-    "en" -> Set("the", "and", "of", "to", "is", "that", "for", "with"),
-    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
-    "fr" -> Set("le", "la", "les", "et", "est", "pas", "une", "des"),
-    "es" -> Set("el", "la", "los", "las", "es", "y", "que", "por", "con", "una"))
+  // ---- language ID (script classes + marker-word vote; executor-local) ----
+  //
+  // Two deterministic stages, no model, no RNG (retry/engine-stable by
+  // construction, like hashSplit):
+  //  1. SCRIPT CLASS: count non-whitespace chars per Unicode script block
+  //     (BMP ranges only — the corpus schema is web text, and keeping to
+  //     the BMP makes char-loop counts equal codepoint counts, so a SQL
+  //     oracle can reproduce them). A script that covers > 1/3 of the
+  //     non-ws chars decides directly: kana=>ja, han-without-kana=>zh,
+  //     hangul=>ko, arabic=>ar, hebrew=>he, greek=>el, devanagari=>hi,
+  //     thai=>th; cyrillic falls through to a ru/uk marker vote.
+  //  2. LATIN MARKER VOTE: per-language function-word hit counts over
+  //     letter-tokenized text; FIRST language in priority order with the
+  //     maximal positive score wins (ties resolve to the earlier entry —
+  //     deterministic and SQL-expressible as an ordered CASE chain).
+  // Marker sets favor words DISTINCTIVE vs the other listed languages
+  // (sv 'och/inte/är' vs da 'og/ikke/er'; pl 'że' vs cs 'že') over raw
+  // frequency.
+  private[graft] val latinMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "for", "with", "was", "this"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf", "den", "von"),
+    "fr" -> Seq("le", "les", "est", "pas", "une", "des", "dans", "pour", "qui", "au", "et", "ce"),
+    "es" -> Seq("el", "los", "las", "es", "por", "con", "una", "para", "como", "pero", "su", "más"),
+    "pt" -> Seq("não", "uma", "para", "com", "mais", "dos", "das", "em", "foi", "são", "os", "ao"),
+    "it" -> Seq("il", "che", "non", "per", "con", "sono", "della", "un", "si", "anche", "di", "una"),
+    "nl" -> Seq("het", "een", "van", "niet", "met", "voor", "zijn", "dat", "op", "aan", "ook", "naar"),
+    "pl" -> Seq("nie", "się", "jest", "na", "do", "że", "po", "jak", "ale", "przez", "tym", "być"),
+    "sv" -> Seq("och", "att", "det", "som", "på", "är", "av", "för", "med", "inte", "till", "han"),
+    "da" -> Seq("og", "at", "det", "som", "på", "er", "af", "for", "med", "ikke", "til", "han"),
+    "tr" -> Seq("bir", "ve", "bu", "için", "ile", "olarak", "gibi", "daha", "çok", "sonra", "kadar", "yıl"),
+    "ro" -> Seq("și", "este", "nu", "cu", "pentru", "din", "care", "la", "mai", "fost", "sau", "dar"),
+    "id" -> Seq("yang", "dan", "di", "untuk", "dengan", "tidak", "ini", "itu", "dari", "pada", "adalah", "akan"),
+    "vi" -> Seq("và", "của", "là", "không", "có", "người", "trong", "được", "các", "một", "những", "cho"),
+    "cs" -> Seq("je", "se", "na", "že", "s", "nebo", "ale", "jako", "podle", "byl", "také", "už"),
+    "fi" -> Seq("ja", "on", "ei", "että", "joka", "mutta", "myös", "kun", "hän", "ovat", "oli", "niin"))
+  private[graft] val cyrillicMarkers: Seq[(String, Seq[String])] = Seq(
+    "ru" -> Seq("и", "в", "не", "на", "что", "это", "как", "по", "из", "его"),
+    "uk" -> Seq("і", "в", "не", "на", "що", "це", "як", "по", "з", "його"))
+  private val latinMarkerSets = latinMarkers.map { case (l, ws) => (l, ws.toSet) }
+  private val cyrillicMarkerSets = cyrillicMarkers.map { case (l, ws) => (l, ws.toSet) }
 
-  /** pure function: dominant-marker vote + CJK char-class check */
-  def detectLang(text: String): String = {
-    if (text == null || text.isEmpty) return "und"
-    var cjk = 0
-    var total = 0
-    var i = 0
-    while (i < text.length) {
-      val c = text.charAt(i)
-      if (!c.isWhitespace) {
-        total += 1
-        if ((c >= 0x4e00 && c <= 0x9fff) || (c >= 0x3040 && c <= 0x30ff)) cjk += 1
-      }
-      i += 1
-    }
-    if (total > 0 && cjk * 3 > total) {
-      // kana present => ja, else zh
-      var hasKana = false
-      i = 0
-      while (i < text.length && !hasKana) {
-        val c = text.charAt(i)
-        if (c >= 0x3040 && c <= 0x30ff) hasKana = true
-        i += 1
-      }
-      return if (hasKana) "ja" else "zh"
-    }
-    val tokens = text.toLowerCase.split("\\s+")
+  /** first language in `sets` order with the maximal positive hit count
+    * ("first" makes ties deterministic); "und" when nothing scores */
+  private def markerVote(tokens: Array[String], sets: Seq[(String, Set[String])]): String = {
     var best = "und"
     var bestScore = 0
-    langMarkers.foreach { case (lang, markers) =>
+    sets.foreach { case (lang, markers) =>
       var s = 0
       tokens.foreach(t => if (markers.contains(t)) s += 1)
       if (s > bestScore) { bestScore = s; best = lang }
     }
     best
   }
+
+  /** pure function: script-class decision + marker-word vote (~26
+    * languages: 8 script-decided + ru/uk + 16 Latin-script) */
+  def detectLang(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    var total = 0
+    var han = 0; var kana = 0; var hangul = 0; var cyr = 0
+    var arab = 0; var hebr = 0; var greek = 0; var deva = 0; var thai = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (!c.isWhitespace) {
+        total += 1
+        if (c >= 0x4e00 && c <= 0x9fff) han += 1
+        else if (c >= 0x3040 && c <= 0x30ff) kana += 1
+        else if ((c >= 0xac00 && c <= 0xd7af) || (c >= 0x1100 && c <= 0x11ff)) hangul += 1
+        else if (c >= 0x0400 && c <= 0x04ff) cyr += 1
+        else if (c >= 0x0600 && c <= 0x06ff) arab += 1
+        else if (c >= 0x0590 && c <= 0x05ff) hebr += 1
+        else if (c >= 0x0370 && c <= 0x03ff) greek += 1
+        else if (c >= 0x0900 && c <= 0x097f) deva += 1
+        else if (c >= 0x0e00 && c <= 0x0e7f) thai += 1
+      }
+      i += 1
+    }
+    if (total > 0) {
+      // ja check first: kana is unambiguous, and ja text mixes kanji+kana
+      // (han+kana together clear the bar even when neither does alone)
+      if ((han + kana) * 3 > total && kana > 0) return "ja"
+      if (han * 3 > total) return "zh"
+      if (hangul * 3 > total) return "ko"
+      if (arab * 3 > total) return "ar"
+      if (hebr * 3 > total) return "he"
+      if (greek * 3 > total) return "el"
+      if (deva * 3 > total) return "hi"
+      if (thai * 3 > total) return "th"
+      if (cyr * 3 > total)
+        return markerVote(letterTokens(text), cyrillicMarkerSets) match {
+          case "und" => "ru" // dominant cyrillic with no marker hit: default ru
+          case l => l
+        }
+    }
+    markerVote(letterTokens(text), latinMarkerSets)
+  }
+
+  /** lowercase letter-run tokenization: splitting on non-letters (not just
+    * whitespace) frees marker words from glued punctuation ("the," / "(la")
+    * — the round-3 detector missed every marker adjacent to punctuation */
+  private def letterTokens(text: String): Array[String] =
+    text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+
+  /** one representative sentence per supported language — the golden set
+    * behind q47 (the SQL oracle enumerates the EXPECTED label per
+    * doc_id % n class, so a value-exact match means the detector
+    * classifies every sample correctly at both verify scales) and the
+    * per-language OpsSpec fixtures. Order defines the doc_id % n classes;
+    * append-only. */
+  val langSamples: Seq[(String, String)] = Seq(
+    "en" -> "the report was prepared with care and this is the result that matters for everyone",
+    "de" -> "der bericht wurde nicht mit der zeit fertig und das ist ein problem für die leute auf den straßen",
+    "fr" -> "le rapport est dans les archives et une copie pour qui veut au bureau des affaires",
+    "es" -> "el informe es para los lectores con una copia por cada página pero como siempre su valor es más claro",
+    "pt" -> "não foi uma surpresa para os leitores com mais páginas dos relatórios das agências em lisboa e são paulo",
+    "it" -> "il rapporto che non è per tutti ma con una copia sono anche della stessa idea di un altro",
+    "nl" -> "het rapport is niet voor iedereen maar een kopie met zijn naam op aan ook naar het archief dat wij van hem kregen",
+    "pl" -> "nie wiem jak to się stało ale jest coś do zrobienia po tym że przez rok nie było jak być",
+    "sv" -> "och det är inte som att det var för sent med tåget till staden av en man och han kom",
+    "da" -> "og det er ikke som at det var for sent med toget til byen af en mand og han kom",
+    "tr" -> "bir yıl sonra bu rapor ve daha çok bilgi için onunla ile birlikte olarak gibi kadar",
+    "ro" -> "și nu este clar pentru cei care au fost la birou din nou cu mai multe pagini sau dar totuși",
+    "id" -> "yang penting adalah ini dan itu tidak akan berubah di kota untuk orang dengan buku dari pada masa",
+    "vi" -> "và đây là một báo cáo của những người trong thành phố không có gì được cho các bạn",
+    "cs" -> "je to tak že se nebo ale jako podle něj byl také už v praze s ním",
+    "fi" -> "ja on selvää että hän ei ole mutta myös kun he ovat siellä oli niin hyvä joka päivä",
+    "ru" -> "и в не на что это как по из его города пришло письмо вчера",
+    "uk" -> "і в не на що це як по з його міста прийшов лист учора",
+    "ja" -> "これは日本語のテキストですこの文書には多くの情報があります",
+    "zh" -> "这是一份中文文件其中包含许多信息和数据分析结果",
+    "ko" -> "이것은 한국어 텍스트입니다 이 문서에는 많은 정보가 있습니다",
+    "ar" -> "هذا نص باللغة العربية يحتوي على الكثير من المعلومات",
+    "he" -> "זהו טקסט בעברית המכיל מידע רב על הנושא",
+    "el" -> "αυτό είναι ένα ελληνικό κείμενο με πολλές πληροφορίες",
+    "hi" -> "यह हिंदी में एक पाठ है जिसमें बहुत जानकारी है",
+    "th" -> "นี่คือข้อความภาษาไทยที่มีข้อมูลมากมาย")
 
   /** 64-bit rolling polynomial fingerprint over whitespace-normalized text
     * (Rabin-Karp style; stable across JVMs) */
@@ -312,9 +407,13 @@ object TextOps {
     * chunkTokens - stride). Pure per-row transform + explode — the output
     * is larger than the input (the point), but nothing shuffles: chunks are
     * born in the partition that holds the doc. */
-  def chunked(documents: DataFrame, chunkTokens: Int = 50, stride: Int = 40): DataFrame = {
+  def chunked(
+      documents: DataFrame,
+      chunkTokens: Int = 50,
+      stride: Int = 40,
+      withBpeCost: Boolean = false): DataFrame = {
     require(chunkTokens > 0 && stride > 0)
-    documents
+    val base = documents
       .select(col("doc_id"),
         when(length(trim(col("text"))) === 0, expr("array()"))
           .otherwise(split(trim(col("text")), "\\s+")).as("toks"))
@@ -331,6 +430,11 @@ object TextOps {
         col("c.idx").cast("long").as("chunk_idx"),
         col("c.chunk").as("chunk_text"),
         size(split(col("c.chunk"), "\\s+")).cast("long").as("n_tokens"))
+    // per-chunk trained-BPE cost, opt-in (boundaries stay in whitespace
+    // tokens — the window/stride contract is unchanged; this adds the
+    // model-token cost a budgeting pipeline charges each sequence)
+    if (withBpeCost) base.withColumn("n_bpe_tokens", bpeTokens(col("chunk_text")).cast("long"))
+    else base
   }
 
   /** deterministic sequence packing: assign docs (in doc_id order) to
@@ -345,7 +449,8 @@ object TextOps {
   def sequencePacking(
       documents: DataFrame,
       packTokens: Int = 512,
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0,
+      tokenizer: String = "ws"): DataFrame = {
     require(packTokens > 0)
     val spark = documents.sparkSession
     import spark.implicits._
@@ -356,7 +461,7 @@ object TextOps {
     // task-scoped and collapses to 0 under a downstream coalesce(1),
     // silently zeroing every offset.
     val base = documents
-      .select(col("doc_id").cast("long"), tokenCount(col("text")).cast("long").as("n_tokens"))
+      .select(col("doc_id").cast("long"), tokensFor(tokenizer, col("text")).as("n_tokens"))
       .repartitionByRange(nPart, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .as[(Long, Long)]
@@ -421,6 +526,37 @@ object TextOps {
       ws.as("n_ws_tokens"),
       bpe.as("n_bpeish"),
       round(bpe.cast("double") / greatest(ws, lit(1L)), 6).as("subword_ratio"))
+  }
+
+  /** trained-BPE token count as a column. A UDF is justified here (the
+    * repo's no-UDF rule is "no UDF where a built-in fits"): no Catalyst
+    * built-in can express a trained subword merge table. Executor-local,
+    * memoized per JVM (graft.ops.Bpe). */
+  lazy val bpeTokens: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((t: String) => Bpe.tokenCount(t))
+
+  /** token accounting with the REAL trained subword tokenizer (upgrade of
+    * `tokenEstimates`' regex approximation): whitespace count, trained-BPE
+    * count, and their ratio — the number that converts corpus token
+    * budgets between "words" and model tokens. */
+  def tokenEstimatesBpe(documents: DataFrame): DataFrame = {
+    val ws = tokenCount(col("text")).cast("long")
+    val bpe = bpeTokens(col("text")).cast("long")
+    documents.select(
+      col("doc_id"),
+      ws.as("n_ws_tokens"),
+      bpe.as("n_bpe_tokens"),
+      round(bpe.cast("double") / greatest(ws, lit(1L)), 6).as("bpe_ratio"))
+  }
+
+  /** token-count column for the accounting operators that take a
+    * `tokenizer` choice: "ws" (whitespace, codegen'd, DuckDB-oracled) or
+    * "bpe" (trained subword — the honest model-token cost) */
+  private[graft] def tokensFor(tokenizer: String, text: Column): Column = tokenizer match {
+    case "ws" => tokenCount(text).cast("long")
+    case "bpe" => bpeTokens(text).cast("long")
+    case other => throw new IllegalArgumentException(
+      s"tokenizer must be 'ws' or 'bpe', got '$other'")
   }
 
   /** documents -> per-doc text stats (one narrow pass, no shuffle) */

@@ -56,8 +56,17 @@ object HtmlCalib {
     out += Frag("content", "list-shell", s"<ul>${items.mkString}</ul>", "")
     val rows = (0 until 3).map { r =>
       val m = mk(); out += Frag("content", "table-cell", "", m)
-      s"<tr><td>${sentence(rnd, 1, m)}</td><td>${10 + rnd.nextInt(90)}</td><td>${words(rnd.nextInt(words.length))}</td></tr>"
+      val c1 = sentence(rnd, 1, m)
+      val c2 = (10 + rnd.nextInt(90)).toString
+      val c3 = words(rnd.nextInt(words.length))
+      // STRUCTURE gate: the whole rendered row — " | " between cells —
+      // must appear in the output, i.e. the short numeric/word cells
+      // survive AND stay on one line with their row (the round-3 scorer
+      // dropped sub-threshold cells and split rows across lines)
+      out += Frag("content", "table-row", "", s"$c1 | $c2 | $c3")
+      s"<tr><td>$c1</td><td>$c2</td><td>$c3</td></tr>"
     }
+    out += Frag("content", "table-header", "", "name | count | kind")
     out += Frag("content", "table-shell",
       s"<table><tr><th>name</th><th>count</th><th>kind</th></tr>${rows.mkString}</table>", "")
     val pre = mk()
@@ -91,6 +100,14 @@ object HtmlCalib {
       s"""<li><a href="/r">${sentence(rnd, 2 + rnd.nextInt(3), m)}</a></li>"""
     }
     out += Frag("boiler", "aside-shell", s"<aside><h3>Related</h3><ul>${rel.mkString}</ul></aside>", "")
+    // link-farm TABLE (old-school nav-in-a-table): data-shaped (many short
+    // cells) but pure links — link density must kill it, not the data path
+    val navTabRows = (0 until 4).map { _ =>
+      val m = mk(); out += Frag("boiler", "table-nav-link", "", m)
+      s"""<tr><td><a href="/x">${sentence(rnd, 1, m)}</a></td>""" +
+        s"""<td><a href="/y">${words(rnd.nextInt(words.length))}</a></td></tr>"""
+    }
+    out += Frag("boiler", "table-nav-shell", s"<table>${navTabRows.mkString}</table>", "")
     val foot = mk()
     val footLinks = (0 until 4).map { _ =>
       val m = mk(); out += Frag("boiler", "footer-link", "", m)
@@ -145,6 +162,7 @@ object HtmlCalib {
            |${cat("share-shell")}
            |${cat("ad")}
            |${cat("aside-shell")}
+           |${cat("table-nav-shell")}
            |${cat("footer")}
            |${cat("comment-form")}
            |</body></html>""".stripMargin
@@ -155,7 +173,7 @@ object HtmlCalib {
            |<main><div class="wrap"><div class="inner">
            |$contentInner
            |</div></div></main>
-           |<div class="bottom">${cat("ad")}${cat("share-shell")}${cat("aside-shell")}${cat("footer")}${cat("comment-form")}</div>
+           |<div class="bottom">${cat("ad")}${cat("share-shell")}${cat("aside-shell")}${cat("table-nav-shell")}${cat("footer")}${cat("comment-form")}</div>
            |</body></html>""".stripMargin
       case _ => // div-soup + tag-soup: no semantic wrappers, unclosed <p>s
         val soup = contentInner.replace("</p>", "")
@@ -164,7 +182,7 @@ object HtmlCalib {
            |<div><div class="c1"><div class="c2">
            |$soup
            |</div>${cat("ad")}</div>
-           |<div class="sb">${cat("aside-shell")}${cat("share-shell")}</div></div>
+           |<div class="sb">${cat("aside-shell")}${cat("share-shell")}${cat("table-nav-shell")}</div></div>
            |${cat("cookie-banner")}${cat("cookie-noclass")}
            |<div class="ft">${cat("footer")}${cat("comment-form")}</div>
            |</body></html>""".stripMargin

@@ -238,6 +238,49 @@ class EdgeCaseSpec2 extends org.scalatest.funsuite.AnyFunSuite {
     assert(r.blocks.map(_.tagPath) == Vector("li", "li", "td"))
   }
 
+  test("html: data tables render row-wise with cell separators, short cells kept") {
+    import graft.core.html.HtmlExtract
+    val html = "<body><table>" +
+      "<tr><th>name</th><th>count</th><th>kind</th></tr>" +
+      "<tr><td>alpha</td><td>42</td><td>blue</td></tr>" +
+      "<tr><td>beta</td><td>7</td><td>red</td></tr>" +
+      "</table></body>"
+    val r = HtmlExtract.extract(html)
+    assert(r.text == "name | count | kind\nalpha | 42 | blue\nbeta | 7 | red", r.text)
+    assert(r.blocks.map(_.tagPath) == Vector("table"), r.blocks)
+  }
+
+  test("html: data tables tolerate unclosed cells and rows (implied end tags)") {
+    import graft.core.html.HtmlExtract
+    val html = "<body><table>" +
+      "<tr><td>alpha<td>42<td>blue" + // no </td>, cells closed by next <td>
+      "<tr><td>beta<td>7<td>red" + // rows closed by next <tr>
+      "</table></body>"
+    val r = HtmlExtract.extract(html)
+    assert(r.text == "alpha | 42 | blue\nbeta | 7 | red", r.text)
+  }
+
+  test("html: link-farm tables are dropped by link density, not kept as data") {
+    import graft.core.html.HtmlExtract
+    val html = "<body><table>" +
+      (1 to 4).map(i =>
+        s"""<tr><td><a href="/a$i">item number $i</a></td><td><a href="/b$i">more</a></td></tr>""").mkString +
+      "</table><p>" + ("real content word " * 10) + "</p></body>"
+    val r = HtmlExtract.extract(html)
+    assert(!r.text.contains("item number"), r.text)
+    assert(r.text.contains("real content word"))
+  }
+
+  test("html: layout tables (few big cells) still score cells as prose") {
+    import graft.core.html.HtmlExtract
+    val para = "a long paragraph of body text living inside an old school layout table " +
+      "with enough words that it is clearly the main content of this page"
+    val html = s"<body><table><tr><td>$para</td></tr></table></body>"
+    val r = HtmlExtract.extract(html)
+    assert(r.text == para)
+    assert(r.blocks.map(_.tagPath) == Vector("td"))
+  }
+
   test("html: blocks report scores and offsets in spans") {
     import graft.core.html.HtmlExtract
     val html = "<body><p>" + ("word " * 40) + "</p></body>"

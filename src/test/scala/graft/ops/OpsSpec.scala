@@ -66,6 +66,30 @@ class OpsSpec extends AnyFunSuite {
     assert(TextOps.detectLang("") == "und")
   }
 
+  test("langid wide: every golden sample classifies to its label") {
+    TextOps.langSamples.foreach { case (lang, text) =>
+      val got = TextOps.detectLang(text)
+      assert(got == lang, s"sample for '$lang' classified as '$got': $text")
+    }
+    // the golden set covers every scripted class and all latin languages
+    assert(TextOps.langSamples.map(_._1).distinct.size == TextOps.langSamples.size)
+    assert(TextOps.langSamples.size >= 26)
+  }
+
+  test("langid wide: independent second sentences and punctuation-glued markers") {
+    assert(TextOps.detectLang("this is the story of the people and the places that we know") == "en")
+    assert(TextOps.detectLang("und die kinder sind nicht auf der straße mit den hunden") == "de")
+    assert(TextOps.detectLang("les enfants sont dans le jardin et une femme est au marché") == "fr")
+    assert(TextOps.detectLang("os livros não são para as crianças com mais de uma década em casa") == "pt")
+    assert(TextOps.detectLang("в россии не было того что мы видели по его словам") == "ru")
+    assert(TextOps.detectLang("в україні не було того що ми бачили по його словах") == "uk")
+    assert(TextOps.detectLang("한국어로 쓰인 문서입니다") == "ko")
+    // marker words glued to punctuation still count (letter tokenization)
+    assert(TextOps.detectLang("The report, with the results, is that good for everyone.") == "en")
+    assert(TextOps.detectLang(null) == "und")
+    assert(TextOps.detectLang("12345 67890 !!!") == "und")
+  }
+
   test("fingerprint invariant to whitespace runs") {
     assert(TextOps.fingerprint("a  b\tc") == TextOps.fingerprint("a b c"))
     assert(TextOps.fingerprint("a b c") != TextOps.fingerprint("a bc"))
@@ -1190,6 +1214,70 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Array[Byte]]("p")).toMap
     assert(got(1L) != null && got(1L).length == 4)
     assert(got(2L) == null, "NULL array must pack to NULL (empty binary unpacks to an empty code list)")
+  }
+
+  test("bpe: frozen golden counts reproduce with the committed merges table") {
+    Bpe.golden.foreach { case (text, ws, bpe) =>
+      val gotWs = if (text.trim.isEmpty) 0L else text.trim.split("\\s+").length.toLong
+      assert(gotWs == ws, s"ws drift for '$text': $gotWs vs frozen $ws")
+      val gotBpe = Bpe.tokenCount(text).toLong
+      assert(gotBpe == bpe, s"bpe drift for '$text': $gotBpe vs frozen $bpe")
+    }
+  }
+
+  test("bpe: segmentation is lossless, deterministic, and memoization-stable") {
+    Seq("table", "supercalifragilistic", "und", "x", "9").foreach { w =>
+      val s1 = Bpe.segment(w)
+      val s2 = Bpe.segment(w)
+      assert(s1 == s2, s"nondeterministic segmentation of '$w'")
+      assert(s1.mkString("") == w + Bpe.EOW, s"lossy segmentation of '$w': $s1")
+      assert(Bpe.wordTokens(w) == s1.length)
+      assert(Bpe.wordTokens(w) == s1.length) // cached second call
+    }
+    assert(Bpe.tokenCount(null) == 0)
+    assert(Bpe.segment("x") == Vector("x" + Bpe.EOW))
+  }
+
+  test("bpe: accounting operators take tokenizer='bpe' (sequential recompute oracle)") {
+    val texts = Seq(
+      (1L, "key agg row scan slow fast table value part hash"),
+      (2L, "supercalifragilisticexpialidocious antidisestablishmentarianism"),
+      (3L, "the report was prepared with care and this is the result"),
+      (4L, "merge batch window stream sort query join filter group"))
+    val df = texts.toDF("doc_id", "text")
+    // sequencePacking(bpe): pack ids must equal a driver-side sequential
+    // cumsum of the real BPE counts in doc_id order
+    val packTokens = 30
+    val got = TextOps.sequencePacking(df, packTokens = packTokens, tokenizer = "bpe")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("pack_id"))).sortBy(_._1)
+    var cum = 0L
+    val expected = texts.sortBy(_._1).map { case (id, t) =>
+      val n = Bpe.tokenCount(t).toLong
+      val pack = cum / packTokens
+      cum += n
+      (id, n, pack)
+    }
+    assert(got.toSeq == expected, s"got ${got.toSeq}\nexp $expected")
+    // chunked(withBpeCost): per-chunk cost equals the tokenizer on the chunk text
+    val chunks = TextOps.chunked(df, chunkTokens = 4, stride = 3, withBpeCost = true).collect()
+    chunks.foreach { r =>
+      assert(r.getAs[Long]("n_bpe_tokens") ==
+        Bpe.tokenCount(r.getAs[String]("chunk_text")).toLong)
+    }
+    // tokenBudgetSelect(bpe): budget charged in BPE tokens — doc 2 costs 46
+    // BPE tokens (vs 2 ws), so a 50-token budget admits far fewer docs than
+    // the ws accounting would
+    val withSource = df.withColumn("source", lit("s"))
+    val sel = CorpusOps.tokenBudgetSelect(withSource, budgetTokens = 50L, tokenizer = "bpe")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    sel.foreach { case (id, n) =>
+      assert(n == Bpe.tokenCount(texts.find(_._1 == id).get._2).toLong) }
+    val cumSel = sel.values.sum
+    assert(cumSel <= 50L, s"budget exceeded: $cumSel")
+    intercept[IllegalArgumentException] {
+      TextOps.sequencePacking(df, packTokens = 10, tokenizer = "nope").collect()
+    }
   }
 
   test("Checkpoints: reliable checkpoint is used when a checkpoint dir is configured") {
