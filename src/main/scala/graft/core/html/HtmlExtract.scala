@@ -72,27 +72,42 @@ object HtmlExtract {
     sb.toString
   }
 
-  private final class BlockAcc(val tag: String, val depth: Int, val penalized: Boolean) {
-    val text = new StringBuilder
+  private final class BlockAcc(
+      val tag: String, val depth: Int, val penalized: Boolean, val inTable: Boolean) {
+    val text = new StringBuilder // DIRECT text only (prose scoring)
+    // FULL subtree text — maintained only inside tables (bounded by table
+    // content; avoids O(depth x chars) copying on deeply nested pages),
+    // so a cell whose content is wrapped in <div>/<p> still has text for
+    // the row-wise data render
+    val full = new StringBuilder
     var tagCount = 0 // descendant tags seen inside this block
     var linkChars = 0
     var ownBlock = false // has direct text (not only via child blocks)
-    // table-composite state (allocated only for tag == "table"): cells are
-    // BUFFERED here per row instead of emitted as prose blocks, so the
-    // close of the table can decide data-vs-layout with the full picture
-    var tableRows: ArrayBuffer[ArrayBuffer[BufferedCell]] = null
-    def currentRow(): ArrayBuffer[BufferedCell] = {
-      if (tableRows == null) tableRows = ArrayBuffer(ArrayBuffer.empty[BufferedCell])
+    // table-composite state (allocated only for tag == "table"): cells AND
+    // inner blocks are BUFFERED here instead of emitted, so the close of
+    // the table can decide data-vs-layout with the full picture
+    var tableRows: ArrayBuffer[ArrayBuffer[BufferedItem]] = null
+    var buffered: ArrayBuffer[BufferedItem] = null // close-order, for layout replay
+    def currentRow(): ArrayBuffer[BufferedItem] = {
+      if (tableRows == null) tableRows = ArrayBuffer(ArrayBuffer.empty[BufferedItem])
       tableRows.last
     }
     def newRow(): Unit = {
-      if (tableRows == null) tableRows = ArrayBuffer(ArrayBuffer.empty[BufferedCell])
-      else if (tableRows.last.nonEmpty) tableRows += ArrayBuffer.empty[BufferedCell]
+      if (tableRows == null) tableRows = ArrayBuffer(ArrayBuffer.empty[BufferedItem])
+      else if (tableRows.last.nonEmpty) tableRows += ArrayBuffer.empty[BufferedItem]
+    }
+    def buffer(item: BufferedItem): Unit = {
+      if (buffered == null) buffered = ArrayBuffer.empty[BufferedItem]
+      buffered += item
     }
   }
 
-  private final case class BufferedCell(
-      text: String, tag: String, tagCount: Int, linkChars: Int, penalized: Boolean)
+  /** a block closed inside a table, held until the table decides its fate:
+    * `text` is the block's DIRECT text (layout replay scores it exactly as
+    * round-3 prose), `fullText` its whole-subtree text (the data render) */
+  private final case class BufferedItem(
+      text: String, fullText: String, tag: String,
+      tagCount: Int, linkChars: Int, penalized: Boolean)
 
   /** data-table detection bounds: a table renders ROW-WISE (cells joined
     * by " | ", rows by '\n', one scored block for the whole table) when it
@@ -111,7 +126,7 @@ object HtmlExtract {
   /** lowercased `class` + `id` attribute values of a tag's attribute text
     * (minimal scan; only called when the tag body mentions class/id) */
   private[graft] def classIdHint(inner: String): String = {
-    val lower = inner.toLowerCase
+    val lower = inner.toLowerCase(java.util.Locale.ROOT)
     if (!lower.contains("class") && !lower.contains("id")) return ""
     val sb = new StringBuilder
     def grab(attr: String): Unit = {
@@ -188,7 +203,7 @@ object HtmlExtract {
           val end = html.indexOf('>', lt + 2)
           if (end < 0) i = n
           else {
-            val name = html.substring(lt + 2, end).trim.toLowerCase
+            val name = html.substring(lt + 2, end).trim.toLowerCase(java.util.Locale.ROOT)
             out += TClose(name.takeWhile(c => c.isLetterOrDigit))
             i = end + 1
           }
@@ -207,14 +222,14 @@ object HtmlExtract {
           if (end < 0) i = n
           else {
             val inner = html.substring(lt + 1, end)
-            val name = inner.takeWhile(c => c.isLetterOrDigit).toLowerCase
+            val name = inner.takeWhile(c => c.isLetterOrDigit).toLowerCase(java.util.Locale.ROOT)
             val selfClosing = inner.endsWith("/") || voidTags.contains(name)
             out += TOpen(name, selfClosing,
               if (blockTags.contains(name)) classIdHint(inner.drop(name.length)) else "")
             i = end + 1
             // raw-text elements: skip to the matching close tag verbatim
             if (!selfClosing && rawTextTags.contains(name)) {
-              val closeIdx = html.toLowerCase.indexOf(s"</$name", i)
+              val closeIdx = html.toLowerCase(java.util.Locale.ROOT).indexOf(s"</$name", i)
               if (closeIdx < 0) i = n
               else {
                 val gt = html.indexOf('>', closeIdx)
@@ -242,7 +257,7 @@ object HtmlExtract {
     val toks = tokenize(html)
     val blocks = ArrayBuffer.empty[(String, String, Float)] // (text, path, score)
     // stack of open blocks; a synthetic root collects stray text
-    val root = new BlockAcc("root", 0, penalized = false)
+    val root = new BlockAcc("root", 0, penalized = false, inTable = false)
     val stack = ArrayBuffer(root)
     val tagPath = ArrayBuffer.empty[String]
     var dropDepth = 0
@@ -273,18 +288,20 @@ object HtmlExtract {
     def emitTable(t: BlockAcc): Unit = {
       val own = normalizeWs(t.text.toString) // caption / stray table text
       val rows =
-        if (t.tableRows == null) ArrayBuffer.empty[ArrayBuffer[BufferedCell]]
-        else t.tableRows.map(_.filter(_.text.nonEmpty)).filter(_.nonEmpty)
+        if (t.tableRows == null) ArrayBuffer.empty[ArrayBuffer[BufferedItem]]
+        else t.tableRows.map(_.filter(_.fullText.nonEmpty)).filter(_.nonEmpty)
       val cells = rows.flatten
-      val totalCellChars = cells.iterator.map(_.text.length).sum
+      val totalCellChars = cells.iterator.map(_.fullText.length).sum
       val isData = cells.length >= MIN_DATA_CELLS && rows.length >= 2 &&
         totalCellChars.toFloat / cells.length <= MAX_AVG_CELL_CHARS
       if (isData) {
         // one row-wise block for the whole table: " | " between cells,
-        // '\n' between rows; scored by chars-per-row (cell-level density
-        // would charge each tiny cell its own tag overhead — the reason
-        // data tables used to lose their short cells)
-        val body = rows.map(_.map(_.text).mkString(" | ")).mkString("\n")
+        // '\n' between rows; cell text is the cell's FULL subtree text so
+        // <td><div>42</div></td> markup keeps its cells; scored by
+        // chars-per-row (cell-level density would charge each tiny cell
+        // its own tag overhead — the reason data tables used to lose
+        // their short cells)
+        val body = rows.map(_.map(_.fullText).mkString(" | ")).mkString("\n")
         val text = if (own.nonEmpty) own + "\n" + body else body
         val chars = text.length
         val linkChars = cells.iterator.map(_.linkChars).sum + t.linkChars
@@ -293,15 +310,20 @@ object HtmlExtract {
         val score = (chars.toFloat / (1 + rows.length)) * prior * (1.0f - 0.75f * linkDensity)
         if (text.nonEmpty) blocks += ((text, "table", score)) // threshold-filtered with all blocks
       } else {
-        // layout table: buffered cells score as prose blocks, original order
-        if (t.tableRows != null) t.tableRows.foreach(_.foreach { c =>
+        // layout table: replay EVERY buffered block (cells and the blocks
+        // nested inside them) through the round-3 prose scoring, in close
+        // order — byte-identical to the pre-buffering behavior
+        if (t.buffered != null) t.buffered.foreach { c =>
           if (c.text.nonEmpty) {
             val density = c.text.length.toFloat / (1 + c.tagCount)
             val linkDensity = math.min(1f, c.linkChars.toFloat / math.max(c.text.length, 1))
-            val prior = if (c.penalized) 0.25f else 1.0f
+            val prior =
+              if (c.penalized) 0.25f
+              else if (boostTags.contains(c.tag)) 2.0f
+              else 1.0f
             blocks += ((c.text, c.tag, density * prior * (1.0f - 0.75f * linkDensity)))
           }
-        })
+        }
         scoreAndEmit(t)
       }
     }
@@ -309,19 +331,43 @@ object HtmlExtract {
     def closeBlock(): Unit = {
       val b = stack.remove(stack.length - 1)
       val table = nearestTable()
+      val parent = if (stack.nonEmpty) stack.last else null
+      // subtree text flows upward inside tables (space-joined: cells render
+      // on one row line; normalizeWs collapses the seams)
+      def flowFull(): Unit =
+        if (parent != null && parent.inTable && b.full.nonEmpty) {
+          if (parent.full.nonEmpty) parent.full.append(' ')
+          parent.full.append(b.full)
+        }
       b.tag match {
         case "td" | "th" if table != null =>
-          // buffer the cell on the enclosing table instead of emitting
-          table.currentRow() += BufferedCell(
-            normalizeWs(b.text.toString), b.tag, b.tagCount, b.linkChars, b.penalized)
+          // buffer the cell on the enclosing table instead of emitting;
+          // fullText (whole subtree) feeds the data render, text (direct)
+          // the layout replay
+          val item = BufferedItem(normalizeWs(b.text.toString), normalizeWs(b.full.toString),
+            b.tag, b.tagCount, b.linkChars, b.penalized)
+          table.currentRow() += item
+          table.buffer(item)
+          flowFull()
         case "tr" if table != null =>
           // stray text directly inside <tr> joins the row as a pseudo-cell
           val stray = normalizeWs(b.text.toString)
-          if (stray.nonEmpty)
-            table.currentRow() += BufferedCell(stray, "tr", b.tagCount, b.linkChars, b.penalized)
+          if (stray.nonEmpty) {
+            val item = BufferedItem(stray, stray, "tr", b.tagCount, b.linkChars, b.penalized)
+            table.currentRow() += item
+            table.buffer(item)
+          }
           table.newRow()
+          flowFull()
         case "table" =>
           emitTable(b)
+          flowFull() // nested table's text joins the enclosing cell
+        case _ if table != null =>
+          // block nested inside a table (td > div/p/...): buffer for the
+          // layout replay; its text reaches the cell via flowFull
+          table.buffer(BufferedItem(normalizeWs(b.text.toString), normalizeWs(b.full.toString),
+            b.tag, b.tagCount, b.linkChars, b.penalized))
+          flowFull()
         case _ =>
           scoreAndEmit(b)
       }
@@ -333,13 +379,17 @@ object HtmlExtract {
         if (dropDepth == 0) {
           val decoded = decodeEntities(t)
           stack.last.text.append(decoded)
+          if (stack.last.inTable) stack.last.full.append(decoded)
           if (linkDepth > 0) stack.last.linkChars += normalizeWs(decoded).length
         }
       case TOpen(name, selfClosing, hint) =>
         if (dropTags.contains(name) && !selfClosing && !voidTags.contains(name)) dropDepth += 1
         else if (dropDepth == 0) {
           if (name == "a" && !selfClosing) linkDepth += 1
-          if (name == "br") stack.last.text.append('\n')
+          if (name == "br") {
+            stack.last.text.append('\n')
+            if (stack.last.inTable) stack.last.full.append('\n')
+          }
           if (blockTags.contains(name) && !selfClosing) {
             // HTML5 implied end tags: an open <p> closes on ANY block-level
             // start (tag-soup pages rarely close their p's — without this a
@@ -354,7 +404,8 @@ object HtmlExtract {
                 (name == "tr" && stack.last.tag == "tr"))) closeBlock()
             val penalized = stack.last.penalized || penaltyTags.contains(name) ||
               hintPenalized(hint)
-            stack += new BlockAcc(name, stack.length, penalized)
+            stack += new BlockAcc(name, stack.length, penalized,
+              inTable = name == "table" || stack.last.inTable)
           } else if (!selfClosing) {
             stack.last.tagCount += 1
           }

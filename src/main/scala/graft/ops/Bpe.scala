@@ -45,7 +45,7 @@ object Bpe {
   private[ops] val PRETOKEN = java.util.regex.Pattern.compile("[a-z\\p{L}]+|[0-9]|[^a-z\\p{L}0-9\\s]")
   def pretokens(text: String): Iterator[String] = {
     if (text == null) return Iterator.empty
-    val m = PRETOKEN.matcher(text.toLowerCase)
+    val m = PRETOKEN.matcher(text.toLowerCase(java.util.Locale.ROOT))
     new Iterator[String] {
       private var has = m.find()
       def hasNext: Boolean = has

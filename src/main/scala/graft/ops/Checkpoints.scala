@@ -36,12 +36,41 @@ import org.apache.spark.sql.DataFrame
   */
 private[graft] object Checkpoints {
 
+  // warn ONCE per JVM if reliable checkpoints will accumulate: the
+  // ContextCleaner only removes checkpoint files of GC'd frames when
+  // spark.cleaner.referenceTracking.cleanCheckpoints=true, and that flag
+  // must be set BEFORE the SparkContext starts (we cannot set it here)
+  @volatile private var warnedCleaner = false
+  private def warnCleanerOnce(sc: org.apache.spark.SparkContext): Unit =
+    if (!warnedCleaner &&
+        !sc.getConf.getBoolean("spark.cleaner.referenceTracking.cleanCheckpoints", false)) {
+      warnedCleaner = true
+      System.err.println(
+        "[graft.Checkpoints] a checkpoint dir is configured but " +
+          "spark.cleaner.referenceTracking.cleanCheckpoints is false: reliable " +
+          "checkpoint files will accumulate until the dir is cleaned manually; " +
+          "set the flag at session build time for long-lived sessions")
+    }
+
+  /** reliable checkpoint without the double compute: Dataset.checkpoint on
+    * an unpersisted plan runs the plan once for the eager count and AGAIN
+    * for the checkpoint-write job (Spark's own docs recommend
+    * persist-before-checkpoint) — so cache first, checkpoint from the
+    * cache, then drop the transient cache */
+  private def reliable(df: DataFrame): DataFrame = {
+    warnCleanerOnce(df.sparkSession.sparkContext)
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cp = cached.checkpoint(eager = true)
+    cached.unpersist()
+    cp
+  }
+
   /** Eagerly materialize `out` (reliable checkpoint if a checkpoint dir is
     * configured, local otherwise — see object doc), then run `release`
     * (unpersist of the corpus-sized caches the plan consumed). */
   def eager(out: DataFrame)(release: => Unit): DataFrame = {
     val cp =
-      if (out.sparkSession.sparkContext.getCheckpointDir.isDefined) out.checkpoint(eager = true)
+      if (out.sparkSession.sparkContext.getCheckpointDir.isDefined) reliable(out)
       else out.localCheckpoint(eager = true)
     release
     cp
@@ -50,6 +79,6 @@ private[graft] object Checkpoints {
   /** Lineage cut for iterative loops (connectedComponents label rounds):
     * same dir-aware mechanism choice as `eager`, no release hook. */
   def cut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) reliable(df)
     else df.localCheckpoint(eager = true)
 }

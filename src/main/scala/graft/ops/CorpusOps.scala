@@ -158,16 +158,12 @@ object CorpusOps {
       budgetTokens: Long = 1000L,
       tokenizer: String = "ws"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // "ws" keeps the exact codegen'd expression the DuckDB oracle mirrors;
-    // "bpe" charges the budget in real model tokens (TextOps.bpeTokens)
-    val nTokens =
-      if (tokenizer == "ws")
-        when(length(trim(col("text"))) === 0, 0L)
-          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
-      else TextOps.tokensFor(tokenizer, col("text"))
+    // one token-count definition for both engines: tokensFor("ws") is
+    // TextOps.tokenCount, the codegen'd expression the DuckDB oracle
+    // mirrors; "bpe" charges the budget in real model tokens
     val scored = documents.select(col("doc_id"), col("source"),
       round(TextOps.qualityScore(col("text")), 6).as("quality"),
-      nTokens.as("n_tokens"))
+      TextOps.tokensFor(tokenizer, col("text")).as("n_tokens"))
     val w = Window.partitionBy("source")
       .orderBy(col("quality").desc, col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

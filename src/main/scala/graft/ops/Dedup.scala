@@ -46,7 +46,7 @@ object Dedup {
 
   /** deterministic affine hash params (seeded), flat arrays — the signature
     * inner loop runs 64x per shingle, so no tuple boxing there */
-  private[ops] def hashParams(seed: Long): (Array[Long], Array[Long]) = {
+  private[graft] def hashParams(seed: Long): (Array[Long], Array[Long]) = {
     val as = new Array[Long](N_HASHES)
     val bs = new Array[Long](N_HASHES)
     var i = 0
@@ -69,7 +69,7 @@ object Dedup {
   def minhashSignature(text: String, as: Array[Long], bs: Array[Long]): Array[Long] = {
     val sig = Array.fill(N_HASHES)(Long.MaxValue)
     if (text == null) return sig
-    val raw = WS.split(text.toLowerCase)
+    val raw = WS.split(text.toLowerCase(java.util.Locale.ROOT))
     // compact + hash tokens in one pass
     val th = new Array[Long](raw.length)
     var nTok = 0
@@ -116,7 +116,8 @@ object Dedup {
   def minhashLsh(
       documents: DataFrame,
       seed: Long = 42L,
-      maxBucketSize: Int = MAX_BUCKET_SIZE_DEFAULT): DataFrame = {
+      maxBucketSize: Int = MAX_BUCKET_SIZE_DEFAULT,
+      maxBroadcastPairs: Long = 4000000L): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val (as, bs) = hashParams(seed)
@@ -165,9 +166,40 @@ object Dedup {
       }
       .toDF("doc_a", "doc_b")
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("_n")).drop("_n")
+      // consumed twice below (id prune + verify join): persist the
+      // candidate-sized frame or the whole bucket pipeline runs twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // verify-join shape is SIZE-GATED on the candidate count (the count
+    // also warms the persisted pairs cache the plan reads anyway):
+    //  - pairs under `maxBroadcastPairs` (the normal regime): join the
+    //    small pair set straight against the persisted sigs — AQE
+    //    broadcasts the pair side and the corpus-sized signature frame is
+    //    never shuffled; no extra stages in the Amdahl tail (round-4
+    //    profile: the verify tail is what caps this job's scaling).
+    //  - pairs ABOVE the threshold (mass-duplication corpora): joining
+    //    sigs directly would shuffle the corpus-sized signature frame
+    //    TWICE; instead prune sigs to candidate ids with one semi-join
+    //    (persisted — both verify joins read it) so the equi-joins are
+    //    candidate-sized.
+    val nPairs = pairs.count()
+    val (joinA, joinB, extraRelease: (() => Unit)) =
+      if (nPairs <= maxBroadcastPairs)
+        (sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+          sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+          () => ())
+      else {
+        val candIds = pairs
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .distinct()
+        val candSigs = sigs.join(candIds, Seq("doc_id"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (candSigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+          candSigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+          () => { candSigs.unpersist(); () })
+      }
     val out = pairs
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .join(joinA, "doc_a")
+      .join(joinB, "doc_b")
       .withColumn("est_jaccard", expr(
         s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m)) / ${N_HASHES}.0D"))
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
@@ -176,7 +208,7 @@ object Dedup {
     // in a long session is bounded by O(pairs), not O(corpus). Mechanism
     // (reliable checkpoint vs local) and the executor-loss tradeoff are
     // documented on Checkpoints.
-    Checkpoints.eager(out) { sigs.unpersist() }
+    Checkpoints.eager(out) { sigs.unpersist(); pairs.unpersist(); extraRelease() }
   }
 
   // ---- SimHash ----------------------------------------------------------------
@@ -184,7 +216,7 @@ object Dedup {
   def simhash(text: String): Long = {
     if (text == null) return 0L
     val acc = new Array[Int](64)
-    text.toLowerCase.split("\\s+").foreach { w =>
+    text.toLowerCase(java.util.Locale.ROOT).split("\\s+").foreach { w =>
       if (w.nonEmpty) {
         var h = w.hashCode.toLong * 0x9e3779b97f4a7c15L
         h ^= (h >>> 29)
@@ -332,7 +364,7 @@ object Dedup {
     * ~10x faster per row and evaluated ONCE per doc (the expression subtree
     * was re-evaluated on both sides of the self-join). */
   private[graft] def gramSet(text: String): Array[String] = {
-    val toks = WS.split(if (text == null) "" else text.toLowerCase, -1)
+    val toks = WS.split(if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT), -1)
     val n = toks.length
     val out = new java.util.LinkedHashSet[String]()
     var i = 0
@@ -701,12 +733,16 @@ object Dedup {
     * flagged-doc frame is contamination-sized, which scales with the
     * CORPUS, not the eval set — a force-broadcast blows the driver/
     * broadcast limit on any heavily contaminated corpus (the shipped q46
-    * surface alone contaminates every 11th doc). So the operator first
-    * counts flagged docs (one extra narrow pass: scan → broadcast
-    * semi-join → partial-agg count; no corpus shuffle) and only hints
-    * broadcast under `maxBroadcastDocs`; above it the doc-level join runs
-    * as a plain shuffled left-outer — slower, but it finishes. The plan
-    * stays lazy either way (no persist to leak, no eager result). */
+    * surface alone contaminates every 11th doc). In the default AUTO
+    * regime the operator counts flagged docs EAGERLY at call time (one
+    * extra narrow pass: scan -> broadcast semi-join -> partial-agg count;
+    * no corpus shuffle — and the subtree re-executes inside the returned
+    * plan, so auto pays the flag scan twice) and hints broadcast only
+    * under `maxBroadcastDocs`. Callers who know their contamination
+    * profile skip the count entirely: `maxBroadcastDocs = Long.MaxValue`
+    * forces the broadcast shape (the round-3 behavior — one pass, lazy),
+    * `maxBroadcastDocs <= 0` forces the shuffled left-outer. Nothing is
+    * persisted in any regime (no cache to leak across calls). */
   def decontaminateSpans(
       documents: DataFrame,
       benchmark: DataFrame,
@@ -725,9 +761,13 @@ object Dedup {
     val startsPerDoc = flaggedStarts
       .groupBy(col("doc_id"))
       .agg(collect_list(col("pos")).as("starts"))
-    val nFlagged = flaggedStarts.select(col("doc_id")).distinct().count()
     val startsSide =
-      if (nFlagged <= maxBroadcastDocs) broadcast(startsPerDoc) else startsPerDoc
+      if (maxBroadcastDocs == Long.MaxValue) broadcast(startsPerDoc)
+      else if (maxBroadcastDocs <= 0L) startsPerDoc
+      else {
+        val nFlagged = flaggedStarts.select(col("doc_id")).distinct().count()
+        if (nFlagged <= maxBroadcastDocs) broadcast(startsPerDoc) else startsPerDoc
+      }
     val g = lit(gramLen)
     documents
       .select(col("doc_id"),

@@ -224,6 +224,14 @@ object SimSearch {
     if (nCentroids > 0) nCentroids
     else math.max(4, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
 
+  /** probe sizing paired with autoNlist: explicit `nProbe > 0` wins; 0
+    * auto-scales to ~nlist/4 (the coverage the old fixed 4-of-16 defaults
+    * gave) — a FIXED probe count against an auto-sized nlist silently
+    * collapses recall as the corpus grows (probing 4 of sqrt(n) lists). */
+  private def autoNProbe(nProbe: Int, nlist: Int): Int =
+    if (nProbe > 0) math.min(nProbe, nlist)
+    else math.max(4, math.min(nlist, (nlist + 3) / 4))
+
   /** deterministic modulus sample of at most ~trainSample rows (no RNG:
     * stable across retries); ceil division so the expected sample is
     * <= trainSample (floor would keep 100% of the corpus for n in
@@ -249,11 +257,12 @@ object SimSearch {
       index: IvfIndex,
       nQueries: Int = 5,
       k: Int = 10,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = embeddings.sparkSession
     import spark.implicits._
     val cents = index.centroids
+    val probeN = autoNProbe(nProbe, cents.length)
     val bc = spark.sparkContext.broadcast(cents)
     val e = embeddings.select(col("vec_id"), col("embedding"))
     val assigned = e.select(col("vec_id").cast("long"), col("embedding"))
@@ -268,7 +277,7 @@ object SimSearch {
       .as[(Long, Seq[Float])].collect()
     val queries = qLocal.toSeq.toDF("query_id", "query_emb")
     val qProbes = qLocal.toSeq
-      .flatMap { case (qid, emb) => nearestCentroids(emb, cents, nProbe).toSeq.map(c => (qid, c)) }
+      .flatMap { case (qid, emb) => nearestCentroids(emb, cents, probeN).toSeq.map(c => (qid, c)) }
       .toDF("query_id", "cid")
     val candidates = assigned.join(broadcast(qProbes), Seq("cid"))
       .select(col("query_id"), col("vec_id"))
@@ -853,7 +862,7 @@ object SimSearch {
       index: IvfPqIndex,
       nQueries: Int = 5,
       k: Int = 10,
-      nProbe: Int = 4,
+      nProbe: Int = 0,
       rerank: Int = 4): DataFrame =
     ivfPqTopKFromCodes(ivfPqEncode(embeddings, index), embeddings, index,
       nQueries, k, nProbe, rerank)
@@ -866,7 +875,7 @@ object SimSearch {
       index: IvfPqIndex,
       nQueries: Int = 5,
       k: Int = 10,
-      nProbe: Int = 4,
+      nProbe: Int = 0,
       rerank: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = embeddings.sparkSession
@@ -897,7 +906,7 @@ object SimSearch {
       d
     }
     val probes = qLocal.map { case (qid, qemb) =>
-      val lists = nearestCentroids(qemb, cents, math.min(nProbe, cents.length))
+      val lists = nearestCentroids(qemb, cents, autoNProbe(nProbe, cents.length))
       val qtab = Array.tabulate(index.pq.m, index.pq.k) { (j, c) =>
         val sub = index.pq.centroids(j)(c)
         var d = 0.0

@@ -148,7 +148,7 @@ object TextOps {
     * whitespace) frees marker words from glued punctuation ("the," / "(la")
     * — the round-3 detector missed every marker adjacent to punctuation */
   private def letterTokens(text: String): Array[String] =
-    text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+    text.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}]+").filter(_.nonEmpty)
 
   /** one representative sentence per supported language — the golden set
     * behind q47 (the SQL oracle enumerates the EXPECTED label per
@@ -244,7 +244,7 @@ object TextOps {
     while (e > b && s.charAt(e - 1) == ' ') e -= 1
     val trimmed = s.substring(b, e)
     if (trimmed.isEmpty) return 0.0
-    val toks = trimmed.toLowerCase.split("\\s+", -1)
+    val toks = trimmed.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
     if (toks.length < 2) return 0.0
     val counts = new java.util.HashMap[String, Int]()
     var top = 0

@@ -61,7 +61,7 @@ object Warc {
             line = readLine()
             while (line.nonEmpty) {
               val idx = line.indexOf(':')
-              if (idx > 0) headers(line.substring(0, idx).trim.toLowerCase) =
+              if (idx > 0) headers(line.substring(0, idx).trim.toLowerCase(java.util.Locale.ROOT)) =
                 line.substring(idx + 1).trim
               line = readLine()
             }

@@ -260,6 +260,28 @@ class EdgeCaseSpec2 extends org.scalatest.funsuite.AnyFunSuite {
     assert(r.text == "alpha | 42 | blue\nbeta | 7 | red", r.text)
   }
 
+  test("html: data tables keep cells wrapped in block elements (td > div)") {
+    import graft.core.html.HtmlExtract
+    // the round-4 review scenario: every cell's content lives in a <div>;
+    // direct-text-only buffering saw empty cells and silently fell back to
+    // the layout path, dropping the short cells entirely
+    val html = "<body><table>" +
+      "<tr><td><div>alpha</div></td><td><div>42</div></td><td><div>blue</div></td></tr>" +
+      "<tr><td><div>beta</div></td><td><div>7</div></td><td><div>red</div></td></tr>" +
+      "</table></body>"
+    val r = HtmlExtract.extract(html)
+    assert(r.text == "alpha | 42 | blue\nbeta | 7 | red", r.text)
+    assert(r.blocks.map(_.tagPath) == Vector("table"), r.blocks)
+    // mixed: <p> wrappers inside cells of a data table
+    val html2 = "<body><table>" +
+      "<tr><td><p>gamma</p></td><td>11</td></tr>" +
+      "<tr><td><p>delta</p></td><td>12</td></tr>" +
+      "<tr><td><p>epsilon</p></td><td>13</td></tr>" +
+      "</table></body>"
+    val r2 = HtmlExtract.extract(html2)
+    assert(r2.text == "gamma | 11\ndelta | 12\nepsilon | 13", r2.text)
+  }
+
   test("html: link-farm tables are dropped by link density, not kept as data") {
     import graft.core.html.HtmlExtract
     val html = "<body><table>" +
