@@ -246,6 +246,15 @@ object SparkEntry {
       val e = emb(s, dir)
       SimSearch.pqTopK(e, SimSearch.buildPqCodebook(e), 5, 10)
     }),
+    "q49_simsearch_opq" -> ((s, dir) => {
+      // PQ in a TRAINED OPQ basis (rotation + codebook jointly optimized,
+      // Procrustes/SVD updates): rotate-at-ingest then the same ADC +
+      // exact-rerank serving as q44. No SQL oracle (k-means + SVD) —
+      // gated by the OpsSpec mse-beats-random-baseline + recall checks
+      val e = emb(s, dir)
+      val opq = SimSearch.trainOpq(e, opqIters = 3)
+      SimSearch.pqTopK(SimSearch.rotateEmbeddings(e, opq.rotation), opq.codebook, 5, 10)
+    }),
     // ---- extraction pipeline (synthesized corpus; rows-only + sbt test gate) ----
     "x16_extract" -> ((s, dir) => {
       import s.implicits._

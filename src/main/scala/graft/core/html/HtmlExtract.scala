@@ -306,7 +306,14 @@ object HtmlExtract {
         val chars = text.length
         val linkChars = cells.iterator.map(_.linkChars).sum + t.linkChars
         val linkDensity = if (chars == 0) 0f else math.min(1f, linkChars.toFloat / chars)
-        val prior = if (t.penalized) 0.25f else 1.0f
+        // a table that passed the structural data gate gets the same
+        // content prior as boostTags: the per-row divisor already charges
+        // its structure, and without the prior a small 3-row table scores
+        // half of the SAME chars in one <p> and dies at the threshold
+        // (link-farm tables still die: majority-link tables take the
+        // boilerplate prior instead — the readability-family "link
+        // density > 1/2 is navigation" rule — calibration-gated)
+        val prior = if (t.penalized || linkDensity > 0.5f) 0.25f else 2.0f
         val score = (chars.toFloat / (1 + rows.length)) * prior * (1.0f - 0.75f * linkDensity)
         if (text.nonEmpty) blocks += ((text, "table", score)) // threshold-filtered with all blocks
       } else {

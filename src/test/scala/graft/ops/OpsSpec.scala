@@ -790,6 +790,46 @@ class OpsSpec extends AnyFunSuite {
     assert(pq.intersect(exact).size.toDouble / exact.size >= 0.7)
   }
 
+  test("trained OPQ: orthonormal rotation, beats random-rotation baseline on anisotropic data") {
+    val dim = 32
+    // anisotropic embeddings: clustered base with per-dimension variance
+    // decay, so axis-aligned PQ subvectors are unbalanced and a trained
+    // rotation has real work to do beyond random variance-spreading
+    val aniso = clusteredEmbeddings(dim, 500L).map { case (id, emb) =>
+      (id, emb.zipWithIndex.map { case (v, j) => v / (1f + 0.35f * j) }.toSeq)
+    }
+    val cdf = aniso.toDF("vec_id", "embedding")
+    val opq = SimSearch.trainOpq(cdf, m = 8, k = 16, dim = dim, opqIters = 4)
+    // rotation stays orthonormal through the Procrustes updates
+    for (i <- 0 until dim; j <- 0 until dim) {
+      var d = 0.0
+      for (kk <- 0 until dim) d += opq.rotation(i)(kk).toDouble * opq.rotation(j)(kk)
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-4, s"RR^T[$i][$j]=$d")
+    }
+    // mseHistory.head IS the random-rotation baseline (iteration 0 = seeded
+    // random R + codebook trained in that basis); training must beat it
+    assert(opq.mseHistory.length == 5, opq.mseHistory)
+    assert(opq.mseHistory.last < opq.mseHistory.head * 0.995,
+      s"trained OPQ did not improve on random rotation: ${opq.mseHistory}")
+    // independent cross-check through the public metric: trained pair vs
+    // the separately-built random-rotation pair on the same frame
+    val randRot = SimSearch.randomRotation(dim)
+    val randCb = SimSearch.buildPqCodebook(
+      SimSearch.rotateEmbeddings(cdf, randRot), m = 8, k = 16, dim = dim)
+    val mseRand = SimSearch.pqReconstructionMse(cdf, randRot, randCb)
+    val mseOpq = SimSearch.pqReconstructionMse(cdf, opq.rotation, opq.codebook)
+    assert(mseOpq < mseRand, s"opq $mseOpq vs random $mseRand")
+    // serving in the trained basis: exact neighbors preserved (cosine
+    // invariance) and PQ recall clears the floor
+    val rotated = SimSearch.rotateEmbeddings(cdf, opq.rotation)
+    val exact = SimSearch.bruteForceTopK(cdf, 5, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val pq = SimSearch.pqTopK(rotated, opq.codebook, 5, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"OPQ-basis PQ recall $recall")
+  }
+
   test("IVF-PQ: residual encode, probe-limited ADC, recall vs brute force") {
     val dim = 32
     val nVec = 600L
