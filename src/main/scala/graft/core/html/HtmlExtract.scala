@@ -27,12 +27,19 @@ object HtmlExtract {
   private val blockTags = Set(
     "p", "div", "article", "section", "main", "li", "ul", "ol", "td", "th",
     "tr", "table", "h1", "h2", "h3", "h4", "h5", "h6", "blockquote", "pre",
-    "header", "footer", "nav", "aside", "form", "body", "figcaption", "dd", "dt")
+    "header", "footer", "nav", "aside", "form", "body", "figcaption", "dd", "dt",
+    "figure")
 
   private val dropTags = Set("script", "style", "noscript", "template", "svg", "head", "iframe")
   private val rawTextTags = Set("script", "style", "noscript", "template")
   private val penaltyTags = Set("nav", "header", "footer", "aside", "form")
-  private val boostTags = Set("article", "main", "p", "h1", "h2", "h3", "blockquote", "pre")
+  // figcaption gets the content prior: captions are short by nature and
+  // the production extractors keep them (trafilatura/readability both do);
+  // img ALT text is deliberately NOT injected into the extracted text —
+  // it is metadata, and on real pages predominantly boilerplate ("logo",
+  // filenames); the figure's caption is the content-bearing text
+  private val boostTags = Set("article", "main", "p", "h1", "h2", "h3", "blockquote", "pre",
+    "figcaption")
 
   private val namedEntities = Map(
     "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",

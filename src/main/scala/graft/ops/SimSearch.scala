@@ -980,6 +980,39 @@ object SimSearch {
     IvfPqIndex(IvfIndex(ivf), PqCodebook(subDim, pq))
   }
 
+  /** persist a trained-OPQ snapshot (rotation + codebook) — same
+    * parquet component layout as the IVF-PQ snapshot: component "rot"
+    * (a = row index) or "pq" (a = subvector, b = code). A build job
+    * trains once; serving jobs load and rotate-at-ingest. */
+  def saveOpq(opq: OpqResult, path: String, spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    val rotRows = opq.rotation.zipWithIndex.map { case (r, i) =>
+      ("rot", i, 0, r.toSeq)
+    }.toSeq
+    val pqRows = for {
+      (sub, j) <- opq.codebook.centroids.zipWithIndex.toSeq
+      (c, code) <- sub.zipWithIndex
+    } yield ("pq", j, code, c.toSeq)
+    (rotRows ++ pqRows).toDF("component", "a", "b", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** load a trained-OPQ snapshot (mseHistory is training-time evidence,
+    * not part of the snapshot: loaded results carry it empty) */
+  def loadOpq(spark: org.apache.spark.sql.SparkSession, path: String): OpqResult = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select(col("component"), col("a"), col("b"), col("vec"))
+      .as[(String, Int, Int, Seq[Float])].collect()
+    val rot = rows.filter(_._1 == "rot").sortBy(_._2).map(_._4.toArray)
+    val pqRows = rows.filter(_._1 == "pq")
+    val m = pqRows.map(_._2).max + 1
+    val k = pqRows.map(_._3).max + 1
+    val pq = Array.ofDim[Array[Float]](m, k)
+    pqRows.foreach { case (_, j, c, v) => pq(j)(c) = v.toArray }
+    OpqResult(rot, PqCodebook(pqRows.head._4.length, pq), Seq.empty)
+  }
+
   /** encode: assign each vector to its coarse list, PQ-encode its RESIDUAL
     * — one executor-local pass, no shuffle. Output (vec_id, list, codes). */
   def ivfPqEncode(embeddings: DataFrame, index: IvfPqIndex): DataFrame = {

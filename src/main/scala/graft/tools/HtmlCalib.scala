@@ -71,6 +71,16 @@ object HtmlCalib {
       s"<table><tr><th>name</th><th>count</th><th>kind</th></tr>${rows.mkString}</table>", "")
     val pre = mk()
     out += Frag("content", "pre-code", s"<pre>val $pre = ${rnd.nextInt(100)}\nprintln($pre)</pre>", pre)
+    // figures: the caption is content (production extractors keep it); the
+    // img itself contributes nothing — its alt text must NOT leak through
+    val figM = mk()
+    val altLeak = mk() // boiler-labeled: present in output = alt text leaked
+    out += Frag("boiler", "img-alt", "", altLeak)
+    out += Frag("content", "figcaption",
+      s"""<figure><img src="/i.png" alt="$altLeak"><figcaption>${sentence(rnd, 5 + rnd.nextInt(5), figM)}</figcaption></figure>""", figM)
+    val figShort = mk()
+    out += Frag("content", "figcaption-short",
+      s"""<figure><img src="/j.png"><figcaption>Fig. ${sentence(rnd, 1, figShort)}</figcaption></figure>""", figShort)
 
     // ---- boilerplate ----
     val navLinks = (0 until 5 + rnd.nextInt(4)).map { _ =>
@@ -145,8 +155,8 @@ object HtmlCalib {
   def page(frags: Vector[Frag], layout: Int): String = {
     def cat(c: String): String = frags.filter(f => f.category == c && f.html.nonEmpty).map(_.html).mkString("\n")
     val contentInner = Seq("headline", "long-para", "short-para", "subheading",
-      "blockquote", "list-shell", "table-shell", "pre-code", "mixed-class-para",
-      "toc-shell").map(cat).mkString("\n")
+      "blockquote", "list-shell", "table-shell", "pre-code", "figcaption",
+      "figcaption-short", "mixed-class-para", "toc-shell").map(cat).mkString("\n")
     val head = "<head><title>t</title><script>var x=1;</script><style>.a{}</style></head>"
     layout match {
       case 0 => // semantic: article + aside + nav/header/footer

@@ -282,6 +282,20 @@ class EdgeCaseSpec2 extends org.scalatest.funsuite.AnyFunSuite {
     assert(r2.text == "gamma | 11\ndelta | 12\nepsilon | 13", r2.text)
   }
 
+  test("html: figure captions kept (content prior), img alt text never leaks") {
+    import graft.core.html.HtmlExtract
+    val html = "<body><p>" + ("body text word " * 8) + "</p>" +
+      "<figure><img src=\"/x.png\" alt=\"logo leak marker\">" +
+      "<figcaption>Fig. 3 caption marker</figcaption></figure></body>"
+    val r = HtmlExtract.extract(html)
+    assert(r.text.contains("Fig. 3 caption marker"), r.text)
+    assert(!r.text.contains("logo leak marker"), r.text)
+    // a short standalone caption survives ONLY via the figcaption content
+    // prior (9 chars: 9 < threshold 10 unboosted, 18 boosted)
+    val r2 = HtmlExtract.extract("<body><figure><figcaption>Fig. tiny</figcaption></figure></body>")
+    assert(r2.text == "Fig. tiny", r2.text)
+  }
+
   test("html: link-farm tables are dropped by link density, not kept as data") {
     import graft.core.html.HtmlExtract
     val html = "<body><table>" +

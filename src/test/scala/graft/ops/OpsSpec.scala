@@ -828,6 +828,14 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = pq.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.7, s"OPQ-basis PQ recall $recall")
+    // snapshot roundtrip: rotation + codebook persist bit-identical
+    val dir = java.nio.file.Files.createTempDirectory("opq-idx").toString
+    SimSearch.saveOpq(opq, dir, spark)
+    val loaded = SimSearch.loadOpq(spark, dir)
+    assert(loaded.rotation.map(_.toSeq).toSeq == opq.rotation.map(_.toSeq).toSeq)
+    assert(loaded.codebook.subDim == opq.codebook.subDim)
+    assert(loaded.codebook.centroids.map(_.map(_.toSeq).toSeq).toSeq ==
+      opq.codebook.centroids.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
   test("IVF-PQ: residual encode, probe-limited ADC, recall vs brute force") {
