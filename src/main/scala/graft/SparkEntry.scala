@@ -250,9 +250,13 @@ object SparkEntry {
       // PQ in a TRAINED OPQ basis (rotation + codebook jointly optimized,
       // Procrustes/SVD updates): rotate-at-ingest then the same ADC +
       // exact-rerank serving as q44. No SQL oracle (k-means + SVD) —
-      // gated by the OpsSpec mse-beats-random-baseline + recall checks
+      // gated by the OpsSpec mse-beats-random-baseline + recall checks.
+      // Training economy (2 alternations, 2 Lloyd iters per retrain, 20k
+      // sample): the OpqEval trajectory shows iterations 1-2 capture most
+      // of the gain, and like every index builder here the real lifecycle
+      // is train-once + saveOpq snapshot, not train-per-query
       val e = emb(s, dir)
-      val opq = SimSearch.trainOpq(e, opqIters = 3)
+      val opq = SimSearch.trainOpq(e, opqIters = 2, kmeansIters = 2, trainSample = 20000L)
       SimSearch.pqTopK(SimSearch.rotateEmbeddings(e, opq.rotation), opq.codebook, 5, 10)
     }),
     // ---- extraction pipeline (synthesized corpus; rows-only + sbt test gate) ----
