@@ -89,6 +89,11 @@ object HtmlExtract {
     val full = new StringBuilder
     var tagCount = 0 // descendant tags seen inside this block
     var linkChars = 0
+    // link chars of the WHOLE subtree — propagated upward exactly like
+    // `full` (tables only): without it a link farm whose <a>s sit inside
+    // per-cell <div>/<p> wrappers counts zero cell link chars and the
+    // majority-link guard never fires
+    var fullLinkChars = 0
     var ownBlock = false // has direct text (not only via child blocks)
     // table-composite state (allocated only for tag == "table"): cells AND
     // inner blocks are BUFFERED here instead of emitted, so the close of
@@ -311,8 +316,14 @@ object HtmlExtract {
         val body = rows.map(_.map(_.fullText).mkString(" | ")).mkString("\n")
         val text = if (own.nonEmpty) own + "\n" + body else body
         val chars = text.length
-        val linkChars = cells.iterator.map(_.linkChars).sum + t.linkChars
-        val linkDensity = if (chars == 0) 0f else math.min(1f, linkChars.toFloat / chars)
+        // link density over CONTENT chars (cell text + caption), not the
+        // rendered string: " | " separators and newlines would dilute a
+        // short-cell link grid (calendar/pagination) below the majority
+        // rule; fullLinkChars covers links wrapped in blocks inside cells
+        val contentChars = totalCellChars + own.length
+        val linkDensity =
+          if (contentChars == 0) 0f
+          else math.min(1f, t.fullLinkChars.toFloat / contentChars)
         // a table that passed the structural data gate gets the same
         // content prior as boostTags: the per-row divisor already charges
         // its structure, and without the prior a small 3-row table scores
@@ -349,9 +360,12 @@ object HtmlExtract {
       // subtree text flows upward inside tables (space-joined: cells render
       // on one row line; normalizeWs collapses the seams)
       def flowFull(): Unit =
-        if (parent != null && parent.inTable && b.full.nonEmpty) {
-          if (parent.full.nonEmpty) parent.full.append(' ')
-          parent.full.append(b.full)
+        if (parent != null && parent.inTable) {
+          if (b.full.nonEmpty) {
+            if (parent.full.nonEmpty) parent.full.append(' ')
+            parent.full.append(b.full)
+          }
+          parent.fullLinkChars += b.fullLinkChars
         }
       b.tag match {
         case "td" | "th" if table != null =>
@@ -394,7 +408,11 @@ object HtmlExtract {
           val decoded = decodeEntities(t)
           stack.last.text.append(decoded)
           if (stack.last.inTable) stack.last.full.append(decoded)
-          if (linkDepth > 0) stack.last.linkChars += normalizeWs(decoded).length
+          if (linkDepth > 0) {
+            val n = normalizeWs(decoded).length
+            stack.last.linkChars += n
+            if (stack.last.inTable) stack.last.fullLinkChars += n
+          }
         }
       case TOpen(name, selfClosing, hint) =>
         if (dropTags.contains(name) && !selfClosing && !voidTags.contains(name)) dropDepth += 1

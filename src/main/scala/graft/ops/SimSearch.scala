@@ -831,23 +831,24 @@ object SimSearch {
     val sample = hashSample(embeddings, embeddings.count(), trainSample)
       .select(col("vec_id").cast("long"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var rot = randomRotation(dim, seed)
-    var cb = PqCodebook(subDim,
-      kmeansCentroidsMulti(rotateEmbeddings(sample, rot), k, kmeansIters, m, subDim))
-    val mses = scala.collection.mutable.ArrayBuffer.empty[Double]
-    var it = 0
-    while (it < opqIters) {
-      val (mMat, se, n) = opqPass(sample, rot, cb, dim)
-      mses += se / math.max(n, 1L)
-      rot = procrustesRotation(mMat, dim)
-      cb = PqCodebook(subDim,
+    try {
+      var rot = randomRotation(dim, seed)
+      var cb = PqCodebook(subDim,
         kmeansCentroidsMulti(rotateEmbeddings(sample, rot), k, kmeansIters, m, subDim))
-      it += 1
-    }
-    val (_, seF, nF) = opqPass(sample, rot, cb, dim)
-    mses += seF / math.max(nF, 1L)
-    sample.unpersist()
-    OpqResult(rot, cb, mses.toSeq)
+      val mses = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var it = 0
+      while (it < opqIters) {
+        val (mMat, se, n) = opqPass(sample, rot, cb, dim, needM = true)
+        mses += se / math.max(n, 1L)
+        rot = procrustesRotation(mMat, dim)
+        cb = PqCodebook(subDim,
+          kmeansCentroidsMulti(rotateEmbeddings(sample, rot), k, kmeansIters, m, subDim))
+        it += 1
+      }
+      val (_, seF, nF) = opqPass(sample, rot, cb, dim, needM = false)
+      mses += seF / math.max(nF, 1L)
+      OpqResult(rot, cb, mses.toSeq)
+    } finally sample.unpersist()
   }
 
   /** mean squared reconstruction error of (rotation, codebook) over a
@@ -858,20 +859,23 @@ object SimSearch {
       rot: Array[Array[Float]],
       cb: PqCodebook): Double = {
     val e = embeddings.select(col("vec_id").cast("long"), col("embedding"))
-    val (_, se, n) = opqPass(e, rot, cb, rot.length)
+    val (_, se, n) = opqPass(e, rot, cb, rot.length, needM = false)
     se / math.max(n, 1L)
   }
 
   /** one distributed pass: per vector x, rotate (rx = R x), PQ-encode rx,
-    * reconstruct y^; accumulate the Procrustes correlation M += x y^T plus
-    * squared error ||rx - y^||^2. Partials are one dim^2 array per
+    * reconstruct y^; accumulate squared error ||rx - y^||^2 and (when
+    * `needM` — the Procrustes update needs it, the MSE metric does not:
+    * the M accumulation is O(dim^2) per vector, as costly as the rotation
+    * itself) the correlation M += x y^T. Partials are one dim^2 array per
     * partition, summed on the driver in partition order (deterministic
     * for a fixed layout, same contract as the k-means partial sums). */
   private def opqPass(
       sample: DataFrame,
       rot: Array[Array[Float]],
       cb: PqCodebook,
-      dim: Int): (Array[Double], Double, Long) = {
+      dim: Int,
+      needM: Boolean): (Array[Double], Double, Long) = {
     val spark = sample.sparkSession
     import spark.implicits._
     val bcR = spark.sparkContext.broadcast(rot)
@@ -879,7 +883,7 @@ object SimSearch {
     val partials = sample.as[(Long, Seq[Float])].mapPartitions { rows =>
       val r = bcR.value
       val c = bcC.value
-      val mAcc = new Array[Double](dim * dim)
+      val mAcc = new Array[Double](if (needM) dim * dim else 0)
       var se = 0.0
       var cnt = 0L
       val rx = new Array[Float](dim)
@@ -905,9 +909,11 @@ object SimSearch {
             val y = cent(s)
             val d = rx(off + s) - y
             se += d * d
-            // M(a,b) = sum x(a) * y^(b), flattened row-major
-            var a = 0
-            while (a < dim) { mAcc(a * dim + (off + s)) += emb(a) * y; a += 1 }
+            if (needM) {
+              // M(a,b) = sum x(a) * y^(b), flattened row-major
+              var a = 0
+              while (a < dim) { mAcc(a * dim + (off + s)) += emb(a) * y; a += 1 }
+            }
             s += 1
           }
           j += 1
@@ -918,7 +924,7 @@ object SimSearch {
     }.collect()
     bcR.destroy()
     bcC.destroy()
-    val mTot = new Array[Double](dim * dim)
+    val mTot = new Array[Double](if (needM) dim * dim else 0)
     var se = 0.0
     var n = 0L
     partials.foreach { case (p, s, c) =>
@@ -952,65 +958,65 @@ object SimSearch {
     * `ivfPqEncode` codes table) instead of re-training. Layout: one row
     * per centroid, (component, a, b, vec) where component is "ivf"
     * (a = list id) or "pq" (a = subvector, b = code). */
-  def saveIvfPqIndex(index: IvfPqIndex, path: String, spark: org.apache.spark.sql.SparkSession): Unit = {
+  def saveIvfPqIndex(index: IvfPqIndex, path: String, spark: org.apache.spark.sql.SparkSession): Unit =
+    saveComponentSnapshot("ivf", index.ivf.centroids, index.pq, path, spark)
+
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex = {
+    val (ivf, pq) = loadComponentSnapshot(spark, path, "ivf")
+    IvfPqIndex(IvfIndex(ivf), pq)
+  }
+
+  /** shared snapshot codec for the two (matrix + PQ codebook) index
+    * families — one encode/decode so a fix to either cannot silently miss
+    * the other. Rows: (component, a, b, vec) with component = `label`
+    * (a = row/list index) or "pq" (a = subvector, b = code). */
+  private def saveComponentSnapshot(
+      label: String,
+      first: Array[Array[Float]],
+      pq: PqCodebook,
+      path: String,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
     import spark.implicits._
-    val ivfRows = index.ivf.centroids.zipWithIndex.map { case (c, li) =>
-      ("ivf", li, 0, c.toSeq)
-    }.toSeq
+    val firstRows = first.zipWithIndex.map { case (c, i) => (label, i, 0, c.toSeq) }.toSeq
     val pqRows = for {
-      (sub, j) <- index.pq.centroids.zipWithIndex.toSeq
+      (sub, j) <- pq.centroids.zipWithIndex.toSeq
       (c, code) <- sub.zipWithIndex
     } yield ("pq", j, code, c.toSeq)
-    (ivfRows ++ pqRows).toDF("component", "a", "b", "vec")
+    (firstRows ++ pqRows).toDF("component", "a", "b", "vec")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
-  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex = {
+  private def loadComponentSnapshot(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      label: String): (Array[Array[Float]], PqCodebook) = {
     import spark.implicits._
     val rows = spark.read.parquet(path)
       .select(col("component"), col("a"), col("b"), col("vec"))
       .as[(String, Int, Int, Seq[Float])].collect()
-    val ivf = rows.filter(_._1 == "ivf").sortBy(_._2).map(_._4.toArray)
+    val first = rows.filter(_._1 == label).sortBy(_._2).map(_._4.toArray)
     val pqRows = rows.filter(_._1 == "pq")
+    require(first.nonEmpty && pqRows.nonEmpty,
+      s"corrupt index snapshot at $path: missing '$label' or 'pq' component rows")
     val m = pqRows.map(_._2).max + 1
     val k = pqRows.map(_._3).max + 1
     val pq = Array.ofDim[Array[Float]](m, k)
     pqRows.foreach { case (_, j, c, v) => pq(j)(c) = v.toArray }
-    val subDim = pqRows.head._4.length
-    IvfPqIndex(IvfIndex(ivf), PqCodebook(subDim, pq))
+    (first, PqCodebook(pqRows.head._4.length, pq))
   }
 
   /** persist a trained-OPQ snapshot (rotation + codebook) — same
     * parquet component layout as the IVF-PQ snapshot: component "rot"
     * (a = row index) or "pq" (a = subvector, b = code). A build job
     * trains once; serving jobs load and rotate-at-ingest. */
-  def saveOpq(opq: OpqResult, path: String, spark: org.apache.spark.sql.SparkSession): Unit = {
-    import spark.implicits._
-    val rotRows = opq.rotation.zipWithIndex.map { case (r, i) =>
-      ("rot", i, 0, r.toSeq)
-    }.toSeq
-    val pqRows = for {
-      (sub, j) <- opq.codebook.centroids.zipWithIndex.toSeq
-      (c, code) <- sub.zipWithIndex
-    } yield ("pq", j, code, c.toSeq)
-    (rotRows ++ pqRows).toDF("component", "a", "b", "vec")
-      .coalesce(1).write.mode("overwrite").parquet(path)
-  }
+  def saveOpq(opq: OpqResult, path: String, spark: org.apache.spark.sql.SparkSession): Unit =
+    saveComponentSnapshot("rot", opq.rotation, opq.codebook, path, spark)
 
   /** load a trained-OPQ snapshot (mseHistory is training-time evidence,
     * not part of the snapshot: loaded results carry it empty) */
   def loadOpq(spark: org.apache.spark.sql.SparkSession, path: String): OpqResult = {
-    import spark.implicits._
-    val rows = spark.read.parquet(path)
-      .select(col("component"), col("a"), col("b"), col("vec"))
-      .as[(String, Int, Int, Seq[Float])].collect()
-    val rot = rows.filter(_._1 == "rot").sortBy(_._2).map(_._4.toArray)
-    val pqRows = rows.filter(_._1 == "pq")
-    val m = pqRows.map(_._2).max + 1
-    val k = pqRows.map(_._3).max + 1
-    val pq = Array.ofDim[Array[Float]](m, k)
-    pqRows.foreach { case (_, j, c, v) => pq(j)(c) = v.toArray }
-    OpqResult(rot, PqCodebook(pqRows.head._4.length, pq), Seq.empty)
+    val (rot, pq) = loadComponentSnapshot(spark, path, "rot")
+    OpqResult(rot, pq, Seq.empty)
   }
 
   /** encode: assign each vector to its coarse list, PQ-encode its RESIDUAL

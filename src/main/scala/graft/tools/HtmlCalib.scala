@@ -118,6 +118,14 @@ object HtmlCalib {
         s"""<td><a href="/y">${words(rnd.nextInt(words.length))}</a></td></tr>"""
     }
     out += Frag("boiler", "table-nav-shell", s"<table>${navTabRows.mkString}</table>", "")
+    // same farm with every link wrapped in a per-cell <div> (the shape
+    // that defeats cell-direct link accounting)
+    val navTabWrapped = (0 until 4).map { _ =>
+      val m = mk(); out += Frag("boiler", "table-nav-wrapped", "", m)
+      s"""<tr><td><div><a href="/x">${sentence(rnd, 1, m)}</a></div></td>""" +
+        s"""<td><div><a href="/y">${words(rnd.nextInt(words.length))}</a></div></td></tr>"""
+    }
+    out += Frag("boiler", "table-nav-wrapped-shell", s"<table>${navTabWrapped.mkString}</table>", "")
     val foot = mk()
     val footLinks = (0 until 4).map { _ =>
       val m = mk(); out += Frag("boiler", "footer-link", "", m)
@@ -172,7 +180,7 @@ object HtmlCalib {
            |${cat("share-shell")}
            |${cat("ad")}
            |${cat("aside-shell")}
-           |${cat("table-nav-shell")}
+           |${cat("table-nav-shell")}${cat("table-nav-wrapped-shell")}
            |${cat("footer")}
            |${cat("comment-form")}
            |</body></html>""".stripMargin
@@ -183,7 +191,7 @@ object HtmlCalib {
            |<main><div class="wrap"><div class="inner">
            |$contentInner
            |</div></div></main>
-           |<div class="bottom">${cat("ad")}${cat("share-shell")}${cat("aside-shell")}${cat("table-nav-shell")}${cat("footer")}${cat("comment-form")}</div>
+           |<div class="bottom">${cat("ad")}${cat("share-shell")}${cat("aside-shell")}${cat("table-nav-shell")}${cat("table-nav-wrapped-shell")}${cat("footer")}${cat("comment-form")}</div>
            |</body></html>""".stripMargin
       case _ => // div-soup + tag-soup: no semantic wrappers, unclosed <p>s
         val soup = contentInner.replace("</p>", "")
@@ -192,7 +200,7 @@ object HtmlCalib {
            |<div><div class="c1"><div class="c2">
            |$soup
            |</div>${cat("ad")}</div>
-           |<div class="sb">${cat("aside-shell")}${cat("share-shell")}${cat("table-nav-shell")}</div></div>
+           |<div class="sb">${cat("aside-shell")}${cat("share-shell")}${cat("table-nav-shell")}${cat("table-nav-wrapped-shell")}</div></div>
            |${cat("cookie-banner")}${cat("cookie-noclass")}
            |<div class="ft">${cat("footer")}${cat("comment-form")}</div>
            |</body></html>""".stripMargin

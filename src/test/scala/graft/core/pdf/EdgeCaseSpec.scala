@@ -307,6 +307,34 @@ class EdgeCaseSpec2 extends org.scalatest.funsuite.AnyFunSuite {
     assert(r.text.contains("real content word"))
   }
 
+  test("html: link-farm tables with block-wrapped links are still dropped") {
+    import graft.core.html.HtmlExtract
+    // links inside per-cell <div> wrappers: cell-direct linkChars is zero,
+    // so only subtree link accounting (fullLinkChars) can catch this farm
+    val html = "<body><table>" +
+      (1 to 4).map(i =>
+        s"""<tr><td><div><a href="/a$i">item number $i</a></div></td>""" +
+          s"""<td><div><a href="/b$i">more here</a></div></td></tr>""").mkString +
+      "</table><p>" + ("real content word " * 10) + "</p></body>"
+    val r = HtmlExtract.extract(html)
+    assert(!r.text.contains("item number"), r.text)
+    assert(r.text.contains("real content word"))
+  }
+
+  test("html: short-cell link grids (calendar/pagination) die on content link density") {
+    import graft.core.html.HtmlExtract
+    // 5x7 grid of 1-2 char links: with density over the RENDERED string the
+    // " | " separators dilute the links below the majority rule; the rule
+    // must be evaluated over cell content chars
+    val html = "<body><table>" +
+      (0 until 5).map(r => "<tr>" + (1 to 7).map(c =>
+        s"""<td><a href="/d${r * 7 + c}">${r * 7 + c}</a></td>""").mkString + "</tr>").mkString +
+      "</table><p>" + ("real content word " * 10) + "</p></body>"
+    val r = HtmlExtract.extract(html)
+    assert(!r.text.contains(" | "), r.text)
+    assert(r.text.contains("real content word"))
+  }
+
   test("html: layout tables (few big cells) still score cells as prose") {
     import graft.core.html.HtmlExtract
     val para = "a long paragraph of body text living inside an old school layout table " +
