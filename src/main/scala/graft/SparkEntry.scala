@@ -167,6 +167,31 @@ object SparkEntry {
           concat(lit("promo "), col("doc_id").cast("string"))).as("text"))
       TextOps.removeBoilerplateLines(multi, maxDf = 10)
     }),
+    "q50_intradoc_line_dedup" -> ((s, dir) => {
+      // multi-line frame with INTRA-document repeats: the doc's own text
+      // twice, a repeated promo line, and a unique tail — dedup keeps the
+      // first of each, preserving order (pure per-row column math)
+      val multi = docs(s, dir).select(col("doc_id"),
+        concat_ws("\n",
+          col("text"),
+          lit("repeated promo line"),
+          col("text"),
+          lit("repeated promo line"),
+          concat(lit("unique tail "), col("doc_id").cast("string"))).as("text"))
+      TextOps.dedupLinesWithin(multi)
+    }),
+    "q51_corpus_line_dedup" -> ((s, dir) => {
+      // CROSS-document repeats: a line shared by every ~25th doc, a blank
+      // structural separator (always kept), own text, unique tail — the
+      // shared line survives only in its lowest-doc_id owner
+      val multi = docs(s, dir).select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("shared banner "), (col("doc_id") % 25).cast("string")),
+          lit(""),
+          col("text"),
+          concat(lit("unique tail "), col("doc_id").cast("string"))).as("text"))
+      Dedup.corpusLineDedup(multi)
+    }),
     "q46_decontaminate_spans" -> ((s, dir) => {
       // same canary frame as q40; span-level variant cuts the windows
       val canary = "what is the capital of france answer paris"
@@ -774,6 +799,39 @@ object SparkEntry {
         |  cast(coalesce(agg.n_kept, 0) AS bigint) AS n_kept,
         |  cast(len(s.ls) - coalesce(agg.n_kept, 0) AS bigint) AS n_removed
         |FROM s LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q50_intradoc_line_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || 'repeated promo line' || chr(10) || text ||
+        |    chr(10) || 'repeated promo line' || chr(10) ||
+        |    'unique tail ' || doc_id AS text
+        |  FROM documents),
+        |s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM m),
+        |l AS (SELECT doc_id, i AS pos, ls[i] AS line
+        |      FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM s)),
+        |r AS (SELECT doc_id, pos, line,
+        |        min(pos) OVER (PARTITION BY doc_id, line) AS fp FROM l)
+        |SELECT doc_id,
+        |  string_agg(CASE WHEN pos = fp THEN line END, chr(10) ORDER BY pos) AS clean_text,
+        |  cast(count(*) - count(DISTINCT line) AS int) AS n_removed
+        |FROM r GROUP BY doc_id""".stripMargin,
+    "q51_corpus_line_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    'shared banner ' || (doc_id % 25) || chr(10) || chr(10) || text ||
+        |    chr(10) || 'unique tail ' || doc_id AS text
+        |  FROM documents),
+        |s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM m),
+        |l AS (SELECT doc_id, i AS pos, ls[i] AS line
+        |      FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM s)),
+        |r0 AS (SELECT doc_id, pos, line,
+        |        row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rnw FROM l),
+        |r AS (SELECT doc_id, pos, line,
+        |        CASE WHEN trim(line) = '' THEN 1 ELSE rnw END AS rn FROM r0)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos), '') AS clean_text,
+        |  cast(count(CASE WHEN rn > 1 THEN 1 END) AS int) AS n_removed
+        |FROM r GROUP BY doc_id""".stripMargin,
     "q46_decontaminate_spans" ->
       """WITH d AS (
         |  SELECT doc_id,

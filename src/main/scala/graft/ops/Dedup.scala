@@ -780,4 +780,39 @@ object Dedup {
         array_join(col("kept"), " ").as("clean_text"),
         (size(col("t")) - size(col("kept"))).cast("long").as("n_tokens_removed"))
   }
+
+  /** corpus-wide exact line dedup, keep-FIRST occurrence (CCNet-style
+    * paragraph dedup at line granularity): every distinct non-blank line
+    * survives exactly once, in the document with the lowest (doc_id, pos);
+    * blank lines are structure, not paragraphs — always kept.
+    *
+    * Scale shape: lines leave their documents only as 8-byte xxhash64
+    * keys (the keeper groupBy shuffles (hash, doc_id, pos) tuples), the
+    * winners come back as per-document POSITION SETS, and the text is
+    * re-filtered executor-locally against the intact documents frame —
+    * document text never shuffles (contrast removeBoilerplateLines,
+    * whose reassembly groupBy moves line text; at 100 TB that contrast
+    * is the whole design). Hash collisions would drop a distinct line:
+    * 64-bit over realistic corpus line counts, the same accepted
+    * contract as the other hash-keyed dedup ops. */
+  def corpusLineDedup(documents: DataFrame): DataFrame = {
+    val lines = documents
+      .select(col("doc_id"),
+        posexplode(split(coalesce(col("text"), lit("")), "\n")).as(Seq("pos", "line")))
+      .filter(trim(col("line")) =!= "")
+      .select(col("doc_id"), col("pos"), xxhash64(col("line")).as("h"))
+    val keepPosPerDoc = lines
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+      .groupBy(col("w.doc_id").as("doc_id"))
+      .agg(collect_list(col("w.pos")).as("keep_pos"))
+    val lineArr = split(coalesce(col("text"), lit("")), "\n")
+    val keepSet = coalesce(col("keep_pos"), array().cast("array<int>"))
+    val keptArr = filter(lineArr, (x, i) => trim(x) === "" || array_contains(keepSet, i))
+    documents
+      .join(keepPosPerDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        array_join(keptArr, "\n").as("clean_text"),
+        (size(lineArr) - size(keptArr)).as("n_removed"))
+  }
 }

@@ -604,6 +604,25 @@ object TextOps {
     * approximate variant could broadcast, with documented recall loss),
     * (3) one regroup by doc_id reassembling kept lines AND counting
     * totals in the same aggregate (no second scan of the input). */
+  /** intra-document line dedup (the per-document pass of CCNet-family
+    * paragraph dedup): drop REPEATED lines within each document, keep
+    * the first occurrence, preserve order. Pure per-row codegen'd column
+    * math — no explode, no shuffle, documents never move: at any corpus
+    * size this runs inside the scan stage (PlanSpec-gated zero-Exchange).
+    * The cross-document variants are `Dedup.corpusLineDedup` (keep-first
+    * corpus-wide) and `removeBoilerplateLines` (frequent-line removal).
+    * Per-row cost is O(lines^2) array_position scans — bounded by
+    * document size, the same contract as the other per-row kernels. */
+  def dedupLinesWithin(documents: DataFrame): DataFrame = {
+    val lines = split(coalesce(col("text"), lit("")), "\n")
+    documents.select(
+      col("doc_id"),
+      array_join(
+        filter(lines, (x, i) => array_position(lines, x) === (i + lit(1)).cast("long")),
+        "\n").as("clean_text"),
+      (size(lines) - size(array_distinct(lines))).as("n_removed"))
+  }
+
   def removeBoilerplateLines(documents: DataFrame, maxDf: Int = 2): DataFrame = {
     // NULL text coalesces to "" BEFORE the split: split(NULL) is NULL and
     // posexplode(NULL) emits ZERO rows, which would silently drop the

@@ -1019,6 +1019,48 @@ class OpsSpec extends AnyFunSuite {
     assert(got2(4L) == "z1\n\nz2")
   }
 
+  test("dedupLinesWithin: first occurrence kept in order, no shuffle in the plan") {
+    val df = Seq(
+      (1L, "a\nb\na\nc\nb\na"),   // repeats of a and b
+      (2L, "x\nx\nx"),            // single distinct line
+      (3L, "only"),               // nothing to do
+      (4L, ""),                   // empty text -> one empty line, kept
+      (5L, null.asInstanceOf[String]) // NULL behaves like empty, row kept
+    ).toDF("doc_id", "text")
+    val out = TextOps.dedupLinesWithin(df)
+    // pure per-row column math: zero Exchange nodes — runs inside the scan
+    assert(!physicalPlan(out).contains("Exchange"), physicalPlan(out))
+    val got = out.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Int]("n_removed")))).toMap
+    assert(got(1L) == (("a\nb\nc", 3)))
+    assert(got(2L) == (("x", 2)))
+    assert(got(3L) == (("only", 0)))
+    assert(got(4L) == (("", 0)))
+    assert(got(5L) == (("", 0)))
+  }
+
+  test("corpusLineDedup: keep-first across docs, blanks always kept, docs never lost") {
+    val df = Seq(
+      (1L, "shared\nown one\n\ntail one"),
+      (2L, "shared\nown two\n\ntail two"),  // loses 'shared', keeps its blank
+      (3L, "shared\n\n\nown three"),        // multiple blanks all kept
+      (4L, "shared")                        // fully deduped -> empty text, row kept
+    ).toDF("doc_id", "text")
+    val got = Dedup.corpusLineDedup(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Int]("n_removed")))).toMap
+    assert(got(1L) == (("shared\nown one\n\ntail one", 0)))
+    assert(got(2L) == (("own two\n\ntail two", 1)))
+    assert(got(3L) == (("\n\nown three", 1)))
+    assert(got(4L) == (("", 1)))
+    // intra-doc repeats fall to the corpus-wide rule too (lowest pos wins)
+    val intra = Seq((1L, "p\nq\np")).toDF("doc_id", "text")
+    val got2 = Dedup.corpusLineDedup(intra).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    assert(got2(1L) == "p\nq")
+  }
+
   test("quantizeInt8: codes, params, and reconstruction-error bound") {
     val df = Seq(
       (1L, Seq(0.0f, 1.0f, 2.0f, 4.0f)),   // off=0, scale=4/255
