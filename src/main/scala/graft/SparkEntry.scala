@@ -192,6 +192,10 @@ object SparkEntry {
           concat(lit("unique tail "), col("doc_id").cast("string"))).as("text"))
       Dedup.corpusLineDedup(multi)
     }),
+    "q52_lm_perplexity" -> ((s, dir) =>
+      // corpus-trained bigram LM fluency scoring (CCNet's perplexity
+      // signal in deterministic dependency-free form)
+      TextOps.ngramLmScore(docs(s, dir))),
     "q46_decontaminate_spans" -> ((s, dir) => {
       // same canary frame as q40; span-level variant cuts the windows
       val canary = "what is the capital of france answer paris"
@@ -832,6 +836,23 @@ object SparkEntry {
         |  coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos), '') AS clean_text,
         |  cast(count(CASE WHEN rn > 1 THEN 1 END) AS int) AS n_removed
         |FROM r GROUP BY doc_id""".stripMargin,
+    "q52_lm_perplexity" ->
+      """WITH s AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |           FROM documents),
+        |bi AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |             FROM s WHERE len(t) >= 2)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM s)),
+        |sc AS (SELECT bi.doc_id, -ln((c12.c12 + 1.0) / (c1.c1 + 1.0 * v.v)) AS nlp
+        |       FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+        |agg AS (SELECT doc_id, round(avg(nlp), 6) AS lm, count(*) AS nb
+        |        FROM sc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(agg.lm, 0.0) AS avg_neg_logp,
+        |  cast(coalesce(agg.nb, 0) AS bigint) AS n_bigrams
+        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
     "q46_decontaminate_spans" ->
       """WITH d AS (
         |  SELECT doc_id,

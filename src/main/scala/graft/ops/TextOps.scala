@@ -604,6 +604,43 @@ object TextOps {
     * approximate variant could broadcast, with documented recall loss),
     * (3) one regroup by doc_id reassembling kept lines AND counting
     * totals in the same aggregate (no second scan of the input). */
+  /** CCNet-style n-gram language-model scoring: train word-BIGRAM counts
+    * over the corpus itself (or pass a reference corpus), then score each
+    * document by its average negative log-probability under the add-one
+    * smoothed model — the fluency signal CCNet uses (there via a KenLM
+    * 5-gram; a corpus-trained bigram is the deterministic, dependency-free
+    * shape of the same idea). Lower = more natural relative to the corpus;
+    * repetitive or out-of-register documents score high.
+    *
+    * Scale shape: classic word-count — the count tables shuffle tokens
+    * with map-side partial aggregation, the scoring join shuffles
+    * (doc_id, w1, w2) rows, the final per-doc average shuffles doc_ids.
+    * No driver-side state except the vocabulary size (one count). Docs
+    * with fewer than two tokens score 0 with n_bigrams = 0 (kept, never
+    * dropped). Output: (doc_id, avg_neg_logp rounded to 1e-6, n_bigrams). */
+  def ngramLmScore(documents: DataFrame, alpha: Double = 1.0): DataFrame = {
+    val toks = split(lower(trim(coalesce(col("text"), lit("")))), "\\s+")
+    val base = documents.select(col("doc_id"), toks.as("t"))
+    val bi = base.filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(t)-2), i -> struct(t[i] as w1, t[i+1] as w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val biCounts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val headCounts = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = base.select(explode(col("t")).as("w")).distinct().count()
+    val scored = bi
+      .join(biCounts, Seq("w1", "w2"))
+      .join(headCounts, Seq("w1"))
+      .withColumn("nlp", -log((col("c12") + lit(alpha)) / (col("c1") + lit(alpha * vocab))))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(col("nlp")), 6).as("lm"), count(lit(1)).as("nb"))
+    documents.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("lm"), lit(0.0)).as("avg_neg_logp"),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"))
+  }
+
   /** intra-document line dedup (the per-document pass of CCNet-family
     * paragraph dedup): drop REPEATED lines within each document, keep
     * the first occurrence, preserve order. Pure per-row codegen'd column

@@ -1061,6 +1061,42 @@ class OpsSpec extends AnyFunSuite {
     assert(got2(1L) == "p\nq")
   }
 
+  test("ngramLmScore: matches a sequential driver-side recompute; short docs score 0") {
+    val df = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the hat"),
+      (3L, "zz qq zz qq zz"),       // out-of-register repetition
+      (4L, "single"),                // 1 token -> 0 bigrams
+      (5L, "")                       // empty -> 0 bigrams
+    ).toDF("doc_id", "text")
+    val got = TextOps.ngramLmScore(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("avg_neg_logp"), r.getAs[Long]("n_bigrams")))).toMap
+    // sequential recompute: identical tokenization + add-one smoothing
+    val docs = Map(1L -> "the cat sat on the mat", 2L -> "the cat sat on the hat",
+      3L -> "zz qq zz qq zz")
+    val tokens = docs.map { case (id, s) => id -> s.toLowerCase.trim.split("\\s+").toSeq }
+    val bigrams = tokens.toSeq.flatMap { case (id, t) => t.sliding(2).map(p => (id, p(0), p(1))) }
+    val c12 = bigrams.groupBy(b => (b._2, b._3)).map { case (k, v) => k -> v.size }
+    val c1 = bigrams.groupBy(_._2).map { case (k, v) => k -> v.size }
+    // vocabulary over ALL docs' tokens, incl. 'single' and the empty-string
+    // token an empty doc tokenizes to (split('') = [''])
+    val vocab = (tokens.values.flatten ++ Seq("single", "")).toSet.size
+    bigrams.groupBy(_._1).foreach { case (id, bs) =>
+      val nlp = bs.map { case (_, w1, w2) =>
+        -math.log((c12((w1, w2)) + 1.0) / (c1(w1) + 1.0 * vocab)) }
+      val expected = math.rint(nlp.sum / nlp.size * 1e6) / 1e6
+      assert(math.abs(got(id)._1 - expected) < 1e-9, s"doc $id: ${got(id)._1} vs $expected")
+      assert(got(id)._2 == bs.size.toLong)
+    }
+    assert(got(4L) == ((0.0, 0L)))
+    assert(got(5L) == ((0.0, 0L)))
+    // repetition in a tiny corpus is MORE predictable (its bigrams recur),
+    // so doc 3 scores LOWER than the prose pair — the signal is relative
+    // to the training corpus, which is the CCNet semantics
+    assert(got(3L)._1 < got(1L)._1)
+  }
+
   test("quantizeInt8: codes, params, and reconstruction-error bound") {
     val df = Seq(
       (1L, Seq(0.0f, 1.0f, 2.0f, 4.0f)),   // off=0, scale=4/255
