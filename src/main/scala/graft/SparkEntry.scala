@@ -169,13 +169,16 @@ object SparkEntry {
     }),
     "q50_intradoc_line_dedup" -> ((s, dir) => {
       // multi-line frame with INTRA-document repeats: the doc's own text
-      // twice, a repeated promo line, and a unique tail — dedup keeps the
-      // first of each, preserving order (pure per-row column math)
+      // twice, a repeated promo line, repeated BLANK separators (structure,
+      // must survive), and a unique tail — dedup keeps the first of each
+      // non-blank line, preserving order (pure per-row column math)
       val multi = docs(s, dir).select(col("doc_id"),
         concat_ws("\n",
           col("text"),
+          lit(""),
           lit("repeated promo line"),
           col("text"),
+          lit(""),
           lit("repeated promo line"),
           concat(lit("unique tail "), col("doc_id").cast("string"))).as("text"))
       TextOps.dedupLinesWithin(multi)
@@ -806,8 +809,8 @@ object SparkEntry {
     "q50_intradoc_line_dedup" ->
       """WITH m AS (
         |  SELECT doc_id,
-        |    text || chr(10) || 'repeated promo line' || chr(10) || text ||
-        |    chr(10) || 'repeated promo line' || chr(10) ||
+        |    text || chr(10) || chr(10) || 'repeated promo line' || chr(10) ||
+        |    text || chr(10) || chr(10) || 'repeated promo line' || chr(10) ||
         |    'unique tail ' || doc_id AS text
         |  FROM documents),
         |s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM m),
@@ -816,8 +819,9 @@ object SparkEntry {
         |r AS (SELECT doc_id, pos, line,
         |        min(pos) OVER (PARTITION BY doc_id, line) AS fp FROM l)
         |SELECT doc_id,
-        |  string_agg(CASE WHEN pos = fp THEN line END, chr(10) ORDER BY pos) AS clean_text,
-        |  cast(count(*) - count(DISTINCT line) AS int) AS n_removed
+        |  string_agg(CASE WHEN trim(line) = '' OR pos = fp THEN line END,
+        |             chr(10) ORDER BY pos) AS clean_text,
+        |  cast(count(CASE WHEN trim(line) <> '' AND pos <> fp THEN 1 END) AS int) AS n_removed
         |FROM r GROUP BY doc_id""".stripMargin,
     "q51_corpus_line_dedup" ->
       """WITH m AS (

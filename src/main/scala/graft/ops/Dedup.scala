@@ -786,15 +786,17 @@ object Dedup {
     * survives exactly once, in the document with the lowest (doc_id, pos);
     * blank lines are structure, not paragraphs — always kept.
     *
-    * Scale shape: lines leave their documents only as 8-byte xxhash64
-    * keys (the keeper groupBy shuffles (hash, doc_id, pos) tuples), the
-    * winners come back as per-document POSITION SETS, and the text is
-    * re-filtered executor-locally against the intact documents frame —
-    * document text never shuffles (contrast removeBoilerplateLines,
-    * whose reassembly groupBy moves line text; at 100 TB that contrast
-    * is the whole design). Hash collisions would drop a distinct line:
-    * 64-bit over realistic corpus line counts, the same accepted
-    * contract as the other hash-keyed dedup ops. */
+    * Scale shape: LINE text leaves its documents only as 8-byte xxhash64
+    * keys (the keeper groupBy shuffles (hash, doc_id, pos) tuples), and
+    * the winners come back as per-document POSITION SETS. The reassembly
+    * join then exchanges the documents frame ONCE on doc_id (the keep-set
+    * side is corpus-cardinality, not broadcastable) and re-filters the
+    * text executor-locally — so the total text movement is one
+    * doc_id-partitioned pass of the corpus, vs removeBoilerplateLines
+    * whose reassembly groupBy shuffles the EXPLODED line rows (strictly
+    * more bytes plus per-line row overhead). Hash collisions would drop
+    * a distinct line: 64-bit over realistic corpus line counts, the same
+    * accepted contract as the other hash-keyed dedup ops. */
   def corpusLineDedup(documents: DataFrame): DataFrame = {
     val lines = documents
       .select(col("doc_id"),

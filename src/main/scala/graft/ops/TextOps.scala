@@ -580,6 +580,79 @@ object TextOps {
       .toDF("doc_id", "pred_lang", "lang", "fingerprint")
   }
 
+  /** CCNet-style n-gram language-model scoring: train word-BIGRAM counts
+    * over the corpus, then score each document by its average negative
+    * log-probability under the add-one smoothed model — the fluency
+    * signal CCNet uses (there via a KenLM 5-gram; a corpus-trained bigram
+    * is the deterministic, dependency-free shape of the same idea).
+    * Lower = more natural relative to the corpus; repetitive or
+    * out-of-register documents score high. Training and scoring share
+    * one frame by design: a separate reference corpus would need an
+    * unseen-bigram fallback (left join + alpha/(c1+alpha*V)) that the
+    * inner joins here deliberately do not pretend to provide.
+    *
+    * Scale shape: classic word-count — the count tables shuffle tokens
+    * with map-side partial aggregation, the scoring join shuffles
+    * (doc_id, w1, w2) rows, the final per-doc average shuffles doc_ids.
+    * The vocabulary size joins in as a broadcast 1-row aggregate (the
+    * whole plan stays LAZY — no Spark job fires before an action). Docs
+    * with fewer than two tokens score 0 with n_bigrams = 0 (kept, never
+    * dropped). Output: (doc_id, avg_neg_logp rounded to 1e-6, n_bigrams). */
+  def ngramLmScore(documents: DataFrame, alpha: Double = 1.0): DataFrame = {
+    val toks = split(lower(trim(coalesce(col("text"), lit("")))), "\\s+")
+    val base = documents.select(col("doc_id"), toks.as("t"))
+    val bi = base.filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(t)-2), i -> struct(t[i] as w1, t[i+1] as w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val biCounts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val headCounts = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // vocabulary size joins in as a broadcast ONE-ROW aggregate. The
+    // optimizer constant-folds any equal-constant join key (x*0 included,
+    // via non-nullable arithmetic simplification), so this always plans
+    // as a single-build-row BroadcastNestedLoopJoin — which IS the
+    // optimal scalar-subquery shape (each probe row matches the one
+    // build row; zero per-row search). PlanAudit carries the labeled
+    // exemption; the plan stays fully lazy (review round-4 finding: the
+    // previous vocab.count() fired a corpus job at call time).
+    val vocab = base.select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w")).as("vocab_n"))
+    val scored = bi
+      .join(biCounts, Seq("w1", "w2"))
+      .join(headCounts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nlp", -log((col("c12") + lit(alpha)) / (col("c1") + col("vocab_n") * lit(alpha))))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(col("nlp")), 6).as("lm"), count(lit(1)).as("nb"))
+    documents.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("lm"), lit(0.0)).as("avg_neg_logp"),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"))
+  }
+
+  /** intra-document line dedup (the per-document pass of CCNet-family
+    * paragraph dedup): drop REPEATED non-blank lines within each
+    * document, keep the first occurrence, preserve order. Blank/
+    * whitespace-only lines are structure, not paragraphs — always kept
+    * (the same invariant `Dedup.corpusLineDedup` and
+    * `removeBoilerplateLines` enforce; deduping separators would merge
+    * every paragraph after the first blank). Pure per-row codegen'd
+    * column math — no explode, no shuffle, documents never move: at any
+    * corpus size this runs inside the scan stage (zero-Exchange,
+    * test-gated). Per-row cost is O(lines^2) array_position scans —
+    * bounded by document size, the same contract as the other per-row
+    * kernels. */
+  def dedupLinesWithin(documents: DataFrame): DataFrame = {
+    val lines = split(coalesce(col("text"), lit("")), "\n")
+    val kept = filter(lines, (x, i) =>
+      trim(x) === "" || array_position(lines, x) === (i + lit(1)).cast("long"))
+    documents.select(
+      col("doc_id"),
+      array_join(kept, "\n").as("clean_text"),
+      (size(lines) - size(kept)).as("n_removed"))
+  }
+
   // ---- cross-document line-level boilerplate removal ---------------------------
 
   /** remove lines that repeat across the corpus more than `maxDf` times —
@@ -604,62 +677,6 @@ object TextOps {
     * approximate variant could broadcast, with documented recall loss),
     * (3) one regroup by doc_id reassembling kept lines AND counting
     * totals in the same aggregate (no second scan of the input). */
-  /** CCNet-style n-gram language-model scoring: train word-BIGRAM counts
-    * over the corpus itself (or pass a reference corpus), then score each
-    * document by its average negative log-probability under the add-one
-    * smoothed model — the fluency signal CCNet uses (there via a KenLM
-    * 5-gram; a corpus-trained bigram is the deterministic, dependency-free
-    * shape of the same idea). Lower = more natural relative to the corpus;
-    * repetitive or out-of-register documents score high.
-    *
-    * Scale shape: classic word-count — the count tables shuffle tokens
-    * with map-side partial aggregation, the scoring join shuffles
-    * (doc_id, w1, w2) rows, the final per-doc average shuffles doc_ids.
-    * No driver-side state except the vocabulary size (one count). Docs
-    * with fewer than two tokens score 0 with n_bigrams = 0 (kept, never
-    * dropped). Output: (doc_id, avg_neg_logp rounded to 1e-6, n_bigrams). */
-  def ngramLmScore(documents: DataFrame, alpha: Double = 1.0): DataFrame = {
-    val toks = split(lower(trim(coalesce(col("text"), lit("")))), "\\s+")
-    val base = documents.select(col("doc_id"), toks.as("t"))
-    val bi = base.filter(size(col("t")) >= 2)
-      .select(col("doc_id"),
-        explode(expr("transform(sequence(0, size(t)-2), i -> struct(t[i] as w1, t[i+1] as w2))")).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val biCounts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val headCounts = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val vocab = base.select(explode(col("t")).as("w")).distinct().count()
-    val scored = bi
-      .join(biCounts, Seq("w1", "w2"))
-      .join(headCounts, Seq("w1"))
-      .withColumn("nlp", -log((col("c12") + lit(alpha)) / (col("c1") + lit(alpha * vocab))))
-      .groupBy(col("doc_id"))
-      .agg(round(avg(col("nlp")), 6).as("lm"), count(lit(1)).as("nb"))
-    documents.select(col("doc_id"))
-      .join(scored, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"),
-        coalesce(col("lm"), lit(0.0)).as("avg_neg_logp"),
-        coalesce(col("nb"), lit(0L)).as("n_bigrams"))
-  }
-
-  /** intra-document line dedup (the per-document pass of CCNet-family
-    * paragraph dedup): drop REPEATED lines within each document, keep
-    * the first occurrence, preserve order. Pure per-row codegen'd column
-    * math — no explode, no shuffle, documents never move: at any corpus
-    * size this runs inside the scan stage (PlanSpec-gated zero-Exchange).
-    * The cross-document variants are `Dedup.corpusLineDedup` (keep-first
-    * corpus-wide) and `removeBoilerplateLines` (frequent-line removal).
-    * Per-row cost is O(lines^2) array_position scans — bounded by
-    * document size, the same contract as the other per-row kernels. */
-  def dedupLinesWithin(documents: DataFrame): DataFrame = {
-    val lines = split(coalesce(col("text"), lit("")), "\n")
-    documents.select(
-      col("doc_id"),
-      array_join(
-        filter(lines, (x, i) => array_position(lines, x) === (i + lit(1)).cast("long")),
-        "\n").as("clean_text"),
-      (size(lines) - size(array_distinct(lines))).as("n_removed"))
-  }
-
   def removeBoilerplateLines(documents: DataFrame, maxDf: Int = 2): DataFrame = {
     // NULL text coalesces to "" BEFORE the split: split(NULL) is NULL and
     // posexplode(NULL) emits ZERO rows, which would silently drop the

@@ -1019,13 +1019,14 @@ class OpsSpec extends AnyFunSuite {
     assert(got2(4L) == "z1\n\nz2")
   }
 
-  test("dedupLinesWithin: first occurrence kept in order, no shuffle in the plan") {
+  test("dedupLinesWithin: first occurrence kept in order, blanks preserved, no shuffle") {
     val df = Seq(
       (1L, "a\nb\na\nc\nb\na"),   // repeats of a and b
       (2L, "x\nx\nx"),            // single distinct line
       (3L, "only"),               // nothing to do
       (4L, ""),                   // empty text -> one empty line, kept
-      (5L, null.asInstanceOf[String]) // NULL behaves like empty, row kept
+      (5L, null.asInstanceOf[String]), // NULL behaves like empty, row kept
+      (6L, "p1\n\np2\n\np3\np1")  // blank separators are structure: ALL kept
     ).toDF("doc_id", "text")
     val out = TextOps.dedupLinesWithin(df)
     // pure per-row column math: zero Exchange nodes — runs inside the scan
@@ -1038,6 +1039,7 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L) == (("only", 0)))
     assert(got(4L) == (("", 0)))
     assert(got(5L) == (("", 0)))
+    assert(got(6L) == (("p1\n\np2\n\np3", 1)), got(6L)) // only the repeated p1 drops
   }
 
   test("corpusLineDedup: keep-first across docs, blanks always kept, docs never lost") {
@@ -1085,7 +1087,10 @@ class OpsSpec extends AnyFunSuite {
     bigrams.groupBy(_._1).foreach { case (id, bs) =>
       val nlp = bs.map { case (_, w1, w2) =>
         -math.log((c12((w1, w2)) + 1.0) / (c1(w1) + 1.0 * vocab)) }
-      val expected = math.rint(nlp.sum / nlp.size * 1e6) / 1e6
+      // Spark's round is HALF_UP — BigDecimal matches it exactly (math.rint
+      // would banker's-round exact .5 boundaries the other way)
+      val expected = BigDecimal(nlp.sum / nlp.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(math.abs(got(id)._1 - expected) < 1e-9, s"doc $id: ${got(id)._1} vs $expected")
       assert(got(id)._2 == bs.size.toLong)
     }
