@@ -199,6 +199,21 @@ object SparkEntry {
       // corpus-trained bigram LM fluency scoring (CCNet's perplexity
       // signal in deterministic dependency-free form)
       TextOps.ngramLmScore(docs(s, dir))),
+    "q53_gopher_rules" -> ((s, dir) => {
+      // Gopher rule bundle over a frame with heterogeneous shapes so each
+      // rule fires somewhere: bullet-heavy docs, symbol-only docs,
+      // ellipsis-ended lines, stop-word-rich prose, plain corpus text
+      val multi = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat_ws("\n", lit("- bullet one"), lit("- bullet two"),
+            lit("* bullet three"), col("text")))
+          .when(col("doc_id") % 7 === 1, lit("### ### ###"))
+          .when(col("doc_id") % 7 === 2, concat(col("text"), lit("\nto be continued...")))
+          .when(col("doc_id") % 7 === 3,
+            concat(lit("this text ought to be of help and that with "), col("text")))
+          .otherwise(col("text")).as("text"))
+      TextOps.gopherRules(multi, minWords = 15)
+    }),
     "q46_decontaminate_spans" -> ((s, dir) => {
       // same canary frame as q40; span-level variant cuts the windows
       val canary = "what is the capital of france answer paris"
@@ -806,6 +821,48 @@ object SparkEntry {
         |  cast(coalesce(agg.n_kept, 0) AS bigint) AS n_kept,
         |  cast(len(s.ls) - coalesce(agg.n_kept, 0) AS bigint) AS n_removed
         |FROM s LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q53_gopher_rules" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN '- bullet one' || chr(10) || '- bullet two' ||
+        |           chr(10) || '* bullet three' || chr(10) || text
+        |         WHEN doc_id % 7 = 1 THEN '### ### ###'
+        |         WHEN doc_id % 7 = 2 THEN text || chr(10) || 'to be continued...'
+        |         WHEN doc_id % 7 = 3 THEN 'this text ought to be of help and that with ' || text
+        |         ELSE text END AS text
+        |  FROM documents),
+        |w AS (SELECT doc_id, word
+        |      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word FROM m)
+        |      WHERE word <> ''),
+        |wa AS (SELECT doc_id, count(*) AS n_words, sum(len(word)) AS sum_len,
+        |        sum(CASE WHEN regexp_matches(word, '[A-Za-z]') THEN 1 ELSE 0 END) AS n_alpha,
+        |        count(DISTINCT CASE WHEN lower(word) IN
+        |          ('the','be','to','of','and','that','have','with') THEN lower(word) END) AS stop_hits
+        |      FROM w GROUP BY doc_id),
+        |l AS (SELECT doc_id, line
+        |      FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM m)),
+        |la AS (SELECT doc_id, count(*) AS n_lines,
+        |        sum(CASE WHEN substr(trim(line), 1, 1) IN ('-', '*', '•') THEN 1 ELSE 0 END) AS n_bullet,
+        |        sum(CASE WHEN right(trim(line), 3) = '...' OR right(trim(line), 1) = '…'
+        |            THEN 1 ELSE 0 END) AS n_ell
+        |      FROM l GROUP BY doc_id),
+        |t AS (SELECT doc_id, len(text) - len(replace(text, '#', '')) AS hashes,
+        |        floor((len(text) - len(replace(text, '...', ''))) / 3) AS dots FROM m)
+        |SELECT m.doc_id,
+        |  cast(coalesce(wa.n_words, 0) AS int) AS n_words,
+        |  round(coalesce(wa.sum_len, 0) / greatest(coalesce(wa.n_words, 0), 1), 6) AS mean_word_len,
+        |  round((t.hashes + t.dots) / greatest(coalesce(wa.n_words, 0), 1), 6) AS symbol_word_ratio,
+        |  round(la.n_bullet / greatest(la.n_lines, 1), 6) AS bullet_line_ratio,
+        |  round(la.n_ell / greatest(la.n_lines, 1), 6) AS ellipsis_line_ratio,
+        |  round(coalesce(wa.n_alpha, 0) / greatest(coalesce(wa.n_words, 0), 1), 6) AS alpha_word_ratio,
+        |  cast(coalesce(wa.stop_hits, 0) AS int) AS stop_hits,
+        |  (coalesce(wa.n_words, 0) BETWEEN 15 AND 100000
+        |   AND round(coalesce(wa.sum_len, 0) / greatest(coalesce(wa.n_words, 0), 1), 6) BETWEEN 3.0 AND 10.0
+        |   AND round((t.hashes + t.dots) / greatest(coalesce(wa.n_words, 0), 1), 6) < 0.1
+        |   AND round(la.n_bullet / greatest(la.n_lines, 1), 6) < 0.9
+        |   AND round(la.n_ell / greatest(la.n_lines, 1), 6) < 0.3
+        |   AND round(coalesce(wa.n_alpha, 0) / greatest(coalesce(wa.n_words, 0), 1), 6) >= 0.8
+        |   AND coalesce(wa.stop_hits, 0) >= 2) AS passes
+        |FROM m LEFT JOIN wa USING (doc_id) LEFT JOIN la USING (doc_id) JOIN t USING (doc_id)""".stripMargin,
     "q50_intradoc_line_dedup" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -580,6 +580,56 @@ object TextOps {
       .toDF("doc_id", "pred_lang", "lang", "fingerprint")
   }
 
+  /** Gopher-family quality RULES (Rae et al. 2021, table A1 — the rule
+    * bundle most published curation pipelines start from), as per-rule
+    * observables plus the conjunction, so downstream filters can keep,
+    * loosen or audit individual rules instead of a black-box score
+    * (`qualityScore` stays the composite heuristic). Pure per-row
+    * codegen'd column math — zero shuffle, runs inside the scan stage.
+    * Rules: word count in [minWords, maxWords]; mean word length in
+    * [3, 10]; symbol-to-word ratio ('#' chars + '...' runs) < 0.1;
+    * < 90% of lines bullet-started; < 30% of lines ellipsis-ended;
+    * >= 80% of words contain an alphabetic char; >= 2 distinct Gopher
+    * stop words present. */
+  def gopherRules(
+      documents: DataFrame,
+      minWords: Int = 50,
+      maxWords: Int = 100000): DataFrame = {
+    val txt = coalesce(col("text"), lit(""))
+    val words = filter(split(trim(txt), "\\s+"), w => w =!= "")
+    val lines = split(txt, "\n")
+    val nWords = size(words)
+    val nWordsD = greatest(nWords.cast("double"), lit(1.0))
+    val meanLen = round(
+      aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") / nWordsD, 6)
+    val hashes = length(txt) - length(replace(txt, lit("#"), lit("")))
+    val dots = floor((length(txt) - length(replace(txt, lit("..."), lit(""))) ) / 3)
+    val symRatio = round((hashes + dots).cast("double") / nWordsD, 6)
+    val nLinesD = greatest(size(lines).cast("double"), lit(1.0))
+    val bulletRatio = round(
+      size(filter(lines, l => substring(trim(l), 1, 1).isin("-", "*", "•"))).cast("double") / nLinesD, 6)
+    val ellipsisRatio = round(
+      size(filter(lines, l => trim(l).endsWith("...") || trim(l).endsWith("…"))).cast("double") / nLinesD, 6)
+    val alphaRatio = round(
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / nWordsD, 6)
+    val stopHits = size(array_intersect(
+      transform(words, w => lower(w)),
+      array(Seq("the", "be", "to", "of", "and", "that", "have", "with").map(lit): _*)))
+    documents.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      meanLen.as("mean_word_len"),
+      symRatio.as("symbol_word_ratio"),
+      bulletRatio.as("bullet_line_ratio"),
+      ellipsisRatio.as("ellipsis_line_ratio"),
+      alphaRatio.as("alpha_word_ratio"),
+      stopHits.as("stop_hits"),
+      (nWords >= minWords && nWords <= maxWords &&
+        meanLen >= 3.0 && meanLen <= 10.0 &&
+        symRatio < 0.1 && bulletRatio < 0.9 && ellipsisRatio < 0.3 &&
+        alphaRatio >= 0.8 && stopHits >= 2).as("passes"))
+  }
+
   /** CCNet-style n-gram language-model scoring: train word-BIGRAM counts
     * over the corpus, then score each document by its average negative
     * log-probability under the add-one smoothed model — the fluency

@@ -1063,6 +1063,31 @@ class OpsSpec extends AnyFunSuite {
     assert(got2(1L) == "p\nq")
   }
 
+  test("gopherRules: per-rule observables and the conjunction, zero shuffle") {
+    val good = "this text ought to be of help and that with " +
+      (1 to 20).map(i => s"word$i").mkString(" ") // 30 words, 6 stops, all alpha
+    val df = Seq(
+      (1L, good),
+      (2L, "### ### ###"),                       // symbols, no alpha, 3 words
+      (3L, "- a\n- b\n- c"),                     // 100% bullet lines
+      (4L, "to be\nthe end is near...\nnot done…"), // 2/3 ellipsis-ended lines
+      (5L, null.asInstanceOf[String])            // NULL -> zero words, fails
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherRules(df, minWords = 10)
+    assert(!physicalPlan(out).contains("Exchange"), physicalPlan(out))
+    val got = out.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Boolean]("passes"),
+      got(1L).toString) // 30 words, mean len in range, stop_hits 6
+    assert(got(1L).getAs[Int]("stop_hits") == 6)
+    val g2 = got(2L)
+    assert(g2.getAs[Int]("n_words") == 3 && g2.getAs[Double]("alpha_word_ratio") == 0.0)
+    assert(g2.getAs[Double]("symbol_word_ratio") == 3.0 && !g2.getAs[Boolean]("passes"))
+    assert(got(3L).getAs[Double]("bullet_line_ratio") == 1.0 && !got(3L).getAs[Boolean]("passes"))
+    assert(got(4L).getAs[Double]("ellipsis_line_ratio") == math.rint(2.0 / 3.0 * 1e6) / 1e6,
+      got(4L).toString)
+    assert(got(5L).getAs[Int]("n_words") == 0 && !got(5L).getAs[Boolean]("passes"))
+  }
+
   test("ngramLmScore: matches a sequential driver-side recompute; short docs score 0") {
     val df = Seq(
       (1L, "the cat sat on the mat"),
