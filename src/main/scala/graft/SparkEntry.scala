@@ -353,13 +353,26 @@ object SparkEntry {
       val normed = graft.ops.Checkpoints.eager(
         docsDf.select(col("doc_id"), TextOps.normalizeText(col("text")).as("text"),
           col("lang"))) {}
-      // cross-document boilerplate lines out before quality scoring (nav/
-      // footer survivors would depress quality of good docs)
+      // intra-document repeats first (per-row, free — runs in the same
+      // stage as the scan), then cross-document boilerplate lines before
+      // quality scoring (nav/footer survivors would depress quality of
+      // good docs)
+      val intraDeduped = TextOps.dedupLinesWithin(normed)
+        .select(col("doc_id"), col("clean_text").as("text"), lit("und").as("lang"))
       val cleaned = graft.ops.Checkpoints.eager(
-        TextOps.removeBoilerplateLines(normed, maxDf = 50)
+        TextOps.removeBoilerplateLines(intraDeduped, maxDf = 50)
           .select(col("doc_id"), col("clean_text").as("text"), lit("und").as("lang"))
           .filter(length(col("text")) > 0)) {}
-      val kept = TextOps.qualityFilter(cleaned, minQuality = 0.2, maxTopFrac = 0.9,
+      // Gopher rule gate composes with the composite-score gate: rules
+      // catch shape pathologies (symbol floods, bullet walls), the score
+      // catches gradual quality loss (relaxed min-word bound: synthetic
+      // extracted pages are short)
+      val ruled = cleaned.join(
+        TextOps.gopherRules(cleaned, minWords = 5)
+          .filter(col("symbol_word_ratio") < 0.1 && col("bullet_line_ratio") < 0.9 &&
+            col("alpha_word_ratio") >= 0.8)
+          .select("doc_id"), Seq("doc_id"), "left_semi")
+      val kept = TextOps.qualityFilter(ruled, minQuality = 0.2, maxTopFrac = 0.9,
         minTokens = 5, maxTokens = 100000)
       // eval split decided BEFORE dedup: keepers are chosen among
       // NON-bench docs only, so a training doc byte-identical to an eval
