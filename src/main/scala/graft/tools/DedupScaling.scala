@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, length, sum}
 
 /** Two-parallelism scaling evidence for the SECOND heavy job shape:
   * MinHash-LSH near-dup detection end-to-end (shingle -> 64 minhashes ->
@@ -40,31 +41,61 @@ object DedupScaling {
     words.mkString(" ")
   }
 
+  /** deterministic MULTI-LINE corpus for the corpusLineDedup job shape:
+    * 8-15 lines per doc, ~1/3 drawn from a hot shared pool of 2000 lines
+    * (cross-doc dedup does real work), structural blanks every 4th line
+    * (always-kept contract exercised at scale) */
+  def lineDocText(i: Long): String = {
+    var z = i * 0x9e3779b97f4a7c15L + 0x243f6a8885a308d3L
+    def nextInt(bound: Int): Int = {
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      (((z ^ (z >>> 31)) >>> 1) % bound).toInt
+    }
+    val n = 8 + nextInt(8)
+    (0 until n).map { j =>
+      if (j % 4 == 3) ""
+      else if (nextInt(3) == 0) s"shared line ${nextInt(2000)}"
+      else s"line ${i}_$j ${nextInt(5000)}"
+    }.mkString("\n")
+  }
+
   def main(args: Array[String]): Unit = {
     val cores = args.headOption.map(_.toInt).getOrElse(8)
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_DEDUP_DOCS", "150000").toLong
-    val corpusDir = s"/dev/shm/graft-dedup-corpus-$nDocs-f128"
+    // job shapes: minhash_lsh (banded shuffle + candidate joins) or
+    // line_dedup (hash-only keeper shuffle + one doc_id reassembly pass)
+    val job = sys.env.getOrElse("SPARK_GRAFT_DEDUP_JOB", "minhash_lsh")
+    val corpusDir = s"/dev/shm/graft-dedup-$job-corpus-$nDocs-f128"
     // identical harness config to graft.Scaling BY CONSTRUCTION — the
     // 0.74-vs-0.86 job-shape comparison depends on it
     val spark = graft.ScalingHarness.session(cores)
     import spark.implicits._
     if (!new java.io.File(s"$corpusDir/_SUCCESS").exists()) {
       spark.range(nDocs).repartition(128).as[Long]
-        .map(i => (i, docText(i)))
+        .map(i => (i, if (job == "line_dedup") lineDocText(i) else docText(i)))
         .toDF("doc_id", "text")
         .write.mode("overwrite").parquet(corpusDir)
     }
     def once(): Double = {
       val t0 = System.nanoTime()
       val docs = spark.read.parquet(corpusDir)
-      graft.ops.Dedup.minhashLsh(docs).count()
+      if (job == "line_dedup")
+        // aggregate over clean_text/n_removed so the reassembly join and
+        // text filtering actually execute: a bare count() lets Catalyst
+        // prune the unused columns AND eliminate the left-outer join
+        // (unique build keys preserve cardinality) — measuring only the
+        // scan, not the job
+        graft.ops.Dedup.corpusLineDedup(docs)
+          .agg(sum(length(col("clean_text"))), sum(col("n_removed"))).collect()
+      else graft.ops.Dedup.minhashLsh(docs).count()
       nDocs / ((System.nanoTime() - t0) / 1e9)
     }
     once() // warmup (JIT + codegen settle)
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "3").toInt
     val rates = (1 to reps).map(_ => once()).sorted
     val rate = rates(rates.size / 2)
-    println(f"""{"job":"minhash_lsh","cores":$cores,"docs_per_sec":$rate%.1f,"reps":[${rates.map(r => f"$r%.1f").mkString(",")}],"n_docs":$nDocs}""")
+    println(f"""{"job":"$job","cores":$cores,"docs_per_sec":$rate%.1f,"reps":[${rates.map(r => f"$r%.1f").mkString(",")}],"n_docs":$nDocs}""")
     spark.stop()
   }
 }
