@@ -293,6 +293,14 @@ object SparkEntry {
       val e = emb(s, dir)
       SimSearch.pqTopK(e, SimSearch.buildPqCodebook(e), 5, 10)
     }),
+    "q54_simsearch_opq_ivfpq" -> ((s, dir) => {
+      // the faiss "OPQ,IVF,PQ" composition: trained rotation in front of
+      // the residual-PQ coarse index. No SQL oracle (two k-means layers +
+      // SVD) — OpsSpec holds recall/exact-cosine/snapshot gates
+      val e = emb(s, dir)
+      SimSearch.opqIvfPqTopK(e,
+        SimSearch.buildOpqIvfPqIndex(e, opqIters = 2, iters = 2, trainSample = 20000L), 5, 10)
+    }),
     "q49_simsearch_opq" -> ((s, dir) => {
       // PQ in a TRAINED OPQ basis (rotation + codebook jointly optimized,
       // Procrustes/SVD updates): rotate-at-ingest then the same ADC +

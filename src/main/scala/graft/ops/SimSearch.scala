@@ -959,50 +959,54 @@ object SimSearch {
     * per centroid, (component, a, b, vec) where component is "ivf"
     * (a = list id) or "pq" (a = subvector, b = code). */
   def saveIvfPqIndex(index: IvfPqIndex, path: String, spark: org.apache.spark.sql.SparkSession): Unit =
-    saveComponentSnapshot("ivf", index.ivf.centroids, index.pq, path, spark)
+    saveComponentSnapshot(Seq("ivf" -> index.ivf.centroids), index.pq, path, spark)
 
   def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex = {
-    val (ivf, pq) = loadComponentSnapshot(spark, path, "ivf")
-    IvfPqIndex(IvfIndex(ivf), pq)
+    val (mats, pq) = loadComponentSnapshot(spark, path, Seq("ivf"))
+    IvfPqIndex(IvfIndex(mats("ivf")), pq)
   }
 
-  /** shared snapshot codec for the two (matrix + PQ codebook) index
-    * families — one encode/decode so a fix to either cannot silently miss
-    * the other. Rows: (component, a, b, vec) with component = `label`
-    * (a = row/list index) or "pq" (a = subvector, b = code). */
+  /** shared snapshot codec for the (matrix components + PQ codebook)
+    * index families — one encode/decode so a fix to any family cannot
+    * silently miss the others. Rows: (component, a, b, vec) with
+    * component = a matrix label (a = row/list index) or "pq"
+    * (a = subvector, b = code). */
   private def saveComponentSnapshot(
-      label: String,
-      first: Array[Array[Float]],
+      mats: Seq[(String, Array[Array[Float]])],
       pq: PqCodebook,
       path: String,
       spark: org.apache.spark.sql.SparkSession): Unit = {
     import spark.implicits._
-    val firstRows = first.zipWithIndex.map { case (c, i) => (label, i, 0, c.toSeq) }.toSeq
+    val matRows = mats.flatMap { case (label, m) =>
+      m.zipWithIndex.map { case (c, i) => (label, i, 0, c.toSeq) }
+    }
     val pqRows = for {
       (sub, j) <- pq.centroids.zipWithIndex.toSeq
       (c, code) <- sub.zipWithIndex
     } yield ("pq", j, code, c.toSeq)
-    (firstRows ++ pqRows).toDF("component", "a", "b", "vec")
+    (matRows ++ pqRows).toDF("component", "a", "b", "vec")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   private def loadComponentSnapshot(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      label: String): (Array[Array[Float]], PqCodebook) = {
+      labels: Seq[String]): (Map[String, Array[Array[Float]]], PqCodebook) = {
     import spark.implicits._
     val rows = spark.read.parquet(path)
       .select(col("component"), col("a"), col("b"), col("vec"))
       .as[(String, Int, Int, Seq[Float])].collect()
-    val first = rows.filter(_._1 == label).sortBy(_._2).map(_._4.toArray)
+    val mats = labels.map { label =>
+      label -> rows.filter(_._1 == label).sortBy(_._2).map(_._4.toArray)
+    }.toMap
     val pqRows = rows.filter(_._1 == "pq")
-    require(first.nonEmpty && pqRows.nonEmpty,
-      s"corrupt index snapshot at $path: missing '$label' or 'pq' component rows")
+    require(labels.forall(l => mats(l).nonEmpty) && pqRows.nonEmpty,
+      s"corrupt index snapshot at $path: missing ${labels.mkString("/")} or 'pq' component rows")
     val m = pqRows.map(_._2).max + 1
     val k = pqRows.map(_._3).max + 1
     val pq = Array.ofDim[Array[Float]](m, k)
     pqRows.foreach { case (_, j, c, v) => pq(j)(c) = v.toArray }
-    (first, PqCodebook(pqRows.head._4.length, pq))
+    (mats, PqCodebook(pqRows.head._4.length, pq))
   }
 
   /** persist a trained-OPQ snapshot (rotation + codebook) — same
@@ -1010,13 +1014,59 @@ object SimSearch {
     * (a = row index) or "pq" (a = subvector, b = code). A build job
     * trains once; serving jobs load and rotate-at-ingest. */
   def saveOpq(opq: OpqResult, path: String, spark: org.apache.spark.sql.SparkSession): Unit =
-    saveComponentSnapshot("rot", opq.rotation, opq.codebook, path, spark)
+    saveComponentSnapshot(Seq("rot" -> opq.rotation), opq.codebook, path, spark)
 
   /** load a trained-OPQ snapshot (mseHistory is training-time evidence,
     * not part of the snapshot: loaded results carry it empty) */
   def loadOpq(spark: org.apache.spark.sql.SparkSession, path: String): OpqResult = {
-    val (rot, pq) = loadComponentSnapshot(spark, path, "rot")
-    OpqResult(rot, pq, Seq.empty)
+    val (mats, pq) = loadComponentSnapshot(spark, path, Seq("rot"))
+    OpqResult(mats("rot"), pq, Seq.empty)
+  }
+
+  // ---- OPQ-composed IVF-PQ: the faiss "OPQ,IVF,PQ" index shape -----------------
+
+  /** trained rotation in front of the residual-PQ coarse index: OPQ
+    * learns the basis (variance balanced across subvectors), IVF-PQ
+    * trains coarse centroids + residual codebooks IN that basis — the
+    * standard pretransform composition (faiss index_factory
+    * "OPQm,IVFn,PQm"). trainOpq's own flat codebook is training
+    * scaffolding only; the served codebooks are the residual ones. */
+  final case class OpqIvfPqIndex(rotation: Array[Array[Float]], index: IvfPqIndex)
+
+  def buildOpqIvfPqIndex(
+      embeddings: DataFrame,
+      nCentroids: Int = 16,
+      m: Int = 8,
+      k: Int = 16,
+      iters: Int = 3,
+      dim: Int = 64,
+      opqIters: Int = 3,
+      trainSample: Long = 200000L): OpqIvfPqIndex = {
+    val opq = trainOpq(embeddings, m, k, dim, opqIters, iters, trainSample)
+    val idx = buildIvfPqIndex(rotateEmbeddings(embeddings, opq.rotation),
+      nCentroids, m, k, iters, dim, trainSample)
+    OpqIvfPqIndex(opq.rotation, idx)
+  }
+
+  /** serve: rotate at ingest (cosine-invariant), then the standard
+    * probe-limited residual-PQ ADC + exact rerank */
+  def opqIvfPqTopK(
+      embeddings: DataFrame,
+      idx: OpqIvfPqIndex,
+      nQueries: Int = 5,
+      k: Int = 10,
+      nProbe: Int = 0,
+      rerank: Int = 4): DataFrame =
+    ivfPqTopK(rotateEmbeddings(embeddings, idx.rotation), idx.index, nQueries, k, nProbe, rerank)
+
+  def saveOpqIvfPqIndex(idx: OpqIvfPqIndex, path: String, spark: org.apache.spark.sql.SparkSession): Unit =
+    saveComponentSnapshot(
+      Seq("rot" -> idx.rotation, "ivf" -> idx.index.ivf.centroids),
+      idx.index.pq, path, spark)
+
+  def loadOpqIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): OpqIvfPqIndex = {
+    val (mats, pq) = loadComponentSnapshot(spark, path, Seq("rot", "ivf"))
+    OpqIvfPqIndex(mats("rot"), IvfPqIndex(IvfIndex(mats("ivf")), pq))
   }
 
   /** encode: assign each vector to its coarse list, PQ-encode its RESIDUAL

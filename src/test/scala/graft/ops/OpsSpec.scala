@@ -881,6 +881,39 @@ class OpsSpec extends AnyFunSuite {
     assert(narrow.length <= 50 && narrow.nonEmpty)
   }
 
+  test("OPQ-composed IVF-PQ: recall floor, probe-limited, three-component snapshot roundtrip") {
+    val dim = 32
+    val aniso = clusteredEmbeddings(dim, 600L).map { case (id, emb) =>
+      (id, emb.zipWithIndex.map { case (v, j) => v / (1f + 0.35f * j) }.toSeq)
+    }
+    val cdf = aniso.toDF("vec_id", "embedding")
+    val idx = SimSearch.buildOpqIvfPqIndex(cdf, nCentroids = 16, m = 8, k = 16,
+      dim = dim, opqIters = 2)
+    val exact = SimSearch.bruteForceTopK(cdf, 5, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val gotRows = SimSearch.opqIvfPqTopK(cdf, idx, 5, 10, nProbe = 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))
+    val recall = gotRows.map(r => (r._1, r._2)).toSet.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"OPQ-IVF-PQ recall@10 $recall")
+    // cosines are EXACT in the original basis up to rotation float noise
+    val exactCos = SimSearch.bruteForceTopK(cdf, 5, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine")).toMap
+    gotRows.foreach { case (q, n, c) =>
+      exactCos.get((q, n)).foreach(e => assert(math.abs(e - c) < 1e-4, s"cosine drift at ($q,$n)"))
+    }
+    // three-component snapshot roundtrips bit-identical and serves identically
+    val dir = java.nio.file.Files.createTempDirectory("opq-ivfpq-idx").toString
+    SimSearch.saveOpqIvfPqIndex(idx, dir, spark)
+    val loaded = SimSearch.loadOpqIvfPqIndex(spark, dir)
+    assert(loaded.rotation.map(_.toSeq).toSeq == idx.rotation.map(_.toSeq).toSeq)
+    assert(loaded.index.ivf.centroids.map(_.toSeq).toSeq == idx.index.ivf.centroids.map(_.toSeq).toSeq)
+    assert(loaded.index.pq.centroids.map(_.map(_.toSeq).toSeq).toSeq ==
+      idx.index.pq.centroids.map(_.map(_.toSeq).toSeq).toSeq)
+    val viaLoaded = SimSearch.opqIvfPqTopK(cdf, loaded, 5, 10, nProbe = 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))
+    assert(viaLoaded.toSet == gotRows.toSet, "loaded composed index must search identically")
+  }
+
   test("IVF vs LSH recall curves: IVF wins on clustered, both >=0.9@k on their regimes") {
     // clustered embeddings: 8 tight gaussian-ish clusters; uniform: randVec.
     // Recall@10 vs the brute-force exact top-10 for 5 queries.
