@@ -358,28 +358,25 @@ object SparkEntry {
       // copy). Checkpoints.eager picks reliable checkpoint when a
       // checkpoint dir is configured (executor-loss recovery), local
       // otherwise — tradeoff documented on graft.ops.Checkpoints.
+      // normalize + intra-document line dedup FUSED into one checkpointed
+      // frame (both per-row; materializing once means the quadratic
+      // array_position dedup never re-executes inside the boilerplate
+      // join's two consumers of its input)
       val normed = graft.ops.Checkpoints.eager(
-        docsDf.select(col("doc_id"), TextOps.normalizeText(col("text")).as("text"),
-          col("lang"))) {}
-      // intra-document repeats first (per-row, free — runs in the same
-      // stage as the scan), then cross-document boilerplate lines before
-      // quality scoring (nav/footer survivors would depress quality of
-      // good docs)
-      val intraDeduped = TextOps.dedupLinesWithin(normed)
-        .select(col("doc_id"), col("clean_text").as("text"), lit("und").as("lang"))
+        TextOps.dedupLinesWithin(
+          docsDf.select(col("doc_id"), TextOps.normalizeText(col("text")).as("text")))
+          .select(col("doc_id"), col("clean_text").as("text"), lit("und").as("lang"))) {}
+      // cross-document boilerplate lines out before quality scoring (nav/
+      // footer survivors would depress quality of good docs)
       val cleaned = graft.ops.Checkpoints.eager(
-        TextOps.removeBoilerplateLines(intraDeduped, maxDf = 50)
+        TextOps.removeBoilerplateLines(normed, maxDf = 50)
           .select(col("doc_id"), col("clean_text").as("text"), lit("und").as("lang"))
           .filter(length(col("text")) > 0)) {}
-      // Gopher rule gate composes with the composite-score gate: rules
-      // catch shape pathologies (symbol floods, bullet walls), the score
-      // catches gradual quality loss (relaxed min-word bound: synthetic
-      // extracted pages are short)
-      val ruled = cleaned.join(
-        TextOps.gopherRules(cleaned, minWords = 5)
-          .filter(col("symbol_word_ratio") < 0.1 && col("bullet_line_ratio") < 0.9 &&
-            col("alpha_word_ratio") >= 0.8)
-          .select("doc_id"), Seq("doc_id"), "left_semi")
+      // Gopher SHAPE gate as a plain per-row filter (zero shuffle — a
+      // semi-join here would exchange the whole cleaned frame on doc_id);
+      // rules catch shape pathologies (symbol floods, bullet walls), the
+      // composite score below catches gradual quality loss
+      val ruled = cleaned.where(TextOps.gopherShapeGate(col("text")))
       val kept = TextOps.qualityFilter(ruled, minQuality = 0.2, maxTopFrac = 0.9,
         minTokens = 5, maxTokens = 100000)
       // eval split decided BEFORE dedup: keepers are chosen among
@@ -867,7 +864,8 @@ object SparkEntry {
         |            THEN 1 ELSE 0 END) AS n_ell
         |      FROM l GROUP BY doc_id),
         |t AS (SELECT doc_id, len(text) - len(replace(text, '#', '')) AS hashes,
-        |        floor((len(text) - len(replace(text, '...', ''))) / 3) AS dots FROM m)
+        |        floor((len(text) - len(replace(text, '...', ''))) / 3) +
+        |        (len(text) - len(replace(text, '…', ''))) AS dots FROM m)
         |SELECT m.doc_id,
         |  cast(coalesce(wa.n_words, 0) AS int) AS n_words,
         |  round(coalesce(wa.sum_len, 0) / greatest(coalesce(wa.n_words, 0), 1), 6) AS mean_word_len,

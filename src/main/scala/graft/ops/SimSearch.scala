@@ -1002,6 +1002,13 @@ object SimSearch {
     val pqRows = rows.filter(_._1 == "pq")
     require(labels.forall(l => mats(l).nonEmpty) && pqRows.nonEmpty,
       s"corrupt index snapshot at $path: missing ${labels.mkString("/")} or 'pq' component rows")
+    // WRONG-FAMILY loads must fail fast, not silently drop components: a
+    // three-component OPQ-IVF-PQ snapshot read through loadIvfPqIndex
+    // would discard the rotation and serve silently-wrong neighbors
+    val extra = rows.iterator.map(_._1).toSet -- labels.toSet - "pq"
+    require(extra.isEmpty,
+      s"index snapshot at $path carries component(s) ${extra.mkString(",")} this loader " +
+        s"would ignore — use the loader for its index family (expected: ${labels.mkString("/")}+pq)")
     val m = pqRows.map(_._2).max + 1
     val k = pqRows.map(_._3).max + 1
     val pq = Array.ofDim[Array[Float]](m, k)
@@ -1042,9 +1049,19 @@ object SimSearch {
       dim: Int = 64,
       opqIters: Int = 3,
       trainSample: Long = 200000L): OpqIvfPqIndex = {
-    val opq = trainOpq(embeddings, m, k, dim, opqIters, iters, trainSample)
-    val idx = buildIvfPqIndex(rotateEmbeddings(embeddings, opq.rotation),
-      nCentroids, m, k, iters, dim, trainSample)
+    // count + sample ONCE against the raw corpus, and rotate only the
+    // bounded sample: rotating the full frame first would re-run the
+    // O(n*dim^2) matmul inside buildIvfPqIndex's own count() and
+    // hashSample passes for rows that never train anything. nlist
+    // auto-sizing still sees the TRUE corpus size, not the sample's.
+    val n = embeddings.count()
+    val nlist = autoNlist(n, nCentroids)
+    val sample = hashSample(embeddings, n, trainSample)
+    val opq = trainOpq(sample, m, k, dim, opqIters, iters, trainSample)
+    // hashSample(sample) inside the builder is the identity (sample size
+    // <= trainSample), so modulus samples never compose
+    val idx = buildIvfPqIndex(rotateEmbeddings(sample, opq.rotation),
+      nlist, m, k, iters, dim, trainSample)
     OpqIvfPqIndex(opq.rotation, idx)
   }
 

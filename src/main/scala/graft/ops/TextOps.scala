@@ -587,15 +587,44 @@ object TextOps {
     * (`qualityScore` stays the composite heuristic). Pure per-row
     * codegen'd column math — zero shuffle, runs inside the scan stage.
     * Rules: word count in [minWords, maxWords]; mean word length in
-    * [3, 10]; symbol-to-word ratio ('#' chars + '...' runs) < 0.1;
-    * < 90% of lines bullet-started; < 30% of lines ellipsis-ended;
-    * >= 80% of words contain an alphabetic char; >= 2 distinct Gopher
-    * stop words present. */
+    * [3, 10]; symbol-to-word ratio ('#' chars + '...' runs + unicode
+    * ellipsis) < 0.1; < 90% of lines bullet-started; < 30% of lines
+    * ellipsis-ended; >= 80% of words contain an alphabetic char; >= 2
+    * distinct Gopher stop words present. */
   def gopherRules(
       documents: DataFrame,
       minWords: Int = 50,
       maxWords: Int = 100000): DataFrame = {
-    val txt = coalesce(col("text"), lit(""))
+    val g = gopherRuleCols(coalesce(col("text"), lit("")))
+    documents.select(
+      col("doc_id"),
+      g.nWords.as("n_words"),
+      g.meanLen.as("mean_word_len"),
+      g.symRatio.as("symbol_word_ratio"),
+      g.bulletRatio.as("bullet_line_ratio"),
+      g.ellipsisRatio.as("ellipsis_line_ratio"),
+      g.alphaRatio.as("alpha_word_ratio"),
+      g.stopHits.as("stop_hits"),
+      (g.nWords >= minWords && g.nWords <= maxWords &&
+        g.meanLen >= 3.0 && g.meanLen <= 10.0 &&
+        g.symRatio < 0.1 && g.bulletRatio < 0.9 && g.ellipsisRatio < 0.3 &&
+        g.alphaRatio >= 0.8 && g.stopHits >= 2).as("passes"))
+  }
+
+  /** the SHAPE subset of the Gopher rules (symbol floods, bullet walls,
+    * non-alphabetic filler) as one boolean Column — for composing into a
+    * pipeline `where` at zero shuffle cost (the full `gopherRules` frame
+    * is the auditable per-rule surface) */
+  def gopherShapeGate(text: Column): Column = {
+    val g = gopherRuleCols(coalesce(text, lit("")))
+    g.symRatio < 0.1 && g.bulletRatio < 0.9 && g.alphaRatio >= 0.8
+  }
+
+  private final case class GopherCols(
+      nWords: Column, meanLen: Column, symRatio: Column, bulletRatio: Column,
+      ellipsisRatio: Column, alphaRatio: Column, stopHits: Column)
+
+  private def gopherRuleCols(txt: Column): GopherCols = {
     val words = filter(split(trim(txt), "\\s+"), w => w =!= "")
     val lines = split(txt, "\n")
     val nWords = size(words)
@@ -604,7 +633,8 @@ object TextOps {
       aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") / nWordsD, 6)
     val hashes = length(txt) - length(replace(txt, lit("#"), lit("")))
     val dots = floor((length(txt) - length(replace(txt, lit("..."), lit(""))) ) / 3)
-    val symRatio = round((hashes + dots).cast("double") / nWordsD, 6)
+    val uniEll = length(txt) - length(replace(txt, lit("…"), lit("")))
+    val symRatio = round((hashes + dots + uniEll).cast("double") / nWordsD, 6)
     val nLinesD = greatest(size(lines).cast("double"), lit(1.0))
     val bulletRatio = round(
       size(filter(lines, l => substring(trim(l), 1, 1).isin("-", "*", "•"))).cast("double") / nLinesD, 6)
@@ -615,19 +645,7 @@ object TextOps {
     val stopHits = size(array_intersect(
       transform(words, w => lower(w)),
       array(Seq("the", "be", "to", "of", "and", "that", "have", "with").map(lit): _*)))
-    documents.select(
-      col("doc_id"),
-      nWords.as("n_words"),
-      meanLen.as("mean_word_len"),
-      symRatio.as("symbol_word_ratio"),
-      bulletRatio.as("bullet_line_ratio"),
-      ellipsisRatio.as("ellipsis_line_ratio"),
-      alphaRatio.as("alpha_word_ratio"),
-      stopHits.as("stop_hits"),
-      (nWords >= minWords && nWords <= maxWords &&
-        meanLen >= 3.0 && meanLen <= 10.0 &&
-        symRatio < 0.1 && bulletRatio < 0.9 && ellipsisRatio < 0.3 &&
-        alphaRatio >= 0.8 && stopHits >= 2).as("passes"))
+    GopherCols(nWords, meanLen, symRatio, bulletRatio, ellipsisRatio, alphaRatio, stopHits)
   }
 
   /** CCNet-style n-gram language-model scoring: train word-BIGRAM counts

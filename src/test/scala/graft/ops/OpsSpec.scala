@@ -912,6 +912,10 @@ class OpsSpec extends AnyFunSuite {
     val viaLoaded = SimSearch.opqIvfPqTopK(cdf, loaded, 5, 10, nProbe = 4).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))
     assert(viaLoaded.toSet == gotRows.toSet, "loaded composed index must search identically")
+    // wrong-family loads fail fast instead of silently dropping the
+    // rotation (serving a rotated-basis index against unrotated vectors)
+    intercept[IllegalArgumentException] { SimSearch.loadIvfPqIndex(spark, dir) }
+    intercept[IllegalArgumentException] { SimSearch.loadOpq(spark, dir) }
   }
 
   test("IVF vs LSH recall curves: IVF wins on clustered, both >=0.9@k on their regimes") {
