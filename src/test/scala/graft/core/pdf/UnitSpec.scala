@@ -223,14 +223,15 @@ class UnitSpec extends AnyFunSuite {
     assert(!r.text.contains("tiny footer"))
   }
 
-  test("html: calibration floors hold (precision >= 0.94, recall >= 0.85)") {
+  test("html: calibration floors hold (precision >= 0.95, recall >= 0.87)") {
     // regression gate on the labeled HtmlCalib harness (50 pages is a
     // representative slice; the committed 200-page numbers live in
-    // BASELINE.md). Table handling (round-4) raised precision 0.943->0.953
-    // and added table-row/table-header structure categories at 1.00.
+    // BASELINE.md). Round-4 table + figure handling measured
+    // precision 0.957 / recall 0.882 on this slice — floors pinned just
+    // under so genuine regressions fail while seed jitter does not.
     val (recall, precision) = graft.tools.HtmlCalib.run(50, 77L, verbose = false)
-    assert(precision >= 0.94, f"precision regressed: $precision%.4f")
-    assert(recall >= 0.85, f"recall regressed: $recall%.4f")
+    assert(precision >= 0.95, f"precision regressed: $precision%.4f")
+    assert(recall >= 0.87, f"recall regressed: $recall%.4f")
   }
 
   test("html: implied end tags — tag-soup <p>s score independently (round-3 calibration)") {
