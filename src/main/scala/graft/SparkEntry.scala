@@ -199,6 +199,18 @@ object SparkEntry {
       // corpus-trained bigram LM fluency scoring (CCNet's perplexity
       // signal in deterministic dependency-free form)
       TextOps.ngramLmScore(docs(s, dir))),
+    "q55_gopher_repetition" -> ((s, dir) => {
+      // repetition observables over a frame with planted repetition:
+      // repeated lines (every 5th doc), doubled text (every 5th+1 — heavy
+      // top-ngram coverage), plain multi-line otherwise
+      val multi = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat_ws("\n", col("text"), lit("repeat me"), lit("repeat me"), lit("repeat me")))
+          .when(col("doc_id") % 5 === 1, concat_ws(" ", col("text"), col("text")))
+          .otherwise(concat_ws("\n", col("text"),
+            concat(lit("tail "), col("doc_id").cast("string")))).as("text"))
+      TextOps.gopherRepetitionRules(multi)
+    }),
     "q53_gopher_rules" -> ((s, dir) => {
       // Gopher rule bundle over a frame with heterogeneous shapes so each
       // rule fires somewhere: bullet-heavy docs, symbol-only docs,
@@ -839,6 +851,45 @@ object SparkEntry {
         |  cast(coalesce(agg.n_kept, 0) AS bigint) AS n_kept,
         |  cast(len(s.ls) - coalesce(agg.n_kept, 0) AS bigint) AS n_removed
         |FROM s LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q55_gopher_repetition" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || chr(10) || 'repeat me' || chr(10) ||
+        |           'repeat me' || chr(10) || 'repeat me'
+        |         WHEN doc_id % 5 = 1 THEN text || ' ' || text
+        |         ELSE text || chr(10) || 'tail ' || doc_id END AS text
+        |  FROM documents),
+        |ln AS (SELECT doc_id, line
+        |       FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM m)),
+        |la AS (SELECT doc_id, count(*) AS n_lines, sum(len(line)) AS tot_chars,
+        |        count(DISTINCT line) AS n_distinct FROM ln GROUP BY doc_id),
+        |ld AS (SELECT doc_id, sum(len(line)) AS dist_chars
+        |       FROM (SELECT DISTINCT doc_id, line FROM ln) GROUP BY doc_id),
+        |wraw AS (SELECT doc_id, i, t[i] AS word
+        |         FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+        |               FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM m))),
+        |w AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS pos, word
+        |      FROM wraw WHERE word <> ''),
+        |g2 AS (SELECT a.doc_id, a.word || ' ' || b.word AS gram
+        |       FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |t2 AS (SELECT doc_id, c * len(gram) AS chars FROM (
+        |        SELECT doc_id, gram, count(*) AS c,
+        |          row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram ASC) AS rn
+        |        FROM g2 GROUP BY doc_id, gram) WHERE rn = 1),
+        |g3 AS (SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c3.word AS gram
+        |       FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |              JOIN w c3 ON a.doc_id = c3.doc_id AND c3.pos = a.pos + 2),
+        |t3 AS (SELECT doc_id, c * len(gram) AS chars FROM (
+        |        SELECT doc_id, gram, count(*) AS c,
+        |          row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram ASC) AS rn
+        |        FROM g3 GROUP BY doc_id, gram) WHERE rn = 1)
+        |SELECT m.doc_id,
+        |  cast(la.n_lines AS int) AS n_lines,
+        |  round((la.n_lines - la.n_distinct) / greatest(la.n_lines, 1), 6) AS dup_line_frac,
+        |  round((la.tot_chars - ld.dist_chars) / greatest(la.tot_chars, 1), 6) AS dup_line_char_frac,
+        |  round(coalesce(t2.chars, 0) / greatest(len(m.text), 1), 6) AS top2_char_frac,
+        |  round(coalesce(t3.chars, 0) / greatest(len(m.text), 1), 6) AS top3_char_frac
+        |FROM m JOIN la USING (doc_id) JOIN ld USING (doc_id)
+        |LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)""".stripMargin,
     "q53_gopher_rules" ->
       """WITH m AS (SELECT doc_id,
         |    CASE WHEN doc_id % 7 = 0 THEN '- bullet one' || chr(10) || '- bullet two' ||

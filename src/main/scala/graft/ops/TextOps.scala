@@ -611,6 +611,54 @@ object TextOps {
         g.alphaRatio >= 0.8 && g.stopHits >= 2).as("passes"))
   }
 
+  /** Gopher-family REPETITION rules (Rae et al. 2021, table A1's other
+    * half), as per-rule observables: duplicate-line fraction and the
+    * character mass inside duplicate line occurrences (both pure per-row
+    * column math — totals minus array_distinct totals), plus the
+    * character coverage of the MOST frequent word 2-gram and 3-gram
+    * (ties broken lexicographically for determinism; a doc shorter than
+    * n words scores 0). The top-n-gram passes shuffle (doc_id, gram)
+    * rows with map-side partial counts — the honest cost of a per-doc
+    * mode; everything else never leaves the scan stage. `q20`'s
+    * repetitionScore stays the composite signal; this is the auditable
+    * per-rule surface. */
+  def gopherRepetitionRules(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val txt = coalesce(col("text"), lit(""))
+    val lines = split(txt, "\n")
+    val nLines = size(lines)
+    val totLineChars = aggregate(lines, lit(0L), (a, l) => a + length(l))
+    val distLineChars = aggregate(array_distinct(lines), lit(0L), (a, l) => a + length(l))
+    val base = documents.select(
+      col("doc_id"),
+      length(txt).as("n_chars"),
+      nLines.as("n_lines"),
+      round((nLines - size(array_distinct(lines))).cast("double") /
+        greatest(nLines.cast("double"), lit(1.0)), 6).as("dup_line_frac"),
+      round((totLineChars - distLineChars).cast("double") /
+        greatest(totLineChars.cast("double"), lit(1.0)), 6).as("dup_line_char_frac"))
+    val wordsDf = documents.select(col("doc_id"),
+      filter(split(trim(txt), "\\s+"), w => w =!= "").as("t"))
+    def topGramChars(n: Int): DataFrame = {
+      val grams = wordsDf.filter(size(col("t")) >= n)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, size(t)-$n), i -> array_join(slice(t, i+1, $n), ' '))")).as("gram"))
+      val w = Window.partitionBy("doc_id").orderBy(col("c").desc, col("gram").asc)
+      grams.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), (col("c") * length(col("gram"))).as(s"top${n}_chars"))
+    }
+    base
+      .join(topGramChars(2), Seq("doc_id"), "left_outer")
+      .join(topGramChars(3), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_lines"),
+        col("dup_line_frac"), col("dup_line_char_frac"),
+        round(coalesce(col("top2_chars"), lit(0L)).cast("double") /
+          greatest(col("n_chars").cast("double"), lit(1.0)), 6).as("top2_char_frac"),
+        round(coalesce(col("top3_chars"), lit(0L)).cast("double") /
+          greatest(col("n_chars").cast("double"), lit(1.0)), 6).as("top3_char_frac"))
+  }
+
   /** the SHAPE subset of the Gopher rules (symbol floods, bullet walls,
     * non-alphabetic filler) as one boolean Column — for composing into a
     * pipeline `where` at zero shuffle cost (the full `gopherRules` frame

@@ -1125,6 +1125,29 @@ class OpsSpec extends AnyFunSuite {
     assert(got(5L).getAs[Int]("n_words") == 0 && !got(5L).getAs[Boolean]("passes"))
   }
 
+  test("gopherRepetitionRules: dup-line fractions and top-ngram coverage, hand-computed") {
+    val df = Seq(
+      (1L, "aa\nbb\naa\naa"),        // 4 lines, 2 distinct; dup chars 4/8
+      (2L, "x y x y x y"),           // top 2-gram "x y" x3 (grams: xy=3,yx=2)
+      (3L, "unique"),                // 1 word: no 2-grams -> 0 coverage
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextOps.gopherRepetitionRules(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val g1 = got(1L)
+    assert(g1.getAs[Double]("dup_line_frac") == 0.5, g1.toString) // 2 dup lines of 4
+    assert(g1.getAs[Double]("dup_line_char_frac") == 0.5)         // 4 dup chars of 8
+    val g2 = got(2L)
+    assert(g2.getAs[Double]("dup_line_frac") == 0.0)
+    // "x y" occurs 3x, len 3, text len 11 -> 9/11
+    assert(g2.getAs[Double]("top2_char_frac") == math.rint(9.0 / 11.0 * 1e6) / 1e6, g2.toString)
+    // "x y x" occurs 2x, len 5 -> 10/11
+    assert(g2.getAs[Double]("top3_char_frac") == math.rint(10.0 / 11.0 * 1e6) / 1e6)
+    assert(got(3L).getAs[Double]("top2_char_frac") == 0.0)
+    assert(got(4L).getAs[Double]("dup_line_frac") == 0.0 &&
+      got(4L).getAs[Double]("top2_char_frac") == 0.0)
+  }
+
   test("ngramLmScore: matches a sequential driver-side recompute; short docs score 0") {
     val df = Seq(
       (1L, "the cat sat on the mat"),
