@@ -886,8 +886,8 @@ object SparkEntry {
         |  cast(la.n_lines AS int) AS n_lines,
         |  round((la.n_lines - la.n_distinct) / greatest(la.n_lines, 1), 6) AS dup_line_frac,
         |  round((la.tot_chars - ld.dist_chars) / greatest(la.tot_chars, 1), 6) AS dup_line_char_frac,
-        |  round(coalesce(t2.chars, 0) / greatest(len(m.text), 1), 6) AS top2_char_frac,
-        |  round(coalesce(t3.chars, 0) / greatest(len(m.text), 1), 6) AS top3_char_frac
+        |  least(1.0, round(coalesce(t2.chars, 0) / greatest(len(m.text), 1), 6)) AS top2_char_frac,
+        |  least(1.0, round(coalesce(t3.chars, 0) / greatest(len(m.text), 1), 6)) AS top3_char_frac
         |FROM m JOIN la USING (doc_id) JOIN ld USING (doc_id)
         |LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)""".stripMargin,
     "q53_gopher_rules" ->

@@ -613,51 +613,67 @@ object TextOps {
 
   /** Gopher-family REPETITION rules (Rae et al. 2021, table A1's other
     * half), as per-rule observables: duplicate-line fraction and the
-    * character mass inside duplicate line occurrences (both pure per-row
-    * column math — totals minus array_distinct totals), plus the
-    * character coverage of the MOST frequent word 2-gram and 3-gram
-    * (ties broken lexicographically for determinism; a doc shorter than
-    * n words scores 0). The top-n-gram passes shuffle (doc_id, gram)
-    * rows with map-side partial counts — the honest cost of a per-doc
-    * mode; everything else never leaves the scan stage. `q20`'s
-    * repetitionScore stays the composite signal; this is the auditable
-    * per-rule surface. */
+    * character mass inside duplicate line occurrences (totals minus
+    * array_distinct totals), plus the character coverage of the MOST
+    * frequent word 2-gram and 3-gram. ENTIRELY per-row codegen'd column
+    * math, zero shuffle (test-gated): the per-doc gram mode is the same
+    * sort-and-scan fold `repetition` uses — an explode + groupBy would
+    * shuffle one row per gram occurrence, bigger than the corpus at
+    * scale. Coverage = occurrences x gram length / text length, the
+    * public-implementation formula (DataTrove/NeMo); overlapping
+    * occurrences double-count characters, so the value is CAPPED at 1.0
+    * (ties on the mode break lexicographically — the sorted fold keeps
+    * the first maximal run; a doc shorter than n words scores 0).
+    * `q20`'s repetitionScore stays the composite signal; this is the
+    * auditable per-rule surface. */
   def gopherRepetitionRules(documents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val txt = coalesce(col("text"), lit(""))
-    val lines = split(txt, "\n")
+    val pre = documents.select(col("doc_id"), txt.as("gtxt"),
+      filter(split(trim(txt), "\\s+"), w => w =!= "").as("t"))
+    def gramsN(n: Int): Column = expr(
+      s"CASE WHEN size(t) >= $n THEN transform(sequence(0, size(t)-$n), " +
+        s"i -> array_join(slice(t, i+1, $n), ' ')) ELSE array() END")
+    val lines = split(col("gtxt"), "\n")
     val nLines = size(lines)
     val totLineChars = aggregate(lines, lit(0L), (a, l) => a + length(l))
     val distLineChars = aggregate(array_distinct(lines), lit(0L), (a, l) => a + length(l))
-    val base = documents.select(
-      col("doc_id"),
-      length(txt).as("n_chars"),
-      nLines.as("n_lines"),
-      round((nLines - size(array_distinct(lines))).cast("double") /
-        greatest(nLines.cast("double"), lit(1.0)), 6).as("dup_line_frac"),
-      round((totLineChars - distLineChars).cast("double") /
-        greatest(totLineChars.cast("double"), lit(1.0)), 6).as("dup_line_char_frac"))
-    val wordsDf = documents.select(col("doc_id"),
-      filter(split(trim(txt), "\\s+"), w => w =!= "").as("t"))
-    def topGramChars(n: Int): DataFrame = {
-      val grams = wordsDf.filter(size(col("t")) >= n)
-        .select(col("doc_id"), explode(expr(
-          s"transform(sequence(0, size(t)-$n), i -> array_join(slice(t, i+1, $n), ' '))")).as("gram"))
-      val w = Window.partitionBy("doc_id").orderBy(col("c").desc, col("gram").asc)
-      grams.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("doc_id"), (col("c") * length(col("gram"))).as(s"top${n}_chars"))
-    }
-    base
-      .join(topGramChars(2), Seq("doc_id"), "left_outer")
-      .join(topGramChars(3), Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("n_lines"),
-        col("dup_line_frac"), col("dup_line_char_frac"),
-        round(coalesce(col("top2_chars"), lit(0L)).cast("double") /
-          greatest(col("n_chars").cast("double"), lit(1.0)), 6).as("top2_char_frac"),
-        round(coalesce(col("top3_chars"), lit(0L)).cast("double") /
-          greatest(col("n_chars").cast("double"), lit(1.0)), 6).as("top3_char_frac"))
+    def frac(stats: Column): Column =
+      least(lit(1.0), round(
+        (stats.getField("c") *
+          when(stats.getField("gram").isNull, lit(0)).otherwise(length(stats.getField("gram"))))
+          .cast("double") /
+          greatest(length(col("gtxt")).cast("double"), lit(1.0)), 6))
+    pre
+      .withColumn("s2", topRunStats(array_sort(gramsN(2))))
+      .withColumn("s3", topRunStats(array_sort(gramsN(3))))
+      .select(
+        col("doc_id"),
+        nLines.as("n_lines"),
+        round((nLines - size(array_distinct(lines))).cast("double") /
+          greatest(nLines.cast("double"), lit(1.0)), 6).as("dup_line_frac"),
+        round((totLineChars - distLineChars).cast("double") /
+          greatest(totLineChars.cast("double"), lit(1.0)), 6).as("dup_line_char_frac"),
+        frac(col("s2")).as("top2_char_frac"),
+        frac(col("s3")).as("top3_char_frac"))
   }
+
+  /** like `topRunCount` but also returns WHICH element had the longest
+    * run: a strictly-greater update on a sorted array keeps the FIRST
+    * (lexicographically smallest) maximal run — the deterministic
+    * tie-break the repetition rules document */
+  private def topRunStats(sortedArr: Column): Column =
+    aggregate(
+      sortedArr,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best"), lit(null).cast("string").as("bestGram")),
+      (acc, x) => {
+        val run = when(acc.getField("prev") <=> x, acc.getField("run") + 1L).otherwise(1L)
+        val isNewBest = run > acc.getField("best")
+        struct(x.as("prev"), run.as("run"),
+          when(isNewBest, run).otherwise(acc.getField("best")).as("best"),
+          when(isNewBest, x).otherwise(acc.getField("bestGram")).as("bestGram"))
+      },
+      acc => struct(acc.getField("best").as("c"), acc.getField("bestGram").as("gram")))
 
   /** the SHAPE subset of the Gopher rules (symbol floods, bullet walls,
     * non-alphabetic filler) as one boolean Column — for composing into a

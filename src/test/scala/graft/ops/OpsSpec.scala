@@ -1130,9 +1130,14 @@ class OpsSpec extends AnyFunSuite {
       (1L, "aa\nbb\naa\naa"),        // 4 lines, 2 distinct; dup chars 4/8
       (2L, "x y x y x y"),           // top 2-gram "x y" x3 (grams: xy=3,yx=2)
       (3L, "unique"),                // 1 word: no 2-grams -> 0 coverage
-      (4L, null.asInstanceOf[String])
+      (4L, null.asInstanceOf[String]),
+      (5L, "a a a a a a")            // overlap double-count: 5*3/11 caps at 1.0
     ).toDF("doc_id", "text")
-    val got = TextOps.gopherRepetitionRules(df).collect()
+    val out = TextOps.gopherRepetitionRules(df)
+    // entirely per-row: zero Exchange nodes (the gram mode is the sorted
+    // in-row fold, not an explode + groupBy)
+    assert(!physicalPlan(out).contains("Exchange"), physicalPlan(out))
+    val got = out.collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
     val g1 = got(1L)
     assert(g1.getAs[Double]("dup_line_frac") == 0.5, g1.toString) // 2 dup lines of 4
@@ -1146,6 +1151,9 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L).getAs[Double]("top2_char_frac") == 0.0)
     assert(got(4L).getAs[Double]("dup_line_frac") == 0.0 &&
       got(4L).getAs[Double]("top2_char_frac") == 0.0)
+    // overlapping occurrences double-count chars; the *_frac contract
+    // caps at 1.0 instead of emitting 15/11
+    assert(got(5L).getAs[Double]("top2_char_frac") == 1.0, got(5L).toString)
   }
 
   test("ngramLmScore: matches a sequential driver-side recompute; short docs score 0") {
