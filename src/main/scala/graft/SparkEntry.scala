@@ -195,6 +195,30 @@ object SparkEntry {
           concat(lit("unique tail "), col("doc_id").cast("string"))).as("text"))
       Dedup.corpusLineDedup(multi)
     }),
+    "q56_corpus_para_dedup" -> ((s, dir) => {
+      // CROSS-document PARAGRAPH repeats: a paragraph shared by every
+      // ~25th doc, the doc's own text as a middle paragraph, a unique
+      // tail paragraph — the shared paragraph survives only in its
+      // lowest-doc_id owner; separators normalize to one blank line
+      val multi = docs(s, dir).select(col("doc_id"),
+        concat_ws("\n\n",
+          concat(lit("shared para "), (col("doc_id") % 25).cast("string")),
+          col("text"),
+          concat(lit("unique tail "), col("doc_id").cast("string"))).as("text"))
+      Dedup.corpusParagraphDedup(multi)
+    }),
+    "q57_gopher_dup_paragraphs" -> ((s, dir) => {
+      // dup-paragraph observables over planted paragraph repetition:
+      // every 4th doc wraps its text in a repeated paragraph (dup mass),
+      // others get a unique tail paragraph (zero dup)
+      val multi = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat_ws("\n\n", lit("repeated paragraph block"), col("text"),
+            lit("repeated paragraph block")))
+          .otherwise(concat_ws("\n\n", col("text"),
+            concat(lit("tail para "), col("doc_id").cast("string")))).as("text"))
+      TextOps.gopherDupParagraphRules(multi)
+    }),
     "q52_lm_perplexity" -> ((s, dir) =>
       // corpus-trained bigram LM fluency scoring (CCNet's perplexity
       // signal in deterministic dependency-free form)
@@ -967,6 +991,45 @@ object SparkEntry {
         |  coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos), '') AS clean_text,
         |  cast(count(CASE WHEN rn > 1 THEN 1 END) AS int) AS n_removed
         |FROM r GROUP BY doc_id""".stripMargin,
+    "q56_corpus_para_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    'shared para ' || (doc_id % 25) || chr(10) || chr(10) || text ||
+        |    chr(10) || chr(10) || 'unique tail ' || doc_id AS text
+        |  FROM documents),
+        |s AS (SELECT doc_id, regexp_split_to_array(text, '\n{2,}') AS ps FROM m),
+        |p AS (SELECT doc_id, i AS pos, ps[i] AS para
+        |      FROM (SELECT doc_id, ps, unnest(generate_series(1, len(ps))) AS i FROM s)),
+        |f AS (SELECT doc_id, pos, para,
+        |        row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+        |      FROM p WHERE trim(para) <> ''),
+        |agg AS (SELECT doc_id,
+        |          string_agg(CASE WHEN rn = 1 THEN para END,
+        |                     chr(10) || chr(10) ORDER BY pos) AS clean_text,
+        |          count(CASE WHEN rn > 1 THEN 1 END) AS n_rm
+        |        FROM f GROUP BY doc_id)
+        |SELECT m.doc_id,
+        |  coalesce(agg.clean_text, '') AS clean_text,
+        |  cast(coalesce(agg.n_rm, 0) AS int) AS n_removed
+        |FROM m LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q57_gopher_dup_paragraphs" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'repeated paragraph block' || chr(10) || chr(10)
+        |           || text || chr(10) || chr(10) || 'repeated paragraph block'
+        |         ELSE text || chr(10) || chr(10) || 'tail para ' || doc_id END AS text
+        |  FROM documents),
+        |p AS (SELECT doc_id, para
+        |      FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\n{2,}')) AS para FROM m)
+        |      WHERE trim(para) <> ''),
+        |a AS (SELECT doc_id, count(*) AS n, count(DISTINCT para) AS nd,
+        |        sum(len(para)) AS tot FROM p GROUP BY doc_id),
+        |d AS (SELECT doc_id, sum(len(para)) AS dist
+        |      FROM (SELECT DISTINCT doc_id, para FROM p) GROUP BY doc_id)
+        |SELECT a.doc_id,
+        |  cast(a.n AS int) AS n_paragraphs,
+        |  round((a.n - a.nd) / greatest(a.n, 1), 6) AS dup_para_frac,
+        |  round((a.tot - d.dist) / greatest(a.tot, 1), 6) AS dup_para_char_frac
+        |FROM a JOIN d USING (doc_id)""".stripMargin,
     "q52_lm_perplexity" ->
       """WITH s AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
         |           FROM documents),

@@ -817,4 +817,39 @@ object Dedup {
         array_join(keptArr, "\n").as("clean_text"),
         (size(lineArr) - size(keptArr)).as("n_removed"))
   }
+
+  /** corpus-wide exact PARAGRAPH dedup, keep-FIRST occurrence — the
+    * CCNet paragraph-dedup shape at its native granularity (CCNet §3.1
+    * dedups normalized paragraphs corpus-wide; `corpusLineDedup` is the
+    * same engine at line granularity). Paragraphs are maximal runs of
+    * text between blank-line runs (`\n{2,}`); a paragraph survives
+    * exactly once, in the document with the lowest (doc_id, pos). Output
+    * normalizes paragraph separators to a single blank line
+    * (`clean_text` = kept paragraphs joined "\n\n") — paragraphs are
+    * content units here, separators are not preserved verbatim the way
+    * the line-granularity op preserves blank lines.
+    *
+    * Scale shape: identical to `corpusLineDedup` — paragraph text leaves
+    * its documents only as 8-byte xxhash64 keys, winners return as
+    * per-document position sets, and the corpus exchanges ONCE on doc_id
+    * for reassembly. Same 64-bit collision contract. */
+  def corpusParagraphDedup(documents: DataFrame): DataFrame = {
+    val paraArr = split(coalesce(col("text"), lit("")), "\n{2,}")
+    val paras = documents
+      .select(col("doc_id"), posexplode(paraArr).as(Seq("pos", "para")))
+      .filter(trim(col("para")) =!= "")
+      .select(col("doc_id"), col("pos"), xxhash64(col("para")).as("h"))
+    val keepPosPerDoc = paras
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+      .groupBy(col("w.doc_id").as("doc_id"))
+      .agg(collect_list(col("w.pos")).as("keep_pos"))
+    val keepSet = coalesce(col("keep_pos"), array().cast("array<int>"))
+    val keptArr = filter(paraArr, (x, i) => trim(x) =!= "" && array_contains(keepSet, i))
+    documents
+      .join(keepPosPerDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        array_join(keptArr, "\n\n").as("clean_text"),
+        (size(filter(paraArr, x => trim(x) =!= "")) - size(keptArr)).as("n_removed"))
+  }
 }

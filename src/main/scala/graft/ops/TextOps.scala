@@ -657,6 +657,35 @@ object TextOps {
         frac(col("s3")).as("top3_char_frac"))
   }
 
+  /** the dup-PARAGRAPH half of Gopher's repetition rules (Rae et al.
+    * table A1 rows 1-2: duplicate paragraph fraction / duplicate
+    * paragraph character fraction) — `gopherRepetitionRules` covers the
+    * line and n-gram rows; this covers the paragraph rows now that the
+    * query frames synthesize paragraph structure. A paragraph is a
+    * maximal run between blank-line runs (`\n{2,}`), the same unit
+    * `Dedup.corpusParagraphDedup` dedups; whitespace-only chunks are
+    * structure, not paragraphs, and are excluded from both numerator
+    * and denominator.
+    *
+    * Pure per-row codegen'd column math — no explode, no shuffle,
+    * documents never move (zero-Exchange, test-gated): dup mass is
+    * total paragraph chars minus `array_distinct` paragraph chars,
+    * exactly the q55 dup-line formulation one granularity up. */
+  def gopherDupParagraphRules(documents: DataFrame): DataFrame = {
+    val txt = coalesce(col("text"), lit(""))
+    val paras = filter(split(txt, "\n{2,}"), p => trim(p) =!= "")
+    val n = size(paras)
+    val nD = greatest(n.cast("double"), lit(1.0))
+    val totChars = aggregate(paras, lit(0L), (a, p) => a + length(p))
+    val distChars = aggregate(array_distinct(paras), lit(0L), (a, p) => a + length(p))
+    documents.select(
+      col("doc_id"),
+      n.as("n_paragraphs"),
+      round((n - size(array_distinct(paras))).cast("double") / nD, 6).as("dup_para_frac"),
+      round((totChars - distChars).cast("double") /
+        greatest(totChars.cast("double"), lit(1.0)), 6).as("dup_para_char_frac"))
+  }
+
   /** like `topRunCount` but also returns WHICH element had the longest
     * run: a strictly-greater update on a sorted array keeps the FIRST
     * (lexicographically smallest) maximal run — the deterministic

@@ -1100,6 +1100,55 @@ class OpsSpec extends AnyFunSuite {
     assert(got2(1L) == "p\nq")
   }
 
+  test("corpusParagraphDedup: keep-first across docs, separators normalize, docs never lost") {
+    val df = Seq(
+      (1L, "shared\n\nown one\n\ntail one"),
+      (2L, "shared\n\nown two"),        // loses 'shared' to doc 1
+      (3L, "shared"),                   // fully deduped -> empty text, row kept
+      (4L, "a\n\n\nb"),                 // 3-newline run is ONE separator
+      (5L, "p\n\nq\n\np"),              // intra-doc repeat: lowest pos wins
+      (6L, null.asInstanceOf[String]),  // NULL text -> empty, row kept
+      (7L, "l1\nl2\n\nl1\nl2")          // single \n stays inside a paragraph
+    ).toDF("doc_id", "text")
+    val got = Dedup.corpusParagraphDedup(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Int]("n_removed")))).toMap
+    assert(got.size == 7)
+    assert(got(1L) == (("shared\n\nown one\n\ntail one", 0)))
+    assert(got(2L) == (("own two", 1)))
+    assert(got(3L) == (("", 1)))
+    assert(got(4L) == (("a\n\nb", 0)))
+    assert(got(5L) == (("p\n\nq", 1)))
+    assert(got(6L) == (("", 0)))
+    assert(got(7L) == (("l1\nl2", 1)))
+  }
+
+  test("gopherDupParagraphRules: dup-paragraph fractions, whitespace-only excluded, zero shuffle") {
+    val df = Seq(
+      (1L, "aa\n\nbb\n\naa\n\naa"),     // 4 paras, 2 distinct; dup chars 4/8
+      (2L, "one\n\ntwo"),               // no dups
+      (3L, "solo"),                     // single paragraph
+      (4L, null.asInstanceOf[String]),  // NULL -> zero paragraphs, zero fracs
+      (5L, "x\n\n \n\nx")               // whitespace-only chunk is not a paragraph
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherDupParagraphRules(df)
+    assert(!physicalPlan(out).contains("Exchange"), physicalPlan(out))
+    val got = out.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val g1 = got(1L)
+    assert(g1.getAs[Int]("n_paragraphs") == 4)
+    assert(g1.getAs[Double]("dup_para_frac") == 0.5, g1.toString)
+    assert(g1.getAs[Double]("dup_para_char_frac") == 0.5)
+    assert(got(2L).getAs[Double]("dup_para_frac") == 0.0)
+    assert(got(3L).getAs[Int]("n_paragraphs") == 1 &&
+      got(3L).getAs[Double]("dup_para_frac") == 0.0)
+    assert(got(4L).getAs[Int]("n_paragraphs") == 0 &&
+      got(4L).getAs[Double]("dup_para_char_frac") == 0.0)
+    val g5 = got(5L)
+    assert(g5.getAs[Int]("n_paragraphs") == 2 &&
+      g5.getAs[Double]("dup_para_frac") == 0.5 &&
+      g5.getAs[Double]("dup_para_char_frac") == 0.5, g5.toString)
+  }
+
   test("gopherRules: per-rule observables and the conjunction, zero shuffle") {
     val good = "this text ought to be of help and that with " +
       (1 to 20).map(i => s"word$i").mkString(" ") // 30 words, 6 stops, all alpha
