@@ -219,6 +219,46 @@ object SparkEntry {
             concat(lit("tail para "), col("doc_id").cast("string")))).as("text"))
       TextOps.gopherDupParagraphRules(multi)
     }),
+    "q58_c4_filters" -> ((s, dir) => {
+      // C4 rule coverage: four proper sentences + the doc's own text as
+      // a fifth, then one line per DROP rule (short, unterminated,
+      // javascript, policy, ellipsis), then a page-level variant — brace
+      // page, lorem-ipsum page, sentence-deficit page, passing page
+      val framed = docs(s, dir).select(col("doc_id"),
+        concat_ws("\n",
+          lit("Sentence one is here today."),
+          lit("Sentence two is also here."),
+          concat(lit("Sentence three arrives with "),
+            (col("doc_id") % 10).cast("string"), lit(" extras.")),
+          concat(col("text"), lit(" ends here now.")),
+          lit("tiny one."),
+          lit("no terminal punctuation line"),
+          lit("Please enable javascript to continue."),
+          lit("Read our privacy policy for details."),
+          lit("Trailing off into nothing..."),
+          when(col("doc_id") % 5 === 0, lit("Curly { braces lurk here."))
+            .when(col("doc_id") % 5 === 1, lit("Lorem ipsum dolor sit amet."))
+            .when(col("doc_id") % 5 === 2, lit("Sentence five falls short"))
+            .otherwise(lit("Sentence five ends the show."))).as("text"))
+      TextOps.c4Filters(framed)
+    }),
+    "q59_c4_span_dedup" -> ((s, dir) => {
+      // cross-document 3-line span repeats: a 3-line header shared by
+      // every ~20th doc (losers drop all three lines), then the doc's
+      // own unique text and closer
+      val framed = docs(s, dir).select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("span head "), (col("doc_id") % 20).cast("string")),
+          concat(lit("span mid "), (col("doc_id") % 20).cast("string")),
+          concat(lit("span tail "), (col("doc_id") % 20).cast("string")),
+          col("text"),
+          concat(lit("unique closer "), col("doc_id").cast("string"))).as("text"))
+      Dedup.corpusSpanDedup(framed)
+    }),
+    "q60_dsir_score" -> ((s, dir) =>
+      // DSIR importance scoring: every 7th doc is the target domain,
+      // the rest train the raw model
+      CorpusOps.dsirScore(docs(s, dir), col("doc_id") % 7 === 0)),
     "q52_lm_perplexity" -> ((s, dir) =>
       // corpus-trained bigram LM fluency scoring (CCNet's perplexity
       // signal in deterministic dependency-free form)
@@ -1030,6 +1070,99 @@ object SparkEntry {
         |  round((a.n - a.nd) / greatest(a.n, 1), 6) AS dup_para_frac,
         |  round((a.tot - d.dist) / greatest(a.tot, 1), 6) AS dup_para_char_frac
         |FROM a JOIN d USING (doc_id)""".stripMargin,
+    "q58_c4_filters" ->
+      """WITH m AS (SELECT doc_id,
+        |    'Sentence one is here today.' || chr(10) ||
+        |    'Sentence two is also here.' || chr(10) ||
+        |    'Sentence three arrives with ' || (doc_id % 10) || ' extras.' || chr(10) ||
+        |    text || ' ends here now.' || chr(10) ||
+        |    'tiny one.' || chr(10) ||
+        |    'no terminal punctuation line' || chr(10) ||
+        |    'Please enable javascript to continue.' || chr(10) ||
+        |    'Read our privacy policy for details.' || chr(10) ||
+        |    'Trailing off into nothing...' || chr(10) ||
+        |    CASE WHEN doc_id % 5 = 0 THEN 'Curly { braces lurk here.'
+        |         WHEN doc_id % 5 = 1 THEN 'Lorem ipsum dolor sit amet.'
+        |         WHEN doc_id % 5 = 2 THEN 'Sentence five falls short'
+        |         ELSE 'Sentence five ends the show.' END AS text
+        |  FROM documents),
+        |k AS (SELECT doc_id, list_filter(string_split(text, chr(10)), l ->
+        |        regexp_matches(trim(l), '[.!?"]$')
+        |        AND NOT regexp_matches(trim(l), '\.\.\.$')
+        |        AND len(list_filter(string_split_regex(trim(l), '\s+'), w -> w <> '')) >= 3
+        |        AND NOT contains(lower(trim(l)), 'javascript')
+        |        AND NOT (contains(lower(trim(l)), 'terms of use')
+        |          OR contains(lower(trim(l)), 'privacy policy')
+        |          OR contains(lower(trim(l)), 'cookie policy')
+        |          OR contains(lower(trim(l)), 'uses cookies')
+        |          OR contains(lower(trim(l)), 'use of cookies')
+        |          OR contains(lower(trim(l)), 'use cookies'))) AS kept
+        |      FROM m),
+        |c AS (SELECT m.doc_id,
+        |        list_aggregate(k.kept, 'string_agg', chr(10)) AS clean0,
+        |        len(string_split(m.text, chr(10))) AS n_lines,
+        |        len(k.kept) AS n_kept,
+        |        contains(lower(m.text), 'lorem ipsum') AS has_lorem,
+        |        contains(m.text, '{') AS has_brace
+        |      FROM m JOIN k USING (doc_id)),
+        |c2 AS (SELECT doc_id, coalesce(clean0, '') AS clean_text, n_lines, n_kept,
+        |         has_lorem, has_brace,
+        |         len(list_filter(regexp_split_to_array(coalesce(clean0, ''), '[.!?]'),
+        |             s -> regexp_matches(s, '[A-Za-z0-9]'))) AS n_sent
+        |       FROM c)
+        |SELECT doc_id, clean_text,
+        |  cast(n_lines AS int) AS n_lines,
+        |  cast(n_kept AS int) AS n_lines_kept,
+        |  has_lorem AS has_lorem_ipsum,
+        |  has_brace,
+        |  cast(n_sent AS int) AS n_sentences,
+        |  (NOT has_lorem AND NOT has_brace AND n_sent >= 5) AS passes
+        |FROM c2""".stripMargin,
+    "q59_c4_span_dedup" ->
+      """WITH m AS (SELECT doc_id,
+        |    'span head ' || (doc_id % 20) || chr(10) ||
+        |    'span mid ' || (doc_id % 20) || chr(10) ||
+        |    'span tail ' || (doc_id % 20) || chr(10) ||
+        |    text || chr(10) || 'unique closer ' || doc_id AS text
+        |  FROM documents),
+        |s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM m),
+        |l AS (SELECT doc_id, i AS pos, ls[i] AS line
+        |      FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM s)),
+        |sp AS (SELECT doc_id, i AS pos,
+        |         ls[i] || chr(10) || ls[i+1] || chr(10) || ls[i+2] AS span
+        |       FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls) - 2)) AS i FROM s)),
+        |r AS (SELECT doc_id, pos,
+        |        row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn FROM sp),
+        |lose AS (SELECT doc_id, pos AS strt FROM r WHERE rn > 1),
+        |rm AS (SELECT DISTINCT l.doc_id, l.pos
+        |       FROM l JOIN lose ON l.doc_id = lose.doc_id
+        |         AND l.pos BETWEEN lose.strt AND lose.strt + 2),
+        |k AS (SELECT l.doc_id, l.pos, l.line FROM l ANTI JOIN rm USING (doc_id, pos)),
+        |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        |          count(*) AS n_kept FROM k GROUP BY doc_id)
+        |SELECT s.doc_id,
+        |  coalesce(agg.clean_text, '') AS clean_text,
+        |  cast(len(s.ls) - coalesce(agg.n_kept, 0) AS int) AS n_removed
+        |FROM s LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q60_dsir_score" ->
+      """WITH d AS (SELECT doc_id, doc_id % 7 = 0 AS is_target,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w <> '') AS t
+        |  FROM documents),
+        |tok AS (SELECT doc_id, is_target, unnest(t) AS w FROM d),
+        |c AS (SELECT w, sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+        |        sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS cr
+        |      FROM tok GROUP BY w),
+        |tot AS (SELECT cast(sum(ct) AS bigint) AS tt, cast(sum(cr) AS bigint) AS tr,
+        |          count(*) AS v FROM c),
+        |sc AS (SELECT tok.doc_id,
+        |         ln((c.ct + 1.0) / (tot.tt + 1.0 * tot.v)) -
+        |         ln((c.cr + 1.0) / (tot.tr + 1.0 * tot.v)) AS lr
+        |       FROM tok JOIN c USING (w) CROSS JOIN tot),
+        |agg AS (SELECT doc_id, round(avg(lr), 6) AS s, count(*) AS n FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, d.is_target,
+        |  coalesce(agg.s, 0.0) AS dsir_score,
+        |  cast(coalesce(agg.n, 0) AS bigint) AS n_tokens
+        |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin,
     "q52_lm_perplexity" ->
       """WITH s AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
         |           FROM documents),

@@ -174,6 +174,62 @@ object CorpusOps {
         col("n_tokens"), col("cum_tokens"))
   }
 
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * the average per-token log-likelihood ratio between a TARGET bag-of-
+    * words model and a RAW one — positive means "looks like the target
+    * distribution", the signal DSIR resamples by to tilt a web corpus
+    * toward a curated domain. Deterministic variant: `isTarget` marks the
+    * target documents inside the frame, the raw model trains on the
+    * non-target rest (disjoint split, so the contrast is not diluted by
+    * the target's own mass), both models are add-`alpha` smoothed over
+    * the COMBINED vocabulary, and the score is the length-normalized
+    * average (selection then composes with any top-k/budget op —
+    * `tokenBudgetSelect` ordering, deterministic instead of DSIR's
+    * Gumbel-noise sampling). Tokenization: lower + trim + whitespace.
+    * Docs with zero tokens score 0 and are never dropped.
+    *
+    * Scale shape: classic word-count, the `ngramLmScore` plan one model
+    * smaller — the count table is vocabulary-sized with map-side partial
+    * aggregation, the totals/vocab join in as a broadcast ONE-ROW
+    * aggregate, and the scoring join shuffles (doc_id, word) token rows
+    * once. `hashBuckets > 0` is the 10^12-row regime: words become
+    * `pmod(xxhash64(w), hashBuckets)` features, bounding the count table
+    * at a fixed size exactly as DSIR's hashed n-gram features do (the
+    * oracle path keeps exact words — same plan, unbounded vocab). */
+  def dsirScore(
+      documents: DataFrame,
+      isTarget: Column,
+      alpha: Double = 1.0,
+      hashBuckets: Int = 0): DataFrame = {
+    val toks = filter(
+      split(lower(trim(coalesce(col("text"), lit("")))), "\\s+"), w => w =!= "")
+    val feat: Column => Column =
+      if (hashBuckets > 0) w => pmod(xxhash64(w), lit(hashBuckets.toLong))
+      else w => w
+    val tok = documents
+      .select(col("doc_id"), isTarget.as("is_target"), explode(toks).as("w0"))
+      .select(col("doc_id"), col("is_target"), feat(col("w0")).as("w"))
+    val counts = tok.groupBy(col("w")).agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("is_target"), 1L).otherwise(0L)).as("cr"))
+    val totals = counts.agg(
+      sum(col("ct")).as("tt"), sum(col("cr")).as("tr"), count(lit(1)).as("v"))
+    val scored = tok
+      .join(counts, Seq("w"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lr",
+        log((col("ct") + lit(alpha)) / (col("tt") + lit(alpha) * col("v"))) -
+          log((col("cr") + lit(alpha)) / (col("tr") + lit(alpha) * col("v"))))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(col("lr")), 6).as("s"), count(lit(1)).as("n"))
+    documents.select(col("doc_id"), isTarget.as("is_target"))
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("is_target"),
+        coalesce(col("s"), lit(0.0)).as("dsir_score"),
+        coalesce(col("n"), lit(0L)).as("n_tokens"))
+  }
+
   /** per-source length histogram: bucket = floor(n_chars / bucketWidth),
     * count + share-of-source. One partial-aggregated shuffle on
     * (source, bucket); the share join is vs the source totals (tiny). */

@@ -852,4 +852,53 @@ object Dedup {
         array_join(keptArr, "\n\n").as("clean_text"),
         (size(filter(paraArr, x => trim(x) =!= "")) - size(keptArr)).as("n_removed"))
   }
+
+  /** C4's corpus-wide SPAN dedup (Raffel et al. 2020 §2.2: "discarded
+    * all but one of any three-sentence span occurring more than once"),
+    * at line granularity — the unit the rest of the dedup family uses
+    * (the synthetic corpus carries sentence-per-line structure; C4's
+    * sentence tokenizer is the only non-deterministic piece, replaced by
+    * the line splitter here). A span is `spanLen` CONSECUTIVE lines; the
+    * lexicographically-first occurrence (lowest doc_id, then start pos)
+    * keeps its lines, and every line covered by any LOSING occurrence is
+    * removed — overlapping losing windows union, so a line survives only
+    * if no duplicate span covers it. Documents shorter than `spanLen`
+    * lines carry no spans and pass through untouched; docs are never
+    * dropped (empty `clean_text` at worst).
+    *
+    * Scale shape: spans leave their documents only as 8-byte xxhash64
+    * window keys — (hash, doc_id, pos) tuples shuffle for the winner
+    * groupBy, losers come back via a hash-keyed equi-join against the
+    * winner table (NO collect of occurrence lists per hash: a viral span
+    * repeated 10^6 times stays distributed), and the corpus exchanges
+    * ONCE on doc_id for reassembly with bounded per-doc removal-start
+    * arrays. Same 64-bit collision contract as the other hash-keyed
+    * dedup ops. */
+  def corpusSpanDedup(documents: DataFrame, spanLen: Int = 3): DataFrame = {
+    require(spanLen >= 1, s"spanLen must be positive, got $spanLen")
+    val lineArr = split(coalesce(col("text"), lit("")), "\n")
+    val spans = documents
+      .select(col("doc_id"), lineArr.as("ls"))
+      .filter(size(col("ls")) >= spanLen)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(ls) - $spanLen), " +
+          s"i -> xxhash64(concat_ws('\\n', slice(ls, i + 1, $spanLen))))"))
+        .as(Seq("pos", "h")))
+    val winners = spans
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+    val losingStarts = spans
+      .join(winners, Seq("h"))
+      .filter(!(col("doc_id") === col("w.doc_id") && col("pos") === col("w.pos")))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("pos")).as("bad_starts"))
+    val span = lit(spanLen)
+    val bs = coalesce(col("bad_starts"), array().cast("array<int>"))
+    val keptArr = filter(lineArr, (x, i) => !exists(bs, s => i >= s && i < s + span))
+    documents
+      .join(losingStarts, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        array_join(keptArr, "\n").as("clean_text"),
+        (size(lineArr) - size(keptArr)).as("n_removed"))
+  }
 }

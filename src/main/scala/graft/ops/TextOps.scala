@@ -686,6 +686,63 @@ object TextOps {
         greatest(totChars.cast("double"), lit(1.0)), 6).as("dup_para_char_frac"))
   }
 
+  /** C4's heuristic clean-up bundle (Raffel et al. 2020 §2.2 — the rule
+    * set behind the most widely used public pretraining corpus), split
+    * into its two native levels:
+    *
+    *   LINE retention — a line survives iff it (a) ends in a terminal
+    *   punctuation mark (`. ! ? "`), (b) does not trail off in a `...`
+    *   ellipsis, (c) has at least `minWordsPerLine` whitespace words
+    *   (the paper's "at least 3 words"), (d) does not mention
+    *   "javascript" (the enable-JS boilerplate), and (e) carries none of
+    *   the policy-notice substrings ("privacy policy" etc., the TFDS
+    *   implementation's list). `clean_text` is the kept lines re-joined.
+    *
+    *   PAGE observables — `has_lorem_ipsum` / `has_brace` flag the
+    *   placeholder-text and code heuristics over the RAW text (a dropped
+    *   line still poisons its page, as in the original), and
+    *   `n_sentences` counts terminal-punctuation segments of the KEPT
+    *   text that contain a word character (a deterministic stand-in for
+    *   the original's sentence tokenizer). `passes` is the conjunction:
+    *   no lorem-ipsum, no brace, >= `minSentences` sentences.
+    *
+    * C4's remaining rule — the three-sentence-span corpus dedup — is a
+    * corpus-wide operator, not a row kernel: `Dedup.corpusSpanDedup`.
+    * Pure per-row codegen'd column math — zero shuffle, runs inside the
+    * scan stage (test-gated). */
+  def c4Filters(
+      documents: DataFrame,
+      minWordsPerLine: Int = 3,
+      minSentences: Int = 5): DataFrame = {
+    val txt = coalesce(col("text"), lit(""))
+    val lines = split(txt, "\n")
+    val policy = array(Seq("terms of use", "privacy policy", "cookie policy",
+      "uses cookies", "use of cookies", "use cookies").map(lit): _*)
+    def lineKept(l: Column): Column = {
+      val t = trim(l)
+      val lo = lower(t)
+      t.rlike("[.!?\"]$") &&
+        !t.rlike("\\.\\.\\.$") &&
+        size(filter(split(t, "\\s+"), w => w =!= "")) >= minWordsPerLine &&
+        !lo.contains("javascript") &&
+        !exists(policy, p => lo.contains(p))
+    }
+    val kept = filter(lines, l => lineKept(l))
+    val clean = array_join(kept, "\n")
+    val sentences = size(filter(split(clean, "[.!?]"), s => s.rlike("[A-Za-z0-9]")))
+    val hasLorem = lower(txt).contains("lorem ipsum")
+    val hasBrace = txt.contains("{")
+    documents.select(
+      col("doc_id"),
+      clean.as("clean_text"),
+      size(lines).as("n_lines"),
+      size(kept).as("n_lines_kept"),
+      hasLorem.as("has_lorem_ipsum"),
+      hasBrace.as("has_brace"),
+      sentences.as("n_sentences"),
+      (!hasLorem && !hasBrace && sentences >= minSentences).as("passes"))
+  }
+
   /** like `topRunCount` but also returns WHICH element had the longest
     * run: a strictly-greater update on a sorted array keeps the FIRST
     * (lexicographically smallest) maximal run — the deterministic

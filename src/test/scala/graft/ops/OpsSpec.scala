@@ -1149,6 +1149,90 @@ class OpsSpec extends AnyFunSuite {
       g5.getAs[Double]("dup_para_char_frac") == 0.5, g5.toString)
   }
 
+  test("c4Filters: per-rule line drops, page observables, zero shuffle") {
+    val df = Seq(
+      (1L, "Good sentence number one.\nBad\nab.\nenable JavaScript today please.\n" +
+        "our cookie policy applies here.\ndrifting away into space...\n" +
+        "He said \"stop right there.\""),
+      (2L, "Lorem Ipsum appears here today."),            // page: lorem -> fails
+      (3L, "Brace page { code follows here. More words arrive to stay."),
+      (4L, "This is sentence one. This is sentence two. This is sentence three. " +
+        "This is sentence four. This is sentence five."), // 5 sentences -> passes
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextOps.c4Filters(df)
+    assert(!physicalPlan(out).contains("Exchange"), physicalPlan(out))
+    val got = out.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val g1 = got(1L)
+    // only the terminal-punct >=3-word clean lines survive (incl. the
+    // close-quote ending); javascript/policy/ellipsis/short lines drop
+    assert(g1.getAs[String]("clean_text") ==
+      "Good sentence number one.\nHe said \"stop right there.\"", g1.toString)
+    assert(g1.getAs[Int]("n_lines") == 7 && g1.getAs[Int]("n_lines_kept") == 2)
+    assert(g1.getAs[Int]("n_sentences") == 2 && !g1.getAs[Boolean]("passes"))
+    assert(got(2L).getAs[Boolean]("has_lorem_ipsum") && !got(2L).getAs[Boolean]("passes"))
+    assert(got(3L).getAs[Boolean]("has_brace") && !got(3L).getAs[Boolean]("passes"))
+    val g4 = got(4L)
+    assert(g4.getAs[Int]("n_sentences") == 5 && g4.getAs[Boolean]("passes"), g4.toString)
+    val g5 = got(5L)
+    assert(g5.getAs[String]("clean_text") == "" && g5.getAs[Int]("n_lines_kept") == 0 &&
+      !g5.getAs[Boolean]("passes"))
+  }
+
+  test("corpusSpanDedup: winner keeps lines, losing windows union, docs never lost") {
+    val df = Seq(
+      (1L, "a\nb\nc\nd"),                 // owns spans (a,b,c)@0 and (b,c,d)@1
+      (2L, "a\nb\nc\nz"),                 // loses (a,b,c) -> lines 0-2 removed
+      (3L, "x\na\nb\nc\ny"),              // loses (a,b,c)@1 -> lines 1-3 removed
+      (4L, "p\nq\nr\np\nq\nr"),           // intra-doc repeat: second window drops
+      (5L, "short\ntwo"),                 // < spanLen lines: no spans, untouched
+      (6L, null.asInstanceOf[String]),    // NULL -> single empty line, untouched
+      (7L, "a\nb\nc\nd\nz7")              // loses BOTH spans: union removes 0-3
+    ).toDF("doc_id", "text")
+    val got = Dedup.corpusSpanDedup(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Int]("n_removed")))).toMap
+    assert(got.size == 7)
+    assert(got(1L) == (("a\nb\nc\nd", 0)))
+    assert(got(2L) == (("z", 3)))
+    assert(got(3L) == (("x\ny", 3)))
+    assert(got(4L) == (("p\nq\nr", 3)))
+    assert(got(5L) == (("short\ntwo", 0)))
+    assert(got(6L) == (("", 0)))
+    assert(got(7L) == (("z7", 4)))
+  }
+
+  test("dsirScore: matches a sequential recompute; hashed features agree; empty docs score 0") {
+    val df = Seq(
+      (1L, "alpha beta", true),
+      (2L, "alpha beta", true),
+      (3L, "gamma delta", false),
+      (4L, "gamma delta", false),
+      (5L, "alpha gamma", false),
+      (6L, "", false)
+    ).toDF("doc_id", "text", "tgt")
+    def run(buckets: Int) =
+      CorpusOps.dsirScore(df, col("tgt"), hashBuckets = buckets).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Double]("dsir_score"), r.getAs[Long]("n_tokens")))).toMap
+    val got = run(0)
+    // sequential recompute: ct/cr per word, add-one over combined vocab
+    // ct: alpha 2, beta 2; cr: alpha 1, gamma 3, delta 2; tt 4, tr 6, v 4
+    def lr(ct: Int, cr: Int): Double =
+      math.log((ct + 1.0) / (4 + 4.0)) - math.log((cr + 1.0) / (6 + 4.0))
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    assert(got(1L) == ((r6((lr(2, 1) + lr(2, 0)) / 2), 2L)), got(1L).toString)
+    assert(got(2L) == got(1L))
+    assert(got(3L) == ((r6((lr(0, 3) + lr(0, 2)) / 2), 2L)))
+    assert(got(5L) == ((r6((lr(2, 1) + lr(0, 3)) / 2), 2L)))
+    // target-looking docs score positive, raw-looking negative
+    assert(got(1L)._1 > 0 && got(3L)._1 < 0)
+    assert(got(6L) == ((0.0, 0L)))
+    // hashed-feature regime: collision-free at 2^20 buckets over 4 words,
+    // so the scores must be identical to the exact-word path
+    assert(run(1 << 20) == got)
+  }
+
   test("gopherRules: per-rule observables and the conjunction, zero shuffle") {
     val good = "this text ought to be of help and that with " +
       (1 to 20).map(i => s"word$i").mkString(" ") // 30 words, 6 stops, all alpha
