@@ -259,6 +259,17 @@ object SparkEntry {
       // DSIR importance scoring: every 7th doc is the target domain,
       // the rest train the raw model
       CorpusOps.dsirScore(docs(s, dir), col("doc_id") % 7 === 0)),
+    "q61_exact_substring_dedup" -> ((s, dir) => {
+      // every 3rd doc opens with the same 8-token boilerplate run — the
+      // lowest-doc_id owner keeps it, the rest have exactly those tokens
+      // cut (plus whatever 8-gram repeats the word-soup texts share
+      // naturally, which the oracle reproduces)
+      val framed = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("shared run alpha beta gamma delta epsilon zeta "), col("text")))
+          .otherwise(col("text")).as("text"))
+      Dedup.exactSubstringSelfDedup(framed, windowTokens = 8)
+    }),
     "q52_lm_perplexity" -> ((s, dir) =>
       // corpus-trained bigram LM fluency scoring (CCNet's perplexity
       // signal in deterministic dependency-free form)
@@ -1163,6 +1174,30 @@ object SparkEntry {
         |  coalesce(agg.s, 0.0) AS dsir_score,
         |  cast(coalesce(agg.n, 0) AS bigint) AS n_tokens
         |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q61_exact_substring_dedup" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'shared run alpha beta gamma delta epsilon zeta ' || text
+        |      ELSE text END AS text
+        |  FROM documents),
+        |s AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM m),
+        |l AS (SELECT doc_id, i AS pos, t[i] AS tok
+        |      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM s)),
+        |sp AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS span
+        |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i FROM s)),
+        |r AS (SELECT doc_id, pos,
+        |        row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn FROM sp),
+        |lose AS (SELECT doc_id, pos AS strt FROM r WHERE rn > 1),
+        |rm AS (SELECT DISTINCT l.doc_id, l.pos
+        |       FROM l JOIN lose ON l.doc_id = lose.doc_id
+        |         AND l.pos BETWEEN lose.strt AND lose.strt + 7),
+        |k AS (SELECT l.doc_id, l.pos, l.tok FROM l ANTI JOIN rm USING (doc_id, pos)),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+        |          count(*) AS n_kept FROM k GROUP BY doc_id)
+        |SELECT s.doc_id,
+        |  coalesce(agg.clean_text, '') AS clean_text,
+        |  cast(len(s.t) - coalesce(agg.n_kept, 0) AS bigint) AS n_tokens_removed
+        |FROM s LEFT JOIN agg USING (doc_id)""".stripMargin,
     "q52_lm_perplexity" ->
       """WITH s AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
         |           FROM documents),

@@ -818,6 +818,59 @@ object Dedup {
         (size(lineArr) - size(keptArr)).as("n_removed"))
   }
 
+  /** exact-substring SELF-dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — ExactSubstr): any
+    * `windowTokens`-token run occurring more than once in the corpus
+    * survives only at its first occurrence (lowest doc_id, then start
+    * pos); every token covered by a losing window is cut, keeping the
+    * rest of the document — `decontaminateSpans` against the corpus
+    * ITSELF instead of an eval set, and `corpusSpanDedup`'s engine one
+    * granularity down (tokens instead of lines; the paper's suffix-array
+    * formulation finds the same >=k-token duplicate runs — overlapping
+    * duplicate windows union into exactly the maximal duplicated
+    * substring). Tokenization matches decontaminateSpans (lower + trim +
+    * whitespace; clean_text is the kept tokens space-joined). Docs
+    * shorter than `windowTokens` tokens carry no windows and pass
+    * through; docs are never dropped.
+    *
+    * Scale shape: windows shuffle as 8-byte xxhash64 keys with their
+    * (doc_id, pos) — never token text; losers resolve via the hash-keyed
+    * equi-join against the winner table (no per-hash occurrence collect:
+    * a boilerplate run repeated 10^8 times stays distributed), removal
+    * starts come back as bounded per-doc arrays, and the corpus
+    * exchanges once on doc_id. Unlike the eval-set variant there is no
+    * broadcastable side at all — both sides are corpus-sized by
+    * construction, so every join is honestly shuffled. Same 64-bit
+    * collision contract as the rest of the family. */
+  def exactSubstringSelfDedup(documents: DataFrame, windowTokens: Int = 50): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be positive, got $windowTokens")
+    val toks = split(lower(trim(coalesce(col("text"), lit("")))), "\\s+")
+    val spans = documents
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= windowTokens)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(t) - $windowTokens), " +
+          s"i -> xxhash64(concat_ws(' ', slice(t, i + 1, $windowTokens))))"))
+        .as(Seq("pos", "h")))
+    val winners = spans
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+    val losingStarts = spans
+      .join(winners, Seq("h"))
+      .filter(!(col("doc_id") === col("w.doc_id") && col("pos") === col("w.pos")))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("pos")).as("bad_starts"))
+    val wlen = lit(windowTokens)
+    val bs = coalesce(col("bad_starts"), array().cast("array<int>"))
+    val keptArr = filter(col("t"), (x, i) => !exists(bs, s => i >= s && i < s + wlen))
+    documents
+      .select(col("doc_id"), toks.as("t"))
+      .join(losingStarts, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        array_join(keptArr, " ").as("clean_text"),
+        (size(col("t")) - size(keptArr)).cast("long").as("n_tokens_removed"))
+  }
+
   /** corpus-wide exact PARAGRAPH dedup, keep-FIRST occurrence — the
     * CCNet paragraph-dedup shape at its native granularity (CCNet §3.1
     * dedups normalized paragraphs corpus-wide; `corpusLineDedup` is the

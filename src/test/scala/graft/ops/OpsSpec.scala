@@ -1202,6 +1202,30 @@ class OpsSpec extends AnyFunSuite {
     assert(got(7L) == (("z7", 4)))
   }
 
+  test("exactSubstringSelfDedup: first occurrence survives, maximal runs cut, docs never lost") {
+    // windowTokens=3; shared run "a b c d" (4 tokens -> windows abc, bcd)
+    val df = Seq(
+      (1L, "a b c d x1 y1"),         // owns both windows -> untouched
+      (2L, "x2 a b c d y2"),         // loses both -> union cuts the maximal run a..d
+      (3L, "a b c z3"),              // only window abc -> loses -> cuts a b c
+      (4L, "p q r p q r"),           // intra-doc repeat: second pqr window loses
+      (5L, "too short"),             // < windowTokens -> untouched
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstringSelfDedup(df, windowTokens = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_tokens_removed")))).toMap
+    assert(got.size == 6)
+    assert(got(1L) == (("a b c d x1 y1", 0L)))
+    assert(got(2L) == (("x2 y2", 4L)))
+    assert(got(3L) == (("z3", 3L)))
+    // "p q r p q r": windows pqr@0(win) qrp@1(win) rpq@2(win) pqr@3(lose)
+    // -> tokens 3..5 cut
+    assert(got(4L) == (("p q r", 3L)))
+    assert(got(5L) == (("too short", 0L)))
+    assert(got(6L) == (("", 0L)))
+  }
+
   test("dsirScore: matches a sequential recompute; hashed features agree; empty docs score 0") {
     val df = Seq(
       (1L, "alpha beta", true),
