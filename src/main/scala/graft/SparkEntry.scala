@@ -270,6 +270,23 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       Dedup.exactSubstringSelfDedup(framed, windowTokens = 8)
     }),
+    "q62_ccnet_buckets" -> ((s, dir) =>
+      // CCNet head/middle/tail: per-language perplexity terciles over
+      // the corpus-trained bigram LM score
+      TextOps.ccnetBuckets(docs(s, dir))),
+    "q63_gopher_dup_ngrams" -> ((s, dir) => {
+      // every 4th doc carries a twice-repeated 6-word phrase (dup 5/6-
+      // gram mass, zero 7-10), the rest a unique tail; the word-soup
+      // texts contribute whatever natural repeats they have (the oracle
+      // reproduces them)
+      val framed = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"),
+            lit(" the quick brown fox jumps high the quick brown fox jumps high")))
+          .otherwise(concat(col("text"), lit(" tail mark "),
+            col("doc_id").cast("string"))).as("text"))
+      TextOps.gopherDupNgramRules(framed)
+    }),
     "q52_lm_perplexity" -> ((s, dir) =>
       // corpus-trained bigram LM fluency scoring (CCNet's perplexity
       // signal in deterministic dependency-free form)
@@ -1198,6 +1215,62 @@ object SparkEntry {
         |  coalesce(agg.clean_text, '') AS clean_text,
         |  cast(len(s.t) - coalesce(agg.n_kept, 0) AS bigint) AS n_tokens_removed
         |FROM s LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q62_ccnet_buckets" ->
+      """WITH s AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |           FROM documents),
+        |bi AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |             FROM s WHERE len(t) >= 2)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM s)),
+        |sc AS (SELECT bi.doc_id, -ln((c12.c12 + 1.0) / (c1.c1 + 1.0 * v.v)) AS nlp
+        |       FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+        |agg AS (SELECT doc_id, round(avg(nlp), 6) AS lm FROM sc GROUP BY 1),
+        |d AS (SELECT d0.doc_id, d0.lang, coalesce(agg.lm, 0.0) AS avg_neg_logp
+        |      FROM documents d0 LEFT JOIN agg USING (doc_id))
+        |SELECT doc_id, lang, avg_neg_logp,
+        |  CASE ntile(3) OVER (PARTITION BY lang ORDER BY avg_neg_logp, doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM d""".stripMargin,
+    "q63_gopher_dup_ngrams" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN text || ' the quick brown fox jumps high the quick brown fox jumps high'
+        |      ELSE text || ' tail mark ' || doc_id END AS text
+        |  FROM documents),
+        |s AS (SELECT doc_id, text,
+        |        list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '') AS t
+        |      FROM m),
+        |ns AS (SELECT unnest([5, 6, 7, 8, 9, 10]) AS n),
+        |g AS (SELECT doc_id, n, i AS strt, array_to_string(t[i:i+n-1], ' ') AS gram
+        |      FROM (SELECT doc_id, n, t, unnest(generate_series(1, len(t) - n + 1)) AS i
+        |            FROM s CROSS JOIN ns)),
+        |dup AS (SELECT doc_id, n, gram FROM g GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+        |bad AS (SELECT g.doc_id, g.n, g.strt FROM g JOIN dup USING (doc_id, n, gram)),
+        |l AS (SELECT doc_id, i AS pos, len(t[i]) AS toklen
+        |      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM s)),
+        |cov AS (SELECT DISTINCT l.doc_id, b.n, l.pos, l.toklen
+        |        FROM l JOIN bad b ON l.doc_id = b.doc_id
+        |          AND l.pos BETWEEN b.strt AND b.strt + b.n - 1),
+        |tot AS (SELECT doc_id, cast(sum(toklen) AS bigint) AS tot FROM l GROUP BY 1),
+        |cf AS (SELECT doc_id, n, cast(sum(toklen) AS bigint) AS cchars FROM cov GROUP BY 1, 2),
+        |g4 AS (SELECT doc_id, array_to_string(t[i:i+3], ' ') AS gram
+        |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 3)) AS i FROM s)),
+        |t4 AS (SELECT doc_id, c * len(gram) AS chars FROM (
+        |        SELECT doc_id, gram, count(*) AS c,
+        |          row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram ASC) AS rn
+        |        FROM g4 GROUP BY doc_id, gram) WHERE rn = 1)
+        |SELECT s.doc_id,
+        |  least(1.0, round(coalesce(t4.chars, 0) / greatest(len(s.text), 1), 6)) AS top4_char_frac,
+        |  round(coalesce(max(CASE WHEN cf.n = 5 THEN cf.cchars END), 0) / greatest(tot.tot, 1), 6) AS dup_5gram_char_frac,
+        |  round(coalesce(max(CASE WHEN cf.n = 6 THEN cf.cchars END), 0) / greatest(tot.tot, 1), 6) AS dup_6gram_char_frac,
+        |  round(coalesce(max(CASE WHEN cf.n = 7 THEN cf.cchars END), 0) / greatest(tot.tot, 1), 6) AS dup_7gram_char_frac,
+        |  round(coalesce(max(CASE WHEN cf.n = 8 THEN cf.cchars END), 0) / greatest(tot.tot, 1), 6) AS dup_8gram_char_frac,
+        |  round(coalesce(max(CASE WHEN cf.n = 9 THEN cf.cchars END), 0) / greatest(tot.tot, 1), 6) AS dup_9gram_char_frac,
+        |  round(coalesce(max(CASE WHEN cf.n = 10 THEN cf.cchars END), 0) / greatest(tot.tot, 1), 6) AS dup_10gram_char_frac
+        |FROM s JOIN tot USING (doc_id) LEFT JOIN cf USING (doc_id) LEFT JOIN t4 USING (doc_id)
+        |GROUP BY s.doc_id, s.text, tot.tot, t4.chars""".stripMargin,
     "q52_lm_perplexity" ->
       """WITH s AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
         |           FROM documents),

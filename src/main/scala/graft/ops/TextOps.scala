@@ -849,6 +849,87 @@ object TextOps {
         coalesce(col("nb"), lit(0L)).as("n_bigrams"))
   }
 
+  /** the remaining Gopher repetition rows (Rae et al. 2021 table A1):
+    * duplicated n-gram CHARACTER fractions for n=5..10 — the mass of
+    * characters covered by any word n-gram occurring more than once
+    * WITHIN the document (union of covered positions, no double count —
+    * the published DataTrove/NeMo semantics) — plus the top-4-gram
+    * coverage that completes the top-n family (q55 carries 2/3).
+    * Conventions: tokens are whitespace words; dup-n covered mass counts
+    * token characters (separators excluded) over total token characters;
+    * top-4 uses q55's formula (occurrences x gram length / raw text
+    * length, capped at 1.0, lexicographic tie-break on the mode).
+    *
+    * ENTIRELY per-row column math, zero shuffle (test-gated): duplicated
+    * grams fall out of sorted-adjacency inside the row, coverage from a
+    * windowed exists over gram starts — O(L*n) per n, bounded by doc
+    * size like every other row kernel (higher-order functions run
+    * interpreted, but array-local; the explode+groupBy alternative
+    * shuffles one row per gram occurrence — bigger than the corpus). */
+  def gopherDupNgramRules(documents: DataFrame, ns: Seq[Int] = 5 to 10): DataFrame = {
+    val txt = coalesce(col("text"), lit(""))
+    var df = documents.select(col("doc_id"), txt.as("gtxt"),
+      filter(split(trim(txt), "\\s+"), w => w =!= "").as("t"))
+    def gramsExpr(n: Int): String =
+      s"CASE WHEN size(t) >= $n THEN transform(sequence(0, size(t)-$n), " +
+        s"i -> array_join(slice(t, i+1, $n), ' ')) ELSE array() END"
+    df = df.withColumn("g4top", topRunStats(array_sort(expr(gramsExpr(4)))))
+    ns.foreach { n =>
+      df = df
+        .withColumn(s"g$n", expr(gramsExpr(n)))
+        .withColumn(s"sg$n", array_sort(col(s"g$n")))
+        // a gram is duplicated iff it equals its predecessor in the
+        // sorted gram list (element_at is 1-based: index i's predecessor)
+        .withColumn(s"dup$n", array_distinct(
+          filter(col(s"sg$n"), (g, i) => i >= 1 && element_at(col(s"sg$n"), i) === g)))
+        .withColumn(s"cov$n", expr(
+          s"CASE WHEN size(t) >= $n THEN aggregate(" +
+            s"transform(sequence(0, size(t)-1), i -> CASE WHEN exists(" +
+            s"sequence(greatest(0, i-$n+1), least(i, size(t)-$n)), " +
+            s"s -> array_contains(dup$n, element_at(g$n, s+1))) " +
+            s"THEN length(element_at(t, i+1)) ELSE 0 END), " +
+            s"CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT)) " +
+            s"ELSE CAST(0 AS BIGINT) END"))
+    }
+    val tot = aggregate(col("t"), lit(0L), (a, w) => a + length(w))
+    val top4frac = least(lit(1.0), round(
+      (col("g4top.c") * when(col("g4top.gram").isNull, lit(0))
+        .otherwise(length(col("g4top.gram")))).cast("double") /
+        greatest(length(col("gtxt")).cast("double"), lit(1.0)), 6))
+    df.select(
+      Seq(col("doc_id"), top4frac.as("top4_char_frac")) ++
+        ns.map(n => round(col(s"cov$n").cast("double") /
+          greatest(tot.cast("double"), lit(1.0)), 6).as(s"dup_${n}gram_char_frac")): _*)
+  }
+
+  /** CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): bucket
+    * each LANGUAGE's documents into perplexity terciles — "head" is the
+    * most fluent third (lowest `ngramLmScore`), the slice CCNet-derived
+    * corpora actually train on. Deterministic total order (score asc,
+    * doc_id asc) so the tercile boundary is retry-stable.
+    *
+    * Scale shape: scoring is `ngramLmScore`'s plan; the tercile is a
+    * per-language ntile window — ONE sort per language partition over
+    * (doc_id, score) pairs, not documents (text is dropped before the
+    * window). Like `tokenBudgetSelect`, a web-scale hot language wants
+    * the two-pass production variant: approximate the two cutoff scores
+    * on a sample (CCNet itself computes cutoffs on a sample), broadcast
+    * them, assign buckets map-side — this exact-window form is the
+    * oracle-checkable reference semantics. */
+  def ccnetBuckets(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = ngramLmScore(documents)
+      .join(documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("avg_neg_logp").asc, col("doc_id").asc)
+    scored
+      .withColumn("tercile", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("avg_neg_logp"),
+        when(col("tercile") === 1, lit("head"))
+          .when(col("tercile") === 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** intra-document line dedup (the per-document pass of CCNet-family
     * paragraph dedup): drop REPEATED non-blank lines within each
     * document, keep the first occurrence, preserve order. Blank/

@@ -1226,6 +1226,69 @@ class OpsSpec extends AnyFunSuite {
     assert(got(6L) == (("", 0L)))
   }
 
+  test("gopherDupNgramRules: union coverage (no double count), top-4 tie-break, zero shuffle") {
+    val df = Seq(
+      (1L, "a b c d e a b c d e"),    // 5-gram 'a b c d e' twice -> full cover
+      (2L, "x y z w v u t s r q"),    // all distinct -> dup fracs 0
+      (3L, "a b c"),                  // shorter than every n -> all 0
+      (4L, null.asInstanceOf[String]),
+      (5L, "m m m m m m")             // overlapping dup windows UNION to 6 tokens
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherDupNgramRules(df)
+    assert(!physicalPlan(out).contains("Exchange"), physicalPlan(out))
+    val got = out.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    val g1 = got(1L)
+    assert(g1.getAs[Double]("dup_5gram_char_frac") == 1.0, g1.toString)
+    assert(g1.getAs[Double]("dup_6gram_char_frac") == 0.0)
+    // mode ties at count 2 between 'a b c d' and 'b c d e' -> lexicographic
+    // first, chars 2*7 over text length 19
+    assert(g1.getAs[Double]("top4_char_frac") == r6(14.0 / 19.0))
+    val g2 = got(2L)
+    (5 to 10).foreach(n =>
+      assert(g2.getAs[Double](s"dup_${n}gram_char_frac") == 0.0, g2.toString))
+    assert(g2.getAs[Double]("top4_char_frac") == r6(7.0 / 19.0)) // count-1 mode 't s r q'
+    assert(got(3L).getAs[Double]("dup_5gram_char_frac") == 0.0 &&
+      got(3L).getAs[Double]("top4_char_frac") == 0.0)
+    assert(got(4L).getAs[Double]("dup_10gram_char_frac") == 0.0 &&
+      got(4L).getAs[Double]("top4_char_frac") == 0.0)
+    val g5 = got(5L)
+    // two overlapping dup 5-gram windows cover the SAME 6 tokens once
+    assert(g5.getAs[Double]("dup_5gram_char_frac") == 1.0, g5.toString)
+    assert(g5.getAs[Double]("dup_6gram_char_frac") == 0.0)
+    assert(g5.getAs[Double]("top4_char_frac") == 1.0) // 3*7/11 caps at 1.0
+  }
+
+  test("ccnetBuckets: per-language terciles, deterministic ntile sizing") {
+    val df = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the cat sat on the hat", "en"),
+      (3L, "the cat sat on the rat", "en"),
+      (4L, "zz qq zz qq zz", "en"),
+      (5L, "one two three four five", "en"),
+      (6L, "el gato come pescado", "es"),
+      (7L, "el perro come carne", "es")
+    ).toDF("doc_id", "text", "lang")
+    val got = TextOps.ccnetBuckets(df).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[String]("lang"), r.getAs[Double]("avg_neg_logp"),
+          r.getAs[String]("bucket")))).toMap
+    assert(got.size == 7)
+    // per language, sorted by (score, doc_id): ANSI ntile gives the
+    // early buckets the extra rows — 5 en docs split 2/2/1, 2 es docs
+    // split 1/1/0 (head and middle, no tail)
+    def ordered(lang: String): Seq[String] = got.toSeq
+      .filter(_._2._1 == lang)
+      .sortBy { case (id, (_, s, _)) => (s, id) }.map(_._2._3).toSeq
+    assert(ordered("en") == Seq("head", "head", "middle", "middle", "tail"),
+      ordered("en").toString)
+    assert(ordered("es") == Seq("head", "middle"), ordered("es").toString)
+    // head really is the most fluent third: scores ascend across buckets
+    val en = got.toSeq.filter(_._2._1 == "en").map(_._2)
+    assert(en.filter(_._3 == "head").map(_._2).max <=
+      en.filter(_._3 == "tail").map(_._2).min)
+  }
+
   test("dsirScore: matches a sequential recompute; hashed features agree; empty docs score 0") {
     val df = Seq(
       (1L, "alpha beta", true),
