@@ -1227,10 +1227,11 @@ object SparkEntry {
         |sc AS (SELECT bi.doc_id, -ln((c12.c12 + 1.0) / (c1.c1 + 1.0 * v.v)) AS nlp
         |       FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
         |agg AS (SELECT doc_id, round(avg(nlp), 6) AS lm FROM sc GROUP BY 1),
-        |d AS (SELECT d0.doc_id, d0.lang, coalesce(agg.lm, 0.0) AS avg_neg_logp
+        |d AS (SELECT d0.doc_id, d0.lang, coalesce(agg.lm, 0.0) AS avg_neg_logp,
+        |        (agg.lm IS NULL) AS unscored
         |      FROM documents d0 LEFT JOIN agg USING (doc_id))
         |SELECT doc_id, lang, avg_neg_logp,
-        |  CASE ntile(3) OVER (PARTITION BY lang ORDER BY avg_neg_logp, doc_id)
+        |  CASE ntile(3) OVER (PARTITION BY lang ORDER BY unscored, avg_neg_logp, doc_id)
         |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM d""".stripMargin,
     "q63_gopher_dup_ngrams" ->

@@ -781,6 +781,59 @@ object Dedup {
         (size(col("t")) - size(col("kept"))).cast("long").as("n_tokens_removed"))
   }
 
+  /** shared middle of the keep-first unit dedups (`corpusLineDedup`,
+    * `corpusParagraphDedup`): per unit-hash winner = min (doc_id, pos)
+    * struct, regrouped into per-document keep-position sets. Input is
+    * the exploded occurrence frame (doc_id, pos, h); unit text never
+    * enters — only 8-byte hashes shuffle. One definition so the
+    * winner/collision contract cannot diverge between granularities. */
+  private def keepFirstPosPerDoc(occurrences: DataFrame): DataFrame =
+    occurrences
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+      .groupBy(col("w.doc_id").as("doc_id"))
+      .agg(collect_list(col("w.pos")).as("keep_pos"))
+
+  /** shared engine of the windowed duplicate-span removers
+    * (`exactSubstringSelfDedup`, `corpusSpanDedup`): `windowLen`
+    * consecutive units hash to an 8-byte key, (hash, doc_id, pos)
+    * tuples shuffle for the min-struct winner groupBy, losing
+    * occurrences resolve by hash-keyed equi-join vs the winner table
+    * (no per-hash occurrence collect — viral spans stay distributed),
+    * union per doc, and the corpus exchanges ONCE on doc_id for
+    * reassembly. Returns (doc_id, u, kept) — unit array and surviving
+    * units — for the caller to name/join its outputs; `hashSepSql` is
+    * the SQL-literal separator text used inside concat_ws (so the
+    * window hash matches each caller's DuckDB oracle byte-for-byte). */
+  private def cutLosingWindows(
+      documents: DataFrame,
+      unitArr: Column,
+      windowLen: Int,
+      hashSepSql: String): DataFrame = {
+    val spans = documents
+      .select(col("doc_id"), unitArr.as("u"))
+      .filter(size(col("u")) >= windowLen)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(u) - $windowLen), " +
+          s"i -> xxhash64(concat_ws('$hashSepSql', slice(u, i + 1, $windowLen))))"))
+        .as(Seq("pos", "h")))
+    val winners = spans
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+    val losingStarts = spans
+      .join(winners, Seq("h"))
+      .filter(!(col("doc_id") === col("w.doc_id") && col("pos") === col("w.pos")))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("pos")).as("bad_starts"))
+    val wl = lit(windowLen)
+    val bs = coalesce(col("bad_starts"), array().cast("array<int>"))
+    documents
+      .select(col("doc_id"), unitArr.as("u"))
+      .join(losingStarts, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("u"),
+        filter(col("u"), (x, i) => !exists(bs, s => i >= s && i < s + wl)).as("kept"))
+  }
+
   /** corpus-wide exact line dedup, keep-FIRST occurrence (CCNet-style
     * paragraph dedup at line granularity): every distinct non-blank line
     * survives exactly once, in the document with the lowest (doc_id, pos);
@@ -803,11 +856,7 @@ object Dedup {
         posexplode(split(coalesce(col("text"), lit("")), "\n")).as(Seq("pos", "line")))
       .filter(trim(col("line")) =!= "")
       .select(col("doc_id"), col("pos"), xxhash64(col("line")).as("h"))
-    val keepPosPerDoc = lines
-      .groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
-      .groupBy(col("w.doc_id").as("doc_id"))
-      .agg(collect_list(col("w.pos")).as("keep_pos"))
+    val keepPosPerDoc = keepFirstPosPerDoc(lines)
     val lineArr = split(coalesce(col("text"), lit("")), "\n")
     val keepSet = coalesce(col("keep_pos"), array().cast("array<int>"))
     val keptArr = filter(lineArr, (x, i) => trim(x) === "" || array_contains(keepSet, i))
@@ -845,30 +894,10 @@ object Dedup {
   def exactSubstringSelfDedup(documents: DataFrame, windowTokens: Int = 50): DataFrame = {
     require(windowTokens >= 1, s"windowTokens must be positive, got $windowTokens")
     val toks = split(lower(trim(coalesce(col("text"), lit("")))), "\\s+")
-    val spans = documents
-      .select(col("doc_id"), toks.as("t"))
-      .filter(size(col("t")) >= windowTokens)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(t) - $windowTokens), " +
-          s"i -> xxhash64(concat_ws(' ', slice(t, i + 1, $windowTokens))))"))
-        .as(Seq("pos", "h")))
-    val winners = spans
-      .groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
-    val losingStarts = spans
-      .join(winners, Seq("h"))
-      .filter(!(col("doc_id") === col("w.doc_id") && col("pos") === col("w.pos")))
-      .groupBy(col("doc_id"))
-      .agg(collect_list(col("pos")).as("bad_starts"))
-    val wlen = lit(windowTokens)
-    val bs = coalesce(col("bad_starts"), array().cast("array<int>"))
-    val keptArr = filter(col("t"), (x, i) => !exists(bs, s => i >= s && i < s + wlen))
-    documents
-      .select(col("doc_id"), toks.as("t"))
-      .join(losingStarts, Seq("doc_id"), "left_outer")
+    cutLosingWindows(documents, toks, windowTokens, " ")
       .select(col("doc_id"),
-        array_join(keptArr, " ").as("clean_text"),
-        (size(col("t")) - size(keptArr)).cast("long").as("n_tokens_removed"))
+        array_join(col("kept"), " ").as("clean_text"),
+        (size(col("u")) - size(col("kept"))).cast("long").as("n_tokens_removed"))
   }
 
   /** corpus-wide exact PARAGRAPH dedup, keep-FIRST occurrence — the
@@ -892,11 +921,7 @@ object Dedup {
       .select(col("doc_id"), posexplode(paraArr).as(Seq("pos", "para")))
       .filter(trim(col("para")) =!= "")
       .select(col("doc_id"), col("pos"), xxhash64(col("para")).as("h"))
-    val keepPosPerDoc = paras
-      .groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
-      .groupBy(col("w.doc_id").as("doc_id"))
-      .agg(collect_list(col("w.pos")).as("keep_pos"))
+    val keepPosPerDoc = keepFirstPosPerDoc(paras)
     val keepSet = coalesce(col("keep_pos"), array().cast("array<int>"))
     val keptArr = filter(paraArr, (x, i) => trim(x) =!= "" && array_contains(keepSet, i))
     documents
@@ -929,29 +954,9 @@ object Dedup {
     * dedup ops. */
   def corpusSpanDedup(documents: DataFrame, spanLen: Int = 3): DataFrame = {
     require(spanLen >= 1, s"spanLen must be positive, got $spanLen")
-    val lineArr = split(coalesce(col("text"), lit("")), "\n")
-    val spans = documents
-      .select(col("doc_id"), lineArr.as("ls"))
-      .filter(size(col("ls")) >= spanLen)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(ls) - $spanLen), " +
-          s"i -> xxhash64(concat_ws('\\n', slice(ls, i + 1, $spanLen))))"))
-        .as(Seq("pos", "h")))
-    val winners = spans
-      .groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
-    val losingStarts = spans
-      .join(winners, Seq("h"))
-      .filter(!(col("doc_id") === col("w.doc_id") && col("pos") === col("w.pos")))
-      .groupBy(col("doc_id"))
-      .agg(collect_list(col("pos")).as("bad_starts"))
-    val span = lit(spanLen)
-    val bs = coalesce(col("bad_starts"), array().cast("array<int>"))
-    val keptArr = filter(lineArr, (x, i) => !exists(bs, s => i >= s && i < s + span))
-    documents
-      .join(losingStarts, Seq("doc_id"), "left_outer")
+    cutLosingWindows(documents, split(coalesce(col("text"), lit("")), "\n"), spanLen, "\\n")
       .select(col("doc_id"),
-        array_join(keptArr, "\n").as("clean_text"),
-        (size(lineArr) - size(keptArr)).as("n_removed"))
+        array_join(col("kept"), "\n").as("clean_text"),
+        (size(col("u")) - size(col("kept"))).as("n_removed"))
   }
 }

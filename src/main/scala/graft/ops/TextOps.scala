@@ -626,26 +626,38 @@ object TextOps {
     * the first maximal run; a doc shorter than n words scores 0).
     * `q20`'s repetitionScore stays the composite signal; this is the
     * auditable per-rule surface. */
+  /** word n-grams over the token-array column `t` (empty array when the
+    * doc is shorter than n words) — ONE definition shared by
+    * `gopherRepetitionRules` (q55) and `gopherDupNgramRules` (q63) so
+    * the gram convention (1-based slice, single-space join) cannot
+    * silently diverge between the two rule families. */
+  private def wordGramsOverT(n: Int): Column = expr(
+    s"CASE WHEN size(t) >= $n THEN transform(sequence(0, size(t)-$n), " +
+      s"i -> array_join(slice(t, i+1, $n), ' ')) ELSE array() END")
+
+  /** top-gram char coverage over `topRunStats` output: occurrences x
+    * gram length / raw-text length (column `gtxt`), capped at 1.0
+    * against overlap double-counting — the DataTrove/NeMo formula,
+    * shared by q55 and q63 (the cap and null-gram guard were already
+    * adjusted once in-round; a second copy would have to be found). */
+  private def topGramCharFrac(stats: Column): Column =
+    least(lit(1.0), round(
+      (stats.getField("c") *
+        when(stats.getField("gram").isNull, lit(0)).otherwise(length(stats.getField("gram"))))
+        .cast("double") /
+        greatest(length(col("gtxt")).cast("double"), lit(1.0)), 6))
+
   def gopherRepetitionRules(documents: DataFrame): DataFrame = {
     val txt = coalesce(col("text"), lit(""))
     val pre = documents.select(col("doc_id"), txt.as("gtxt"),
       filter(split(trim(txt), "\\s+"), w => w =!= "").as("t"))
-    def gramsN(n: Int): Column = expr(
-      s"CASE WHEN size(t) >= $n THEN transform(sequence(0, size(t)-$n), " +
-        s"i -> array_join(slice(t, i+1, $n), ' ')) ELSE array() END")
     val lines = split(col("gtxt"), "\n")
     val nLines = size(lines)
     val totLineChars = aggregate(lines, lit(0L), (a, l) => a + length(l))
     val distLineChars = aggregate(array_distinct(lines), lit(0L), (a, l) => a + length(l))
-    def frac(stats: Column): Column =
-      least(lit(1.0), round(
-        (stats.getField("c") *
-          when(stats.getField("gram").isNull, lit(0)).otherwise(length(stats.getField("gram"))))
-          .cast("double") /
-          greatest(length(col("gtxt")).cast("double"), lit(1.0)), 6))
     pre
-      .withColumn("s2", topRunStats(array_sort(gramsN(2))))
-      .withColumn("s3", topRunStats(array_sort(gramsN(3))))
+      .withColumn("s2", topRunStats(array_sort(wordGramsOverT(2))))
+      .withColumn("s3", topRunStats(array_sort(wordGramsOverT(3))))
       .select(
         col("doc_id"),
         nLines.as("n_lines"),
@@ -653,8 +665,8 @@ object TextOps {
           greatest(nLines.cast("double"), lit(1.0)), 6).as("dup_line_frac"),
         round((totLineChars - distLineChars).cast("double") /
           greatest(totLineChars.cast("double"), lit(1.0)), 6).as("dup_line_char_frac"),
-        frac(col("s2")).as("top2_char_frac"),
-        frac(col("s3")).as("top3_char_frac"))
+        topGramCharFrac(col("s2")).as("top2_char_frac"),
+        topGramCharFrac(col("s3")).as("top3_char_frac"))
   }
 
   /** the dup-PARAGRAPH half of Gopher's repetition rules (Rae et al.
@@ -861,8 +873,12 @@ object TextOps {
     * length, capped at 1.0, lexicographic tie-break on the mode).
     *
     * ENTIRELY per-row column math, zero shuffle (test-gated): duplicated
-    * grams fall out of sorted-adjacency inside the row, coverage from a
-    * windowed exists over gram starts — O(L*n) per n, bounded by doc
+    * grams fall out of sorted-adjacency inside the row; a per-start
+    * boolean "this gram is duplicated" array is computed ONCE per n
+    * (O(L x |dup_n|) total), so the windowed coverage exists is an O(n)
+    * boolean lookup per token — not an O(|dup_n|) list scan inside every
+    * window probe, which would go quadratic exactly on the templated
+    * pages these rules target (review round-4 finding). Bounded by doc
     * size like every other row kernel (higher-order functions run
     * interpreted, but array-local; the explode+groupBy alternative
     * shuffles one row per gram occurrence — bigger than the corpus). */
@@ -870,34 +886,30 @@ object TextOps {
     val txt = coalesce(col("text"), lit(""))
     var df = documents.select(col("doc_id"), txt.as("gtxt"),
       filter(split(trim(txt), "\\s+"), w => w =!= "").as("t"))
-    def gramsExpr(n: Int): String =
-      s"CASE WHEN size(t) >= $n THEN transform(sequence(0, size(t)-$n), " +
-        s"i -> array_join(slice(t, i+1, $n), ' ')) ELSE array() END"
-    df = df.withColumn("g4top", topRunStats(array_sort(expr(gramsExpr(4)))))
+    df = df.withColumn("g4top", topRunStats(array_sort(wordGramsOverT(4))))
     ns.foreach { n =>
       df = df
-        .withColumn(s"g$n", expr(gramsExpr(n)))
+        .withColumn(s"g$n", wordGramsOverT(n))
         .withColumn(s"sg$n", array_sort(col(s"g$n")))
         // a gram is duplicated iff it equals its predecessor in the
         // sorted gram list (element_at is 1-based: index i's predecessor)
         .withColumn(s"dup$n", array_distinct(
           filter(col(s"sg$n"), (g, i) => i >= 1 && element_at(col(s"sg$n"), i) === g)))
+        // one linear pass marks each gram START as duplicated-or-not;
+        // the coverage window below then tests booleans, not the list
+        .withColumn(s"ds$n", transform(col(s"g$n"), g => array_contains(col(s"dup$n"), g)))
         .withColumn(s"cov$n", expr(
           s"CASE WHEN size(t) >= $n THEN aggregate(" +
             s"transform(sequence(0, size(t)-1), i -> CASE WHEN exists(" +
             s"sequence(greatest(0, i-$n+1), least(i, size(t)-$n)), " +
-            s"s -> array_contains(dup$n, element_at(g$n, s+1))) " +
+            s"s -> element_at(ds$n, s+1)) " +
             s"THEN length(element_at(t, i+1)) ELSE 0 END), " +
             s"CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT)) " +
             s"ELSE CAST(0 AS BIGINT) END"))
     }
     val tot = aggregate(col("t"), lit(0L), (a, w) => a + length(w))
-    val top4frac = least(lit(1.0), round(
-      (col("g4top.c") * when(col("g4top.gram").isNull, lit(0))
-        .otherwise(length(col("g4top.gram")))).cast("double") /
-        greatest(length(col("gtxt")).cast("double"), lit(1.0)), 6))
     df.select(
-      Seq(col("doc_id"), top4frac.as("top4_char_frac")) ++
+      Seq(col("doc_id"), topGramCharFrac(col("g4top")).as("top4_char_frac")) ++
         ns.map(n => round(col(s"cov$n").cast("double") /
           greatest(tot.cast("double"), lit(1.0)), 6).as(s"dup_${n}gram_char_frac")): _*)
   }
@@ -915,13 +927,20 @@ object TextOps {
     * the two-pass production variant: approximate the two cutoff scores
     * on a sample (CCNet itself computes cutoffs on a sample), broadcast
     * them, assign buckets map-side — this exact-window form is the
-    * oracle-checkable reference semantics. */
+    * oracle-checkable reference semantics.
+    *
+    * Unscoreable documents (0-1 tokens — no bigrams, `n_bigrams` = 0)
+    * sort AFTER every scored document: their coalesced 0.0 score is not
+    * a fluency measurement (every real score is strictly positive), and
+    * letting them sort first would fill the "head" tercile — the slice
+    * downstream corpora train on — with near-empty docs. They land in
+    * the tail end of the order instead (review round-4 finding). */
   def ccnetBuckets(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = ngramLmScore(documents)
       .join(documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
     val w = Window.partitionBy(col("lang"))
-      .orderBy(col("avg_neg_logp").asc, col("doc_id").asc)
+      .orderBy((col("n_bigrams") === 0).asc, col("avg_neg_logp").asc, col("doc_id").asc)
     scored
       .withColumn("tercile", ntile(3).over(w))
       .select(col("doc_id"), col("lang"), col("avg_neg_logp"),
