@@ -350,6 +350,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
     }),
     "q12_langid_fingerprint" -> ((s, dir) => TextOps.withLangAndFingerprint(docs(s, dir))),
+    "q64_incremental_exact_dedup" -> ((s, dir) => {
+      // incremental lifecycle: every 3rd doc is the already-admitted
+      // corpus (its key snapshot), the rest arrive as the new shard.
+      // Every 5th doc's text collapses to one of two shared banners so
+      // cross-split exact copies exist at every sf (plus whatever
+      // duplicate groups the documents table carries naturally); the
+      // Bloom prefilter engages (shard well under the cap), so the
+      // oracled path exercises it end-to-end
+      val framed = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("shared corpus text "), (col("doc_id") % 10).cast("string")))
+          .otherwise(col("text")).as("text"))
+      Dedup.incrementalExactDedup(
+        framed.filter(col("doc_id") % 3 =!= 0),
+        Dedup.exactKeySnapshot(framed.filter(col("doc_id") % 3 === 0), Dedup.textHashKey))
+    }),
+    "q65_minhash_incremental" -> ((s, dir) => {
+      // near-dup membership vs the admitted corpus's band snapshot: the
+      // %3==0 split seeds the snapshot, the shard reuses the SAME banner
+      // framing as q64 so cross-split near-/exact dups exist at every sf;
+      // decision rule gated by the sequential recompute oracle in OpsSpec
+      val framed = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("shared corpus text "), (col("doc_id") % 10).cast("string")))
+          .otherwise(col("text")).as("text"))
+      Dedup.minhashIncrementalFlags(
+        framed.filter(col("doc_id") % 3 =!= 0),
+        Dedup.minhashBandSnapshot(framed.filter(col("doc_id") % 3 === 0)))
+    }),
     "q47_langid_wide" -> ((s, dir) => {
       // golden-oracled language ID over all supported languages: inject
       // one fixed sample sentence per doc_id % n class (n = number of
@@ -1385,6 +1414,22 @@ object SparkEntry {
         |                               * scale))), 'max'), 6)
         |  END AS max_err
         |FROM m""".stripMargin,
+    "q64_incremental_exact_dedup" ->
+      """WITH framed AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN 'shared corpus text ' || CAST(doc_id % 10 AS VARCHAR)
+        |         ELSE coalesce(text, '') END AS text
+        |  FROM documents),
+        |snap AS (SELECT DISTINCT text FROM framed WHERE doc_id % 3 = 0),
+        |shard AS (SELECT doc_id, text FROM framed WHERE doc_id % 3 <> 0),
+        |fst AS (SELECT text, min(doc_id) AS first_id FROM shard GROUP BY 1)
+        |SELECT s.doc_id,
+        |  (sn.text IS NOT NULL) AS dup_vs_corpus,
+        |  (sn.text IS NULL AND s.doc_id = f.first_id) AS keep
+        |FROM shard s
+        |LEFT JOIN snap sn ON s.text = sn.text
+        |JOIN fst f ON s.text = f.text""".stripMargin,
     "q14_simsearch_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS query_emb
         |           FROM embeddings ORDER BY vec_id LIMIT 5),

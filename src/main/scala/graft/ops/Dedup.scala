@@ -102,6 +102,24 @@ object Dedup {
     sig
   }
 
+  /** 64-bit LSH bucket key of one signature band: band index in the high
+    * 32 bits, FNV-1a over the band's minhash rows in the low 32 — ONE
+    * definition shared by the batch pairer (`minhashLsh`) and the
+    * incremental snapshot path (`minhashBandSnapshot` /
+    * `minhashIncrementalFlags`), so a band-hash change cannot silently
+    * strand an existing snapshot. */
+  private[graft] def bandKey(sig: Array[Long], b: Int): Long = {
+    var acc = 0x811c9dc5 // FNV-1a over the band's minhash rows
+    var r = 0
+    while (r < ROWS_PER_BAND) {
+      val v = sig(b * ROWS_PER_BAND + r)
+      acc = (acc ^ v.toInt) * 0x01000193
+      acc = (acc ^ (v >>> 32).toInt) * 0x01000193
+      r += 1
+    }
+    (b.toLong << 32) | (acc & 0xffffffffL)
+  }
+
   /** candidate near-duplicate pairs via banded MinHash-LSH; each pair carries
     * the estimated jaccard = matching-minhash fraction.
     *
@@ -133,17 +151,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.as[(Long, Array[Long])]
       .flatMap { case (id, sig) =>
-        (0 until N_BANDS).iterator.map { b =>
-          var acc = 0x811c9dc5 // FNV-1a over the band's minhash rows
-          var r = 0
-          while (r < ROWS_PER_BAND) {
-            val v = sig(b * ROWS_PER_BAND + r)
-            acc = (acc ^ v.toInt) * 0x01000193
-            acc = (acc ^ (v >>> 32).toInt) * 0x01000193
-            r += 1
-          }
-          ((b.toLong << 32) | (acc & 0xffffffffL), id)
-        }
+        (0 until N_BANDS).iterator.map(b => (bandKey(sig, b), id))
       }
     val pairs = banded.groupByKey(_._1)
       .flatMapGroups { (_, it) =>
@@ -958,5 +966,158 @@ object Dedup {
       .select(col("doc_id"),
         array_join(col("kept"), "\n").as("clean_text"),
         (size(col("u")) - size(col("kept"))).as("n_removed"))
+  }
+
+  // ---- incremental dedup (new crawl shard vs processed-corpus snapshot) ----
+  //
+  // Production corpora are not deduped from scratch per crawl: the corpus
+  // keeps an 8-byte-key snapshot table (exact text hashes; MinHash band
+  // keys) and each incoming shard dedups against the SNAPSHOT, then
+  // appends only its genuinely-new keys. The corpus documents themselves
+  // are never re-read — at 10^12 docs the snapshot is the only artifact
+  // that ever moves, and it only ever APPENDS (`snapshotDelta`).
+  //
+  // Scale shape: the shard is the small side (one crawl increment vs the
+  // accumulated corpus), so the snapshot-side scan dominates. A Bloom
+  // filter built over the SHARD's keys (Spark's own BloomFilterAggregate /
+  // BloomFilterMightContain runtime-filter expressions, wrapped via the
+  // same bridge as DotProduct) prunes the snapshot scan-side to
+  // ~|shard ∩ snapshot| + fpp·|snapshot| rows BEFORE the exchange — at 1%
+  // fpp the snapshot shuffle drops ~99%. The Bloom is a prefilter only:
+  // false positives are resolved by the exact equi-join that follows, so
+  // the result is bit-identical with the Bloom on or off (test-gated).
+
+  /** default exact-dedup key: 64-bit hash of the raw text (NULL ≡ empty,
+    * like `corpusLineDedup` and the other text-keyed ops) */
+  def textHashKey: Column = xxhash64(coalesce(col("text"), lit("")))
+
+  /** distinct 8-byte key table of a processed corpus — the snapshot the
+    * incremental ops join against. Persist with a plain parquet write;
+    * grow it by appending `snapshotDelta` output, never by rewriting. */
+  def exactKeySnapshot(corpus: DataFrame, key: Column): DataFrame =
+    corpus.select(key.cast("long").as("h")).distinct()
+
+  /** keys present in `newKeys` but not in `snapshot` — the rows to APPEND
+    * to the snapshot table after a shard is admitted. `newKeys` is
+    * `exactKeySnapshot(shard, key)` or `minhashBandSnapshot(shard)`. */
+  def snapshotDelta(newKeys: DataFrame, snapshot: DataFrame): DataFrame =
+    newKeys.join(snapshot, Seq("h"), "left_anti")
+
+  /** Bloom-prune `table` (keyed by long column `h`) against the keys of
+    * `probe`: rows whose `h` cannot be in probe are dropped scan-side,
+    * before any exchange. `nProbe` sizes the filter (an upper bound on
+    * probe's distinct keys is fine — extra bits only lower the fpp); the
+    * filter binary is computed by one aggregate job and embedded as a
+    * foldable literal, so the probe stays whole-stage-codegen'd. Returns
+    * `table` unchanged when the probe is empty-keyed (nothing can match
+    * downstream anyway) — `BloomFilterAggregate` yields NULL on zero rows
+    * and `might_contain(NULL, h)` would silently drop every row. */
+  private def bloomPrune(
+      table: DataFrame, probe: DataFrame, nProbe: Long, fpp: Double): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    // optimal bits m = -n·ln(p)/ln(2)²; floor keeps tiny probes honest
+    val nBits = math.max(64L,
+      (-nProbe * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val agg = GraftColumnBridge.column(new BloomFilterAggregate(
+      GraftColumnBridge.expression(col("h")),
+      Literal(math.max(nProbe, 1L)), Literal(nBits)).toAggregateExpression())
+    val bytes = probe.select(col("h")).agg(agg.as("bf")).head().getAs[Array[Byte]](0)
+    if (bytes == null) table
+    else table.filter(GraftColumnBridge.column(BloomFilterMightContain(
+      Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
+      GraftColumnBridge.expression(col("h")))))
+  }
+
+  /** dedup an incoming shard against an `exactKeySnapshot` of the corpus
+    * already admitted: per shard doc, `dup_vs_corpus` = its key is already
+    * in the snapshot; `keep` = not in the corpus AND first occurrence
+    * (lowest doc_id) of its key within the shard. Output one row per
+    * shard doc `(doc_id, dup_vs_corpus, keep)`.
+    *
+    * Plan: shard keys union'd with the (Bloom-pruned) snapshot keys into
+    * ONE groupBy(h) computing both the in-corpus flag and the
+    * first-in-shard winner — robust to duplicate `h` rows in a
+    * hand-built snapshot (no join-side row multiplication) — then one
+    * equi-join back onto the shard's (doc_id, h) pairs. Only 8-byte keys
+    * ever shuffle; documents never move. The Bloom prefilter engages when
+    * the shard has at most `bloomMaxKeys` rows (~57 MB of filter at the
+    * 50M default / 1% fpp — task-binary broadcast scale); above the cap
+    * the exact join runs unfiltered rather than risk a driver-OOM-sized
+    * literal. */
+  def incrementalExactDedup(
+      shard: DataFrame,
+      snapshot: DataFrame,
+      key: Column = textHashKey,
+      bloomMaxKeys: Long = 50000000L,
+      bloomFpp: Double = 0.01): DataFrame = {
+    val hashes = shard.select(col("doc_id").cast("long").as("doc_id"),
+      key.cast("long").as("h"))
+    val nShard = shard.count()
+    val snapKeys =
+      if (nShard > 0 && nShard <= bloomMaxKeys)
+        bloomPrune(snapshot.select(col("h")), hashes, nShard, bloomFpp)
+      else snapshot.select(col("h"))
+    val perHash = hashes.select(col("h"), col("doc_id"), lit(false).as("snap"))
+      .unionByName(snapKeys.select(col("h"), lit(null).cast("long").as("doc_id"),
+        lit(true).as("snap")))
+      .groupBy(col("h"))
+      .agg(max(col("snap")).as("in_corpus"),
+        min(when(!col("snap"), col("doc_id"))).as("first_id"))
+    hashes.join(perHash, Seq("h"))
+      .select(col("doc_id"), col("in_corpus").as("dup_vs_corpus"),
+        (!col("in_corpus") && col("doc_id") === col("first_id")).as("keep"))
+  }
+
+  /** MinHash band-key snapshot of an admitted corpus: the 16 LSH bucket
+    * keys per doc (same `bandKey` as `minhashLsh`), distinct. An incoming
+    * doc sharing ANY band key with the snapshot is a near-dup candidate
+    * vs the corpus — the standard incremental-LSH membership test. */
+  def minhashBandSnapshot(corpus: DataFrame, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (as, bs) = hashParams(seed)
+    corpus.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .flatMap { case (_, text) =>
+        val sig = minhashSignature(text, as, bs)
+        (0 until N_BANDS).iterator.map(b => bandKey(sig, b))
+      }
+      .toDF("h").distinct()
+  }
+
+  /** flag shard docs that are near-dup candidates vs an admitted corpus's
+    * `minhashBandSnapshot`: `(doc_id, dup_vs_corpus)`, one row per shard
+    * doc. Same decision rule as `minhashLsh`'s bucketing (any shared
+    * band), applied shard-vs-snapshot instead of pairwise; combine with
+    * `minhashLsh(shard)` for intra-shard near-dups. The snapshot side is
+    * Bloom-pruned by the shard's band keys under the same size gate as
+    * `incrementalExactDedup` (shard band rows = 16x docs). */
+  def minhashIncrementalFlags(
+      shard: DataFrame,
+      bandSnapshot: DataFrame,
+      seed: Long = 42L,
+      bloomMaxKeys: Long = 50000000L,
+      bloomFpp: Double = 0.01): DataFrame = {
+    val spark = shard.sparkSession
+    import spark.implicits._
+    val (as, bs) = hashParams(seed)
+    val banded = shard.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sig = minhashSignature(text, as, bs)
+        (0 until N_BANDS).iterator.map(b => (id, bandKey(sig, b)))
+      }
+      .toDF("doc_id", "h")
+    val nBandRows = shard.count() * N_BANDS
+    val snapKeys =
+      if (nBandRows > 0 && nBandRows <= bloomMaxKeys)
+        bloomPrune(bandSnapshot.select(col("h")), banded, nBandRows, bloomFpp)
+      else bandSnapshot.select(col("h"))
+    val hit = banded.join(snapKeys, Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct().withColumn("flag", lit(true))
+    shard.select(col("doc_id").cast("long").as("doc_id"))
+      .join(hit, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("flag"), lit(false)).as("dup_vs_corpus"))
   }
 }

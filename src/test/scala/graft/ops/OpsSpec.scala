@@ -1746,4 +1746,112 @@ class OpsSpec extends AnyFunSuite {
       rm(dir)
     }
   }
+
+  // ---- incremental dedup (shard vs snapshot) -------------------------------
+
+  test("incrementalExactDedup: flags vs sequential recompute; bloom on/off identical") {
+    // corpus: texts A, B; shard: one corpus dup (A), one intra-shard dup
+    // pair (C twice), one unique (D), one NULL (≡ empty), one empty
+    val corpus = docsDf((1L, "text A"), (2L, "text B"))
+    val shard = Seq(
+      (10L, "text A"), (11L, "text C"), (12L, "text C"),
+      (13L, "text D"), (15L, "")).toDF("doc_id", "text")
+      .unionByName(Seq(Tuple1(14L)).toDF("doc_id").select(col("doc_id"),
+        lit(null).cast("string").as("text")))
+    val snap = Dedup.exactKeySnapshot(corpus, Dedup.textHashKey)
+    val got = Dedup.incrementalExactDedup(shard, snap)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    // sequential recompute over the same semantics
+    val corpusTexts = Set("text A", "text B")
+    val expected = Map(
+      10L -> ((true, false)),           // in corpus
+      11L -> ((false, true)),           // first of intra-shard pair
+      12L -> ((false, false)),          // later copy
+      13L -> ((false, true)),           // unique
+      14L -> ((false, true)),           // NULL ≡ "" — first by doc_id
+      15L -> ((false, false)))          // "" — loses to doc 14
+    assert(got == expected, s"got $got")
+    assert(!corpusTexts.contains("text C")) // sanity of the fixture
+    // bloom disabled (cap 0 forces the unfiltered join): identical output
+    val noBloom = Dedup.incrementalExactDedup(shard, snap, bloomMaxKeys = 0L)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(noBloom == expected)
+  }
+
+  test("incrementalExactDedup: empty shard, empty snapshot, dup snapshot keys") {
+    val shard = docsDf((1L, "x"), (2L, "x"), (3L, "y"))
+    // empty snapshot: pure intra-shard keep-first
+    val emptySnap = Dedup.exactKeySnapshot(docsDf(), Dedup.textHashKey)
+    val a = Dedup.incrementalExactDedup(shard, emptySnap)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(a == Map(1L -> true, 2L -> false, 3L -> true))
+    // empty shard: empty result (and the bloom path must not blow up on
+    // the NULL aggregate)
+    assert(Dedup.incrementalExactDedup(docsDf(), emptySnap).count() == 0L)
+    // a hand-built snapshot with duplicate h rows must not multiply output
+    val dupSnap = docsDf((1L, "x"), (2L, "x"))
+      .select(Dedup.textHashKey.as("h")) // two identical h rows, no distinct
+    val b = Dedup.incrementalExactDedup(shard, dupSnap)
+    assert(b.count() == 3L)
+    assert(b.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap ==
+      Map(1L -> true, 2L -> true, 3L -> false))
+  }
+
+  test("snapshotDelta appends exactly the new keys (merge ≡ from-scratch)") {
+    val c1 = docsDf((1L, "a"), (2L, "b"))
+    val c2 = docsDf((3L, "b"), (4L, "c"))
+    val s1 = Dedup.exactKeySnapshot(c1, Dedup.textHashKey)
+    val delta = Dedup.snapshotDelta(Dedup.exactKeySnapshot(c2, Dedup.textHashKey), s1)
+    val merged = s1.unionByName(delta).collect().map(_.getLong(0)).sorted
+    val scratch = Dedup.exactKeySnapshot(c1.unionByName(c2), Dedup.textHashKey)
+      .collect().map(_.getLong(0)).sorted
+    assert(merged.sameElements(scratch))
+    assert(delta.count() == 1L) // only "c" is new
+  }
+
+  test("minhashIncrementalFlags: any shared band vs snapshot, recomputed sequentially") {
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val near = base.replace("word7", "changed7")
+    val far = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    val corpus = docsDf((1L, base))
+    val shard = docsDf((10L, near), (11L, far), (12L, base))
+    val snap = Dedup.minhashBandSnapshot(corpus)
+    val got = Dedup.minhashIncrementalFlags(shard, snap)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // sequential recompute of the same decision rule
+    val (as, bs) = Dedup.hashParams(42L)
+    def bands(t: String): Set[Long] = {
+      val sig = Dedup.minhashSignature(t, as, bs)
+      (0 until Dedup.N_BANDS).map(b => Dedup.bandKey(sig, b)).toSet
+    }
+    val corpusBands = bands(base)
+    val expected = Map(
+      10L -> bands(near).exists(corpusBands), // near-dup: shares bands
+      11L -> bands(far).exists(corpusBands),  // unrelated: none shared
+      12L -> true)                            // exact copy: all bands shared
+    assert(got == expected, s"got $got expected $expected")
+    assert(got(10L) && !got(11L)) // the fixture is actually discriminative
+    // bloom off: identical
+    val noBloom = Dedup.minhashIncrementalFlags(shard, snap, bloomMaxKeys = 0L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(noBloom == expected)
+  }
+
+  test("incremental bloom prefilter shows in the plan and is BNLJ/cartesian-free") {
+    // range-backed frames: a LocalRelation would let Catalyst fold the
+    // bloom probe away at optimization time; over a real scan (range here,
+    // parquet in production) the might_contain filter must stay physical,
+    // snapshot-side, below the exchange
+    val corpus = spark.range(100).select(col("id").as("doc_id"),
+      concat(lit("corpus text "), col("id")).as("text"))
+    val shard = spark.range(10).select((col("id") + 1000).as("doc_id"),
+      concat(lit("shard text "), col("id")).as("text"))
+    val out = Dedup.incrementalExactDedup(shard,
+      Dedup.exactKeySnapshot(corpus, Dedup.textHashKey))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom prefilter missing from plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"bad join in plan:\n$plan")
+  }
 }
