@@ -117,6 +117,44 @@ object SparkEntry {
         .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
       Dedup.embeddingNearDupsLsh(e.union(planted), 0.95, nBits = 16, nTables = 4)
     }),
+    "q66_semdedup" -> ((s, dir) => {
+      // SemDeDup: k-means + within-cluster cosine pruning, keep the member
+      // farthest from its centroid. The synthetic embeddings have no true
+      // semantic dups (max pairwise cosine ~0.48), so plant exact copies
+      // of the 100 lowest vec_ids (id+10^7): each pair lands in one
+      // cluster at cosine 1.0 and exactly the planted (higher-id) copy
+      // must survive. No SQL oracle (k-means) — OpsSpec holds the
+      // sequential-recompute + planted-dup + cap gates.
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = e.orderBy("vec_id").limit(100)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      Dedup.semDeDup(e.union(planted), 0.95)
+    }),
+    "q67_prototypes_prune" -> ((s, dir) =>
+      // SSL-prototype pruning (the D4 second stage): drop the most
+      // prototypical half of every k-means cluster. No SQL oracle
+      // (k-means) — OpsSpec holds the sequential-recompute and
+      // planted-structure gates; driver records rows>0.
+      Dedup.prototypesPrune(emb(s, dir).select(col("vec_id"), col("embedding")), 0.5)),
+    "q68_fineweb_filters" -> ((s, dir) => {
+      // FineWeb custom-rule coverage by doc_id%4: a menu wall (fails all
+      // three rules), a two-word-per-line list (punctuated + long lines,
+      // fails ONLY the newline/word rule), prose from the doc's own text
+      // (passes), and a mixed page (passes with non-trivial observables)
+      val framed = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          lit("Home\nAbout us\nProducts\nShopping cart\nContact\nSite map"))
+        .when(col("doc_id") % 4 === 1,
+          concat_ws("\n", (1 to 8).map(_ =>
+            lit("Incontrovertible spectacularity.")): _*))
+        .when(col("doc_id") % 4 === 2,
+          concat(col("text"), lit(" It certainly ends with a full sentence here today.")))
+        .otherwise(concat(
+          lit("A first proper sentence arrives right here and keeps going for a while.\n"),
+          col("text"), lit(" plus a trailing clause that ends properly.\n"),
+          lit("tiny\nfragment\nwall"))).as("text"))
+      TextOps.finewebFilters(framed)
+    }),
     "q21_jaccard_all_pairs" -> ((s, dir) => Dedup.ngramJaccardAllPairs(docs(s, dir), 0.5)),
     "q26_dup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(Dedup.ngramJaccardAllPairs(docs(s, dir), 0.5))),
@@ -142,6 +180,11 @@ object SparkEntry {
     }),
     "q38_length_histogram" -> ((s, dir) => CorpusOps.lengthHistogram(docs(s, dir))),
     "q43_token_budget" -> ((s, dir) => CorpusOps.tokenBudgetSelect(docs(s, dir), 1000L)),
+    "q69_mixture_balance" -> ((s, dir) =>
+      // 4:2:1:1 token mixture over four sources (src0's mass binds the
+      // unit count); quality-ordered budget spend within each source
+      CorpusOps.mixtureBalance(docs(s, dir),
+        Map("src0" -> 4L, "src1" -> 2L, "src2" -> 1L, "src3" -> 1L))),
     "q39_url_canonical_dedup" -> ((s, dir) => {
       // deterministic URL frame synthesized from documents (no url column
       // in the table): tracking params + fragments + trailing slashes,
@@ -918,6 +961,41 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
         |  FROM scored)
         |WHERE cum_tokens <= 1000""".stripMargin,
+    "q69_mixture_balance" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |    round(
+        |      least(length(text) / 500.0, 1.0) * 0.4 +
+        |      (CASE WHEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+        |                 / greatest(cast(length(text) AS double), 1.0) > 0.2 THEN 0.0
+        |            ELSE 1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+        |                 / greatest(cast(length(text) AS double), 1.0) * 2 END) * 0.3 +
+        |      least((len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |          w -> w IN ('the','a','an','and','or','of','to','in','is','it',
+        |                     'that','on','for','with','as','at','by','this')))
+        |        / greatest(cast(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS double), 1.0)) * 4.0,
+        |        1.0) * 0.3, 6) AS quality,
+        |    cast(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS bigint) AS n_tokens
+        |  FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+        |wt AS (SELECT * FROM (VALUES ('src0', 4), ('src1', 2), ('src2', 1), ('src3', 1))
+        |         AS t(source, weight)),
+        |tot AS (SELECT source, cast(sum(n_tokens) AS bigint) AS total_tokens
+        |        FROM scored GROUP BY source),
+        |u AS (SELECT min(coalesce(total_tokens, 0) // weight) AS units
+        |      FROM wt LEFT JOIN tot USING (source)),
+        |c AS (SELECT s.doc_id, s.source, s.quality, s.n_tokens, w.weight,
+        |        sum(s.n_tokens) OVER (PARTITION BY s.source
+        |          ORDER BY s.quality DESC, s.doc_id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |      FROM scored s JOIN wt w USING (source))
+        |SELECT doc_id, source, quality, n_tokens,
+        |  cast(cum_tokens AS bigint) AS cum_tokens,
+        |  cast(weight * units AS bigint) AS budget_tokens,
+        |  (cum_tokens <= weight * units) AS kept
+        |FROM c, u""".stripMargin,
     "q39_url_canonical_dedup" ->
       """WITH u AS (
         |  SELECT doc_id,
@@ -1175,6 +1253,49 @@ object SparkEntry {
         |  cast(n_sent AS int) AS n_sentences,
         |  (NOT has_lorem AND NOT has_brace AND n_sent >= 5) AS passes
         |FROM c2""".stripMargin,
+    "q68_fineweb_filters" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN
+        |           'Home' || chr(10) || 'About us' || chr(10) || 'Products' || chr(10) ||
+        |           'Shopping cart' || chr(10) || 'Contact' || chr(10) || 'Site map'
+        |         WHEN doc_id % 4 = 1 THEN
+        |           rtrim(repeat('Incontrovertible spectacularity.' || chr(10), 8), chr(10))
+        |         WHEN doc_id % 4 = 2 THEN
+        |           text || ' It certainly ends with a full sentence here today.'
+        |         ELSE
+        |           'A first proper sentence arrives right here and keeps going for a while.' ||
+        |           chr(10) || text || ' plus a trailing clause that ends properly.' ||
+        |           chr(10) || 'tiny' || chr(10) || 'fragment' || chr(10) || 'wall'
+        |    END AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, text,
+        |        list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS ls
+        |      FROM m),
+        |c AS (SELECT doc_id,
+        |        len(ls) AS n_lines,
+        |        len(list_filter(ls, x -> regexp_matches(trim(x), '[.!?"]$'))) AS n_punct,
+        |        coalesce(list_sum(list_transform(ls, x -> len(x))), 0) AS tot_chars,
+        |        coalesce(list_sum(list_transform(ls,
+        |          x -> CASE WHEN len(x) < 30 THEN len(x) ELSE 0 END)), 0) AS short_chars,
+        |        len(string_split(text, chr(10))) - 1 AS n_nl,
+        |        CASE WHEN trim(text) = '' THEN 0
+        |             ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words
+        |      FROM l),
+        |r AS (SELECT doc_id, n_lines,
+        |        CASE WHEN n_lines = 0 THEN 0.0
+        |             ELSE n_punct / cast(n_lines AS double) END AS pr,
+        |        CASE WHEN tot_chars = 0 THEN 0.0
+        |             ELSE short_chars / cast(tot_chars AS double) END AS sf,
+        |        CASE WHEN n_words = 0 THEN 0.0
+        |             ELSE n_nl / cast(n_words AS double) END AS nl
+        |      FROM c)
+        |SELECT doc_id,
+        |  cast(n_lines AS int) AS n_lines,
+        |  round(pr, 6) AS punct_line_ratio,
+        |  round(sf, 6) AS short_line_char_frac,
+        |  round(nl, 6) AS newline_word_ratio,
+        |  (pr > 0.12 AND sf < 0.67 AND nl < 0.3) AS passes
+        |FROM r""".stripMargin,
     "q59_c4_span_dedup" ->
       """WITH m AS (SELECT doc_id,
         |    'span head ' || (doc_id % 20) || chr(10) ||

@@ -174,6 +174,64 @@ object CorpusOps {
         col("n_tokens"), col("cum_tokens"))
   }
 
+  /** target-mixture balancing — the recipe step behind Pile/RedPajama/
+    * Dolma-style corpora: fix the RELATIVE per-source token proportions
+    * of the training mix. `targetWeights` gives integer mixture parts per
+    * source (web->6, books->1, code->1 means 6:1:1 by tokens). The largest
+    * corpus achievable at exactly those proportions spends
+    * `units = min_s floor(available_s / w_s)` mixture units — the scarcest
+    * source relative to its weight binds — giving every source an exact
+    * integer budget of `w_s * units` tokens; each source then spends its
+    * budget on its highest-quality documents under the same deterministic
+    * (quality DESC, doc_id ASC) inclusive running-sum rule as
+    * [[tokenBudgetSelect]]. Integer unit math keeps the cutoff
+    * engine-portable (no floating-point boundary flips at the budget
+    * edge). Sources without a weight are excluded from the output; a
+    * weighted source ABSENT from the corpus contributes zero available
+    * tokens, so units = 0 and nothing anywhere is kept — the mixture is a
+    * hard constraint, not best-effort (catching a mis-speced recipe beats
+    * silently shipping a skewed mix).
+    *
+    * Returns one row per weighted-source document:
+    * (doc_id, source, quality, n_tokens, cum_tokens, budget_tokens, kept).
+    *
+    * Scale shape: per-source totals are one map-side-partial aggregation
+    * (|sources| rows) left-joined onto the weights so empty sources count
+    * as zero, folded to a ONE-ROW `units` scalar that rejoins as a labeled
+    * broadcast crossJoin (the q52/q60 scalar shape); the per-source
+    * running sum is tokenBudgetSelect's window — its hot-source note and
+    * two-pass pre-prune strategy apply verbatim. */
+  def mixtureBalance(
+      documents: DataFrame,
+      targetWeights: Map[String, Long],
+      tokenizer: String = "ws"): DataFrame = {
+    require(targetWeights.nonEmpty, "targetWeights must name at least one source")
+    require(targetWeights.values.forall(_ > 0), "mixture weights must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val weights = targetWeights.toSeq.toDF("source", "weight")
+    val scored = documents
+      .select(col("doc_id"), col("source"),
+        round(TextOps.qualityScore(col("text")), 6).as("quality"),
+        TextOps.tokensFor(tokenizer, col("text")).as("n_tokens"))
+      .join(broadcast(weights), Seq("source"))
+    val totals = scored.groupBy(col("source")).agg(sum(col("n_tokens")).as("total_tokens"))
+    val units = weights
+      .join(totals, Seq("source"), "left_outer")
+      .agg(min(expr("coalesce(total_tokens, 0L) div weight")).as("units"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .crossJoin(broadcast(units))
+      .withColumn("budget_tokens", col("weight") * col("units"))
+      .select(col("doc_id"), col("source"), col("quality"), col("n_tokens"),
+        col("cum_tokens"), col("budget_tokens"),
+        (col("cum_tokens") <= col("budget_tokens")).as("kept"))
+  }
+
   /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every document by
     * the average per-token log-likelihood ratio between a TARGET bag-of-

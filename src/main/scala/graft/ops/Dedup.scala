@@ -1120,4 +1120,190 @@ object Dedup {
       .join(hit, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("flag"), lit(false)).as("dup_vs_corpus"))
   }
+
+  // ---- SemDeDup (semantic deduplication) -------------------------------------
+
+  private def dotF(a: Seq[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i); i += 1 }
+    s
+  }
+
+  private def normF(a: Seq[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i).toDouble * a(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  /** cosine with zero-norm guard: any zero vector scores 0 (never a dup) */
+  private def cosineF(a: Seq[Float], na: Double, b: Seq[Float], nb: Double): Double =
+    if (na <= 0.0 || nb <= 0.0) 0.0
+    else {
+      var s = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i).toDouble * b(i); i += 1 }
+      s / (na * nb)
+    }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540): k-means
+    * cluster the embedding space, then within each cluster treat any pair
+    * with cosine >= `threshold` as semantic duplicates and keep ONE
+    * representative per duplicate group — the member FARTHEST from the
+    * cluster centroid (the paper's keep-the-outlier rule: typical points
+    * are the redundant ones; atypical points carry the learning signal).
+    *
+    * Deterministic decision rule: cluster members are ordered by
+    * (cosine-to-centroid DESC, vec_id ASC) — most typical first — and a
+    * member is DROPPED iff some LATER member (strictly less typical, or
+    * equal-similarity higher id) is within `threshold` cosine of it. In a
+    * duplicate chain a->b->c this keeps exactly the least-typical end,
+    * matching the reference implementation's sorted upper-triangular
+    * max-similarity matrix.
+    *
+    * Returns one row per input vector: (vec_id, cluster, cent_sim, kept).
+    *
+    * Scale shape (the published algorithm IS the scale path — clustering
+    * exists precisely so the quadratic step never sees the corpus):
+    * k-means trains on a bounded hash-sample (`SimSearch.buildIvfIndex`,
+    * auto nlist ~ sqrt(n)); assignment is ONE map-only pass against the
+    * broadcast centroids; the single shuffle groups (id, cent_sim,
+    * embedding) rows by cluster; per-cluster pairing is O(c^2 * dim)
+    * executor-local work bounded by `maxClusterSize`. Clusters over the
+    * cap — degenerate embeddings collapsing onto one centroid — emit all
+    * members KEPT via a lazy pass-through (bounded buffering, conservative:
+    * silently dropping data in a pathological cluster is worse than
+    * under-deduping it; the cap event is the operational signal to raise
+    * nClusters). */
+  def semDeDup(
+      embeddings: DataFrame,
+      threshold: Double = 0.95,
+      nClusters: Int = 0,
+      iters: Int = 3,
+      dim: Int = 64,
+      trainSample: Long = 200000L,
+      maxClusterSize: Int = MAX_BUCKET_SIZE_DEFAULT): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    assignToCentroids(embeddings, nClusters, iters, dim, trainSample)
+      .groupByKey(_._2)
+      .flatMapGroups { (cluster, it) =>
+        val buf = new scala.collection.mutable.ArrayBuffer[(Long, Double, Double, Seq[Float])]()
+        var over = false
+        while (it.hasNext && !over) {
+          val r = it.next()
+          buf += ((r._1, r._3, r._4, r._5))
+          if (buf.length > maxClusterSize) over = true
+        }
+        if (over) {
+          // pass-through: everything already buffered plus the rest of the
+          // stream emits kept=true without further buffering
+          buf.iterator.map(r => (r._1, cluster, round6(r._2), true)) ++
+            it.map(r => (r._1, cluster, round6(r._3), true))
+        } else {
+          val arr = buf.sortBy(r => (-r._2, r._1)).toArray
+          Iterator.tabulate(arr.length) { i =>
+            val (id, centSim, normI, embI) = arr(i)
+            var dropped = false
+            var j = i + 1
+            while (j < arr.length && !dropped) {
+              if (cosineF(embI, normI, arr(j)._4, arr(j)._3) >= threshold) dropped = true
+              j += 1
+            }
+            (id, cluster, round6(centSim), !dropped)
+          }
+        }
+      }
+      .toDF("vec_id", "cluster", "cent_sim", "kept")
+  }
+
+  /** shared k-means assignment pass for the embedding-space pruners: train
+    * centroids on a bounded hash-sample (`SimSearch.buildIvfIndex`), then
+    * ONE map-only pass emitting (vec_id, cluster, cosine-to-centroid,
+    * self_norm, embedding) per input vector against the broadcast
+    * centroids — no shuffle happens here; callers choose what to move. */
+  private def assignToCentroids(
+      embeddings: DataFrame,
+      nClusters: Int,
+      iters: Int,
+      dim: Int,
+      trainSample: Long): org.apache.spark.sql.Dataset[(Long, Int, Double, Double, Seq[Float])] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = SimSearch.buildIvfIndex(embeddings, nClusters, iters, dim, trainSample).centroids
+    val bc = spark.sparkContext.broadcast(cents)
+    val centNorms = cents.map(c => math.sqrt(dotF(c.toSeq, c)))
+    val bcNorms = spark.sparkContext.broadcast(centNorms)
+    embeddings.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { rows =>
+        val cs = bc.value
+        val ns = bcNorms.value
+        rows.map { case (id, e) =>
+          val c = SimSearch.nearestCentroid(e, cs)
+          val selfNorm = normF(e)
+          val centSim =
+            if (selfNorm <= 0.0 || ns(c) <= 0.0) 0.0
+            else dotF(e, cs(c)) / (selfNorm * ns(c))
+          (id, c, centSim, selfNorm, e)
+        }
+      }
+  }
+
+  /** SSL-prototype pruning (Sorscher et al. 2022, "Beyond neural scaling
+    * laws: beating power law scaling via data pruning", arXiv:2206.14486;
+    * the second stage of the D4 recipe, Tirumala et al. 2023, "D4:
+    * Improving LLM Pretraining via Document De-Duplication and
+    * Diversification", arXiv:2308.12284): k-means cluster the embedding
+    * space, score each member by its cosine to its cluster centroid (its
+    * prototypicality), and DROP the most prototypical `pruneFraction` of
+    * every cluster — the redundant examples near the cluster center carry
+    * the least learning signal; the atypical tail is kept. Ranking happens
+    * within each cluster (the reference implementation sorts examples
+    * cluster-by-cluster), which is also the partition-safe shape at scale.
+    *
+    * Deterministic rule: within a cluster, order by (cent_sim DESC,
+    * vec_id ASC); the first floor(pruneFraction * clusterSize) members are
+    * dropped. Returns one row per input vector:
+    * (vec_id, cluster, cent_sim, kept).
+    *
+    * Composes with [[semDeDup]] as published D4: run semDeDup first, feed
+    * the kept rows' embeddings here.
+    *
+    * Scale shape: bounded-sample k-means + one map-only assignment pass;
+    * the ONLY shuffle moves ~20-byte (vec_id, cluster, cent_sim) triples —
+    * embeddings and documents never move. Ranking is a cluster-partitioned
+    * sort window (sort-based aggregation, spills rather than OOMs if a
+    * degenerate cluster grows huge; raising nClusters is the operational
+    * fix, exactly as in semDeDup). */
+  def prototypesPrune(
+      embeddings: DataFrame,
+      pruneFraction: Double = 0.5,
+      nClusters: Int = 0,
+      iters: Int = 3,
+      dim: Int = 64,
+      trainSample: Long = 200000L): DataFrame = {
+    require(pruneFraction >= 0.0 && pruneFraction <= 1.0,
+      s"pruneFraction must be in [0,1], got $pruneFraction")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val assigned = assignToCentroids(embeddings, nClusters, iters, dim, trainSample)
+      .map(r => (r._1, r._2, round6(r._3)))
+      .toDF("vec_id", "cluster", "cent_sim")
+    val byTypicality = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("cent_sim").desc, col("vec_id").asc)
+    val wholeCluster = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+    assigned
+      .withColumn("rn", row_number().over(byTypicality))
+      .withColumn("n", count(lit(1)).over(wholeCluster))
+      .select(col("vec_id"), col("cluster"), col("cent_sim"),
+        (col("rn").cast("long") > floor(col("n") * pruneFraction)).as("kept"))
+  }
+
+  private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
 }

@@ -1024,4 +1024,59 @@ object TextOps {
         sum(when(col("freq"), 0L).otherwise(1L)).as("n_kept"),
         sum(when(col("freq"), 1L).otherwise(0L)).as("n_removed"))
   }
+
+  /** FineWeb's three custom document filters (Penedo et al. 2024, "The
+    * FineWeb Datasets", arXiv:2406.17557 §3.6 — the rules FineWeb adds ON
+    * TOP of the C4/Gopher bundles after ablating each against benchmark
+    * scores):
+    *
+    *   1. `punct_line_ratio` — fraction of non-blank lines ending in a
+    *      C4 terminal punctuation mark (`. ! ? "`); a page is REMOVED when
+    *      the ratio is <= `punctLineRatioMin` (0.12): listings, menus and
+    *      tag soup terminate almost no lines.
+    *   2. `short_line_char_frac` — fraction of text characters living in
+    *      non-blank lines shorter than `shortLineLen` (30) chars; REMOVED
+    *      when >= `shortLineCharFracMax` (0.67): nav/boilerplate walls.
+    *   3. `newline_word_ratio` — newline characters per whitespace word;
+    *      REMOVED when >= `newlineWordRatioMax` (0.3): fragmented
+    *      scaffolding rather than prose.
+    *
+    * `passes` is the conjunction (strict inequality on the survive side,
+    * matching the paper's "remove if <= / >=" phrasing). Blank-only or
+    * NULL docs observe 0.0 everywhere and fail rule 1. Ratios round
+    * HALF_UP to 1e-6 (Spark `round`) for cross-engine value identity.
+    *
+    * Scale shape: pure per-row codegen'd column math — no explode, no
+    * UDF, zero shuffle; runs fused inside the scan stage (test-gated). */
+  def finewebFilters(
+      documents: DataFrame,
+      punctLineRatioMin: Double = 0.12,
+      shortLineLen: Int = 30,
+      shortLineCharFracMax: Double = 0.67,
+      newlineWordRatioMax: Double = 0.3): DataFrame = {
+    val txt = coalesce(col("text"), lit(""))
+    val lines = filter(split(txt, "\n"), l => trim(l) =!= "")
+    val nLines = size(lines)
+    val punctLines = size(filter(lines, l => trim(l).rlike("[.!?\"]$")))
+    val punctRatio = when(nLines === 0, lit(0.0))
+      .otherwise(punctLines.cast("double") / nLines.cast("double"))
+    val totChars = aggregate(lines, lit(0L), (a, l) => a + length(l))
+    val shortChars = aggregate(lines, lit(0L),
+      (a, l) => a + when(length(l) < shortLineLen, length(l)).otherwise(lit(0L)))
+    val shortFrac = when(totChars === 0L, lit(0.0))
+      .otherwise(shortChars.cast("double") / totChars.cast("double"))
+    val nNewlines = (size(split(txt, "\n")) - 1).cast("double")
+    val words = tokenCount(txt)
+    val nlRatio = when(words === 0, lit(0.0))
+      .otherwise(nNewlines / words.cast("double"))
+    documents.select(
+      col("doc_id"),
+      nLines.as("n_lines"),
+      round(punctRatio, 6).as("punct_line_ratio"),
+      round(shortFrac, 6).as("short_line_char_frac"),
+      round(nlRatio, 6).as("newline_word_ratio"),
+      (punctRatio > punctLineRatioMin &&
+        shortFrac < shortLineCharFracMax &&
+        nlRatio < newlineWordRatioMax).as("passes"))
+  }
 }

@@ -85,6 +85,33 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** streaming twin of Dedup.incrementalExactDedup — the crawl-ingest
+    * lifecycle as a stream: admit a document iff (a) its text hash is
+    * ABSENT from the admitted-corpus key snapshot (the static 8-byte `h`
+    * table written by `Dedup.exactKeySnapshot`), and (b) it is the first
+    * occurrence within the stream's watermark horizon. The snapshot check
+    * is a stream-static left-outer join + null filter (Structured
+    * Streaming's supported left-anti shape; Catalyst broadcasts or
+    * shuffles the static side exactly as in batch). Within-stream state
+    * is watermark-bounded (`dropDuplicatesWithinWatermark`), never the
+    * stream length. Admitted rows ARE the snapshot delta: the sink
+    * appends their `text_hash` back to the snapshot table, closing the
+    * same loop as the batch operator's `snapshotDelta`. Input needs
+    * (doc_id, ts, text). */
+  def streamingIncrementalDedup(
+      docs: DataFrame,
+      snapshot: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    val snapKeys = snapshot.select(col("h").as("text_hash"), lit(true).as("in_corpus"))
+    docs
+      .withColumn("text_hash", xxhash64(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("text_hash")
+      .join(snapKeys, Seq("text_hash"), "left_outer")
+      .filter(col("in_corpus").isNull)
+      .drop("in_corpus")
+  }
+
   final case class DocIn(doc_id: Long, ts: Timestamp, source: String)
   final case class QuotaOut(doc_id: Long, source: String, rank: Long)
 

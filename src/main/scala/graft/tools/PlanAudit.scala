@@ -20,7 +20,8 @@ object PlanAudit {
     // row that node is the optimal scalar-subquery shape, not an
     // all-pairs hazard. q14 stays flagged: its BNLJ is the intentional
     // brute-force baseline, documented at the query.
-    val scalarBnljOk = Set("q52_lm_perplexity", "q60_dsir_score", "q62_ccnet_buckets")
+    val scalarBnljOk =
+      Set("q52_lm_perplexity", "q60_dsir_score", "q62_ccnet_buckets", "q69_mixture_balance")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sf)

@@ -253,6 +253,185 @@ class OpsSpec extends AnyFunSuite {
     assertNoCartesian(Dedup.embeddingNearDups(df, 0.2), "embeddingNearDups@0.2")
   }
 
+  test("semdedup: planted exact copies resolved, sequential recompute agrees, rows preserved") {
+    val dim = 64
+    // random base (pairwise cosine ~0 in dim 64) + exact copies of ids 0..9:
+    // each copy pair must land in one cluster at cosine 1.0, and exactly the
+    // higher-id (least-typical-tiebreak) member survives
+    val base = (0L until 120L).map(i => (i, randVec(i, dim).toSeq))
+    val planted = (0L until 10L).map(i => (500L + i, randVec(i, dim).toSeq))
+    val all = base ++ planted
+    val df = all.toDF("vec_id", "embedding")
+    val got = Dedup.semDeDup(df, threshold = 0.95, nClusters = 4, iters = 3, dim = dim)
+    assertNoCartesian(got, "semDeDup")
+    val rows = got.collect().map(r => (r.getAs[Long]("vec_id"),
+      (r.getAs[Int]("cluster"), r.getAs[Double]("cent_sim"), r.getAs[Boolean]("kept")))).toMap
+    assert(rows.size == all.size, s"expected one row per vector, got ${rows.size}")
+    (0L until 10L).foreach { i =>
+      assert(!rows(i)._3, s"original $i should be dropped (its exact copy is less typical)")
+      assert(rows(500L + i)._3, s"planted copy ${500 + i} should survive")
+      assert(rows(i)._1 == rows(500L + i)._1, s"copy pair $i split across clusters")
+    }
+    // non-planted vectors are pairwise non-similar at 0.95 -> all kept
+    (10L until 120L).foreach(i => assert(rows(i)._3, s"unique vector $i dropped"))
+
+    // sequential recompute of the decision rule from the operator's own
+    // cluster assignment: driver-side O(c^2) pairing must agree exactly
+    val embById = all.toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      if (na <= 0 || nb <= 0) 0.0 else d / math.sqrt(na * nb)
+    }
+    rows.groupBy(_._2._1).foreach { case (_, members) =>
+      val ordered = members.toSeq.map { case (id, (_, centSim, kept)) => (id, centSim, kept) }
+        .sortBy { case (id, centSim, _) => (-centSim, id) }
+      ordered.zipWithIndex.foreach { case ((id, _, kept), i) =>
+        val expectDrop = ordered.drop(i + 1).exists { case (jd, _, _) =>
+          cos(embById(id), embById(jd)) >= 0.95 }
+        assert(kept == !expectDrop, s"vec $id kept=$kept but recompute says drop=$expectDrop")
+      }
+    }
+  }
+
+  test("semdedup: over-cap clusters pass through all-kept, row count preserved") {
+    val dim = 16
+    // 50 exact copies of one vector: they all collapse into one cluster far
+    // over the cap -> conservative pass-through, nothing dropped
+    val v = randVec(7L, dim).toSeq
+    val df = (0L until 50L).map(i => (i, v)).toDF("vec_id", "embedding")
+    val got = Dedup.semDeDup(df, threshold = 0.95, nClusters = 2, iters = 2, dim = dim,
+      maxClusterSize = 5).collect()
+    assert(got.length == 50)
+    assert(got.forall(_.getAs[Boolean]("kept")), "over-cap cluster must keep all members")
+    // same frame under the cap: the rule engages and keeps exactly one
+    val dedup = Dedup.semDeDup(df, threshold = 0.95, nClusters = 2, iters = 2, dim = dim)
+      .collect()
+    assert(dedup.count(_.getAs[Boolean]("kept")) == 1, "exact-copy cluster keeps exactly one")
+    assert(dedup.find(_.getAs[Boolean]("kept")).get.getAs[Long]("vec_id") == 49L,
+      "equal cent_sim tie-break keeps the highest vec_id")
+  }
+
+  test("prototypesPrune: per-cluster floor(f*n) most-typical dropped, recompute agrees") {
+    val dim = 32
+    // 8 tight clusters of 25 (the shared ANN fixture): within each k-means
+    // cluster exactly floor(0.5*n) members — the MOST typical — must drop
+    val vecs = clusteredEmbeddings(dim, 200L)
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Dedup.prototypesPrune(df, pruneFraction = 0.5, nClusters = 8, iters = 4, dim = dim)
+    assertNoCartesian(got, "prototypesPrune")
+    val rows = got.collect().map(r => (r.getAs[Long]("vec_id"),
+      r.getAs[Int]("cluster"), r.getAs[Double]("cent_sim"), r.getAs[Boolean]("kept")))
+    assert(rows.length == 200, s"row count ${rows.length}")
+    rows.groupBy(_._2).foreach { case (c, members) =>
+      val n = members.length
+      val dropped = members.count(!_._4)
+      assert(dropped == n / 2, s"cluster $c: $dropped dropped of $n, want ${n / 2}")
+      // the rule: ordered by (cent_sim DESC, vec_id ASC) the first floor(f*n)
+      // are exactly the dropped set
+      val ordered = members.sortBy(m => (-m._3, m._1))
+      ordered.zipWithIndex.foreach { case (m, i) =>
+        assert(m._4 == (i >= n / 2),
+          s"cluster $c rank $i vec ${m._1} centSim ${m._3} kept=${m._4}")
+      }
+      // dropped members are never less typical than kept ones
+      val minDropped = members.filter(!_._4).map(_._3).min
+      val maxKept = members.filter(_._4).map(_._3).max
+      assert(minDropped >= maxKept, s"cluster $c: dropped $minDropped < kept $maxKept")
+    }
+    // boundary fractions
+    val all = Dedup.prototypesPrune(df, 0.0, nClusters = 4, iters = 2, dim = dim).collect()
+    assert(all.forall(_.getAs[Boolean]("kept")), "pruneFraction=0 must keep everything")
+    val none = Dedup.prototypesPrune(df, 1.0, nClusters = 4, iters = 2, dim = dim).collect()
+    assert(none.forall(!_.getAs[Boolean]("kept")), "pruneFraction=1 must drop everything")
+    intercept[IllegalArgumentException] {
+      Dedup.prototypesPrune(df, -0.1, nClusters = 4, iters = 2, dim = dim)
+    }
+  }
+
+  test("finewebFilters: per-rule observables, conjunction, NULL text, zero shuffle") {
+    val listLine = "Incontrovertible spectacularity." // 32 chars, 2 words: long but sparse
+    val prose = "This is a long and proper sentence with plenty of words inside."
+    val mixed1 = "Word. More words arrive here to bulk the thing out nicely today."
+    val df = Seq(
+      (1L, "Home\nAbout\nShop"),                         // menu wall: all rules fail
+      (2L, Seq.fill(4)(listLine).mkString("\n")),        // fails ONLY newline/word
+      (3L, s"$prose\n$prose"),                           // passes everything
+      (4L, null.asInstanceOf[String]),                   // NULL -> zeros, fails rule 1
+      (5L, s"$mixed1\nok")                               // passes with mixed observables
+    ).toDF("doc_id", "text")
+    val out = TextOps.finewebFilters(df)
+    assert(!physicalPlan(out).contains("Exchange"), physicalPlan(out))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = out.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val g1 = got(1L)
+    assert(g1.getAs[Int]("n_lines") == 3 &&
+      g1.getAs[Double]("punct_line_ratio") == 0.0 &&
+      g1.getAs[Double]("short_line_char_frac") == 1.0 &&
+      g1.getAs[Double]("newline_word_ratio") == r6(2.0 / 3.0) &&
+      !g1.getAs[Boolean]("passes"), g1.toString)
+    val g2 = got(2L)
+    assert(g2.getAs[Double]("punct_line_ratio") == 1.0 &&
+      g2.getAs[Double]("short_line_char_frac") == 0.0 &&
+      g2.getAs[Double]("newline_word_ratio") == 0.375 && // 3 newlines / 8 words
+      !g2.getAs[Boolean]("passes"), g2.toString)
+    val g3 = got(3L)
+    assert(g3.getAs[Double]("punct_line_ratio") == 1.0 &&
+      g3.getAs[Double]("short_line_char_frac") == 0.0 &&
+      g3.getAs[Boolean]("passes"), g3.toString)
+    val g4 = got(4L)
+    assert(g4.getAs[Int]("n_lines") == 0 &&
+      g4.getAs[Double]("punct_line_ratio") == 0.0 &&
+      g4.getAs[Double]("short_line_char_frac") == 0.0 &&
+      g4.getAs[Double]("newline_word_ratio") == 0.0 &&
+      !g4.getAs[Boolean]("passes"), g4.toString)
+    val g5 = got(5L)
+    val mixedWords = mixed1.split("\\s+").length + 1
+    assert(g5.getAs[Int]("n_lines") == 2 &&
+      g5.getAs[Double]("punct_line_ratio") == 0.5 &&
+      g5.getAs[Double]("short_line_char_frac") == r6(2.0 / (mixed1.length + 2.0)) &&
+      g5.getAs[Double]("newline_word_ratio") == r6(1.0 / mixedWords) &&
+      g5.getAs[Boolean]("passes"), g5.toString)
+  }
+
+  test("mixtureBalance: integer unit budgets, quality-ordered spend, recompute agrees") {
+    def mk(src: String, n: Int, seed: Int) = (0 until n).map { i =>
+      ((seed * 1000 + i).toLong, src,
+        s"Document $i of $src carries ${"word " * (5 + (i * 7 + seed) % 9)}and it ends.")
+    }
+    val df = (mk("a", 12, 1) ++ mk("b", 8, 2) ++ mk("c", 6, 3)).toDF("doc_id", "source", "text")
+    val out = CorpusOps.mixtureBalance(df, Map("a" -> 2L, "b" -> 1L))
+    val rows = out.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+      r.getAs[Double]("quality"), r.getAs[Long]("n_tokens"),
+      r.getAs[Long]("cum_tokens"), r.getAs[Long]("budget_tokens"), r.getAs[Boolean]("kept")))
+    // unweighted source 'c' is excluded entirely
+    assert(rows.length == 20 && rows.forall(_._2 != "c"), rows.mkString("\n"))
+    // sequential recompute from the operator's own (quality, n_tokens):
+    val totals = rows.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    val units = math.min(totals("a") / 2L, totals("b") / 1L)
+    val budget = Map("a" -> 2L * units, "b" -> 1L * units)
+    rows.groupBy(_._2).foreach { case (src, members) =>
+      var cum = 0L
+      members.sortBy(m => (-m._3, m._1)).foreach { m =>
+        cum += m._4
+        assert(m._5 == cum, s"doc ${m._1} cum ${m._5} want $cum")
+        assert(m._6 == budget(src), s"doc ${m._1} budget ${m._6} want ${budget(src)}")
+        assert(m._7 == (cum <= budget(src)), s"doc ${m._1} kept=${m._7}")
+      }
+      // budget respected and the mixture binds: kept mass never exceeds it
+      val keptMass = members.filter(_._7).map(_._4).sum
+      assert(keptMass <= budget(src), s"$src kept $keptMass > budget ${budget(src)}")
+    }
+    // a weighted source missing from the corpus binds units to zero:
+    // the mixture is a hard constraint, nothing is kept anywhere
+    val none = CorpusOps.mixtureBalance(df, Map("a" -> 1L, "ghost" -> 1L)).collect()
+    assert(none.nonEmpty && none.forall(!_.getAs[Boolean]("kept")),
+      "absent weighted source must zero the whole mix")
+    intercept[IllegalArgumentException] { CorpusOps.mixtureBalance(df, Map.empty) }
+    intercept[IllegalArgumentException] { CorpusOps.mixtureBalance(df, Map("a" -> 0L)) }
+  }
+
   test("simhash widened banding: all hamming<=3 pairs found despite engineered hot block") {
     // synthetic (doc_id, simhash) set: 20k random hashes, 5k of which share
     // an identical low block (the classic 16-bit-segment hot bucket), plus

@@ -75,6 +75,35 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup: snapshot hits dropped, within-stream dups dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    implicit val sqlCtx = spark.sqlContext
+    // the admitted corpus already holds "old": its key snapshot (column h)
+    val snapshot = Seq("old").toDF("text").select(xxhash64(col("text")).as("h"))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val admitted = streamingIncrementalDedup(
+      input.toDF().toDF("doc_id", "ts", "text"), snapshot)
+    val q = admitted.writeStream.format("memory").queryName("stream_incr_dedup")
+      .outputMode("append").start()
+    try {
+      // batch 1: snapshot hit drops, fresh doc admits, in-batch dup drops
+      input.addData((1L, ts(0), "old"), (2L, ts(0, 10), "fresh"), (3L, ts(0, 20), "fresh"))
+      q.processAllAvailable()
+      // batch 2: re-crawl of "fresh" within the watermark drops; new admits
+      input.addData((4L, ts(1), "fresh"), (5L, ts(1, 30), "newer"))
+      q.processAllAvailable()
+      val ids = spark.table("stream_incr_dedup").collect()
+        .map(_.getAs[Long]("doc_id")).sorted.toSeq
+      assert(ids == Seq(2L, 5L), s"admitted $ids")
+      // admitted rows carry the snapshot-delta key
+      val hashes = spark.table("stream_incr_dedup").collect()
+        .map(_.getAs[Long]("text_hash")).toSet
+      assert(hashes.size == 2 && !hashes.contains(
+        snapshot.collect().head.getAs[Long]("h")), "delta keys must exclude snapshot keys")
+    } finally q.stop()
+  }
+
   test("streaming source quota: cap enforced across micro-batches, per-source state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
