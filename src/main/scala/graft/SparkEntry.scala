@@ -1274,9 +1274,7 @@ object SparkEntry {
         |c AS (SELECT doc_id,
         |        len(ls) AS n_lines,
         |        len(list_filter(ls, x -> regexp_matches(trim(x), '[.!?"]$'))) AS n_punct,
-        |        coalesce(list_sum(list_transform(ls, x -> len(x))), 0) AS tot_chars,
-        |        coalesce(list_sum(list_transform(ls,
-        |          x -> CASE WHEN len(x) < 30 THEN len(x) ELSE 0 END)), 0) AS short_chars,
+        |        len(list_filter(ls, x -> len(x) < 30)) AS n_short,
         |        len(string_split(text, chr(10))) - 1 AS n_nl,
         |        CASE WHEN trim(text) = '' THEN 0
         |             ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words
@@ -1284,15 +1282,15 @@ object SparkEntry {
         |r AS (SELECT doc_id, n_lines,
         |        CASE WHEN n_lines = 0 THEN 0.0
         |             ELSE n_punct / cast(n_lines AS double) END AS pr,
-        |        CASE WHEN tot_chars = 0 THEN 0.0
-        |             ELSE short_chars / cast(tot_chars AS double) END AS sf,
+        |        CASE WHEN n_lines = 0 THEN 0.0
+        |             ELSE n_short / cast(n_lines AS double) END AS sf,
         |        CASE WHEN n_words = 0 THEN 0.0
         |             ELSE n_nl / cast(n_words AS double) END AS nl
         |      FROM c)
         |SELECT doc_id,
         |  cast(n_lines AS int) AS n_lines,
         |  round(pr, 6) AS punct_line_ratio,
-        |  round(sf, 6) AS short_line_char_frac,
+        |  round(sf, 6) AS short_line_frac,
         |  round(nl, 6) AS newline_word_ratio,
         |  (pr > 0.12 AND sf < 0.67 AND nl < 0.3) AS passes
         |FROM r""".stripMargin,

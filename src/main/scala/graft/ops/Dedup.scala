@@ -991,11 +991,23 @@ object Dedup {
     * like `corpusLineDedup` and the other text-keyed ops) */
   def textHashKey: Column = xxhash64(coalesce(col("text"), lit("")))
 
+  /** sentinel for custom `key` expressions that evaluate to NULL: a NULL
+    * key never equi-joins (NULL != NULL), so an un-normalized NULL-keyed
+    * doc would silently vanish from `incrementalExactDedup`'s per-doc
+    * output. All NULL keys group under this one value — "NULL is a dup of
+    * NULL", the key-level analog of `textHashKey`'s NULL ≡ empty. */
+  private[graft] final val NULL_KEY: Long = 0x6e756c6c6b657921L // "nullkey!"
+
+  private def normKey(key: Column): Column =
+    coalesce(key.cast("long"), lit(NULL_KEY))
+
   /** distinct 8-byte key table of a processed corpus — the snapshot the
-    * incremental ops join against. Persist with a plain parquet write;
-    * grow it by appending `snapshotDelta` output, never by rewriting. */
+    * incremental ops join against (NULL keys normalize to [[NULL_KEY]],
+    * matching `incrementalExactDedup`). Persist with a plain parquet
+    * write; grow it by appending `snapshotDelta` output, never by
+    * rewriting. */
   def exactKeySnapshot(corpus: DataFrame, key: Column): DataFrame =
-    corpus.select(key.cast("long").as("h")).distinct()
+    corpus.select(normKey(key).as("h")).distinct()
 
   /** keys present in `newKeys` but not in `snapshot` — the rows to APPEND
     * to the snapshot table after a shard is admitted. `newKeys` is
@@ -1011,7 +1023,16 @@ object Dedup {
     * foldable literal, so the probe stays whole-stage-codegen'd. Returns
     * `table` unchanged when the probe is empty-keyed (nothing can match
     * downstream anyway) — `BloomFilterAggregate` yields NULL on zero rows
-    * and `might_contain(NULL, h)` would silently drop every row. */
+    * and `might_contain(NULL, h)` would silently drop every row.
+    *
+    * Spark silently CLAMPS `BloomFilterAggregate`'s estimate/bits to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
+    * `.maxNumBits` (defaults 4M items / 64M bits): past either limit the
+    * filter saturates toward fpp ~ 1 — the prune then costs a full probe
+    * aggregate pass and drops nothing. So the prune is SKIPPED (returns
+    * `table` unchanged, result-identical since the exact join resolves)
+    * whenever the sized filter would be clamped; raise both confs at
+    * session build time to Bloom-prune larger shards. */
   private def bloomPrune(
       table: DataFrame, probe: DataFrame, nProbe: Long, fpp: Double): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
@@ -1020,14 +1041,22 @@ object Dedup {
     // optimal bits m = -n·ln(p)/ln(2)²; floor keeps tiny probes honest
     val nBits = math.max(64L,
       (-nProbe * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    val agg = GraftColumnBridge.column(new BloomFilterAggregate(
-      GraftColumnBridge.expression(col("h")),
-      Literal(math.max(nProbe, 1L)), Literal(nBits)).toAggregateExpression())
-    val bytes = probe.select(col("h")).agg(agg.as("bf")).head().getAs[Array[Byte]](0)
-    if (bytes == null) table
-    else table.filter(GraftColumnBridge.column(BloomFilterMightContain(
-      Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
-      GraftColumnBridge.expression(col("h")))))
+    val conf = table.sparkSession.conf
+    val maxItems =
+      conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits =
+      conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    if (nProbe > maxItems || nBits > maxBits) table
+    else {
+      val agg = GraftColumnBridge.column(new BloomFilterAggregate(
+        GraftColumnBridge.expression(col("h")),
+        Literal(math.max(nProbe, 1L)), Literal(nBits)).toAggregateExpression())
+      val bytes = probe.select(col("h")).agg(agg.as("bf")).head().getAs[Array[Byte]](0)
+      if (bytes == null) table
+      else table.filter(GraftColumnBridge.column(BloomFilterMightContain(
+        Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
+        GraftColumnBridge.expression(col("h")))))
+    }
   }
 
   /** dedup an incoming shard against an `exactKeySnapshot` of the corpus
@@ -1041,20 +1070,42 @@ object Dedup {
     * first-in-shard winner — robust to duplicate `h` rows in a
     * hand-built snapshot (no join-side row multiplication) — then one
     * equi-join back onto the shard's (doc_id, h) pairs. Only 8-byte keys
-    * ever shuffle; documents never move. The Bloom prefilter engages when
-    * the shard has at most `bloomMaxKeys` rows (~57 MB of filter at the
-    * 50M default / 1% fpp — task-binary broadcast scale); above the cap
-    * the exact join runs unfiltered rather than risk a driver-OOM-sized
-    * literal. */
+    * ever shuffle; documents never move. NULL `key` values normalize to
+    * [[NULL_KEY]] so every shard doc appears in the output (a raw NULL
+    * would never equi-join back). The Bloom prefilter engages when the
+    * shard has at most `bloomMaxKeys` rows AND the sized filter fits
+    * Spark's `runtime.bloomFilter.maxNumItems/maxNumBits` clamps (defaults
+    * 4M/64M — see `bloomPrune`; raise the confs for bigger shards); past
+    * either bound the exact join runs unfiltered rather than pay for a
+    * saturated filter. The shard's (doc_id, h) pairs are persisted for the
+    * pass count + bloom aggregate + final join (16 B/row, released after
+    * the eager result materialization — `Checkpoints` discipline), so the
+    * shard lineage is read ONCE. */
   def incrementalExactDedup(
       shard: DataFrame,
       snapshot: DataFrame,
       key: Column = textHashKey,
       bloomMaxKeys: Long = 50000000L,
       bloomFpp: Double = 0.01): DataFrame = {
+    val (out, hashes) =
+      incrementalExactDedupLazy(shard, snapshot, key, bloomMaxKeys, bloomFpp)
+    Checkpoints.eager(out) { hashes.unpersist(); () }
+  }
+
+  /** lazy plan behind `incrementalExactDedup` (plan-gate tests inspect
+    * the bloom prefilter / join shape here; the public method checkpoints
+    * the result to release the hash cache). Returns
+    * (result, hashes-to-unpersist). */
+  private[graft] def incrementalExactDedupLazy(
+      shard: DataFrame,
+      snapshot: DataFrame,
+      key: Column = textHashKey,
+      bloomMaxKeys: Long = 50000000L,
+      bloomFpp: Double = 0.01): (DataFrame, DataFrame) = {
     val hashes = shard.select(col("doc_id").cast("long").as("doc_id"),
-      key.cast("long").as("h"))
-    val nShard = shard.count()
+      normKey(key).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nShard = hashes.count() // materializes the cache; replaces a shard re-scan
     val snapKeys =
       if (nShard > 0 && nShard <= bloomMaxKeys)
         bloomPrune(snapshot.select(col("h")), hashes, nShard, bloomFpp)
@@ -1065,9 +1116,10 @@ object Dedup {
       .groupBy(col("h"))
       .agg(max(col("snap")).as("in_corpus"),
         min(when(!col("snap"), col("doc_id"))).as("first_id"))
-    hashes.join(perHash, Seq("h"))
+    val out = hashes.join(perHash, Seq("h"))
       .select(col("doc_id"), col("in_corpus").as("dup_vs_corpus"),
         (!col("in_corpus") && col("doc_id") === col("first_id")).as("keep"))
+    (out, hashes)
   }
 
   /** MinHash band-key snapshot of an admitted corpus: the 16 LSH bucket
@@ -1092,7 +1144,12 @@ object Dedup {
     * band), applied shard-vs-snapshot instead of pairwise; combine with
     * `minhashLsh(shard)` for intra-shard near-dups. The snapshot side is
     * Bloom-pruned by the shard's band keys under the same size gate as
-    * `incrementalExactDedup` (shard band rows = 16x docs). */
+    * `incrementalExactDedup` (shard band rows = 16x docs; Spark's
+    * bloom-filter clamps apply — see `bloomPrune`). The shard's band rows
+    * are persisted across the count + bloom aggregate + semi-join (typed
+    * MapElements subtrees get NO exchange reuse — minhashLsh's persisted-
+    * signatures rationale), so the 64-hash signature pipeline runs ONCE
+    * per shard doc; released after the eager result materialization. */
   def minhashIncrementalFlags(
       shard: DataFrame,
       bandSnapshot: DataFrame,
@@ -1109,16 +1166,19 @@ object Dedup {
         (0 until N_BANDS).iterator.map(b => (id, bandKey(sig, b)))
       }
       .toDF("doc_id", "h")
-    val nBandRows = shard.count() * N_BANDS
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materializes the cache; == shard.count() * N_BANDS without re-scanning
+    val nBandRows = banded.count()
     val snapKeys =
       if (nBandRows > 0 && nBandRows <= bloomMaxKeys)
         bloomPrune(bandSnapshot.select(col("h")), banded, nBandRows, bloomFpp)
       else bandSnapshot.select(col("h"))
     val hit = banded.join(snapKeys, Seq("h"), "left_semi")
       .select(col("doc_id")).distinct().withColumn("flag", lit(true))
-    shard.select(col("doc_id").cast("long").as("doc_id"))
+    val out = shard.select(col("doc_id").cast("long").as("doc_id"))
       .join(hit, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("flag"), lit(false)).as("dup_vs_corpus"))
+    Checkpoints.eager(out) { banded.unpersist(); () }
   }
 
   // ---- SemDeDup (semantic deduplication) -------------------------------------
@@ -1158,7 +1218,8 @@ object Dedup {
     * are the redundant ones; atypical points carry the learning signal).
     *
     * Deterministic decision rule: cluster members are ordered by
-    * (cosine-to-centroid DESC, vec_id ASC) — most typical first — and a
+    * (cosine-to-centroid rounded to 1e-6 — the emitted `cent_sim` — DESC,
+    * vec_id ASC) — most typical first — and a
     * member is DROPPED iff some LATER member (strictly less typical, or
     * equal-similarity higher id) is within `threshold` cosine of it. In a
     * duplicate chain a->b->c this keeps exactly the least-typical end,
@@ -1205,7 +1266,11 @@ object Dedup {
           buf.iterator.map(r => (r._1, cluster, round6(r._2), true)) ++
             it.map(r => (r._1, cluster, round6(r._3), true))
         } else {
-          val arr = buf.sortBy(r => (-r._2, r._1)).toArray
+          // order by the ROUNDED cent_sim (the emitted value): the output
+          // is then self-oracling — a recompute from (cent_sim, vec_id)
+          // reproduces the exact ordering; raw-value ordering could flip
+          // sub-1e-6 ties against the emitted tie-break
+          val arr = buf.sortBy(r => (-round6(r._2), r._1)).toArray
           Iterator.tabulate(arr.length) { i =>
             val (id, centSim, normI, embI) = arr(i)
             var dropped = false

@@ -1034,17 +1034,26 @@ object TextOps {
     *      C4 terminal punctuation mark (`. ! ? "`); a page is REMOVED when
     *      the ratio is <= `punctLineRatioMin` (0.12): listings, menus and
     *      tag soup terminate almost no lines.
-    *   2. `short_line_char_frac` — fraction of text characters living in
-    *      non-blank lines shorter than `shortLineLen` (30) chars; REMOVED
-    *      when >= `shortLineCharFracMax` (0.67): nav/boilerplate walls.
+    *   2. `short_line_frac` — fraction of non-blank LINES shorter than
+    *      `shortLineLen` (30) chars (the datatrove FineWebQualityFilter's
+    *      `short_line_thr` counts lines, not characters); REMOVED when
+    *      >= `shortLineFracMax` (0.67): nav/boilerplate walls.
     *   3. `newline_word_ratio` — newline characters per whitespace word;
     *      REMOVED when >= `newlineWordRatioMax` (0.3): fragmented
     *      scaffolding rather than prose.
     *
+    * (FineWeb's fourth rule — the fraction of characters in duplicated
+    * lines — is the Gopher repetition observable already surfaced by
+    * [[gopherRepetitionRules]]' `dup_line_char_frac`; compose the two
+    * frames for the full datatrove conjunction.)
+    *
     * `passes` is the conjunction (strict inequality on the survive side,
     * matching the paper's "remove if <= / >=" phrasing). Blank-only or
-    * NULL docs observe 0.0 everywhere and fail rule 1. Ratios round
-    * HALF_UP to 1e-6 (Spark `round`) for cross-engine value identity.
+    * NULL docs observe 0.0 everywhere and fail rule 1. Deviation from
+    * datatrove: blank lines are excluded from BOTH line ratios (datatrove
+    * splits on raw `\n`), keeping rule denominators consistent. Ratios
+    * round HALF_UP to 1e-6 (Spark `round`) for cross-engine value
+    * identity.
     *
     * Scale shape: pure per-row codegen'd column math — no explode, no
     * UDF, zero shuffle; runs fused inside the scan stage (test-gated). */
@@ -1052,7 +1061,7 @@ object TextOps {
       documents: DataFrame,
       punctLineRatioMin: Double = 0.12,
       shortLineLen: Int = 30,
-      shortLineCharFracMax: Double = 0.67,
+      shortLineFracMax: Double = 0.67,
       newlineWordRatioMax: Double = 0.3): DataFrame = {
     val txt = coalesce(col("text"), lit(""))
     val lines = filter(split(txt, "\n"), l => trim(l) =!= "")
@@ -1060,11 +1069,9 @@ object TextOps {
     val punctLines = size(filter(lines, l => trim(l).rlike("[.!?\"]$")))
     val punctRatio = when(nLines === 0, lit(0.0))
       .otherwise(punctLines.cast("double") / nLines.cast("double"))
-    val totChars = aggregate(lines, lit(0L), (a, l) => a + length(l))
-    val shortChars = aggregate(lines, lit(0L),
-      (a, l) => a + when(length(l) < shortLineLen, length(l)).otherwise(lit(0L)))
-    val shortFrac = when(totChars === 0L, lit(0.0))
-      .otherwise(shortChars.cast("double") / totChars.cast("double"))
+    val shortLines = size(filter(lines, l => length(l) < shortLineLen))
+    val shortFrac = when(nLines === 0, lit(0.0))
+      .otherwise(shortLines.cast("double") / nLines.cast("double"))
     val nNewlines = (size(split(txt, "\n")) - 1).cast("double")
     val words = tokenCount(txt)
     val nlRatio = when(words === 0, lit(0.0))
@@ -1073,10 +1080,10 @@ object TextOps {
       col("doc_id"),
       nLines.as("n_lines"),
       round(punctRatio, 6).as("punct_line_ratio"),
-      round(shortFrac, 6).as("short_line_char_frac"),
+      round(shortFrac, 6).as("short_line_frac"),
       round(nlRatio, 6).as("newline_word_ratio"),
       (punctRatio > punctLineRatioMin &&
-        shortFrac < shortLineCharFracMax &&
+        shortFrac < shortLineFracMax &&
         nlRatio < newlineWordRatioMax).as("passes"))
   }
 }

@@ -104,7 +104,11 @@ object StreamOps {
       watermark: String = "10 minutes"): DataFrame = {
     val snapKeys = snapshot.select(col("h").as("text_hash"), lit(true).as("in_corpus"))
     docs
-      .withColumn("text_hash", xxhash64(col("text")))
+      // same key definition as the batch twin (Dedup.textHashKey): NULL
+      // text hashes like empty text — a bare xxhash64(text) would give
+      // NULL keys that never join-match the snapshot (and would append
+      // NULL delta keys the batch lifecycle can never match)
+      .withColumn("text_hash", graft.ops.Dedup.textHashKey)
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("text_hash")
       .join(snapKeys, Seq("text_hash"), "left_outer")

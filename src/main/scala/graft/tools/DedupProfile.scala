@@ -49,19 +49,12 @@ object DedupProfile {
       val s1 = (System.nanoTime() - t0) / 1e9
       // --- S2: band keys + bucket pairing + candidate dedup ---
       t0 = System.nanoTime()
+      // the ONE production band-hash (Dedup.bandKey): an inline copy here
+      // would profile a different bucketing than production if the hash
+      // ever changed
       val banded = sigs.as[(Long, Array[Long])]
         .flatMap { case (id, sig) =>
-          (0 until Dedup.N_BANDS).iterator.map { b =>
-            var acc = 0x811c9dc5
-            var r = 0
-            while (r < Dedup.ROWS_PER_BAND) {
-              val v = sig(b * Dedup.ROWS_PER_BAND + r)
-              acc = (acc ^ v.toInt) * 0x01000193
-              acc = (acc ^ (v >>> 32).toInt) * 0x01000193
-              r += 1
-            }
-            ((b.toLong << 32) | (acc & 0xffffffffL), id)
-          }
+          (0 until Dedup.N_BANDS).iterator.map(b => (Dedup.bandKey(sig, b), id))
         }
       val pairs = banded.groupByKey(_._1)
         .flatMapGroups { (_, it) =>

@@ -368,29 +368,29 @@ class OpsSpec extends AnyFunSuite {
     val g1 = got(1L)
     assert(g1.getAs[Int]("n_lines") == 3 &&
       g1.getAs[Double]("punct_line_ratio") == 0.0 &&
-      g1.getAs[Double]("short_line_char_frac") == 1.0 &&
+      g1.getAs[Double]("short_line_frac") == 1.0 &&
       g1.getAs[Double]("newline_word_ratio") == r6(2.0 / 3.0) &&
       !g1.getAs[Boolean]("passes"), g1.toString)
     val g2 = got(2L)
     assert(g2.getAs[Double]("punct_line_ratio") == 1.0 &&
-      g2.getAs[Double]("short_line_char_frac") == 0.0 &&
+      g2.getAs[Double]("short_line_frac") == 0.0 && // 32-char lines are not short
       g2.getAs[Double]("newline_word_ratio") == 0.375 && // 3 newlines / 8 words
       !g2.getAs[Boolean]("passes"), g2.toString)
     val g3 = got(3L)
     assert(g3.getAs[Double]("punct_line_ratio") == 1.0 &&
-      g3.getAs[Double]("short_line_char_frac") == 0.0 &&
+      g3.getAs[Double]("short_line_frac") == 0.0 &&
       g3.getAs[Boolean]("passes"), g3.toString)
     val g4 = got(4L)
     assert(g4.getAs[Int]("n_lines") == 0 &&
       g4.getAs[Double]("punct_line_ratio") == 0.0 &&
-      g4.getAs[Double]("short_line_char_frac") == 0.0 &&
+      g4.getAs[Double]("short_line_frac") == 0.0 &&
       g4.getAs[Double]("newline_word_ratio") == 0.0 &&
       !g4.getAs[Boolean]("passes"), g4.toString)
     val g5 = got(5L)
     val mixedWords = mixed1.split("\\s+").length + 1
     assert(g5.getAs[Int]("n_lines") == 2 &&
       g5.getAs[Double]("punct_line_ratio") == 0.5 &&
-      g5.getAs[Double]("short_line_char_frac") == r6(2.0 / (mixed1.length + 2.0)) &&
+      g5.getAs[Double]("short_line_frac") == 0.5 && // "ok" is the one short line
       g5.getAs[Double]("newline_word_ratio") == r6(1.0 / mixedWords) &&
       g5.getAs[Boolean]("passes"), g5.toString)
   }
@@ -763,19 +763,11 @@ class OpsSpec extends AnyFunSuite {
       .toMap
     val (as, bs) = Dedup.hashParams(42L)
     val sigs = docs.map { case (id, t) => id -> Dedup.minhashSignature(t, as, bs) }.toMap
-    def bandKey(sig: Array[Long], b: Int): Long = {
-      var acc = 0x811c9dc5
-      var r = 0
-      while (r < Dedup.ROWS_PER_BAND) {
-        val v = sig(b * Dedup.ROWS_PER_BAND + r)
-        acc = (acc ^ v.toInt) * 0x01000193
-        acc = (acc ^ (v >>> 32).toInt) * 0x01000193
-        r += 1
-      }
-      (b.toLong << 32) | (acc & 0xffffffffL)
-    }
+    // the ONE production band-hash definition (Dedup.bandKey) — an inline
+    // copy here would keep validating a stale hash if the production one
+    // ever changed
     val buckets = docs.flatMap { case (id, _) =>
-      (0 until Dedup.N_BANDS).map(b => bandKey(sigs(id), b) -> id)
+      (0 until Dedup.N_BANDS).map(b => Dedup.bandKey(sigs(id), b) -> id)
     }.groupBy(_._1).values.map(_.map(_._2).sorted)
     val expPairs = buckets.flatMap { ids =>
       for (i <- ids.indices; j <- (i + 1) until ids.length) yield (ids(i), ids(j))
@@ -2025,12 +2017,51 @@ class OpsSpec extends AnyFunSuite {
       concat(lit("corpus text "), col("id")).as("text"))
     val shard = spark.range(10).select((col("id") + 1000).as("doc_id"),
       concat(lit("shard text "), col("id")).as("text"))
-    val out = Dedup.incrementalExactDedup(shard,
+    // the lazy builder exposes the join shape (the public method
+    // checkpoints, which hides it from explain())
+    val (out, hashes) = Dedup.incrementalExactDedupLazy(shard,
       Dedup.exactKeySnapshot(corpus, Dedup.textHashKey))
     val plan = out.queryExecution.executedPlan.toString
+    hashes.unpersist()
     assert(plan.contains("might_contain"),
       s"bloom prefilter missing from plan:\n$plan")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), s"bad join in plan:\n$plan")
+    // Spark clamps BloomFilterAggregate at runtime.bloomFilter.maxNumItems/
+    // maxNumBits (defaults 4M/64M): a clamped filter saturates toward
+    // fpp~1, so past the limits the prune must be SKIPPED, not built
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val prev = spark.conf.get(itemsKey, "4000000")
+    spark.conf.set(itemsKey, "5")
+    try {
+      val (clamped, h2) = Dedup.incrementalExactDedupLazy(shard,
+        Dedup.exactKeySnapshot(corpus, Dedup.textHashKey))
+      val p2 = clamped.queryExecution.executedPlan.toString
+      h2.unpersist()
+      assert(!p2.contains("might_contain"),
+        s"prune must be skipped when the filter would be clamped:\n$p2")
+    } finally spark.conf.set(itemsKey, prev)
+  }
+
+  test("incrementalExactDedup: NULL custom keys normalize, no row vanishes") {
+    // a custom key expression that is NULL for half the shard: every doc
+    // must still appear in the output, NULL keys dedup as one group, and
+    // a NULL-keyed snapshot entry flags NULL-keyed shard docs as dups
+    val shard = Seq((1L, "x"), (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String]), (4L, "y")).toDF("doc_id", "text")
+    val nullableKey = xxhash64(col("text")) // NULL text -> NULL key
+    val emptySnap = Seq.empty[Long].toDF("h")
+    val a = Dedup.incrementalExactDedup(shard, emptySnap, key = nullableKey)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+    assert(a.size == 4, s"rows vanished: ${a.keySet}")
+    assert(a(2L) == ((false, true)) && a(3L) == ((false, false)),
+      "NULL keys must group: first kept, second a dup")
+    assert(a(1L)._2 && a(4L)._2)
+    // snapshot built with the same nullable key flags NULL-keyed docs
+    val snapWithNull = Dedup.exactKeySnapshot(
+      Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"), nullableKey)
+    val b = Dedup.incrementalExactDedup(shard, snapWithNull, key = nullableKey)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(b(2L) && b(3L) && !b(1L) && !b(4L), s"got $b")
   }
 }

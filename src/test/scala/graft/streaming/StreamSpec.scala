@@ -77,18 +77,21 @@ class StreamSpec extends AnyFunSuite {
 
   test("streaming incremental dedup: snapshot hits dropped, within-stream dups dropped") {
     import spark.implicits._
-    import org.apache.spark.sql.functions.{col, xxhash64}
     implicit val sqlCtx = spark.sqlContext
-    // the admitted corpus already holds "old": its key snapshot (column h)
-    val snapshot = Seq("old").toDF("text").select(xxhash64(col("text")).as("h"))
+    // the admitted corpus already holds "old" and an EMPTY-text doc: its
+    // key snapshot (column h, same textHashKey as the batch lifecycle)
+    val snapshot = graft.ops.Dedup.exactKeySnapshot(
+      Seq("old", "").toDF("text"), graft.ops.Dedup.textHashKey)
     val input = MemoryStream[(Long, Timestamp, String)]
     val admitted = streamingIncrementalDedup(
       input.toDF().toDF("doc_id", "ts", "text"), snapshot)
     val q = admitted.writeStream.format("memory").queryName("stream_incr_dedup")
       .outputMode("append").start()
     try {
-      // batch 1: snapshot hit drops, fresh doc admits, in-batch dup drops
-      input.addData((1L, ts(0), "old"), (2L, ts(0, 10), "fresh"), (3L, ts(0, 20), "fresh"))
+      // batch 1: snapshot hit drops, fresh doc admits, in-batch dup drops,
+      // and a NULL-text doc keys like empty text -> snapshot hit, drops
+      input.addData((1L, ts(0), "old"), (2L, ts(0, 10), "fresh"), (3L, ts(0, 20), "fresh"),
+        (6L, ts(0, 40), null.asInstanceOf[String]))
       q.processAllAvailable()
       // batch 2: re-crawl of "fresh" within the watermark drops; new admits
       input.addData((4L, ts(1), "fresh"), (5L, ts(1, 30), "newer"))
@@ -99,8 +102,9 @@ class StreamSpec extends AnyFunSuite {
       // admitted rows carry the snapshot-delta key
       val hashes = spark.table("stream_incr_dedup").collect()
         .map(_.getAs[Long]("text_hash")).toSet
-      assert(hashes.size == 2 && !hashes.contains(
-        snapshot.collect().head.getAs[Long]("h")), "delta keys must exclude snapshot keys")
+      val snapKeys = snapshot.collect().map(_.getAs[Long]("h")).toSet
+      assert(hashes.size == 2 && hashes.intersect(snapKeys).isEmpty,
+        "delta keys must exclude snapshot keys")
     } finally q.stop()
   }
 
