@@ -185,6 +185,26 @@ object SparkEntry {
       // unit count); quality-ordered budget spend within each source
       CorpusOps.mixtureBalance(docs(s, dir),
         Map("src0" -> 4L, "src1" -> 2L, "src2" -> 1L, "src3" -> 1L))),
+    "q70_shuffle_shards" -> ((s, dir) =>
+      // the pipeline's last step: deterministic global shuffle + shard
+      // assignment (16 shards; hash-mod shard, within-shard rank)
+      CorpusOps.shuffleShards(docs(s, dir), 16)),
+    "q71_dedup_keep_best" -> ((s, dir) => {
+      // quality-priority dedup needs normalization-equivalent copies whose
+      // RAW quality differs: every 10th doc gains a double-spaced twin
+      // (same normalized form, different length/punct-ratio -> different
+      // quality), so the winner rule is exercised, not just the grouping
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val twins = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          regexp_replace(col("text"), " ", "  ").as("text"))
+      Dedup.exactDedupKeepBest(base.unionByName(twins))
+    }),
+    "q73_temperature_sample" -> ((s, dir) =>
+      // XLM-R's p^alpha language rebalancing at alpha=0.3: head langs
+      // downsample toward the temperature share, tail langs saturate at
+      // keep-all with the residual up_factor reported
+      CorpusOps.temperatureSample(docs(s, dir), 0.3)),
     "q39_url_canonical_dedup" -> ((s, dir) => {
       // deterministic URL frame synthesized from documents (no url column
       // in the table): tracking params + fragments + trailing slashes,
@@ -996,6 +1016,65 @@ object SparkEntry {
         |  cast(weight * units AS bigint) AS budget_tokens,
         |  (cum_tokens <= weight * units) AS kept
         |FROM c, u""".stripMargin,
+    "q70_shuffle_shards" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 2147483648) * 2654435761) % 4294967296 AS mix,
+        |    cast(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS bigint) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, cast(mix % 16 AS int) AS shard_id,
+        |  cast(row_number() OVER (PARTITION BY mix % 16 ORDER BY mix, doc_id) AS bigint)
+        |    AS shard_pos,
+        |  n_tokens
+        |FROM m""".stripMargin,
+    "q71_dedup_keep_best" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id, replace(text, ' ', '  ') AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(
+        |      least(length(text) / 500.0, 1.0) * 0.4 +
+        |      (CASE WHEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+        |                 / greatest(cast(length(text) AS double), 1.0) > 0.2 THEN 0.0
+        |            ELSE 1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+        |                 / greatest(cast(length(text) AS double), 1.0) * 2 END) * 0.3 +
+        |      least((len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |          w -> w IN ('the','a','an','and','or','of','to','in','is','it',
+        |                     'that','on','for','with','as','at','by','this')))
+        |        / greatest(cast(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS double), 1.0)) * 4.0,
+        |        1.0) * 0.3, 6) AS quality,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(coalesce(text, ''),
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |      '[ \t]+', ' ', 'g'),
+        |      '\n{3,}', chr(10) || chr(10), 'g')) AS norm
+        |  FROM base),
+        |w AS (
+        |  SELECT doc_id, quality,
+        |    count(*) OVER (PARTITION BY norm) AS n_copies,
+        |    row_number() OVER (PARTITION BY norm ORDER BY quality DESC, doc_id ASC) AS rn
+        |  FROM q)
+        |SELECT doc_id, quality, n_copies, (rn = 1) AS kept FROM w""".stripMargin,
+    "q73_temperature_sample" ->
+      """WITH c AS (
+        |  SELECT coalesce(lang, 'und') AS lang, count(*) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_docs) AS n_total FROM c),
+        |p AS (SELECT lang, n_docs, n_total,
+        |        n_docs / cast(n_total AS double) AS p FROM c, t),
+        |z AS (SELECT sum(pow(p, 0.3)) AS z FROM p),
+        |r AS (SELECT lang,
+        |        round(least(round(pow(p, 0.3) / z * n_total / n_docs, 6), 1.0), 6) AS rate,
+        |        round(pow(p, 0.3) / z * n_total / n_docs, 6) AS up_factor
+        |      FROM p, z)
+        |SELECT d.doc_id, coalesce(d.lang, 'und') AS lang, r.rate, r.up_factor,
+        |  ((((d.doc_id % 2147483648) * 1597334677) % 4294967296) / 4294967296.0 < r.rate)
+        |    AS kept
+        |FROM documents d JOIN r ON coalesce(d.lang, 'und') = r.lang""".stripMargin,
     "q39_url_canonical_dedup" ->
       """WITH u AS (
         |  SELECT doc_id,

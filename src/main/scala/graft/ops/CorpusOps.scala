@@ -291,6 +291,86 @@ object CorpusOps {
   /** per-source length histogram: bucket = floor(n_chars / bucketWidth),
     * count + share-of-source. One partial-aggregated shuffle on
     * (source, bucket); the share join is vs the source totals (tiny). */
+  /** engine-portable deterministic per-doc mix in [0, 2^32): an odd
+    * multiplicative hash over doc_id reduced mod 2^31 (the reduction keeps
+    * `reduced * multiplier` inside int64 at any doc_id scale — 2^31 x
+    * ~2.7e9 < 2^63). Pure integer arithmetic so any SQL engine computes
+    * the identical value: the same retry-stable property the md5-bucket
+    * sampler has, in a form whose MOD/ORDER math stays in plain columns. */
+  private def mix32(id: Column, multiplier: Long): Column =
+    pmod(pmod(id, lit(2147483648L)) * lit(multiplier), lit(4294967296L))
+
+  /** deterministic training-order shuffle + shard assignment — the final
+    * step of every pretraining data pipeline: break source/crawl locality
+    * by globally shuffling the admitted corpus, then write N shards whose
+    * within-shard order is reproducible (a retry or a second lab run
+    * produces byte-identical shards). The shuffle key is `mix32`
+    * (multiplier 2654435761, Knuth's 2^32/phi), shard = key mod nShards,
+    * and `shard_pos` is the rank inside the shard by (key, doc_id).
+    *
+    * Scale shape: shard assignment is per-row column math fused into the
+    * scan (zero shuffle); the within-shard rank is one window partitioned
+    * by shard_id — choose nShards so a shard's rows fit one task (real
+    * corpora write 10^4-10^6 shards, each some hundreds of MB: exactly the
+    * granularity a sequential shard writer needs anyway). Token counts
+    * ride along so downstream writers can report per-shard token mass. */
+  def shuffleShards(
+      documents: DataFrame,
+      nShards: Int = 16,
+      tokenizer: String = "ws"): DataFrame = {
+    require(nShards >= 1, s"nShards must be positive, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard_id")).orderBy(col("mix"), col("doc_id"))
+    documents
+      .select(col("doc_id"),
+        TextOps.tokensFor(tokenizer, col("text")).as("n_tokens"),
+        mix32(col("doc_id"), 2654435761L).as("mix"))
+      .withColumn("shard_id", pmod(col("mix"), lit(nShards.toLong)).cast("int"))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard_id"), col("shard_pos"), col("n_tokens"))
+  }
+
+  /** temperature-based multilingual resampling (the p^alpha rule of
+    * XLM-R / mBERT / mT5: Conneau et al. 2020 §3.1, sampling prob
+    * q_l ∝ p_l^alpha): rebalances a language-skewed corpus toward the
+    * flat distribution as alpha -> 0. Per-language keep RATE
+    * r_l = min(1, q_l * N / n_l) — head languages are downsampled to
+    * their temperature share; tail languages whose share should GROW
+    * saturate at keep-all, with the residual emitted as `up_factor`
+    * (q_l*N/n_l, the repetition multiplier an upsampling epoch sampler
+    * would apply — this operator only ever drops rows, never clones).
+    * The keep decision is the `mix32` uniform u(doc_id) < r_l: hash-based
+    * and engine-portable, so reruns reproduce the exact corpus (rates
+    * rounded to 1e-6 so both engines compare the same literal).
+    *
+    * Scale shape: per-language counts are one tiny aggregate; rates come
+    * back as a broadcast lang-keyed join (bounded by #languages); the
+    * keep test is per-row column math — the corpus itself never
+    * shuffles. */
+  def temperatureSample(documents: DataFrame, alpha: Double = 0.3): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val langCol = coalesce(col("lang"), lit("und"))
+    val counts = documents.groupBy(langCol.as("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    // q_l = p_l^alpha / sum(p^alpha); both the total and the normalizer are
+    // 1-row scalars — labeled lazy broadcast joins (q52's shape)
+    val withP = counts
+      .crossJoin(broadcast(counts.agg(sum(col("n_docs")).as("n_total"))))
+      .withColumn("p", col("n_docs").cast("double") / col("n_total"))
+    val rates = withP
+      .crossJoin(broadcast(withP.agg(sum(pow(col("p"), lit(alpha))).as("z"))))
+      .withColumn("q", pow(col("p"), lit(alpha)) / col("z"))
+      .withColumn("up_factor", round(col("q") * col("n_total") / col("n_docs"), 6))
+      .select(col("lang"), round(least(col("up_factor"), lit(1.0)), 6).as("rate"),
+        col("up_factor"))
+    val u = mix32(col("doc_id"), 1597334677L) / lit(4294967296.0)
+    documents
+      .select(col("doc_id"), langCol.as("lang"))
+      .join(broadcast(rates), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("rate"), col("up_factor"),
+        (u < col("rate")).as("kept"))
+  }
+
   def lengthHistogram(documents: DataFrame, bucketWidth: Int = 100): DataFrame = {
     val bucketed = documents.select(col("source"),
       floor(col("n_chars").cast("double") / bucketWidth).cast("long").as("len_bucket"))

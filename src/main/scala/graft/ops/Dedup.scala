@@ -34,6 +34,39 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
 
+  /** quality-PRIORITY exact dedup over normalization-equivalent copies —
+    * the Dolma/RedPajama "keep the best copy" rule instead of keep-first:
+    * documents whose `TextOps.normalizeText` forms are byte-identical
+    * form a group (re-crawls of one page differing only in whitespace/
+    * control-char noise), and the group's winner is the copy with the
+    * highest RAW-text quality score (tie -> lowest doc_id) — the copy a
+    * curator would keep, not the one that happened to hash first. Every
+    * input doc comes back with its group size and a `kept` flag; docs are
+    * never dropped silently.
+    *
+    * Scale shape: the normalized text leaves its documents only as the
+    * 8-byte xxhash64 group key; the winner is ONE partial-aggregated
+    * groupBy (max of a (quality, -doc_id) struct — no window, no per-group
+    * sort), and winners rejoin on the same key, so the corpus exchanges
+    * twice on 8-byte keys and the text itself never shuffles. Same 64-bit
+    * collision contract as the rest of the hash-keyed dedup family.
+    * Quality is rounded to 1e-6 BEFORE ordering so any recompute (or SQL
+    * mirror) ranks identically. */
+  def exactDedupKeepBest(documents: DataFrame): DataFrame = {
+    val scored = documents.select(
+      col("doc_id"),
+      xxhash64(TextOps.normalizeText(coalesce(col("text"), lit("")))).as("h"),
+      round(TextOps.qualityScore(col("text")), 6).as("quality"))
+    val winners = scored
+      .groupBy(col("h"))
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("neg_id"))).as("w"),
+        count(lit(1)).as("n_copies"))
+      .select(col("h"), (-col("w.neg_id")).as("keep_id"), col("n_copies"))
+    scored.join(winners, Seq("h"))
+      .select(col("doc_id"), col("quality"), col("n_copies"),
+        (col("doc_id") === col("keep_id")).as("kept"))
+  }
+
   // ---- MinHash + LSH ---------------------------------------------------------
   final val N_HASHES = 64
   final val N_BANDS = 16 // 4 rows per band
@@ -540,9 +573,15 @@ object Dedup {
       // neighbor labels flow along edges; keep the min of (own, neighbors)
       val msgs = bidir.join(labels, bidir("src") === labels("id"))
         .select(col("dst").as("id"), col("cluster_id"))
-      val propagated = Checkpoints.cut(
+      // transient cache, NOT a checkpoint: the propagated table feeds both
+      // sides of the pointer-jump self-join below, and a lazy persist lets
+      // the whole round materialize in ONE eager job (the cut on `next`)
+      // instead of two — the cache is computed once inside that job and
+      // dropped as soon as the round's result is pinned
+      val propagated =
         labels.select(col("id"), col("cluster_id")).union(msgs)
-          .groupBy("id").agg(min("cluster_id").as("cluster_id")))
+          .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // pointer jumping: follow one more hop through the label table
       // (labels only decrease and every label IS a node id, so the lookup
       // side always resolves; left join guards the fixpoint rows; toDF
@@ -553,6 +592,7 @@ object Dedup {
           .join(lookup, propagated("cluster_id") === lookup("t_id"), "left")
           .select(propagated("id"),
             coalesce(lookup("t_cl"), propagated("cluster_id")).as("cluster_id")))
+      propagated.unpersist()
       val sumDec = next.agg(org.apache.spark.sql.functions.sum(col("cluster_id")).cast("decimal(38,0)"))
         .collect()(0).getDecimal(0)
       labels = next

@@ -432,6 +432,79 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { CorpusOps.mixtureBalance(df, Map("a" -> 0L)) }
   }
 
+  test("shuffleShards: engine-portable mix, shard mod, within-shard rank; guards") {
+    val df = docsDf((0 to 40).map(i => (i.toLong, s"doc $i has ${"w " * (i % 5 + 1)}end")): _*)
+    val out = CorpusOps.shuffleShards(df, 4).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard_id"),
+        r.getAs[Long]("shard_pos"), r.getAs[Long]("n_tokens")))
+    assert(out.length == 41)
+    def mix(id: Long) = ((id % 2147483648L) * 2654435761L) % 4294967296L
+    // shard assignment is the documented arithmetic
+    out.foreach { case (id, shard, _, _) =>
+      assert(shard == (mix(id) % 4).toInt, s"doc $id shard $shard") }
+    // within-shard rank: recompute by sorting each shard by (mix, doc_id)
+    out.groupBy(_._2).foreach { case (shard, members) =>
+      val want = members.sortBy(m => (mix(m._1), m._1)).map(_._1).zipWithIndex
+        .map { case (id, i) => id -> (i + 1L) }.toMap
+      members.foreach { case (id, _, pos, _) =>
+        assert(pos == want(id), s"shard $shard doc $id pos $pos want ${want(id)}") }
+    }
+    // token counts ride along (ws tokenizer: "doc"+"i"+"has"+reps+"end")
+    assert(out.find(_._1 == 0L).get._4 == 5L)
+    intercept[IllegalArgumentException] { CorpusOps.shuffleShards(df, 0) }
+  }
+
+  test("exactDedupKeepBest: highest-quality copy wins per normalized group, ties by doc_id") {
+    val base = "The good document has the quality words and it is that long enough here."
+    val df = docsDf(
+      (1L, base),                              // group A: clean copy
+      (2L, base.replace(" ", "  ")),           // group A: double-spaced (longer raw)
+      (3L, "\u0001" + base + "   "),           // group A: control char + trailing ws
+      (10L, "singleton text"),                 // group B: alone
+      (20L, "tie copy"), (21L, "tie copy"))    // group C: byte-identical -> tie
+    val out = Dedup.exactDedupKeepBest(df).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("quality"),
+        r.getAs[Long]("n_copies"), r.getAs[Boolean]("kept")))
+    assert(out.length == 6, "every input doc comes back")
+    val byId = out.map(o => o._1 -> o).toMap
+    assert(Seq(1L, 2L, 3L).map(byId(_)._3).forall(_ == 3L), "group A size 3")
+    // the winner is the copy with the max rounded RAW quality (tie: min id)
+    val aBest = Seq(1L, 2L, 3L).maxBy(id => (byId(id)._2, -id))
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(byId(id)._4 == (id == aBest), s"doc $id kept=${byId(id)._4} want ${id == aBest}") }
+    assert(byId(10L)._3 == 1L && byId(10L)._4, "singleton keeps itself")
+    assert(byId(20L)._4 && !byId(21L)._4, "byte-identical tie -> lowest doc_id")
+  }
+
+  test("temperatureSample: p^alpha rates, tail saturates at keep-all, recompute agrees") {
+    val rows = (0 until 80).map(i => (i.toLong, "en")) ++
+      (100 until 116).map(i => (i.toLong, "de")) ++
+      (200 until 204).map(i => (i.toLong, "fr"))
+    val df = rows.toDF("doc_id", "lang")
+    val alpha = 0.3
+    val out = CorpusOps.temperatureSample(df, alpha).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Double]("rate"), r.getAs[Double]("up_factor"), r.getAs[Boolean]("kept")))
+    assert(out.length == 100, "every doc comes back with a kept flag")
+    // sequential recompute of the rate table
+    val n = Map("en" -> 80.0, "de" -> 16.0, "fr" -> 4.0)
+    val z = n.values.map(v => math.pow(v / 100.0, alpha)).sum
+    def upf(l: String) = BigDecimal(math.pow(n(l) / 100.0, alpha) / z * 100.0 / n(l))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.foreach { case (id, l, rate, up, kept) =>
+      assert(up == upf(l), s"$l up_factor $up want ${upf(l)}")
+      assert(rate == math.min(upf(l), 1.0), s"$l rate $rate")
+      val u = ((id % 2147483648L) * 1597334677L % 4294967296L) / 4294967296.0
+      assert(kept == (u < rate), s"doc $id kept=$kept u=$u rate=$rate")
+    }
+    // head language downsampled, tail language saturates with up_factor > 1
+    assert(out.find(_._2 == "en").get._3 < 1.0)
+    val fr = out.find(_._2 == "fr").get
+    assert(fr._3 == 1.0 && fr._4 > 1.0)
+    intercept[IllegalArgumentException] { CorpusOps.temperatureSample(df, 0.0) }
+    intercept[IllegalArgumentException] { CorpusOps.temperatureSample(df, 1.5) }
+  }
+
   test("simhash widened banding: all hamming<=3 pairs found despite engineered hot block") {
     // synthetic (doc_id, simhash) set: 20k random hashes, 5k of which share
     // an identical low block (the classic 16-bit-segment hot bucket), plus
