@@ -105,25 +105,23 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = medians.map(_._2).sum
     val failuresJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val fullJson =
+    // one shared record builder so the two emitted forms cannot drift
+    def record(withReps: Boolean): String =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""reps":$repsJson,"protocol":"warmup-pass+interleaved-median$nReps",""" +
+        (if (withReps) s""""reps":$repsJson,""" else "") +
+        s""""protocol":"warmup-pass+interleaved-median$nReps",""" +
         s""""docs_per_sec":${docsPerSec.round},"failures":$failuresJson,""" +
         s""""bench_docs":$benchDocs,"sf":"$sfDir"}"""
     // the full record (with per-rep samples) also lands in a file: output
     // tails that truncate long stdout lines keep a durable copy, and the
     // FINAL stdout line is the compact record (no reps) so a tail capture
     // of the last few KB always contains one complete JSON object
-    println(fullJson)
+    println(record(withReps = true))
     try {
       val w = new java.io.PrintWriter("BENCH_LOCAL.json")
-      try w.println(fullJson) finally w.close()
+      try w.println(record(withReps = true)) finally w.close()
     } catch { case _: Throwable => () }
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""protocol":"warmup-pass+interleaved-median$nReps",""" +
-        s""""docs_per_sec":${docsPerSec.round},"failures":$failuresJson,""" +
-        s""""bench_docs":$benchDocs,"sf":"$sfDir"}""")
+    println(record(withReps = false))
     spark.stop()
     if (failedQueries.nonEmpty) sys.exit(1)
   }

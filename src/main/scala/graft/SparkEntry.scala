@@ -1023,9 +1023,9 @@ object SparkEntry {
         |    cast(CASE WHEN length(trim(text)) = 0 THEN 0
         |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS bigint) AS n_tokens
         |  FROM documents)
-        |SELECT doc_id, cast(mix % 16 AS int) AS shard_id,
-        |  cast(row_number() OVER (PARTITION BY mix % 16 ORDER BY mix, doc_id) AS bigint)
-        |    AS shard_pos,
+        |SELECT doc_id, cast((mix // 65536) % 16 AS int) AS shard_id,
+        |  cast(row_number() OVER (PARTITION BY (mix // 65536) % 16 ORDER BY mix, doc_id)
+        |    AS bigint) AS shard_pos,
         |  n_tokens
         |FROM m""".stripMargin,
     "q71_dedup_keep_best" ->

@@ -296,17 +296,31 @@ object CorpusOps {
     * `reduced * multiplier` inside int64 at any doc_id scale — 2^31 x
     * ~2.7e9 < 2^63). Pure integer arithmetic so any SQL engine computes
     * the identical value: the same retry-stable property the md5-bucket
-    * sampler has, in a form whose MOD/ORDER math stays in plain columns. */
+    * sampler has, in a form whose MOD/ORDER math stays in plain columns.
+    * Precondition: NON-NEGATIVE doc_id (every id scheme in this engine) —
+    * Spark's pmod and SQL's sign-preserving % diverge below zero.
+    *
+    * A multiplicative hash mixes LOW bits into HIGH bits only: bit k of
+    * the product depends on input bits 0..k, so `mix % m` for small m is
+    * nearly the identity on structured ids (e.g. 2654435761 ≡ 1 mod 16 —
+    * `mix % 16` IS `doc_id % 16`). Anything that buckets by the mix must
+    * take HIGH bits: `mixHi16` below. */
   private def mix32(id: Column, multiplier: Long): Column =
     pmod(pmod(id, lit(2147483648L)) * lit(multiplier), lit(4294967296L))
+
+  /** top 16 bits of `mix32` — the well-mixed end, safe to bucket by
+    * (`(mix >> 16) % m`; SQL mirror: `(mix // 65536) % m`) */
+  private def mixHi16(mix: Column): Column = shiftright(mix, 16)
 
   /** deterministic training-order shuffle + shard assignment — the final
     * step of every pretraining data pipeline: break source/crawl locality
     * by globally shuffling the admitted corpus, then write N shards whose
     * within-shard order is reproducible (a retry or a second lab run
     * produces byte-identical shards). The shuffle key is `mix32`
-    * (multiplier 2654435761, Knuth's 2^32/phi), shard = key mod nShards,
-    * and `shard_pos` is the rank inside the shard by (key, doc_id).
+    * (multiplier 2654435761, Knuth's 2^32/phi); the shard is the key's
+    * TOP 16 bits mod nShards (the low bits of a multiplicative hash are
+    * unmixed — `key % 16` would be exactly `doc_id % 16`); `shard_pos`
+    * is the rank inside the shard by (key, doc_id).
     *
     * Scale shape: shard assignment is per-row column math fused into the
     * scan (zero shuffle); the within-shard rank is one window partitioned
@@ -325,7 +339,7 @@ object CorpusOps {
       .select(col("doc_id"),
         TextOps.tokensFor(tokenizer, col("text")).as("n_tokens"),
         mix32(col("doc_id"), 2654435761L).as("mix"))
-      .withColumn("shard_id", pmod(col("mix"), lit(nShards.toLong)).cast("int"))
+      .withColumn("shard_id", pmod(mixHi16(col("mix")), lit(nShards.toLong)).cast("int"))
       .withColumn("shard_pos", row_number().over(w).cast("long"))
       .select(col("doc_id"), col("shard_id"), col("shard_pos"), col("n_tokens"))
   }

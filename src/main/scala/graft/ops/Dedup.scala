@@ -50,13 +50,13 @@ object Dedup {
     * sort), and winners rejoin on the same key, so the corpus exchanges
     * twice on 8-byte keys and the text itself never shuffles. Same 64-bit
     * collision contract as the rest of the hash-keyed dedup family.
-    * Quality is rounded to 1e-6 BEFORE ordering so any recompute (or SQL
+    * `qualityScore` is 1e-6-rounded at source, so any recompute (or SQL
     * mirror) ranks identically. */
   def exactDedupKeepBest(documents: DataFrame): DataFrame = {
     val scored = documents.select(
       col("doc_id"),
       xxhash64(TextOps.normalizeText(coalesce(col("text"), lit("")))).as("h"),
-      round(TextOps.qualityScore(col("text")), 6).as("quality"))
+      TextOps.qualityScore(col("text")).as("quality"))
     val winners = scored
       .groupBy(col("h"))
       .agg(max(struct(col("quality"), (-col("doc_id")).as("neg_id"))).as("w"),
@@ -587,12 +587,13 @@ object Dedup {
       // side always resolves; left join guards the fixpoint rows; toDF
       // re-aliases the lookup side so the self-join resolves cleanly)
       val lookup = propagated.toDF("t_id", "t_cl")
-      val next = Checkpoints.cut(
-        propagated
-          .join(lookup, propagated("cluster_id") === lookup("t_id"), "left")
-          .select(propagated("id"),
-            coalesce(lookup("t_cl"), propagated("cluster_id")).as("cluster_id")))
-      propagated.unpersist()
+      val next =
+        try Checkpoints.cut(
+          propagated
+            .join(lookup, propagated("cluster_id") === lookup("t_id"), "left")
+            .select(propagated("id"),
+              coalesce(lookup("t_cl"), propagated("cluster_id")).as("cluster_id")))
+        finally propagated.unpersist() // also on failure: no leaked cache
       val sumDec = next.agg(org.apache.spark.sql.functions.sum(col("cluster_id")).cast("decimal(38,0)"))
         .collect()(0).getDecimal(0)
       labels = next

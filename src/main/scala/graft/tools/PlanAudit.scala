@@ -21,7 +21,8 @@ object PlanAudit {
     // all-pairs hazard. q14 stays flagged: its BNLJ is the intentional
     // brute-force baseline, documented at the query.
     val scalarBnljOk =
-      Set("q52_lm_perplexity", "q60_dsir_score", "q62_ccnet_buckets", "q69_mixture_balance")
+      Set("q52_lm_perplexity", "q60_dsir_score", "q62_ccnet_buckets", "q69_mixture_balance",
+        "q73_temperature_sample") // q73: the lang-count total + p^alpha normalizer scalars
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sf)

@@ -439,9 +439,15 @@ class OpsSpec extends AnyFunSuite {
         r.getAs[Long]("shard_pos"), r.getAs[Long]("n_tokens")))
     assert(out.length == 41)
     def mix(id: Long) = ((id % 2147483648L) * 2654435761L) % 4294967296L
-    // shard assignment is the documented arithmetic
+    // shard assignment is the documented arithmetic — the TOP 16 bits of
+    // the mix (low bits of a multiplicative hash are unmixed: K ≡ 1 mod
+    // 16, so `mix % m` for power-of-two m would be doc_id % m verbatim)
     out.foreach { case (id, shard, _, _) =>
-      assert(shard == (mix(id) % 4).toInt, s"doc $id shard $shard") }
+      assert(shard == ((mix(id) >> 16) % 4).toInt, s"doc $id shard $shard") }
+    // the degeneracy guard itself: consecutive ids must NOT round-robin
+    // (shard(id) != id % 4 somewhere)
+    assert(out.exists { case (id, shard, _, _) => shard != (id % 4).toInt },
+      "shard assignment degenerated to doc_id % nShards")
     // within-shard rank: recompute by sorting each shard by (mix, doc_id)
     out.groupBy(_._2).foreach { case (shard, members) =>
       val want = members.sortBy(m => (mix(m._1), m._1)).map(_._1).zipWithIndex
