@@ -205,6 +205,24 @@ object SparkEntry {
       // downsample toward the temperature share, tail langs saturate at
       // keep-all with the residual up_factor reported
       CorpusOps.temperatureSample(docs(s, dir), 0.3)),
+    "q74_quality_classifier" -> ((s, dir) => {
+      // trained discriminative quality filter (CCNet/GPT-3/DCLM shape):
+      // seed-pos docs (%5==0) carry curated-register markers, seed-neg
+      // (%5==1) spam markers; %5==2/3 are UNLABELED probes with the same
+      // markers (the classifier must generalize to them), %5==4 plain
+      val framed = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" curated reference encyclopedia archive")))
+          .when(col("doc_id") % 5 === 1,
+            concat(col("text"), lit(" click subscribe winner prize")))
+          .when(col("doc_id") % 5 === 2,
+            concat(col("text"), lit(" curated reference encyclopedia archive")))
+          .when(col("doc_id") % 5 === 3,
+            concat(col("text"), lit(" click subscribe winner prize")))
+          .otherwise(col("text")).as("text"))
+      CorpusOps.qualityClassifier(framed,
+        col("doc_id") % 5 === 0, col("doc_id") % 5 === 1)
+    }),
     "q39_url_canonical_dedup" -> ((s, dir) => {
       // deterministic URL frame synthesized from documents (no url column
       // in the table): tracking params + fragments + trailing slashes,
@@ -1075,6 +1093,61 @@ object SparkEntry {
         |  ((((d.doc_id % 2147483648) * 1597334677) % 4294967296) / 4294967296.0 < r.rate)
         |    AS kept
         |FROM documents d JOIN r ON coalesce(d.lang, 'und') = r.lang""".stripMargin,
+    // q74: the full 3-iteration batch-GD logistic regression unrolled —
+    // w0=0 so iteration 1's p is exactly 0.5; lr/threshold are the op
+    // defaults (3000.0 / 0.5); features are unigrams + adjacent bigrams
+    // with tf weight count/(2*len-1)
+    "q74_quality_classifier" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' curated reference encyclopedia archive'
+        |         WHEN doc_id % 5 = 1 THEN text || ' click subscribe winner prize'
+        |         WHEN doc_id % 5 = 2 THEN text || ' curated reference encyclopedia archive'
+        |         WHEN doc_id % 5 = 3 THEN text || ' click subscribe winner prize'
+        |         ELSE text END AS text,
+        |    doc_id % 5 = 0 AS is_seed_pos, doc_id % 5 = 1 AS is_seed_neg
+        |  FROM documents),
+        |d AS (SELECT doc_id, is_seed_pos, is_seed_neg,
+        |    list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+        |                w -> w <> '') AS t
+        |  FROM m),
+        |fr AS (
+        |  SELECT doc_id, unnest(t) AS f FROM d
+        |  UNION ALL
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS f
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM d WHERE len(t) >= 2)),
+        |nfd AS (SELECT doc_id,
+        |          CASE WHEN len(t) >= 2 THEN 2 * len(t) - 1 ELSE len(t) END AS nf
+        |        FROM d),
+        |x AS (SELECT fr.doc_id, fr.f, count(*) / cast(max(nfd.nf) AS double) AS x
+        |      FROM fr JOIN nfd USING (doc_id) GROUP BY fr.doc_id, fr.f),
+        |tx AS (SELECT x.doc_id, x.f, x.x,
+        |         CASE WHEN d.is_seed_pos THEN 1.0 ELSE 0.0 END AS y
+        |       FROM x JOIN d USING (doc_id) WHERE d.is_seed_pos OR d.is_seed_neg),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM tx),
+        |g1 AS (SELECT f, sum((0.5 - y) * x) AS gs FROM tx GROUP BY f),
+        |w1 AS (SELECT f, -3000.0 * gs / n.n AS wt FROM g1 CROSS JOIN n),
+        |p2 AS (SELECT tx.doc_id, max(tx.y) AS y,
+        |         1.0 / (1.0 + exp(-sum(tx.x * w1.wt))) AS p
+        |       FROM tx JOIN w1 USING (f) GROUP BY tx.doc_id),
+        |g2 AS (SELECT tx.f, sum((p2.p - p2.y) * tx.x) AS gs
+        |       FROM tx JOIN p2 USING (doc_id) GROUP BY tx.f),
+        |w2 AS (SELECT f, w1.wt - 3000.0 * g2.gs / n.n AS wt
+        |       FROM w1 JOIN g2 USING (f) CROSS JOIN n),
+        |p3 AS (SELECT tx.doc_id, max(tx.y) AS y,
+        |         1.0 / (1.0 + exp(-sum(tx.x * w2.wt))) AS p
+        |       FROM tx JOIN w2 USING (f) GROUP BY tx.doc_id),
+        |g3 AS (SELECT tx.f, sum((p3.p - p3.y) * tx.x) AS gs
+        |       FROM tx JOIN p3 USING (doc_id) GROUP BY tx.f),
+        |w3 AS (SELECT f, w2.wt - 3000.0 * g3.gs / n.n AS wt
+        |       FROM w2 JOIN g3 USING (f) CROSS JOIN n),
+        |sc AS (SELECT x.doc_id, sum(x.x * coalesce(w3.wt, 0.0)) AS s
+        |       FROM x LEFT JOIN w3 USING (f) GROUP BY x.doc_id),
+        |pr AS (SELECT doc_id, round(1.0 / (1.0 + exp(-s)), 6) AS prob FROM sc)
+        |SELECT m.doc_id, m.is_seed_pos, m.is_seed_neg,
+        |  coalesce(pr.prob, 0.5) AS prob,
+        |  coalesce(pr.prob, 0.5) >= 0.5 AS kept
+        |FROM m LEFT JOIN pr USING (doc_id)""".stripMargin,
     "q39_url_canonical_dedup" ->
       """WITH u AS (
         |  SELECT doc_id,

@@ -385,6 +385,115 @@ object CorpusOps {
         (u < col("rate")).as("kept"))
   }
 
+  /** Trained model-based quality classifier — the "quality filter" of
+    * CCNet (Wenzek et al. 2020, fastText vs Wikipedia), GPT-3 (Brown et
+    * al. 2020 App. A, logistic regression vs WebText) and DCLM (Li et al.
+    * 2024, fastText OH-2.5+ELI5): logistic regression over unigram+bigram
+    * TERM-FREQUENCY features, trained with `iters` fixed-step batch
+    * gradient-descent passes on labeled SEED documents, then scored over
+    * the whole corpus with a keep threshold. Distinct from `dsirScore`
+    * (generative count-ratio, closed form): this one is DISCRIMINATIVE —
+    * weights are fit to separate the seed sets, the lifecycle every
+    * published pipeline uses (small curated positive seed + corpus-sample
+    * negative seed, score everything).
+    *
+    * Determinism: tokenization is lower+trim+whitespace; features are
+    * token strings (or hashed buckets, below); initial weights are zero;
+    * the step is plain batch GD (gradient averaged over the N seed docs
+    * that have >=1 feature), so the whole fit is closed-form arithmetic —
+    * an unrolled-SQL engine reproduces it value-exactly (the q74 oracle
+    * does, 3 iterations). `learnRate` absorbs the tf feature scale
+    * (features are O(1/doc_len)): the default separates planted signal on
+    * 50-200-token docs in 3 iterations; it is a step SIZE, not a schedule.
+    * If a doc is flagged both seed-pos and seed-neg, pos wins. Docs with
+    * zero features score sigmoid(0)=0.5 (no evidence rejects nothing at
+    * the default threshold); `kept` compares the ROUNDED prob (6 dp) so
+    * both engines decide from the same literal.
+    *
+    * Scale shape: the seed feature table is persisted once (seed sets are
+    * small by construction — the published recipe trains on 10^5-10^6
+    * docs, not the corpus); each GD iteration joins it to the vocab-sized
+    * weight table (NO broadcast hint — seeds can be wide, AQE decides;
+    * `hashBuckets > 0` bounds the vocab at a fixed size for the 10^12-row
+    * regime, exactly dsirScore's hashed-feature variant) and the weight
+    * table is lineage-cut per iteration so the loop's plan stays flat.
+    * The CORPUS is touched exactly once, by the final scoring pass:
+    * explode -> left-join weights -> per-doc sum. */
+  def qualityClassifier(
+      documents: DataFrame,
+      isSeedPos: Column,
+      isSeedNeg: Column,
+      iters: Int = 3,
+      learnRate: Double = 3000.0,
+      threshold: Double = 0.5,
+      hashBuckets: Int = 0): DataFrame = {
+    require(iters >= 1, s"iters must be positive, got $iters")
+    val toks = filter(
+      split(lower(trim(coalesce(col("text"), lit("")))), "\\s+"), w => w =!= "")
+    val feat: Column => Column =
+      if (hashBuckets > 0) f => pmod(xxhash64(f), lit(hashBuckets.toLong)).cast("string")
+      else f => f
+    // per-doc feature rows with tf weight x = count(f) / n_features;
+    // n_features = |unigrams| + |bigrams| = 2*len-1 (len>=2), len else
+    def featureTable(frame: DataFrame): DataFrame = {
+      val nf = when(size(col("t")) >= 2, size(col("t")) * 2 - 1)
+        .otherwise(size(col("t")))
+      frame
+        .withColumn("nf", nf)
+        .select(col("doc_id"), col("y"), col("nf"),
+          explode(concat(col("t"), TextOps.wordGramsOverT(2))).as("f0"))
+        .groupBy(col("doc_id"), col("y"), col("nf"), feat(col("f0")).as("f"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("doc_id"), col("y"), col("f"),
+          (col("cnt").cast("double") / col("nf")).as("x"))
+    }
+    val seeds = documents
+      .filter(isSeedPos || isSeedNeg)
+      .select(col("doc_id"), when(isSeedPos, 1.0).otherwise(0.0).as("y"), toks.as("t"))
+    val trainX = featureTable(seeds)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // N = seed docs with >=1 feature (zero-token seeds contribute no
+    // gradient mass and are excluded from the average on both engines)
+    val nSeeds = trainX.select(col("doc_id")).distinct().count()
+    require(nSeeds > 0, "qualityClassifier needs at least one non-empty seed document")
+    var w = Checkpoints.cut(
+      trainX.select(col("f")).distinct().withColumn("wt", lit(0.0)))
+    for (_ <- 1 to iters) {
+      val p = trainX.join(w, Seq("f"))
+        .groupBy(col("doc_id"), col("y"))
+        .agg(sum(col("x") * col("wt")).as("s"))
+        .select(col("doc_id"), col("y"),
+          (lit(1.0) / (lit(1.0) + exp(-col("s")))).as("p"))
+      val grad = trainX.select(col("doc_id"), col("f"), col("x"))
+        .join(p, Seq("doc_id"))
+        .groupBy(col("f"))
+        .agg(sum((col("p") - col("y")) * col("x")).as("gs"))
+      // grad's support == trainX's vocab every iteration (trainX is
+      // static), so an inner join loses nothing
+      w = Checkpoints.cut(
+        w.join(grad, Seq("f"))
+          .select(col("f"),
+            (col("wt") - lit(learnRate) * col("gs") / lit(nSeeds.toDouble)).as("wt")))
+    }
+    trainX.unpersist()
+    // corpus-wide scoring: the one pass that touches every document;
+    // features unseen in training carry weight 0
+    val allX = featureTable(
+      documents.select(col("doc_id"), lit(0.0).as("y"), toks.as("t")))
+    val probs = allX
+      .join(w, Seq("f"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("x") * coalesce(col("wt"), lit(0.0))).as("s"))
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("s"))), 6).as("prob"))
+    documents
+      .select(col("doc_id"), isSeedPos.as("is_seed_pos"), isSeedNeg.as("is_seed_neg"))
+      .join(probs, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("is_seed_pos"), col("is_seed_neg"),
+        coalesce(col("prob"), lit(0.5)).as("prob"),
+        (coalesce(col("prob"), lit(0.5)) >= lit(threshold)).as("kept"))
+  }
+
   def lengthHistogram(documents: DataFrame, bucketWidth: Int = 100): DataFrame = {
     val bucketed = documents.select(col("source"),
       floor(col("n_chars").cast("double") / bucketWidth).cast("long").as("len_bucket"))

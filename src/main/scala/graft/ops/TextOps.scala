@@ -631,7 +631,7 @@ object TextOps {
     * `gopherRepetitionRules` (q55) and `gopherDupNgramRules` (q63) so
     * the gram convention (1-based slice, single-space join) cannot
     * silently diverge between the two rule families. */
-  private def wordGramsOverT(n: Int): Column = expr(
+  private[graft] def wordGramsOverT(n: Int): Column = expr(
     s"CASE WHEN size(t) >= $n THEN transform(sequence(0, size(t)-$n), " +
       s"i -> array_join(slice(t, i+1, $n), ' ')) ELSE array() END")
 

@@ -1570,6 +1570,69 @@ class OpsSpec extends AnyFunSuite {
     assert(run(1 << 20) == got)
   }
 
+  test("qualityClassifier: matches a sequential GD recompute; hashed features agree") {
+    val df = Seq(
+      (1L, "alpha beta gamma curated reference", true, false),
+      (2L, "delta epsilon zeta curated reference", true, false),
+      (3L, "alpha beta gamma click prize", false, true),
+      (4L, "delta epsilon zeta click prize", false, true),
+      (5L, "eta theta curated reference", false, false), // unlabeled pos probe
+      (6L, "eta theta click prize", false, false),       // unlabeled neg probe
+      (7L, "", false, false),                            // zero features
+      (8L, null.asInstanceOf[String], false, false)      // NULL text
+    ).toDF("doc_id", "text", "pos", "neg")
+    val lr = 10.0
+    def run(buckets: Int) =
+      CorpusOps.qualityClassifier(df, col("pos"), col("neg"),
+        iters = 3, learnRate = lr, hashBuckets = buckets).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Double]("prob"), r.getAs[Boolean]("kept")))).toMap
+    val got = run(0)
+    // sequential recompute of the identical math: tf features over
+    // unigrams+bigrams, zero-init weights, 3 batch-GD steps over the
+    // 4 seed docs, sigmoid score rounded to 6 dp
+    def feats(text: String): Seq[String] = {
+      val t = Option(text).getOrElse("").toLowerCase.split("\\s+")
+        .filter(_.nonEmpty).toSeq
+      t ++ (if (t.length >= 2) t.sliding(2).map(_.mkString(" ")).toSeq else Seq())
+    }
+    val fx = (1L to 8L).map { id =>
+      val fs = feats(df.collect().find(_.getLong(0) == id).get.getString(1))
+      id -> fs.groupBy(identity).map { case (f, o) => f -> o.size.toDouble / fs.size }
+    }.toMap
+    val seeds = Seq(1L -> 1.0, 2L -> 1.0, 3L -> 0.0, 4L -> 0.0)
+    var w = Map.empty[String, Double].withDefaultValue(0.0)
+    for (_ <- 1 to 3) {
+      val g = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+      for ((id, y) <- seeds) {
+        val p = 1.0 / (1.0 + math.exp(-fx(id).map { case (f, x) => x * w(f) }.sum))
+        for ((f, x) <- fx(id)) g(f) += (p - y) * x
+      }
+      w = seeds.flatMap(s => fx(s._1).keys).toSet.iterator
+        .map((f: String) => f -> (w(f) - lr * g(f) / seeds.size)).toMap
+        .withDefaultValue(0.0)
+    }
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    for (id <- 1L to 6L) {
+      val want = r6(1.0 / (1.0 + math.exp(-fx(id).map { case (f, x) => x * w(f) }.sum)))
+      assert(got(id)._1 == want, s"doc $id: got ${got(id)._1}, want $want")
+    }
+    // discrimination: seeds AND unlabeled probes separate on the markers
+    assert(got(1L)._2 && got(2L)._2 && got(5L)._2)
+    assert(!got(3L)._2 && !got(4L)._2 && !got(6L)._2)
+    assert(got(5L)._1 > 0.5 && got(6L)._1 < 0.5)
+    // no evidence -> sigmoid(0) = 0.5, kept at the default threshold
+    assert(got(7L) == ((0.5, true)) && got(8L) == ((0.5, true)))
+    // hashed-feature regime: collision-free at 2^20 buckets over this
+    // vocab, so probs must be identical to the exact-string path
+    assert(run(1 << 20) == got)
+    // no non-empty seed docs -> fail fast, not a degenerate all-0.5 model
+    intercept[IllegalArgumentException] {
+      CorpusOps.qualityClassifier(df, col("doc_id") === 999L, col("doc_id") === 998L)
+        .collect()
+    }
+  }
+
   test("gopherRules: per-rule observables and the conjunction, zero shuffle") {
     val good = "this text ought to be of help and that with " +
       (1 to 20).map(i => s"word$i").mkString(" ") // 30 words, 6 stops, all alpha
