@@ -255,16 +255,29 @@ object CorpusOps {
     * `pmod(xxhash64(w), hashBuckets)` features, bounding the count table
     * at a fixed size exactly as DSIR's hashed n-gram features do (the
     * oracle path keeps exact words — same plan, unbounded vocab). */
+  /** the shared lower+trim+whitespace tokenization (empty tokens dropped)
+    * of the two model-based scorers — ONE definition so the dsirScore and
+    * qualityClassifier oracles cannot silently diverge on convention.
+    * (TextOps.ngramLmScore / Dedup keep their own UNfiltered variant:
+    * those oracles deliberately preserve the empty-string token of an
+    * empty text, a different contract.) */
+  private[graft] val wsTokens: Column = filter(
+    split(lower(trim(coalesce(col("text"), lit("")))), "\\s+"), w => w =!= "")
+
+  /** hashed-feature mapping for the 10^12-row regime: words/features
+    * become one of `hashBuckets` buckets, bounding every model table at a
+    * fixed size (DSIR's hashed n-gram trick). Identity when disabled. */
+  private def hashedFeat(hashBuckets: Int): Column => Column =
+    if (hashBuckets > 0) f => pmod(xxhash64(f), lit(hashBuckets.toLong)).cast("string")
+    else f => f
+
   def dsirScore(
       documents: DataFrame,
       isTarget: Column,
       alpha: Double = 1.0,
       hashBuckets: Int = 0): DataFrame = {
-    val toks = filter(
-      split(lower(trim(coalesce(col("text"), lit("")))), "\\s+"), w => w =!= "")
-    val feat: Column => Column =
-      if (hashBuckets > 0) w => pmod(xxhash64(w), lit(hashBuckets.toLong))
-      else w => w
+    val toks = wsTokens
+    val feat = hashedFeat(hashBuckets)
     val tok = documents
       .select(col("doc_id"), isTarget.as("is_target"), explode(toks).as("w0"))
       .select(col("doc_id"), col("is_target"), feat(col("w0")).as("w"))
@@ -417,8 +430,13 @@ object CorpusOps {
     * `hashBuckets > 0` bounds the vocab at a fixed size for the 10^12-row
     * regime, exactly dsirScore's hashed-feature variant) and the weight
     * table is lineage-cut per iteration so the loop's plan stays flat.
-    * The CORPUS is touched exactly once, by the final scoring pass:
-    * explode -> left-join weights -> per-doc sum. */
+    * The corpus-wide TOKEN EXPLOSION happens exactly once (the scoring
+    * pass: explode -> left-join weights -> per-doc sum); the corpus TABLE
+    * itself is scanned three times — the seed filter (predicate pushed to
+    * the scan, reads only seed rows), the scoring pass, and the flags side
+    * of the final doc_id equi-join (the same join shape as dsirScore's
+    * output assembly) — so plan for 2 narrow scans + 1 scoring pass +
+    * 1 doc_id shuffle at the 10^12-row regime, not 1 scan. */
   def qualityClassifier(
       documents: DataFrame,
       isSeedPos: Column,
@@ -428,11 +446,8 @@ object CorpusOps {
       threshold: Double = 0.5,
       hashBuckets: Int = 0): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
-    val toks = filter(
-      split(lower(trim(coalesce(col("text"), lit("")))), "\\s+"), w => w =!= "")
-    val feat: Column => Column =
-      if (hashBuckets > 0) f => pmod(xxhash64(f), lit(hashBuckets.toLong)).cast("string")
-      else f => f
+    val toks = wsTokens
+    val feat = hashedFeat(hashBuckets)
     // per-doc feature rows with tf weight x = count(f) / n_features;
     // n_features = |unigrams| + |bigrams| = 2*len-1 (len>=2), len else
     def featureTable(frame: DataFrame): DataFrame = {
@@ -452,30 +467,34 @@ object CorpusOps {
       .select(col("doc_id"), when(isSeedPos, 1.0).otherwise(0.0).as("y"), toks.as("t"))
     val trainX = featureTable(seeds)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // N = seed docs with >=1 feature (zero-token seeds contribute no
-    // gradient mass and are excluded from the average on both engines)
-    val nSeeds = trainX.select(col("doc_id")).distinct().count()
-    require(nSeeds > 0, "qualityClassifier needs at least one non-empty seed document")
-    var w = Checkpoints.cut(
-      trainX.select(col("f")).distinct().withColumn("wt", lit(0.0)))
-    for (_ <- 1 to iters) {
-      val p = trainX.join(w, Seq("f"))
-        .groupBy(col("doc_id"), col("y"))
-        .agg(sum(col("x") * col("wt")).as("s"))
-        .select(col("doc_id"), col("y"),
-          (lit(1.0) / (lit(1.0) + exp(-col("s")))).as("p"))
-      val grad = trainX.select(col("doc_id"), col("f"), col("x"))
-        .join(p, Seq("doc_id"))
-        .groupBy(col("f"))
-        .agg(sum((col("p") - col("y")) * col("x")).as("gs"))
-      // grad's support == trainX's vocab every iteration (trainX is
-      // static), so an inner join loses nothing
-      w = Checkpoints.cut(
-        w.join(grad, Seq("f"))
-          .select(col("f"),
-            (col("wt") - lit(learnRate) * col("gs") / lit(nSeeds.toDouble)).as("wt")))
-    }
-    trainX.unpersist()
+    // unpersist in finally: the no-seeds require and any job failure
+    // inside the GD loop must not leak the seed cache in a long session
+    val w = try {
+      // N = seed docs with >=1 feature (zero-token seeds contribute no
+      // gradient mass and are excluded from the average on both engines)
+      val nSeeds = trainX.select(col("doc_id")).distinct().count()
+      require(nSeeds > 0, "qualityClassifier needs at least one non-empty seed document")
+      var wk = Checkpoints.cut(
+        trainX.select(col("f")).distinct().withColumn("wt", lit(0.0)))
+      for (_ <- 1 to iters) {
+        val p = trainX.join(wk, Seq("f"))
+          .groupBy(col("doc_id"), col("y"))
+          .agg(sum(col("x") * col("wt")).as("s"))
+          .select(col("doc_id"), col("y"),
+            (lit(1.0) / (lit(1.0) + exp(-col("s")))).as("p"))
+        val grad = trainX.select(col("doc_id"), col("f"), col("x"))
+          .join(p, Seq("doc_id"))
+          .groupBy(col("f"))
+          .agg(sum((col("p") - col("y")) * col("x")).as("gs"))
+        // grad's support == trainX's vocab every iteration (trainX is
+        // static), so an inner join loses nothing
+        wk = Checkpoints.cut(
+          wk.join(grad, Seq("f"))
+            .select(col("f"),
+              (col("wt") - lit(learnRate) * col("gs") / lit(nSeeds.toDouble)).as("wt")))
+      }
+      wk
+    } finally trainX.unpersist()
     // corpus-wide scoring: the one pass that touches every document;
     // features unseen in training carry weight 0
     val allX = featureTable(

@@ -1626,11 +1626,16 @@ class OpsSpec extends AnyFunSuite {
     // hashed-feature regime: collision-free at 2^20 buckets over this
     // vocab, so probs must be identical to the exact-string path
     assert(run(1 << 20) == got)
-    // no non-empty seed docs -> fail fast, not a degenerate all-0.5 model
+    // no non-empty seed docs -> fail fast, not a degenerate all-0.5 model;
+    // and the failure path must not leak the seed feature cache (the
+    // unpersist is in a finally, not on the success path only)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
     intercept[IllegalArgumentException] {
       CorpusOps.qualityClassifier(df, col("doc_id") === 999L, col("doc_id") === 998L)
         .collect()
     }
+    assert(spark.sparkContext.getPersistentRDDs.size == cachedBefore,
+      "failed qualityClassifier call leaked a persisted RDD")
   }
 
   test("gopherRules: per-rule observables and the conjunction, zero shuffle") {
