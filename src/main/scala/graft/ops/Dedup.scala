@@ -587,15 +587,35 @@ object Dedup {
       // side always resolves; left join guards the fixpoint rows; toDF
       // re-aliases the lookup side so the self-join resolves cleanly)
       val lookup = propagated.toDF("t_id", "t_cl")
+      // convergence witness fused into the SAME eager job that pins the
+      // round's result: an Observation below the checkpoint materialization
+      // fires when that action completes (probed on both localCheckpoint
+      // and Dataset.checkpoint paths), so each round is ONE job instead of
+      // two. Bounded wait + a fallback aggregate keep it correct if metric
+      // delivery ever fails on some Spark version.
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
       val next =
         try Checkpoints.cut(
           propagated
             .join(lookup, propagated("cluster_id") === lookup("t_id"), "left")
             .select(propagated("id"),
-              coalesce(lookup("t_cl"), propagated("cluster_id")).as("cluster_id")))
+              coalesce(lookup("t_cl"), propagated("cluster_id")).as("cluster_id"))
+            .observe(obs,
+              org.apache.spark.sql.functions.sum(col("cluster_id"))
+                .cast("decimal(38,0)").as("label_sum")))
         finally propagated.unpersist() // also on failure: no leaked cache
-      val sumDec = next.agg(org.apache.spark.sql.functions.sum(col("cluster_id")).cast("decimal(38,0)"))
-        .collect()(0).getDecimal(0)
+      val sumDec = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        try Await.result(Future(obs.get), 30.seconds)("label_sum")
+          .asInstanceOf[java.math.BigDecimal]
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            next.agg(org.apache.spark.sql.functions.sum(col("cluster_id"))
+              .cast("decimal(38,0)")).collect()(0).getDecimal(0)
+        }
+      }
       labels = next
       // sum over an EMPTY labels frame is null (zero near-dup pairs is a
       // legitimate corpus outcome): converge immediately on the empty result
