@@ -474,8 +474,11 @@ object CorpusOps {
       // gradient mass and are excluded from the average on both engines)
       val nSeeds = trainX.select(col("doc_id")).distinct().count()
       require(nSeeds > 0, "qualityClassifier needs at least one non-empty seed document")
-      var wk = Checkpoints.cut(
-        trainX.select(col("f")).distinct().withColumn("wt", lit(0.0)))
+      // lazy zero-init: iteration 1's cut pins the first MATERIALIZED
+      // weights, so an extra eager job just to checkpoint a table of
+      // zeros would be pure launch overhead (the distinct reads the
+      // already-persisted trainX)
+      var wk = trainX.select(col("f")).distinct().withColumn("wt", lit(0.0))
       for (_ <- 1 to iters) {
         val p = trainX.join(wk, Seq("f"))
           .groupBy(col("doc_id"), col("y"))
