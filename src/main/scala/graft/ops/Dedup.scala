@@ -605,11 +605,14 @@ object Dedup {
                 .cast("decimal(38,0)").as("label_sum")))
         finally propagated.unpersist() // also on failure: no leaked cache
       val sumDec = {
-        import scala.concurrent.{Await, Future}
+        import scala.concurrent.Await
         import scala.concurrent.duration._
-        import scala.concurrent.ExecutionContext.Implicits.global
-        try Await.result(Future(obs.get), 30.seconds)("label_sum")
-          .asInstanceOf[java.math.BigDecimal]
+        // Observation.future is the no-thread timed wait (Await on a
+        // spawned Future(obs.get) would leak one permanently-blocked
+        // thread per timeout, on exactly the degraded path the fallback
+        // exists for)
+        try Await.result(obs.future, 30.seconds)
+          .getAs[java.math.BigDecimal]("label_sum")
         catch {
           case _: java.util.concurrent.TimeoutException =>
             next.agg(org.apache.spark.sql.functions.sum(col("cluster_id"))
