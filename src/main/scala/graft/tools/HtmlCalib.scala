@@ -155,6 +155,25 @@ object HtmlCalib {
       s"""<li><a href="#s">${sentence(rnd, 2, m)}</a></li>"""
     }
     out += Frag("content", "toc-shell", s"<ul>${toc.mkString}</ul>", "")
+    // definition lists: glossary/spec prose structured as dt/dd pairs —
+    // short dt terms next to sentence-length dd bodies (the dt is the
+    // at-risk half: term-length text inside a structural wrapper)
+    val defs = (0 until 3).map { _ =>
+      val term = mk(); val body = mk()
+      out += Frag("content", "dl-term", "", term)
+      out += Frag("content", "dl-body", "", body)
+      s"<dt>${sentence(rnd, 2, term)}</dt><dd>${sentence(rnd, 9 + rnd.nextInt(6), body)}.</dd>"
+    }
+    out += Frag("content", "dl-shell", s"<dl>${defs.mkString}</dl>", "")
+    // nested lists: an item whose sublist carries the real content —
+    // depth must not depress the text-density score of short leaf items
+    val nested = (0 until 2).map { _ =>
+      val outer = mk(); val inner = mk()
+      out += Frag("content", "nested-list-outer", "", outer)
+      out += Frag("content", "nested-list-inner", "", inner)
+      s"<li>${sentence(rnd, 4, outer)}<ul><li>${sentence(rnd, 6, inner)}</li></ul></li>"
+    }
+    out += Frag("content", "nested-list-shell", s"<ul>${nested.mkString}</ul>", "")
 
     out.result()
   }
@@ -164,7 +183,8 @@ object HtmlCalib {
     def cat(c: String): String = frags.filter(f => f.category == c && f.html.nonEmpty).map(_.html).mkString("\n")
     val contentInner = Seq("headline", "long-para", "short-para", "subheading",
       "blockquote", "list-shell", "table-shell", "pre-code", "figcaption",
-      "figcaption-short", "mixed-class-para", "toc-shell").map(cat).mkString("\n")
+      "figcaption-short", "mixed-class-para", "toc-shell", "dl-shell",
+      "nested-list-shell").map(cat).mkString("\n")
     val head = "<head><title>t</title><script>var x=1;</script><style>.a{}</style></head>"
     layout match {
       case 0 => // semantic: article + aside + nav/header/footer
