@@ -98,12 +98,27 @@ object SimSearch {
   // ---- IVF (inverted-file) index ---------------------------------------------
 
   /** deterministic Lloyd k-means over the embedding column. Init = the k
-    * lowest-vec_id vectors (no RNG, partition-invariant); each iteration is
-    * one executor-local assignment pass against BROADCAST centroids + one
-    * elementwise-mean shuffle of (centroid, dim) cells — k*dim rows to the
-    * driver per iteration, never the vectors themselves. Empty clusters
-    * keep their previous centroid. */
+    * lowest-vec_id vectors (no RNG, partition-invariant); empty clusters
+    * keep their previous centroid. Training frames here are bounded
+    * hash-samples, so the normal path collects the sample ONCE and runs
+    * Lloyd driver-locally (one job instead of iters+1 cluster round-trips
+    * — see `collectTraining`); frames above the local cap keep the
+    * distributed loop: one executor-local assignment pass against
+    * BROADCAST centroids per iteration + k*dim tiny partial rows to the
+    * driver, never the vectors themselves. */
   private[graft] def kmeansCentroids(
+      embeddings: DataFrame,
+      k: Int,
+      iters: Int,
+      dim: Int): Array[Array[Float]] =
+    collectTraining(embeddings) match {
+      case Some(xs) => localLloydMulti(xs, k, iters, 1, dim).head
+      case None => kmeansCentroidsDistributed(embeddings, k, iters, dim)
+    }
+
+  // private[graft] so the OpsSpec parity gate can compare the two
+  // trainers directly on one frame
+  private[graft] def kmeansCentroidsDistributed(
       embeddings: DataFrame,
       k: Int,
       iters: Int,
@@ -245,6 +260,151 @@ object SimSearch {
       val sampled = embeddings.filter(pmod(xxhash64(col("vec_id")), lit(keepOneIn)) === 0)
       if (sampled.isEmpty) embeddings else sampled
     }
+
+  // ---- driver-local training over the bounded sample ----------------------------
+
+  /** hard cap on rows `collectTraining` will pull to the driver (~300 MB
+    * of 64-dim vectors): every index builder trains on a hashSample
+    * bounded by `trainSample` (default 200k), so the cap only trips when
+    * a caller explicitly asks for a multi-million-row training set — the
+    * builders then keep the distributed Lloyd loop. */
+  private val MaxLocalTrainRows = 1000000
+
+  /** collect a bounded training frame to the driver in canonical vec_id
+    * order, or None above the cap. Index training is sample-bounded BY
+    * DESIGN, so ONE collect replaces the (iters+1) cluster round-trips
+    * per Lloyd loop — the faiss lifecycle (train on one node, serve
+    * distributed); at 1000 executors the training latency is driver
+    * arithmetic instead of iters sequential job launches. Canonical
+    * ordering also makes the trained centroids partition-invariant by
+    * construction rather than by benign float reassociation. */
+  private def collectTraining(embeddings: DataFrame): Option[Array[Array[Float]]] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val got = embeddings.select(col("vec_id").cast("long"), col("embedding"))
+      .limit(MaxLocalTrainRows + 1)
+      .as[(Long, Seq[Float])].collect()
+    if (got.length > MaxLocalTrainRows) None
+    else Some(got.sortBy(_._1).map(_._2.toArray))
+  }
+
+  /** evaluate `body` over [0, n) split into a FIXED number of chunks run
+    * concurrently on the driver, returning per-chunk results in chunk
+    * order. The chunk count deliberately does NOT follow the core count:
+    * trained centroids feed partition-invariance gates and the scaling
+    * campaigns run at different local[N], so training output may not
+    * depend on the parallelism level — fixed chunking + in-order merge
+    * keeps the float math deterministic under any thread scheduling. */
+  private val LocalTrainChunks = 32
+  private def parChunks[A](n: Int)(body: (Int, Int) => A): IndexedSeq[A] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val nChunks = math.max(1, math.min(LocalTrainChunks, n))
+    val bounds = Array.tabulate(nChunks + 1)(i => ((n.toLong * i) / nChunks).toInt)
+    val futs = IndexedSeq.tabulate(nChunks)(c => Future(body(bounds(c), bounds(c + 1))))
+    futs.map(Await.result(_, Duration.Inf))
+  }
+
+  /** driver-local Lloyd over the collected sample — the same math as the
+    * distributed loop (lowest-vec_id init, per-cell mean update, empty
+    * clusters keep their previous centroid), chunk partials merged in
+    * chunk order. m subquantizers over subDim-wide slices; m=1 with
+    * subDim=dim is plain k-means. */
+  private def localLloydMulti(
+      xs: Array[Array[Float]],
+      k: Int, iters: Int, m: Int, subDim: Int): Array[Array[Array[Float]]] = {
+    var cents: Array[Array[Array[Float]]] = Array.tabulate(m) { j =>
+      xs.take(k).map { emb =>
+        Array.tabulate(subDim)(i => if (j * subDim + i < emb.length) emb(j * subDim + i) else 0f)
+      }
+    }
+    val kk = if (xs.isEmpty) 0 else cents(0).length
+    var it = 0
+    while (it < iters && kk > 0) {
+      val cs = cents
+      val partials = parChunks(xs.length) { (lo, hi) =>
+        val sums = Array.ofDim[Double](m, kk, subDim)
+        val counts = Array.ofDim[Long](m, kk)
+        var idx = lo
+        while (idx < hi) {
+          val arr = xs(idx)
+          val emb = scala.collection.immutable.ArraySeq.unsafeWrapArray(arr)
+          var j = 0
+          while (j < m) {
+            val c = nearestSub(emb, j * subDim, cs(j))
+            counts(j)(c) += 1
+            val off = j * subDim
+            var i = 0
+            while (i < subDim && off + i < arr.length) { sums(j)(c)(i) += arr(off + i); i += 1 }
+            j += 1
+          }
+          idx += 1
+        }
+        (sums, counts)
+      }
+      val totSums = Array.ofDim[Double](m, kk, subDim)
+      val totCounts = Array.ofDim[Long](m, kk)
+      partials.foreach { case (s, cn) =>
+        var j = 0
+        while (j < m) {
+          var c = 0
+          while (c < kk) {
+            totCounts(j)(c) += cn(j)(c)
+            var i = 0
+            while (i < subDim) { totSums(j)(c)(i) += s(j)(c)(i); i += 1 }
+            c += 1
+          }
+          j += 1
+        }
+      }
+      val next = cents.map(_.map(_.clone()))
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < kk) {
+          if (totCounts(j)(c) > 0) {
+            var i = 0
+            while (i < subDim) { next(j)(c)(i) = (totSums(j)(c)(i) / totCounts(j)(c)).toFloat; i += 1 }
+          }
+          c += 1
+        }
+        j += 1
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** driver-local counterpart of `rotateEmbeddings` for the collected
+    * sample (same fail-fast dimension check) */
+  private def rotateLocal(xs: Array[Array[Float]], rot: Array[Array[Float]]): Array[Array[Float]] = {
+    val dim = rot.length
+    val out = new Array[Array[Float]](xs.length)
+    parChunks(xs.length) { (lo, hi) =>
+      var idx = lo
+      while (idx < hi) {
+        val emb = xs(idx)
+        require(emb.length == dim,
+          s"rotation built for dim $dim applied to ${emb.length}-dim vector")
+        val o = new Array[Float](dim)
+        var i = 0
+        while (i < dim) {
+          val row = rot(i)
+          var acc = 0.0
+          var k = 0
+          while (k < dim) { acc += row(k) * emb(k); k += 1 }
+          o(i) = acc.toFloat
+          i += 1
+        }
+        out(idx) = o
+        idx += 1
+      }
+      ()
+    }
+    out
+  }
 
   /** ANN search against a pre-built IVF index: vectors are assigned to their
     * nearest centroid's posting list (one executor-local pass against the
@@ -427,10 +587,22 @@ object SimSearch {
 
   /** train ALL m subvector quantizers simultaneously: identical math to m
     * independent `kmeansCentroids` runs over the slices (same lowest-k
-    * init, same mean updates — verified by the PQ OpsSpec gates), but ONE
-    * scan of the training sample per iteration instead of m — at any
-    * scale that turns ~m*(iters+1) sequential jobs into (iters+1). */
+    * init, same mean updates — verified by the PQ OpsSpec gates). Bounded
+    * samples (the normal case) train driver-locally after one collect;
+    * above the cap the distributed loop scans the sample once per
+    * iteration for all m quantizers at once. */
   private def kmeansCentroidsMulti(
+      embeddings: DataFrame,
+      k: Int,
+      iters: Int,
+      m: Int,
+      subDim: Int): Array[Array[Array[Float]]] =
+    collectTraining(embeddings) match {
+      case Some(xs) => localLloydMulti(xs, k, iters, m, subDim)
+      case None => kmeansCentroidsMultiDistributed(embeddings, k, iters, m, subDim)
+    }
+
+  private def kmeansCentroidsMultiDistributed(
       embeddings: DataFrame,
       k: Int,
       iters: Int,
@@ -698,30 +870,57 @@ object SimSearch {
     require(dim % m == 0, s"dim $dim must divide into m=$m subvectors")
     val spark = embeddings.sparkSession
     import spark.implicits._
-    // count ONCE, sample ONCE, and persist: the coarse training, the
-    // residual pass and the PQ training all read this frame (re-sampling
-    // the sample would also be wrong — modulus samples of the same hash
-    // do not compose: a second keepOneIn either keeps ~100% or a
-    // correlated biased half)
+    // count ONCE, sample ONCE: the coarse training, the residual pass and
+    // the PQ training all read the same sample (re-sampling the sample
+    // would also be wrong — modulus samples of the same hash do not
+    // compose: a second keepOneIn either keeps ~100% or a correlated
+    // biased half). nlist auto-sizing sees the TRUE corpus size.
     val n = embeddings.count()
     val nlist = autoNlist(n, nCentroids)
-    val sample = hashSample(embeddings, n, trainSample)
-      .select(col("vec_id").cast("long"), col("embedding"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ivf = IvfIndex(kmeansCentroids(sample, nlist, iters, dim))
-    val bc = spark.sparkContext.broadcast(ivf.centroids)
-    val residuals = sample
-      .as[(Long, Seq[Float])]
-      .mapPartitions { it =>
-        val cents = bc.value
-        it.map { case (id, emb) => (id, residual(emb, cents(nearestCentroid(emb, cents)))) }
-      }
-      .toDF("vec_id", "embedding")
-    // residuals are already sample-sized: train directly, no re-sampling
-    val pq = PqCodebook(dim / m, kmeansCentroidsMulti(residuals, k, iters, m, dim / m))
-    sample.unpersist()
-    bc.destroy()
-    IvfPqIndex(ivf, pq)
+    val sampleDf = hashSample(embeddings, n, trainSample)
+    collectTraining(sampleDf) match {
+      case Some(xs) =>
+        // bounded sample: coarse train, residual pass and PQ train are all
+        // driver arithmetic after the one collect (the faiss build shape)
+        val ivfCents = localLloydMulti(xs, nlist, iters, 1, dim).head
+        val residuals = new Array[Array[Float]](xs.length)
+        parChunks(xs.length) { (lo, hi) =>
+          var idx = lo
+          while (idx < hi) {
+            val x = xs(idx)
+            val emb = scala.collection.immutable.ArraySeq.unsafeWrapArray(x)
+            val cent = ivfCents(nearestCentroid(emb, ivfCents))
+            // same zero-padded subtraction as `residual` — the codebook
+            // only matches what ivfPqEncode produces if these agree
+            residuals(idx) = Array.tabulate(x.length)(i =>
+              x(i) - (if (i < cent.length) cent(i) else 0f))
+            idx += 1
+          }
+          ()
+        }
+        IvfPqIndex(IvfIndex(ivfCents),
+          PqCodebook(dim / m, localLloydMulti(residuals, k, iters, m, dim / m)))
+      case None =>
+        val sample = sampleDf
+          .select(col("vec_id").cast("long"), col("embedding"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // straight to the distributed trainers: the sample is known to be
+        // over the local cap, re-probing collectTraining would waste a pass
+        val ivf = IvfIndex(kmeansCentroidsDistributed(sample, nlist, iters, dim))
+        val bc = spark.sparkContext.broadcast(ivf.centroids)
+        val residuals = sample
+          .as[(Long, Seq[Float])]
+          .mapPartitions { it =>
+            val cents = bc.value
+            it.map { case (id, emb) => (id, residual(emb, cents(nearestCentroid(emb, cents)))) }
+          }
+          .toDF("vec_id", "embedding")
+        // residuals are already sample-sized: train directly, no re-sampling
+        val pq = PqCodebook(dim / m, kmeansCentroidsMultiDistributed(residuals, k, iters, m, dim / m))
+        sample.unpersist()
+        bc.destroy()
+        IvfPqIndex(ivf, pq)
+    }
   }
 
   /** deterministic random ROTATION for PQ (the random-rotation baseline of
@@ -828,27 +1027,113 @@ object SimSearch {
       seed: Long = 42L): OpqResult = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subvectors")
     val subDim = dim / m
-    val sample = hashSample(embeddings, embeddings.count(), trainSample)
-      .select(col("vec_id").cast("long"), col("embedding"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      var rot = randomRotation(dim, seed)
-      var cb = PqCodebook(subDim,
-        kmeansCentroidsMulti(rotateEmbeddings(sample, rot), k, kmeansIters, m, subDim))
-      val mses = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var it = 0
-      while (it < opqIters) {
-        val (mMat, se, n) = opqPass(sample, rot, cb, dim, needM = true)
-        mses += se / math.max(n, 1L)
-        rot = procrustesRotation(mMat, dim)
-        cb = PqCodebook(subDim,
-          kmeansCentroidsMulti(rotateEmbeddings(sample, rot), k, kmeansIters, m, subDim))
-        it += 1
+    val sampleDf = hashSample(embeddings, embeddings.count(), trainSample)
+    collectTraining(sampleDf) match {
+      case Some(xs) =>
+        // the whole alternation is driver arithmetic over the collected
+        // sample: zero cluster round-trips after the one collect (vs
+        // ~opqIters*(kmeansIters+2) jobs through the distributed loop)
+        var rot = randomRotation(dim, seed)
+        def retrain(r: Array[Array[Float]]): PqCodebook =
+          PqCodebook(subDim, localLloydMulti(rotateLocal(xs, r), k, kmeansIters, m, subDim))
+        var cb = retrain(rot)
+        val mses = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var it = 0
+        while (it < opqIters) {
+          val (mMat, se, n) = opqPassLocal(xs, rot, cb, dim, needM = true)
+          mses += se / math.max(n, 1L)
+          rot = procrustesRotation(mMat, dim)
+          cb = retrain(rot)
+          it += 1
+        }
+        val (_, seF, nF) = opqPassLocal(xs, rot, cb, dim, needM = false)
+        mses += seF / math.max(nF, 1L)
+        OpqResult(rot, cb, mses.toSeq)
+      case None =>
+        val sample = sampleDf
+          .select(col("vec_id").cast("long"), col("embedding"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          var rot = randomRotation(dim, seed)
+          var cb = PqCodebook(subDim, kmeansCentroidsMultiDistributed(
+            rotateEmbeddings(sample, rot), k, kmeansIters, m, subDim))
+          val mses = scala.collection.mutable.ArrayBuffer.empty[Double]
+          var it = 0
+          while (it < opqIters) {
+            val (mMat, se, n) = opqPass(sample, rot, cb, dim, needM = true)
+            mses += se / math.max(n, 1L)
+            rot = procrustesRotation(mMat, dim)
+            cb = PqCodebook(subDim, kmeansCentroidsMultiDistributed(
+              rotateEmbeddings(sample, rot), k, kmeansIters, m, subDim))
+            it += 1
+          }
+          val (_, seF, nF) = opqPass(sample, rot, cb, dim, needM = false)
+          mses += seF / math.max(nF, 1L)
+          OpqResult(rot, cb, mses.toSeq)
+        } finally sample.unpersist()
+    }
+  }
+
+  /** driver-local counterpart of `opqPass` over the collected sample —
+    * identical accumulation math, chunk partials merged in chunk order */
+  private def opqPassLocal(
+      xs: Array[Array[Float]],
+      rot: Array[Array[Float]],
+      cb: PqCodebook,
+      dim: Int,
+      needM: Boolean): (Array[Double], Double, Long) = {
+    val partials = parChunks(xs.length) { (lo, hi) =>
+      val mAcc = new Array[Double](if (needM) dim * dim else 0)
+      var se = 0.0
+      var cnt = 0L
+      val rx = new Array[Float](dim)
+      val rxSeq = scala.collection.immutable.ArraySeq.unsafeWrapArray(rx)
+      var idx = lo
+      while (idx < hi) {
+        val emb = xs(idx)
+        require(emb.length == dim,
+          s"OPQ trained for dim $dim applied to ${emb.length}-dim vector")
+        var i = 0
+        while (i < dim) {
+          val row = rot(i)
+          var acc = 0.0
+          var kk = 0
+          while (kk < dim) { acc += row(kk) * emb(kk); kk += 1 }
+          rx(i) = acc.toFloat
+          i += 1
+        }
+        var j = 0
+        while (j < cb.m) {
+          val cent = cb.centroids(j)(nearestSub(rxSeq, j * cb.subDim, cb.centroids(j)))
+          val off = j * cb.subDim
+          var s = 0
+          while (s < cb.subDim) {
+            val y = cent(s)
+            val d = rx(off + s) - y
+            se += d * d
+            if (needM) {
+              var a = 0
+              while (a < dim) { mAcc(a * dim + (off + s)) += emb(a) * y; a += 1 }
+            }
+            s += 1
+          }
+          j += 1
+        }
+        cnt += 1L
+        idx += 1
       }
-      val (_, seF, nF) = opqPass(sample, rot, cb, dim, needM = false)
-      mses += seF / math.max(nF, 1L)
-      OpqResult(rot, cb, mses.toSeq)
-    } finally sample.unpersist()
+      (mAcc, se, cnt)
+    }
+    val mTot = new Array[Double](if (needM) dim * dim else 0)
+    var se = 0.0
+    var n = 0L
+    partials.foreach { case (p, s, c) =>
+      var i = 0
+      while (i < mTot.length) { mTot(i) += p(i); i += 1 }
+      se += s
+      n += c
+    }
+    (mTot, se, n)
   }
 
   /** mean squared reconstruction error of (rotation, codebook) over a

@@ -744,6 +744,24 @@ class OpsSpec extends AnyFunSuite {
     assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
   }
 
+  test("kmeans trainers: driver-local path agrees with the distributed loop") {
+    // bounded samples train driver-locally (one collect, zero Lloyd
+    // round-trips); the distributed loop remains the over-cap fallback.
+    // Same init rule and same mean updates — only the double-summation
+    // order differs — so centroids must agree to float tolerance
+    val emb = (0 until 300).map { i =>
+      val v = Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val local = SimSearch.kmeansCentroids(emb, 8, 3, 8)
+    val dist = SimSearch.kmeansCentroidsDistributed(emb, 8, 3, 8)
+    assert(local.length == dist.length)
+    for (c <- local.indices; i <- 0 until 8)
+      assert(math.abs(local(c)(i) - dist(c)(i)) <=
+        1e-4f * math.max(1f, math.abs(dist(c)(i))),
+        s"centroid $c dim $i: local ${local(c)(i)} vs distributed ${dist(c)(i)}")
+  }
+
   test("sequence packing: boundary math, partition-count invariance") {
     // doc i has i+1 tokens; budget 10: cum-before = 0,1,3,6,10,15,21,28,...
     val df = (0L until 12L).map(i => (i, (0L to i).map(j => s"t$j").mkString(" ")))
