@@ -423,13 +423,16 @@ object CorpusOps {
     * the default threshold); `kept` compares the ROUNDED prob (6 dp) so
     * both engines decide from the same literal.
     *
-    * Scale shape: the seed feature table is persisted once (seed sets are
-    * small by construction — the published recipe trains on 10^5-10^6
-    * docs, not the corpus); each GD iteration joins it to the vocab-sized
-    * weight table (NO broadcast hint — seeds can be wide, AQE decides;
-    * `hashBuckets > 0` bounds the vocab at a fixed size for the 10^12-row
-    * regime, exactly dsirScore's hashed-feature variant) and the weight
-    * table is lineage-cut per iteration so the loop's plan stays flat.
+    * Scale shape: seed sets are small by construction (the published
+    * recipe trains on 10^5-10^6 docs, not the corpus), so under
+    * `localSeedCap` feature rows the GD fit runs driver-locally after one
+    * collect (the bounded-training lifecycle the ANN index builders use);
+    * above the cap the distributed loop persists the seed feature table
+    * once and each iteration joins it to the vocab-sized weight table (NO
+    * broadcast hint — seeds can be wide, AQE decides; `hashBuckets > 0`
+    * bounds the vocab at a fixed size for the 10^12-row regime, exactly
+    * dsirScore's hashed-feature variant) with the weight table
+    * lineage-cut per iteration so the loop's plan stays flat.
     * The corpus-wide TOKEN EXPLOSION happens exactly once (the scoring
     * pass: explode -> left-join weights -> per-doc sum); the corpus TABLE
     * itself is scanned three times — the seed filter (predicate pushed to
@@ -444,8 +447,11 @@ object CorpusOps {
       iters: Int = 3,
       learnRate: Double = 3000.0,
       threshold: Double = 0.5,
-      hashBuckets: Int = 0): DataFrame = {
+      hashBuckets: Int = 0,
+      localSeedCap: Long = 2000000L): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
+    val spark = documents.sparkSession
+    import spark.implicits._
     val toks = wsTokens
     val feat = hashedFeat(hashBuckets)
     // per-doc feature rows with tf weight x = count(f) / n_features;
@@ -465,7 +471,80 @@ object CorpusOps {
     val seeds = documents
       .filter(isSeedPos || isSeedNeg)
       .select(col("doc_id"), when(isSeedPos, 1.0).otherwise(0.0).as("y"), toks.as("t"))
-    val trainX = featureTable(seeds)
+    val trainXDf = featureTable(seeds)
+    // seed sets are small by construction (the published recipe trains on
+    // 10^5-10^6 docs, not the corpus), so under `localSeedCap` FEATURE
+    // rows the whole GD fit runs driver-locally after one collect — the
+    // same bounded-training lifecycle as the ANN index builders — instead
+    // of 2 shuffled joins + a lineage cut per iteration. Rows are
+    // processed in canonical (doc_id, f) order, so the fit is
+    // deterministic; the distributed loop below remains the over-cap path
+    // (localSeedCap <= 0 forces it, which the parity test uses).
+    val probe: Array[(Long, Double, String, Double)] =
+      if (localSeedCap <= 0) null
+      else trainXDf.limit((math.min(localSeedCap, Int.MaxValue - 2L) + 1L).toInt)
+        .as[(Long, Double, String, Double)].collect()
+    val w: DataFrame = if (probe != null && probe.length <= localSeedCap) {
+      require(probe.nonEmpty, "qualityClassifier needs at least one non-empty seed document")
+      val rows = probe.sortBy(r => (r._1, r._3))
+      val wts = scala.collection.mutable.HashMap.empty[String, Double]
+      rows.foreach(r => wts.getOrElseUpdate(r._3, 0.0))
+      var nSeeds = 0
+      var i0 = 0
+      while (i0 < rows.length) {
+        if (i0 == 0 || rows(i0)._1 != rows(i0 - 1)._1) nSeeds += 1
+        i0 += 1
+      }
+      var itn = 0
+      while (itn < iters) {
+        // per-doc sigmoid over the doc's contiguous run, then the batch
+        // gradient per feature accumulated in row order — the exact math
+        // of the distributed joins (and of the unrolled-SQL oracle)
+        val probByDoc = scala.collection.mutable.LongMap.empty[Double]
+        var i = 0
+        while (i < rows.length) {
+          val d = rows(i)._1
+          var s = 0.0
+          var j = i
+          while (j < rows.length && rows(j)._1 == d) { s += rows(j)._4 * wts(rows(j)._3); j += 1 }
+          probByDoc(d) = 1.0 / (1.0 + math.exp(-s))
+          i = j
+        }
+        val grad = scala.collection.mutable.HashMap.empty[String, Double]
+        rows.foreach { r =>
+          grad(r._3) = grad.getOrElse(r._3, 0.0) + (probByDoc(r._1) - r._2) * r._4
+        }
+        // independent per-feature updates: map iteration order is irrelevant
+        grad.foreach { case (f, g) => wts(f) = wts(f) - learnRate * g / nSeeds }
+        itn += 1
+      }
+      wts.toSeq.sortBy(_._1).toDF("f", "wt")
+    } else qualityClassifierDistributedFit(trainXDf, iters, learnRate)
+    // corpus-wide scoring: the one pass that touches every document;
+    // features unseen in training carry weight 0
+    val allX = featureTable(
+      documents.select(col("doc_id"), lit(0.0).as("y"), toks.as("t")))
+    val probs = allX
+      .join(w, Seq("f"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("x") * coalesce(col("wt"), lit(0.0))).as("s"))
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("s"))), 6).as("prob"))
+    documents
+      .select(col("doc_id"), isSeedPos.as("is_seed_pos"), isSeedNeg.as("is_seed_neg"))
+      .join(probs, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("is_seed_pos"), col("is_seed_neg"),
+        coalesce(col("prob"), lit(0.5)).as("prob"),
+        (coalesce(col("prob"), lit(0.5)) >= lit(threshold)).as("kept"))
+  }
+
+  /** the distributed GD loop — the over-cap fallback of
+    * `qualityClassifier` (seed feature table too large for one driver
+    * collect): 2 shuffled joins + a lineage-cut weight table per
+    * iteration, seed features persisted once. */
+  private def qualityClassifierDistributedFit(
+      trainXDf: DataFrame, iters: Int, learnRate: Double): DataFrame = {
+    val trainX = trainXDf
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // unpersist in finally: the no-seeds require and any job failure
     // inside the GD loop must not leak the seed cache in a long session
@@ -498,22 +577,7 @@ object CorpusOps {
       }
       wk
     } finally trainX.unpersist()
-    // corpus-wide scoring: the one pass that touches every document;
-    // features unseen in training carry weight 0
-    val allX = featureTable(
-      documents.select(col("doc_id"), lit(0.0).as("y"), toks.as("t")))
-    val probs = allX
-      .join(w, Seq("f"), "left_outer")
-      .groupBy(col("doc_id"))
-      .agg(sum(col("x") * coalesce(col("wt"), lit(0.0))).as("s"))
-      .select(col("doc_id"),
-        round(lit(1.0) / (lit(1.0) + exp(-col("s"))), 6).as("prob"))
-    documents
-      .select(col("doc_id"), isSeedPos.as("is_seed_pos"), isSeedNeg.as("is_seed_neg"))
-      .join(probs, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("is_seed_pos"), col("is_seed_neg"),
-        coalesce(col("prob"), lit(0.5)).as("prob"),
-        (coalesce(col("prob"), lit(0.5)) >= lit(threshold)).as("kept"))
+    w
   }
 
   def lengthHistogram(documents: DataFrame, bucketWidth: Int = 100): DataFrame = {

@@ -555,9 +555,51 @@ object Dedup {
     * paths halve every round, so even adversarial long chains converge in
     * O(log diameter) rounds — the Hash-to-Min / large-star bound. Lineage
     * is cut per round (Checkpoints.cut: reliable checkpoint when a dir is
-    * configured, local otherwise) so the plan does not grow unboundedly. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * configured, local otherwise) so the plan does not grow unboundedly.
+    *
+    * Small-graph fast path: edge tables here are near-dup PAIRS — after
+    * LSH+verify they are a small fraction of the corpus, and at bench /
+    * moderate scale the whole graph fits on the driver. Under
+    * `localEdgeCap` edges (16 bytes each; the default caps the pull at
+    * ~32 MB) the components are solved with one collect + union-find
+    * (union-by-min-root, so the root of every tree IS the component's min
+    * id — identical semantics to the distributed rounds); above the cap,
+    * or with `localEdgeCap <= 0`, the distributed rounds run. */
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIter: Int = 20,
+      localEdgeCap: Long = 2000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
     val edges = pairs.select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
+    val probe: Array[(Long, Long)] =
+      if (localEdgeCap <= 0) null
+      else edges.limit((math.min(localEdgeCap, Int.MaxValue - 2L) + 1L).toInt)
+        .as[(Long, Long)].collect()
+    if (probe != null && probe.length <= localEdgeCap) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent(x)
+        while (p != x) { val gp = parent(p); parent(x) = gp; x = gp; p = parent(x) }
+        x
+      }
+      probe.foreach { case (a, b) =>
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
+        val ra = find(a)
+        val rb = find(b)
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val out = parent.keys.toArray.map(id => (id, find(id)))
+      spark.createDataset(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+        .toDF("doc_id", "cluster_id")
+    } else connectedComponentsDistributed(edges, maxIter)
+  }
+
+  private def connectedComponentsDistributed(
+      edgesIn: DataFrame, maxIter: Int): DataFrame = {
+    val edges = edgesIn
     val bidir = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = Checkpoints.cut(

@@ -664,6 +664,23 @@ class OpsSpec extends AnyFunSuite {
     assert(cc2.length == 64 && cc2.forall(_.getAs[Long]("cluster_id") == 0L))
   }
 
+  test("connected components: local union-find agrees with distributed rounds") {
+    // mixed fixture: chain + triangle + isolated pair + shared hub;
+    // localEdgeCap <= 0 forces the distributed min-label rounds, the
+    // default takes the union-find fast path — same labels, exactly
+    val edges = (Seq((10L, 11L), (11L, 12L), (12L, 13L)) ++
+      Seq((20L, 21L), (21L, 22L), (22L, 20L)) ++
+      Seq((30L, 31L)) ++
+      Seq((40L, 10L), (40L, 20L))).toDF("doc_a", "doc_b")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val local = asMap(Dedup.connectedComponents(edges))
+    val dist = asMap(Dedup.connectedComponents(edges, localEdgeCap = 0L))
+    assert(local == dist, s"local $local vs distributed $dist")
+    // hub merges the chain and triangle components under the global min
+    assert(local(22L) == 10L && local(40L) == 10L && local(31L) == 30L)
+  }
+
   test("pii scrub: emails, phones, IPs redacted; counts right; clean text untouched") {
     val df = docsDf(
       (1L, "mail a.b@x.org or call +1-555-123-4567 from 192.168.0.1 end"),
@@ -1644,6 +1661,13 @@ class OpsSpec extends AnyFunSuite {
     // hashed-feature regime: collision-free at 2^20 buckets over this
     // vocab, so probs must be identical to the exact-string path
     assert(run(1 << 20) == got)
+    // localSeedCap <= 0 forces the distributed GD loop; the driver-local
+    // fit (the default path) must produce identical 6-dp probabilities
+    val distGd = CorpusOps.qualityClassifier(df, col("pos"), col("neg"),
+      iters = 3, learnRate = lr, localSeedCap = 0L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("prob"), r.getAs[Boolean]("kept")))).toMap
+    assert(distGd == got, s"distributed GD $distGd vs local $got")
     // no non-empty seed docs -> fail fast, not a degenerate all-0.5 model;
     // and the failure path must not leak the seed feature cache (the
     // unpersist is in a finally, not on the success path only)
