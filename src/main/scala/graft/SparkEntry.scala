@@ -205,6 +205,13 @@ object SparkEntry {
       // downsample toward the temperature share, tail langs saturate at
       // keep-all with the residual up_factor reported
       CorpusOps.temperatureSample(docs(s, dir), 0.3)),
+    "q75_fuzzy_dedup_keep_best" -> ((s, dir) => {
+      // production representative selection: near-dup clusters (q26's
+      // Jaccard pair family) keep their best-quality member, everyone
+      // else is flagged; singletons are their own keepers
+      val d = docs(s, dir)
+      Dedup.fuzzyDedupKeepBest(d, Dedup.ngramJaccardAllPairs(d, 0.5))
+    }),
     "q74_quality_classifier" -> ((s, dir) => {
       // trained discriminative quality filter (CCNet/GPT-3/DCLM shape):
       // seed-pos docs (%5==0) carry curated-register markers, seed-neg
@@ -863,6 +870,59 @@ object SparkEntry {
         |  SELECT w.node, e.b AS reach FROM walk w JOIN bidir e ON w.reach = e.a)
         |SELECT node AS doc_id, min(reach) AS cluster_id
         |FROM walk GROUP BY node""".stripMargin,
+    "q75_fuzzy_dedup_keep_best" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |gsets AS (
+        |  SELECT doc_id, list_distinct([array_to_string(t[i+1:i+3], ' ')
+        |          for i in range(0, greatest(len(t)-3, 0) + 1)]) AS gs
+        |  FROM toks),
+        |grams AS (SELECT doc_id, unnest(gs) AS g FROM gsets),
+        |sizes AS (SELECT doc_id, len(gs) AS sz FROM gsets),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT doc_a, doc_b FROM cand
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE common / (sa.sz + sb.sz - common) >= 0.5),
+        |bidir AS (SELECT doc_a AS a, doc_b AS b FROM edges
+        |          UNION SELECT doc_b, doc_a FROM edges),
+        |walk AS (
+        |  SELECT a AS node, a AS reach FROM bidir
+        |  UNION
+        |  SELECT w.node, e.b AS reach FROM walk w JOIN bidir e ON w.reach = e.a),
+        |cl AS (SELECT node AS doc_id, min(reach) AS cluster_id
+        |       FROM walk GROUP BY node),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(
+        |      least(length(text) / 500.0, 1.0) * 0.4 +
+        |      (CASE WHEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+        |                 / greatest(cast(length(text) AS double), 1.0) > 0.2 THEN 0.0
+        |            ELSE 1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+        |                 / greatest(cast(length(text) AS double), 1.0) * 2 END) * 0.3 +
+        |      least((len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |          w -> w IN ('the','a','an','and','or','of','to','in','is','it',
+        |                     'that','on','for','with','as','at','by','this')))
+        |        / greatest(cast(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS double), 1.0)) * 4.0,
+        |        1.0) * 0.3, 6) AS quality
+        |  FROM documents),
+        |withc AS (
+        |  SELECT q.doc_id, q.quality,
+        |    coalesce(cl.cluster_id, q.doc_id) AS cluster_id
+        |  FROM q LEFT JOIN cl USING (doc_id)),
+        |w AS (
+        |  SELECT doc_id, cluster_id, quality,
+        |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |                       ORDER BY quality DESC, doc_id ASC) AS rn
+        |  FROM withc)
+        |SELECT doc_id, cluster_id, quality, cluster_size, (rn = 1) AS kept
+        |FROM w""".stripMargin,
     "q27_quality_filter" ->
       """WITH toks AS (
         |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []

@@ -67,6 +67,40 @@ object Dedup {
         (col("doc_id") === col("keep_id")).as("kept"))
   }
 
+  /** quality-priority FUZZY dedup — the production representative-selection
+    * step (RefinedWeb keeps one doc per near-dup cluster; SlimPajama ranks
+    * by length, Dolma by order — here by the 1e-6-rounded quality score,
+    * ties to min doc_id, matching `exactDedupKeepBest`'s winner rule).
+    * `pairs` is any near-dup edge table (`doc_a`,`doc_b`) from the LSH /
+    * Jaccard / SimHash / embedding families; clusters are their connected
+    * components, docs in no pair are singleton keepers.
+    *
+    * Scale shape: text is reduced to an 8-byte quality AT THE SCAN, so the
+    * corpus-side frames carry (doc_id, quality[, cluster_id]) triples only;
+    * the cluster table is near-dup-docs-sized (a small corpus fraction by
+    * construction — LSH already pruned), so AQE broadcasts both the
+    * cluster join and the winner rejoin and documents never shuffle; the
+    * one corpus-wide aggregation groups 24-byte rows by cluster_id with
+    * map-side partial combine. */
+  def fuzzyDedupKeepBest(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val clusters = connectedComponents(pairs)
+    val scored = documents.select(
+      col("doc_id").cast("long").as("doc_id"),
+      TextOps.qualityScore(col("text")).as("quality"))
+    val withC = scored
+      .join(clusters, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("quality"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val winners = withC
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("neg_id"))).as("w"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster_id"), (-col("w.neg_id")).as("keep_id"), col("cluster_size"))
+    withC.join(winners, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("quality"), col("cluster_size"),
+        (col("doc_id") === col("keep_id")).as("kept"))
+  }
+
   // ---- MinHash + LSH ---------------------------------------------------------
   final val N_HASHES = 64
   final val N_BANDS = 16 // 4 rows per band

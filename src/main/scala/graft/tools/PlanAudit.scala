@@ -14,6 +14,10 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
+    // optional 2nd arg: comma-separated name prefixes (dev loop; per-round
+    // audits pass no filter and cover every query)
+    val only: Option[Seq[String]] =
+      if (args.length > 1) Some(args(1).split(",").toSeq) else None
     // labeled single-build-row scalar joins: a 1-row broadcast aggregate
     // (e.g. q52's vocabulary size) always plans as BroadcastNestedLoopJoin
     // because any equal-constant key constant-folds away — with ONE build
@@ -23,7 +27,9 @@ object PlanAudit {
     val scalarBnljOk =
       Set("q52_lm_perplexity", "q60_dsir_score", "q62_ccnet_buckets", "q69_mixture_balance",
         "q73_temperature_sample") // q73: the lang-count total + p^alpha normalizer scalars
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sf)
         df.collect() // execute THIS plan so AQE finalizes and codegen stages materialize
@@ -32,7 +38,14 @@ object PlanAudit {
           plan.linesIterator.count(_.contains("ReusedExchange"))
         val cartesian = plan.contains("CartesianProduct")
         val bnlj = plan.contains("BroadcastNestedLoopJoin") && !scalarBnljOk(name)
-        val codegen = plan.linesIterator.exists(_.contains("*("))
+        // a plan whose ONLY scan is a LocalTableScan is a driver-local
+        // result (e.g. connectedComponents' bounded union-find fast path):
+        // there is nothing to codegen and nothing distributed to regress —
+        // the interpreted-execution hazard this flag exists for cannot
+        // apply. Any file/source scan in the plan re-arms the check.
+        val driverLocalOnly = plan.contains("LocalTableScan") &&
+          !plan.contains("FileScan") && !plan.contains("BatchScan")
+        val codegen = plan.linesIterator.exists(_.contains("*(")) || driverLocalOnly
         val flags = Seq(
           if (cartesian) Some("CARTESIAN") else None,
           if (bnlj) Some("BNLJ") else None,

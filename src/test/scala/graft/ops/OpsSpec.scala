@@ -482,6 +482,29 @@ class OpsSpec extends AnyFunSuite {
     assert(byId(20L)._4 && !byId(21L)._4, "byte-identical tie -> lowest doc_id")
   }
 
+  test("fuzzyDedupKeepBest: quality beats min-id inside a cluster, singletons keep, ties to min id") {
+    // cluster {1,2,3} where the HIGHEST id has the best quality (proves
+    // the winner rule is quality, not the cluster's min label), a
+    // singleton, and an equal-quality pair (tie -> min doc_id)
+    val rich = "The good document has the quality words and it is that long enough here."
+    val df = docsDf(
+      (1L, "qqq www"), (2L, "zzz xxx"), (3L, rich),
+      (10L, "singleton text"),
+      (20L, "tie copy"), (21L, "tie copy"))
+    val pairs = Seq((1L, 2L), (2L, 3L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val out = Dedup.fuzzyDedupKeepBest(df, pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"),
+          r.getAs[Boolean]("kept")))).toMap
+    assert(out.size == 6, "every input doc comes back")
+    assert(Seq(1L, 2L, 3L).forall(id => out(id)._1 == 1L && out(id)._2 == 3L))
+    assert(!out(1L)._3 && !out(2L)._3 && out(3L)._3,
+      "best quality wins even though the cluster label is doc 1")
+    assert(out(10L) == ((10L, 1L, true)), "singleton is its own keeper")
+    assert(out(20L) == ((20L, 2L, true)) && out(21L) == ((20L, 2L, false)),
+      "equal-quality tie goes to the min doc_id")
+  }
+
   test("temperatureSample: p^alpha rates, tail saturates at keep-all, recompute agrees") {
     val rows = (0 until 80).map(i => (i.toLong, "en")) ++
       (100 until 116).map(i => (i.toLong, "de")) ++
