@@ -471,7 +471,6 @@ object CorpusOps {
     val seeds = documents
       .filter(isSeedPos || isSeedNeg)
       .select(col("doc_id"), when(isSeedPos, 1.0).otherwise(0.0).as("y"), toks.as("t"))
-    val trainXDf = featureTable(seeds)
     // seed sets are small by construction (the published recipe trains on
     // 10^5-10^6 docs, not the corpus), so under `localSeedCap` FEATURE
     // rows the whole GD fit runs driver-locally after one collect — the
@@ -479,14 +478,19 @@ object CorpusOps {
     // of 2 shuffled joins + a lineage cut per iteration. Rows are
     // processed in canonical (doc_id, f) order, so the fit is
     // deterministic; the distributed loop below remains the over-cap path
-    // (localSeedCap <= 0 forces it, which the parity test uses).
-    val probe: Array[(Long, Double, String, Double)] =
-      if (localSeedCap <= 0) null
-      else trainXDf.limit((math.min(localSeedCap, Int.MaxValue - 2L) + 1L).toInt)
-        .as[(Long, Double, String, Double)].collect()
-    val w: DataFrame = if (probe != null && probe.length <= localSeedCap) {
-      require(probe.nonEmpty, "qualityClassifier needs at least one non-empty seed document")
-      val rows = probe.sortBy(r => (r._1, r._3))
+    // (localSeedCap <= 0 forces it, which the parity test uses). The cap
+    // gate is a count over the cache BOTH fits read (not a limit(cap+1)
+    // collect): an over-cap seed set never pays a cap-sized driver pull,
+    // the featurization job runs exactly once either way, and a count
+    // cannot silently truncate when the cap exceeds the Int.MaxValue
+    // collect limit.
+    val trainXDf = featureTable(seeds)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w: DataFrame = try {
+      if (localSeedCap > 0 && trainXDf.count() <= localSeedCap) {
+        val probe = trainXDf.as[(Long, Double, String, Double)].collect()
+        require(probe.nonEmpty, "qualityClassifier needs at least one non-empty seed document")
+        val rows = probe.sortBy(r => (r._1, r._3))
       val wts = scala.collection.mutable.HashMap.empty[String, Double]
       rows.foreach(r => wts.getOrElseUpdate(r._3, 0.0))
       var nSeeds = 0
@@ -518,8 +522,9 @@ object CorpusOps {
         grad.foreach { case (f, g) => wts(f) = wts(f) - learnRate * g / nSeeds }
         itn += 1
       }
-      wts.toSeq.sortBy(_._1).toDF("f", "wt")
-    } else qualityClassifierDistributedFit(trainXDf, iters, learnRate)
+        wts.toSeq.sortBy(_._1).toDF("f", "wt")
+      } else qualityClassifierDistributedFit(trainXDf, iters, learnRate)
+    } finally trainXDf.unpersist()
     // corpus-wide scoring: the one pass that touches every document;
     // features unseen in training carry weight 0
     val allX = featureTable(
@@ -542,13 +547,13 @@ object CorpusOps {
     * `qualityClassifier` (seed feature table too large for one driver
     * collect): 2 shuffled joins + a lineage-cut weight table per
     * iteration, seed features persisted once. */
+  /** over-cap GD fit. `trainX` arrives PERSISTED by the caller (which
+    * also releases it in a finally, covering the no-seeds require and any
+    * job failure inside the loop — no leaked seed cache in a long
+    * session); every pass below reads that cache. */
   private def qualityClassifierDistributedFit(
-      trainXDf: DataFrame, iters: Int, learnRate: Double): DataFrame = {
-    val trainX = trainXDf
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // unpersist in finally: the no-seeds require and any job failure
-    // inside the GD loop must not leak the seed cache in a long session
-    val w = try {
+      trainX: DataFrame, iters: Int, learnRate: Double): DataFrame = {
+    val w = {
       // N = seed docs with >=1 feature (zero-token seeds contribute no
       // gradient mass and are excluded from the average on both engines)
       val nSeeds = trainX.select(col("doc_id")).distinct().count()
@@ -576,7 +581,7 @@ object CorpusOps {
               (col("wt") - lit(learnRate) * col("gs") / lit(nSeeds.toDouble)).as("wt")))
       }
       wk
-    } finally trainX.unpersist()
+    }
     w
   }
 

@@ -57,14 +57,26 @@ object Dedup {
       col("doc_id"),
       xxhash64(TextOps.normalizeText(coalesce(col("text"), lit("")))).as("h"),
       TextOps.qualityScore(col("text")).as("quality"))
+    keepBestPerGroup(scored, "h", "n_copies")
+      .select(col("doc_id"), col("quality"), col("n_copies"), col("kept"))
+  }
+
+  /** the ONE winner rule shared by the exact and fuzzy keep-best dedups
+    * (max (quality, -doc_id) struct argmax — highest quality, ties to the
+    * LOWEST doc_id — then a rejoin on the group key): one partial-
+    * aggregated groupBy + one equi-join, no window, no per-group sort.
+    * `scored` carries (doc_id, quality, <groupCol>); the group size comes
+    * back as `countName` and the winner flag as `kept`. */
+  private def keepBestPerGroup(
+      scored: DataFrame, groupCol: String, countName: String): DataFrame = {
     val winners = scored
-      .groupBy(col("h"))
+      .groupBy(col(groupCol))
       .agg(max(struct(col("quality"), (-col("doc_id")).as("neg_id"))).as("w"),
-        count(lit(1)).as("n_copies"))
-      .select(col("h"), (-col("w.neg_id")).as("keep_id"), col("n_copies"))
-    scored.join(winners, Seq("h"))
-      .select(col("doc_id"), col("quality"), col("n_copies"),
-        (col("doc_id") === col("keep_id")).as("kept"))
+        count(lit(1)).as(countName))
+      .select(col(groupCol), (-col("w.neg_id")).as("keep_id"), col(countName))
+    scored.join(winners, Seq(groupCol))
+      .withColumn("kept", col("doc_id") === col("keep_id"))
+      .drop("keep_id")
   }
 
   /** quality-priority FUZZY dedup — the production representative-selection
@@ -91,14 +103,9 @@ object Dedup {
       .join(clusters, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("quality"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-    val winners = withC
-      .groupBy(col("cluster_id"))
-      .agg(max(struct(col("quality"), (-col("doc_id")).as("neg_id"))).as("w"),
-        count(lit(1)).as("cluster_size"))
-      .select(col("cluster_id"), (-col("w.neg_id")).as("keep_id"), col("cluster_size"))
-    withC.join(winners, Seq("cluster_id"))
-      .select(col("doc_id"), col("cluster_id"), col("quality"), col("cluster_size"),
-        (col("doc_id") === col("keep_id")).as("kept"))
+    keepBestPerGroup(withC, "cluster_id", "cluster_size")
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        col("cluster_size"), col("kept"))
   }
 
   // ---- MinHash + LSH ---------------------------------------------------------
@@ -606,29 +613,39 @@ object Dedup {
     val spark = pairs.sparkSession
     import spark.implicits._
     val edges = pairs.select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
-    val probe: Array[(Long, Long)] =
-      if (localEdgeCap <= 0) null
-      else edges.limit((math.min(localEdgeCap, Int.MaxValue - 2L) + 1L).toInt)
-        .as[(Long, Long)].collect()
-    if (probe != null && probe.length <= localEdgeCap) {
-      val parent = scala.collection.mutable.LongMap.empty[Long]
-      def find(x0: Long): Long = {
-        var x = x0
-        var p = parent(x)
-        while (p != x) { val gp = parent(p); parent(x) = gp; x = gp; p = parent(x) }
-        x
-      }
-      probe.foreach { case (a, b) =>
-        if (!parent.contains(a)) parent(a) = a
-        if (!parent.contains(b)) parent(b) = b
-        val ra = find(a)
-        val rb = find(b)
-        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
-      }
-      val out = parent.keys.toArray.map(id => (id, find(id)))
-      spark.createDataset(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
-        .toDF("doc_id", "cluster_id")
-    } else connectedComponentsDistributed(edges, maxIter)
+    if (localEdgeCap <= 0) connectedComponentsDistributed(edges, maxIter)
+    else {
+      // cap gate = a count over a transient cache, NOT a limit(cap+1)
+      // collect: an over-cap edge table costs one cache materialization
+      // (the distributed path re-reads it to build its bidirectional copy,
+      // which is released before this method returns — the distributed
+      // result is eagerly checkpointed) instead of a cap-sized driver pull
+      // discarded on the spot, and a count cannot silently truncate when
+      // the cap exceeds the Int.MaxValue collect limit
+      val cached = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (cached.count() <= localEdgeCap) {
+          val probe = cached.as[(Long, Long)].collect()
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          def find(x0: Long): Long = {
+            var x = x0
+            var p = parent(x)
+            while (p != x) { val gp = parent(p); parent(x) = gp; x = gp; p = parent(x) }
+            x
+          }
+          probe.foreach { case (a, b) =>
+            if (!parent.contains(a)) parent(a) = a
+            if (!parent.contains(b)) parent(b) = b
+            val ra = find(a)
+            val rb = find(b)
+            if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+          }
+          val out = parent.keys.toArray.map(id => (id, find(id)))
+          spark.createDataset(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+            .toDF("doc_id", "cluster_id")
+        } else connectedComponentsDistributed(cached, maxIter)
+      } finally cached.unpersist()
+    }
   }
 
   private def connectedComponentsDistributed(

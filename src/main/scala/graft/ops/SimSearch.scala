@@ -132,8 +132,16 @@ object SimSearch {
     val e = embeddings.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Seq[Float])]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // init = the k lowest-vec_id vectors truncated/zero-padded to exactly
+    // `dim` — the SAME init as the local path (localLloydMulti), so the two
+    // trainers agree when the embedding length differs from `dim`:
+    // full-length init vectors would let tail dims beyond `dim` steer
+    // iteration-1 assignments, and embeddings shorter than `dim` would
+    // overflow the update loop below
     var centroids: Array[Array[Float]] =
-      e.orderBy("vec_id").limit(k).collect().map(_._2.toArray)
+      e.orderBy("vec_id").limit(k).collect().map { case (_, emb) =>
+        Array.tabulate(dim)(i => if (i < emb.length) emb(i) else 0f)
+      }
     var it = 0
     while (it < iters) {
       val bc = spark.sparkContext.broadcast(centroids)
@@ -281,11 +289,19 @@ object SimSearch {
   private def collectTraining(embeddings: DataFrame): Option[Array[Array[Float]]] = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val got = embeddings.select(col("vec_id").cast("long"), col("embedding"))
-      .limit(MaxLocalTrainRows + 1)
-      .as[(Long, Seq[Float])].collect()
-    if (got.length > MaxLocalTrainRows) None
-    else Some(got.sortBy(_._1).map(_._2.toArray))
+    // cap gate = a count over a transient cache, NOT a limit(cap+1)
+    // collect: an over-cap frame costs one extra executor-side
+    // materialization (the distributed trainer re-persists its own
+    // projection) instead of a cap-sized driver pull discarded on the
+    // spot, and a count cannot silently truncate when a caller passes a
+    // cap beyond the Int.MaxValue collect limit
+    val e = embeddings.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (e.count() <= MaxLocalTrainRows) Some(e.collect().sortBy(_._1).map(_._2.toArray))
+      else None
+    } finally e.unpersist()
   }
 
   /** evaluate `body` over [0, n) split into a FIXED number of chunks run
@@ -311,7 +327,7 @@ object SimSearch {
     * clusters keep their previous centroid), chunk partials merged in
     * chunk order. m subquantizers over subDim-wide slices; m=1 with
     * subDim=dim is plain k-means. */
-  private def localLloydMulti(
+  private[graft] def localLloydMulti(
       xs: Array[Array[Float]],
       k: Int, iters: Int, m: Int, subDim: Int): Array[Array[Array[Float]]] = {
     var cents: Array[Array[Array[Float]]] = Array.tabulate(m) { j =>
@@ -602,7 +618,7 @@ object SimSearch {
       case None => kmeansCentroidsMultiDistributed(embeddings, k, iters, m, subDim)
     }
 
-  private def kmeansCentroidsMultiDistributed(
+  private[graft] def kmeansCentroidsMultiDistributed(
       embeddings: DataFrame,
       k: Int,
       iters: Int,
@@ -1076,7 +1092,7 @@ object SimSearch {
 
   /** driver-local counterpart of `opqPass` over the collected sample —
     * identical accumulation math, chunk partials merged in chunk order */
-  private def opqPassLocal(
+  private[graft] def opqPassLocal(
       xs: Array[Array[Float]],
       rot: Array[Array[Float]],
       cb: PqCodebook,
@@ -1155,7 +1171,7 @@ object SimSearch {
     * itself) the correlation M += x y^T. Partials are one dim^2 array per
     * partition, summed on the driver in partition order (deterministic
     * for a fixed layout, same contract as the k-means partial sums). */
-  private def opqPass(
+  private[graft] def opqPass(
       sample: DataFrame,
       rot: Array[Array[Float]],
       cb: PqCodebook,

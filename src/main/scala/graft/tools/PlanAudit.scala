@@ -42,9 +42,14 @@ object PlanAudit {
         // result (e.g. connectedComponents' bounded union-find fast path):
         // there is nothing to codegen and nothing distributed to regress —
         // the interpreted-execution hazard this flag exists for cannot
-        // apply. Any file/source scan in the plan re-arms the check.
+        // apply. ANY other scan re-arms the check: file/source scans AND
+        // checkpointed-frame scans (Scan ExistingRDD — every
+        // Checkpoints.cut output) and cached-relation scans, so a
+        // distributed plan over checkpointed inputs that loses codegen is
+        // still flagged.
         val driverLocalOnly = plan.contains("LocalTableScan") &&
-          !plan.contains("FileScan") && !plan.contains("BatchScan")
+          !plan.contains("FileScan") && !plan.contains("BatchScan") &&
+          !plan.contains("ExistingRDD") && !plan.contains("InMemoryTableScan")
         val codegen = plan.linesIterator.exists(_.contains("*(")) || driverLocalOnly
         val flags = Seq(
           if (cartesian) Some("CARTESIAN") else None,

@@ -681,9 +681,13 @@ class OpsSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
     // a 64-node chain (diameter 63) must converge within maxIter=20: the
-    // pointer-jumping step gives O(log diameter) rounds, not O(diameter)
+    // pointer-jumping step gives O(log diameter) rounds, not O(diameter).
+    // localEdgeCap = 0 FORCES the distributed rounds — with the default
+    // cap this fixture would take the union-find fast path and the
+    // convergence property (the thing this test exists for) would go
+    // untested
     val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val cc2 = Dedup.connectedComponents(chain).collect()
+    val cc2 = Dedup.connectedComponents(chain, localEdgeCap = 0L).collect()
     assert(cc2.length == 64 && cc2.forall(_.getAs[Long]("cluster_id") == 0L))
   }
 
@@ -778,10 +782,19 @@ class OpsSpec extends AnyFunSuite {
     val ivf2 = SimSearch.ivfTopK(emb.repartition(7), nQueries = 3, k = 5,
       nCentroids = 8, nProbe = 4, iters = 3, dim = 8).collect()
     assert(ivf.map(_.toString).sorted.toSeq == ivf2.map(_.toString).sorted.toSeq)
-    // centroids are partition-invariant
-    val c1 = SimSearch.kmeansCentroids(emb, 8, 3, 8)
-    val c2 = SimSearch.kmeansCentroids(emb.repartition(5), 8, 3, 8)
-    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    // centroids are partition-invariant — asserted on the DISTRIBUTED
+    // trainer directly (the public entry takes the trivially-invariant
+    // driver-local path on a 300-row frame; the partial-sum merge this
+    // guards lives in the over-cap loop)
+    // (tight float tolerance, not bit-equality: the per-partition partial
+    // sums merge in partition order, so reassociation can move the last
+    // ULP — the canonical-order local path is where bit-identity holds)
+    val c1 = SimSearch.kmeansCentroidsDistributed(emb, 8, 3, 8)
+    val c2 = SimSearch.kmeansCentroidsDistributed(emb.repartition(5), 8, 3, 8)
+    for (c <- c1.indices; i <- 0 until 8)
+      assert(math.abs(c1(c)(i) - c2(c)(i)) <=
+        1e-6f * math.max(1f, math.abs(c2(c)(i))),
+        s"centroid $c dim $i: ${c1(c)(i)} vs ${c2(c)(i)}")
   }
 
   test("kmeans trainers: driver-local path agrees with the distributed loop") {
@@ -800,6 +813,62 @@ class OpsSpec extends AnyFunSuite {
       assert(math.abs(local(c)(i) - dist(c)(i)) <=
         1e-4f * math.max(1f, math.abs(dist(c)(i))),
         s"centroid $c dim $i: local ${local(c)(i)} vs distributed ${dist(c)(i)}")
+  }
+
+  test("kmeans trainers agree when embedding length differs from dim") {
+    // LONGER embeddings (len 8, dim 4): the distributed init must
+    // truncate to dim like the local path — full-length init vectors
+    // would let tail dims steer iteration-1 assignments on one side only
+    val emb8 = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 1.3 + j).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val l8 = SimSearch.kmeansCentroids(emb8, 4, 3, 4)
+    val d8 = SimSearch.kmeansCentroidsDistributed(emb8, 4, 3, 4)
+    for (c <- l8.indices; i <- 0 until 4)
+      assert(math.abs(l8(c)(i) - d8(c)(i)) <= 1e-4f * math.max(1f, math.abs(d8(c)(i))),
+        s"len>dim centroid $c dim $i: ${l8(c)(i)} vs ${d8(c)(i)}")
+    // SHORTER embeddings (len 3, dim 4): the distributed loop used to
+    // AIOOBE writing dim entries into a len-3 init vector; both paths
+    // must zero-pad and agree
+    val emb3 = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(3)(j => math.cos(i * 0.9 + j).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val l3 = SimSearch.kmeansCentroids(emb3, 4, 3, 4)
+    val d3 = SimSearch.kmeansCentroidsDistributed(emb3, 4, 3, 4)
+    for (c <- l3.indices; i <- 0 until 4)
+      assert(math.abs(l3(c)(i) - d3(c)(i)) <= 1e-4f * math.max(1f, math.abs(d3(c)(i))),
+        s"len<dim centroid $c dim $i: ${l3(c)(i)} vs ${d3(c)(i)}")
+  }
+
+  test("multi-subquantizer and OPQ-pass distributed paths agree with the local kernels") {
+    // the over-cap fallbacks (kmeansCentroidsMultiDistributed, opqPass)
+    // are unreachable from any test through the public builders — every
+    // fixture is far under the 1M-row local cap — so they are gated here
+    // DIRECTLY against the driver-local kernels they must mirror
+    val emb = (0 until 240).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 0.53 + 2 * j).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val xs = emb.collect().sortBy(_.getAs[Long]("vec_id"))
+      .map(_.getAs[Seq[Float]]("embedding").toArray)
+    val localCents = SimSearch.localLloydMulti(xs, 4, 3, 2, 4)
+    val distCents = SimSearch.kmeansCentroidsMultiDistributed(emb, 4, 3, 2, 4)
+    assert(localCents.length == 2 && distCents.length == 2)
+    for (j <- 0 until 2; c <- 0 until 4; i <- 0 until 4)
+      assert(math.abs(localCents(j)(c)(i) - distCents(j)(c)(i)) <=
+        1e-4f * math.max(1f, math.abs(distCents(j)(c)(i))),
+        s"sub $j centroid $c dim $i: ${localCents(j)(c)(i)} vs ${distCents(j)(c)(i)}")
+    // OPQ pass: same rotation + codebook through both accumulators —
+    // the correlation matrix, squared error, and row count must agree
+    val rot = Array.tabulate(8, 8)((a, b) => if (a == b) 1f else 0f)
+    val cb = SimSearch.PqCodebook(4, localCents)
+    val (mL, seL, nL) = SimSearch.opqPassLocal(xs, rot, cb, 8, needM = true)
+    val (mD, seD, nD) = SimSearch.opqPass(emb, rot, cb, 8, needM = true)
+    assert(nL == nD, s"row counts: $nL vs $nD")
+    assert(math.abs(seL - seD) <= 1e-6 * math.max(1.0, seD), s"se: $seL vs $seD")
+    assert(mL.length == mD.length)
+    for (i <- mL.indices)
+      assert(math.abs(mL(i) - mD(i)) <= 1e-6 * math.max(1.0, math.abs(mD(i))),
+        s"M[$i]: ${mL(i)} vs ${mD(i)}")
   }
 
   test("sequence packing: boundary math, partition-count invariance") {
