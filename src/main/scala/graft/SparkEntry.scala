@@ -205,6 +205,12 @@ object SparkEntry {
       // downsample toward the temperature share, tail langs saturate at
       // keep-all with the residual up_factor reported
       CorpusOps.temperatureSample(docs(s, dir), 0.3)),
+    "q76_epoch_upsample" -> ((s, dir) =>
+      // deterministic epoch materialization — the upsampling half of the
+      // q73 contract: tail languages emit floor/ceil(up_factor) copies
+      // per doc (expected copies = up_factor), head languages keep
+      // exactly q73's drop draw
+      CorpusOps.epochUpsample(docs(s, dir), 0.3)),
     "q75_fuzzy_dedup_keep_best" -> ((s, dir) => {
       // production representative selection: near-dup clusters (q26's
       // Jaccard pair family) keep their best-quality member, everyone
@@ -1153,6 +1159,27 @@ object SparkEntry {
         |  ((((d.doc_id % 2147483648) * 1597334677) % 4294967296) / 4294967296.0 < r.rate)
         |    AS kept
         |FROM documents d JOIN r ON coalesce(d.lang, 'und') = r.lang""".stripMargin,
+    "q76_epoch_upsample" ->
+      """WITH c AS (
+        |  SELECT coalesce(lang, 'und') AS lang, count(*) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_docs) AS n_total FROM c),
+        |p AS (SELECT lang, n_docs, n_total,
+        |        n_docs / cast(n_total AS double) AS p FROM c, t),
+        |z AS (SELECT sum(pow(p, 0.3)) AS z FROM p),
+        |r AS (SELECT lang,
+        |        round(pow(p, 0.3) / z * n_total / n_docs, 6) AS up_factor
+        |      FROM p, z),
+        |n AS (SELECT d.doc_id, coalesce(d.lang, 'und') AS lang, r.up_factor,
+        |        cast(floor(r.up_factor) AS bigint) +
+        |        CASE WHEN (((d.doc_id % 2147483648) * 1597334677) % 4294967296)
+        |                    / 4294967296.0
+        |                  < r.up_factor - floor(r.up_factor) THEN 1 ELSE 0 END
+        |          AS n_copies
+        |      FROM documents d JOIN r ON coalesce(d.lang, 'und') = r.lang)
+        |SELECT doc_id, lang, up_factor, n_copies,
+        |       unnest(range(n_copies)) AS copy
+        |FROM n WHERE n_copies > 0""".stripMargin,
     // q74: the full 3-iteration batch-GD logistic regression unrolled —
     // w0=0 so iteration 1's p is exactly 0.5; lr/threshold are the op
     // defaults (3000.0 / 0.5); features are unigrams + adjacent bigrams

@@ -377,25 +377,71 @@ object CorpusOps {
   def temperatureSample(documents: DataFrame, alpha: Double = 0.3): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
     val langCol = coalesce(col("lang"), lit("und"))
+    val u = mix32(col("doc_id"), 1597334677L) / lit(4294967296.0)
+    documents
+      .select(col("doc_id"), langCol.as("lang"))
+      .join(broadcast(temperatureRates(documents, alpha)), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("rate"), col("up_factor"),
+        (u < col("rate")).as("kept"))
+  }
+
+  /** the p^alpha rate table shared by `temperatureSample` (drop side) and
+    * `epochUpsample` (copy side): per language, `up_factor` = q_l·N/n_l
+    * (6-dp rounded so recomputes rank identically) and `rate` = its
+    * keep-capped value min(1, up_factor). q_l = p_l^alpha / sum(p^alpha);
+    * the total and the normalizer are 1-row scalars — labeled lazy
+    * broadcast joins (q52's shape); the table itself is one row per
+    * language, always broadcast. */
+  private def temperatureRates(documents: DataFrame, alpha: Double): DataFrame = {
+    val langCol = coalesce(col("lang"), lit("und"))
     val counts = documents.groupBy(langCol.as("lang"))
       .agg(count(lit(1)).as("n_docs"))
-    // q_l = p_l^alpha / sum(p^alpha); both the total and the normalizer are
-    // 1-row scalars — labeled lazy broadcast joins (q52's shape)
     val withP = counts
       .crossJoin(broadcast(counts.agg(sum(col("n_docs")).as("n_total"))))
       .withColumn("p", col("n_docs").cast("double") / col("n_total"))
-    val rates = withP
+    withP
       .crossJoin(broadcast(withP.agg(sum(pow(col("p"), lit(alpha))).as("z"))))
       .withColumn("q", pow(col("p"), lit(alpha)) / col("z"))
       .withColumn("up_factor", round(col("q") * col("n_total") / col("n_docs"), 6))
       .select(col("lang"), round(least(col("up_factor"), lit(1.0)), 6).as("rate"),
         col("up_factor"))
+  }
+
+  /** deterministic EPOCH materializer — the upsampling half of the
+    * temperature-resampling contract (`temperatureSample` is drop-only
+    * and reports the residual up_factor; this op SPENDS it): every
+    * document of language l is emitted floor(u_l) times plus one more
+    * when the per-doc uniform falls below frac(u_l), so the expected
+    * copy count per lang-l doc is exactly u_l = q_l·N/n_l and the
+    * materialized epoch hits the p^alpha target mixture in expectation —
+    * the XLM-R/mT5 sample-with-replacement epoch (Conneau et al. 2020
+    * §3.1) made deterministic. The draw reuses temperatureSample's mix32
+    * salt, so for head languages (u_l < 1, base 0) the one-copy test IS
+    * q73's kept test — the two surfaces can never disagree on the drop
+    * set. Docs drawing zero copies are absent from the epoch BY CONTRACT
+    * (this epoch's downsample losers; the temperatureSample surface
+    * carries the kept/rate accounting for every doc). Emitted rows:
+    * (doc_id, lang, up_factor, n_copies, copy 0..n_copies-1).
+    *
+    * Scale shape: the rate table is a lang-keyed broadcast; copies come
+    * from ONE per-row explode(sequence(...)) fused into the scan — the
+    * corpus never shuffles, and the epoch size is Σ u_l·n_l ≈ N rows
+    * regardless of skew (up_factor is bounded by the rarest language's
+    * share, not by any per-key hot spot). */
+  def epochUpsample(documents: DataFrame, alpha: Double = 0.3): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val langCol = coalesce(col("lang"), lit("und"))
     val u = mix32(col("doc_id"), 1597334677L) / lit(4294967296.0)
     documents
       .select(col("doc_id"), langCol.as("lang"))
-      .join(broadcast(rates), Seq("lang"))
-      .select(col("doc_id"), col("lang"), col("rate"), col("up_factor"),
-        (u < col("rate")).as("kept"))
+      .join(broadcast(temperatureRates(documents, alpha)), Seq("lang"))
+      .withColumn("n_copies",
+        (floor(col("up_factor")) +
+          when(u < col("up_factor") - floor(col("up_factor")), 1L).otherwise(0L))
+          .cast("long"))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("lang"), col("up_factor"), col("n_copies"),
+        explode(sequence(lit(0L), col("n_copies") - 1L)).as("copy"))
   }
 
   /** Trained model-based quality classifier — the "quality filter" of

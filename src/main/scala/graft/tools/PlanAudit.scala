@@ -26,7 +26,8 @@ object PlanAudit {
     // brute-force baseline, documented at the query.
     val scalarBnljOk =
       Set("q52_lm_perplexity", "q60_dsir_score", "q62_ccnet_buckets", "q69_mixture_balance",
-        "q73_temperature_sample") // q73: the lang-count total + p^alpha normalizer scalars
+        "q73_temperature_sample", // q73: the lang-count total + p^alpha normalizer scalars
+        "q76_epoch_upsample") // q76: the same two rate-table scalars as q73
     graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>

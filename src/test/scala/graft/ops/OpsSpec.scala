@@ -534,6 +534,50 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { CorpusOps.temperatureSample(df, 1.5) }
   }
 
+  test("epochUpsample: floor/ceil(up_factor) copies, head drop set matches q73, copies complete") {
+    val rows = (0 until 80).map(i => (i.toLong, "en")) ++
+      (100 until 116).map(i => (i.toLong, "de")) ++
+      (200 until 204).map(i => (i.toLong, "fr"))
+    val df = rows.toDF("doc_id", "lang")
+    val alpha = 0.3
+    val out = CorpusOps.epochUpsample(df, alpha).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Double]("up_factor"), r.getAs[Long]("n_copies"), r.getAs[Long]("copy")))
+    // sequential recompute: per-doc copy count from the shared rate math
+    val n = Map("en" -> 80.0, "de" -> 16.0, "fr" -> 4.0)
+    val z = n.values.map(v => math.pow(v / 100.0, alpha)).sum
+    def upf(l: String) = BigDecimal(math.pow(n(l) / 100.0, alpha) / z * 100.0 / n(l))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def copies(id: Long, l: String): Long = {
+      val up = upf(l)
+      val u = ((id % 2147483648L) * 1597334677L % 4294967296L) / 4294967296.0
+      math.floor(up).toLong + (if (u < up - math.floor(up)) 1L else 0L)
+    }
+    val expected = rows.flatMap { case (id, l) =>
+      (0L until copies(id, l)).map(c => (id, l, upf(l), copies(id, l), c))
+    }.toSet
+    assert(out.toSet == expected,
+      s"missing ${expected -- out.toSet}, extra ${out.toSet -- expected}")
+    // head language (up<1): present docs get EXACTLY one copy, and the
+    // emitted set IS q73's kept set (same salt, same draw)
+    val keptQ73 = CorpusOps.temperatureSample(df, alpha).collect()
+      .filter(r => r.getAs[String]("lang") == "en" && r.getAs[Boolean]("kept"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    val enOut = out.filter(_._2 == "en")
+    assert(enOut.forall(_._4 == 1L) && enOut.map(_._1).toSet == keptQ73)
+    // tail language (up>1): every doc present with floor/ceil(up) copies
+    val frOut = out.filter(_._2 == "fr").groupBy(_._1)
+    assert(frOut.keySet == (200L until 204L).toSet, "no tail doc is dropped")
+    frOut.foreach { case (id, cs) =>
+      assert(cs.map(_._5).toSet == (0L until cs.head._4).toSet,
+        s"doc $id copy ids incomplete: ${cs.map(_._5).toSeq.sorted}")
+      assert(cs.head._4 == math.floor(upf("fr")).toLong ||
+        cs.head._4 == math.ceil(upf("fr")).toLong)
+    }
+    // expected epoch size ~ N: the per-lang expectation is up_factor
+    intercept[IllegalArgumentException] { CorpusOps.epochUpsample(df, 0.0) }
+  }
+
   test("simhash widened banding: all hamming<=3 pairs found despite engineered hot block") {
     // synthetic (doc_id, simhash) set: 20k random hashes, 5k of which share
     // an identical low block (the classic 16-bit-segment hot bucket), plus
