@@ -234,6 +234,46 @@ class UnitSpec extends AnyFunSuite {
     assert(recall >= 0.87, f"recall regressed: $recall%.4f")
   }
 
+  test("html: extraction invariant under comments, benign attrs, tag case, script/style junk") {
+    import graft.core.html.HtmlExtract
+    // markup-noise invariance — the property class that substitutes for a
+    // reference binary on the HTML path (north-rule-only spec, nothing to
+    // byte-diff against): comments tokenize to NOTHING, density counts
+    // tags not attribute bytes, hints read only class/id, and names are
+    // lowercased — so none of these rewrites may move a single block
+    // score. Calibration pages cover all three layouts x 30 seeds.
+    (0 until 30).foreach { pid =>
+      val rnd = new scala.util.Random(20260818L * 100 + pid)
+      val frags = graft.tools.HtmlCalib.fragments(rnd, pid)
+      val base = graft.tools.HtmlCalib.page(frags, pid % 3)
+      val want = HtmlExtract.extract(base).text
+      val commented = base.replace("><", "><!-- inert noise --><")
+      assert(HtmlExtract.extract(commented).text == want,
+        s"comment insertion changed page $pid")
+      val attred = base.replace("<p>", "<p data-track=\"9\" title='x y'>")
+        .replace("<div>", "<div role=presentation >")
+      assert(HtmlExtract.extract(attred).text == want,
+        s"benign attributes changed page $pid")
+      val upper = "<(/?)([a-z]+)".r.replaceAllIn(base,
+        m => "<" + m.group(1) + m.group(2).toUpperCase)
+      assert(HtmlExtract.extract(upper).text == want,
+        s"tag-name case changed page $pid")
+    }
+    // script/style junk between blocks: dropped verbatim (dropDepth, no
+    // tagCount) — output text identical and nothing leaks, even when the
+    // raw content contains decoy markup
+    val prose = (1 to 4).map(i =>
+      s"<p>${s"solid main content sentence number $i with plenty of words here. " * 3}</p>").mkString
+    val base2 = "<html><body><nav><a href='/'>home</a><a href='/a'>a</a></nav>" +
+      s"<article>$prose</article><footer>contact</footer></body></html>"
+    val want2 = HtmlExtract.extract(base2).text
+    val junked = base2.replace("</p>",
+      "</p><script>var x = '<p>not text</p>';</script><style>.x{color:red}</style>")
+    assert(HtmlExtract.extract(junked).text == want2, "script/style junk changed output")
+    assert(want2.contains("solid main content") && !want2.contains("not text") &&
+      !want2.contains("color"))
+  }
+
   test("html: implied end tags — tag-soup <p>s score independently (round-3 calibration)") {
     import graft.core.html.HtmlExtract
     // three unclosed <p>s: without HTML5 implied-close the first <p> swallows
