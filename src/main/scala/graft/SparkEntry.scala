@@ -205,6 +205,18 @@ object SparkEntry {
       // downsample toward the temperature share, tail langs saturate at
       // keep-all with the residual up_factor reported
       CorpusOps.temperatureSample(docs(s, dir), 0.3)),
+    "q77_source_prior" -> ((s, dir) => {
+      // host/source reputation prior (RefinedWeb family): docs inherit
+      // their source's mean quality, one threshold on the prior; every
+      // 100th doc moves to a singleton source to exercise the
+      // below-minDocs global-mean fallback (the synthetic corpus has
+      // uniform 25-doc sources)
+      val d = docs(s, dir).withColumn("source",
+        when(col("doc_id") % 100 === 0,
+          concat(lit("rare"), col("doc_id").cast("string")))
+          .otherwise(col("source")))
+      CorpusOps.sourceQualityPrior(d, minDocs = 5L, threshold = 0.3)
+    }),
     "q76_epoch_upsample" -> ((s, dir) =>
       // deterministic epoch materialization — the upsampling half of the
       // q73 contract: tail languages emit floor/ceil(up_factor) copies
@@ -1159,6 +1171,44 @@ object SparkEntry {
         |  ((((d.doc_id % 2147483648) * 1597334677) % 4294967296) / 4294967296.0 < r.rate)
         |    AS kept
         |FROM documents d JOIN r ON coalesce(d.lang, 'und') = r.lang""".stripMargin,
+    "q77_source_prior" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 100 = 0 THEN 'rare' || CAST(doc_id AS VARCHAR)
+        |         ELSE source END AS source,
+        |    text
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, source,
+        |    round(
+        |      least(length(text) / 500.0, 1.0) * 0.4 +
+        |      (CASE WHEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+        |                 / greatest(cast(length(text) AS double), 1.0) > 0.2 THEN 0.0
+        |            ELSE 1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+        |                 / greatest(cast(length(text) AS double), 1.0) * 2 END) * 0.3 +
+        |      least((len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |          w -> w IN ('the','a','an','and','or','of','to','in','is','it',
+        |                     'that','on','for','with','as','at','by','this')))
+        |        / greatest(cast(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS double), 1.0)) * 4.0,
+        |        1.0) * 0.3, 6) AS quality
+        |  FROM m),
+        |s AS (SELECT doc_id, source, quality,
+        |        cast(round(quality * 1000000, 0) AS bigint) AS qm FROM q),
+        |b AS (SELECT source, cast(sum(qm) AS bigint) AS sm,
+        |        cast(count(*) AS bigint) AS n_source_docs FROM s GROUP BY 1),
+        |g AS (SELECT cast(sum(sm) AS bigint) AS gs,
+        |        cast(sum(n_source_docs) AS bigint) AS gn FROM b),
+        |p AS (SELECT source, n_source_docs,
+        |        cast(CASE WHEN n_source_docs >= 5
+        |               THEN floor(cast(sm AS double) / n_source_docs)
+        |               ELSE floor(cast(gs AS double) / gn) END AS bigint) AS prior_micros
+        |      FROM b, g)
+        |SELECT s.doc_id, s.source, s.quality,
+        |       p.prior_micros / 1000000.0 AS source_prior,
+        |       p.n_source_docs,
+        |       (p.prior_micros >= 300000) AS kept
+        |FROM s JOIN p USING (source)""".stripMargin,
     "q76_epoch_upsample" ->
       """WITH c AS (
         |  SELECT coalesce(lang, 'und') AS lang, count(*) AS n_docs

@@ -57,6 +57,56 @@ object CorpusOps {
       .select(col("doc_id"), col("source"), col("rk").cast("long").as("rk"))
   }
 
+  /** source/host reputation prior — the RefinedWeb-family curation rule
+    * "judge the HOST, not just the page": every source's prior is the
+    * MEAN quality of its documents, every document inherits its source's
+    * prior, and `kept` applies one threshold to that prior (a page on a
+    * content-farm host is dropped even when the page itself scores well,
+    * and a mediocre page on a reputable host survives). Sources with
+    * fewer than `minDocs` documents carry no evidence — they fall back
+    * to the GLOBAL mean prior (judged as "average host", neither
+    * whitelisted nor blacklisted by a handful of pages).
+    *
+    * Exactness: the mean is computed in integer MICRO-units (qualityScore
+    * is 1e-6-rounded at source, so quality*1e6 is an exact long; the
+    * prior is floor(sum/n) of exact longs) — no float summation-order
+    * sensitivity, any recompute or SQL mirror ranks identically.
+    *
+    * Scale shape: text is reduced to an 8-byte micro-quality AT THE SCAN;
+    * the per-source aggregation is one partial-combined groupBy of
+    * 16-byte rows; the global fallback is a 1-row scalar (labeled lazy
+    * broadcast, q52's shape); the prior table is one row per source —
+    * host-cardinality-sized, rejoined on the source key (AQE broadcasts
+    * it when small, shuffles honestly at web host counts). Documents
+    * never shuffle. */
+  def sourceQualityPrior(
+      documents: DataFrame,
+      minDocs: Long = 5L,
+      threshold: Double = 0.3): DataFrame = {
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    val thrMicros = math.round(threshold * 1e6)
+    val scored = documents.select(
+      col("doc_id"),
+      coalesce(col("source"), lit("unknown")).as("source"),
+      TextOps.qualityScore(col("text")).as("quality"))
+      .withColumn("qm", round(col("quality") * lit(1e6), 0).cast("long"))
+    val bySource = scored.groupBy(col("source"))
+      .agg(sum(col("qm")).as("sm"), count(lit(1)).as("n_source_docs"))
+    val priors = bySource
+      .crossJoin(broadcast(bySource.agg(
+        sum(col("sm")).as("gs"), sum(col("n_source_docs")).as("gn"))))
+      .select(col("source"), col("n_source_docs"),
+        when(col("n_source_docs") >= minDocs,
+          floor(col("sm").cast("double") / col("n_source_docs")))
+          .otherwise(floor(col("gs").cast("double") / col("gn")))
+          .cast("long").as("prior_micros"))
+    scored.join(priors, Seq("source"))
+      .select(col("doc_id"), col("source"), col("quality"),
+        (col("prior_micros") / lit(1e6)).as("source_prior"),
+        col("n_source_docs"),
+        (col("prior_micros") >= thrMicros).as("kept"))
+  }
+
   /** deterministic stratified sampling: per-language keep-rates out of 256
     * md5 buckets (engine-portable, retry-stable — the same property as
     * TextOps.hashSplit). Unlisted languages use `defaultPct256`. Pure

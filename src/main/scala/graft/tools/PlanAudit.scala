@@ -27,7 +27,8 @@ object PlanAudit {
     val scalarBnljOk =
       Set("q52_lm_perplexity", "q60_dsir_score", "q62_ccnet_buckets", "q69_mixture_balance",
         "q73_temperature_sample", // q73: the lang-count total + p^alpha normalizer scalars
-        "q76_epoch_upsample") // q76: the same two rate-table scalars as q73
+        "q76_epoch_upsample", // q76: the same two rate-table scalars as q73
+        "q77_source_prior") // q77: the global-mean fallback scalar
     graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>

@@ -534,6 +534,41 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { CorpusOps.temperatureSample(df, 1.5) }
   }
 
+  test("sourceQualityPrior: docs inherit source mean, small sources fall back to global, exact micros") {
+    val rich = "The good document has the quality words and it is that long enough here."
+    val poor = "!!! ??? ;;; buy !!!"
+    // source A: 5 rich docs (>= minDocs, high prior); source B: 5 poor
+    // docs (low prior — its docs drop even if one were rich); source C:
+    // 2 docs (< minDocs -> global fallback)
+    val df = ((1L to 5L).map(i => (i, rich, "A")) ++
+      (11L to 15L).map(i => (i, poor, "B")) ++
+      Seq((21L, rich, "C"), (22L, poor, "C")))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusOps.sourceQualityPrior(df, minDocs = 5L, threshold = 0.3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("source"), r.getAs[Double]("quality"),
+          r.getAs[Double]("source_prior"), r.getAs[Long]("n_source_docs"),
+          r.getAs[Boolean]("kept")))).toMap
+    assert(out.size == 12, "every doc comes back")
+    // sequential recompute in micro-units
+    val q = df.select(col("doc_id"), TextOps.qualityScore(col("text")).as("q")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> math.round(r.getAs[Double]("q") * 1e6)).toMap
+    val smA = (1L to 5L).map(q).sum; val smB = (11L to 15L).map(q).sum
+    val smC = q(21L) + q(22L)
+    val pA = smA / 5; val pB = smB / 5
+    val pG = (smA + smB + smC) / 12
+    assert(out(1L)._3 == pA / 1e6 && out(1L)._4 == 5L)
+    assert(out(11L)._3 == pB / 1e6)
+    assert(out(21L)._3 == pG / 1e6 && out(21L)._4 == 2L,
+      s"small source must take the global prior: ${out(21L)} want ${pG / 1e6}")
+    // the prior decides, not the page: every A doc kept, every B doc
+    // dropped, C follows the global mean
+    assert((1L to 5L).forall(out(_)._5 == (pA >= 300000L)))
+    assert((11L to 15L).forall(out(_)._5 == (pB >= 300000L)))
+    assert(pA >= 300000L && pB < 300000L, s"fixture separation: $pA / $pB")
+    intercept[IllegalArgumentException] { CorpusOps.sourceQualityPrior(df, minDocs = 0L) }
+  }
+
   test("epochUpsample: floor/ceil(up_factor) copies, head drop set matches q73, copies complete") {
     val rows = (0 until 80).map(i => (i.toLong, "en")) ++
       (100 until 116).map(i => (i.toLong, "de")) ++
