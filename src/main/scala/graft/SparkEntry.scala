@@ -205,6 +205,29 @@ object SparkEntry {
       // downsample toward the temperature share, tail langs saturate at
       // keep-all with the residual up_factor reported
       CorpusOps.temperatureSample(docs(s, dir), 0.3)),
+    "q78_readability" -> ((s, dir) => {
+      // Flesch/FK readability: every 3rd doc gains two extra sentences so
+      // the sentence-count path is exercised (the synthetic corpus is
+      // punctuation-light)
+      val d = docs(s, dir).withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(". Second sentence here! Third one?")))
+          .otherwise(col("text")))
+      TextOps.readability(d)
+    }),
+    "q79_mojibake" -> ((s, dir) => {
+      // encoding-corruption gate: every 5th doc gains double-encoding
+      // digraphs (UTF-8 read as Latin-1/cp1252), every 7th a replacement
+      // char + C1 control — the clean corpus would otherwise exercise
+      // nothing
+      val d = docs(s, dir).withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" cafÃ© â€™")))
+          .when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" bad\uFFFDchar \u0085end")))
+          .otherwise(col("text")))
+      TextOps.mojibakeStats(d)
+    }),
     "q77_source_prior" -> ((s, dir) => {
       // host/source reputation prior (RefinedWeb family): docs inherit
       // their source's mean quality, one threshold on the prior; every
@@ -1171,6 +1194,59 @@ object SparkEntry {
         |  ((((d.doc_id % 2147483648) * 1597334677) % 4294967296) / 4294967296.0 < r.rate)
         |    AS kept
         |FROM documents d JOIN r ON coalesce(d.lang, 'und') = r.lang""".stripMargin,
+    "q78_readability" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || '. Second sentence here! Third one?'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+        |    greatest(1, len(regexp_split_to_array(text, '[.!?]+')) - 1) AS n_sentences,
+        |    len(regexp_split_to_array(lower(text), '[aeiouy]+')) - 1 AS n_syllables
+        |  FROM m)
+        |SELECT doc_id, cast(n_words AS bigint) AS n_words,
+        |  cast(n_sentences AS bigint) AS n_sentences,
+        |  cast(n_syllables AS bigint) AS n_syllables,
+        |  CASE WHEN n_words = 0 THEN NULL
+        |       ELSE round(206.835 - 1.015 * n_words / cast(n_sentences AS double)
+        |                  - 84.6 * n_syllables / cast(n_words AS double), 6) END
+        |    AS flesch_ease,
+        |  CASE WHEN n_words = 0 THEN NULL
+        |       ELSE round(0.39 * n_words / cast(n_sentences AS double)
+        |                  + 11.8 * n_syllables / cast(n_words AS double) - 15.59, 6) END
+        |    AS fk_grade
+        |FROM c""".stripMargin,
+    "q79_mojibake" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |           THEN text || ' caf' || chr(195) || chr(169) || ' '
+        |                || chr(226) || chr(8364) || chr(8482)
+        |         WHEN doc_id % 7 = 0
+        |           THEN text || ' bad' || chr(65533) || 'char ' || chr(133) || 'end'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, cast(length(text) AS bigint) AS n_chars,
+        |    cast(len(string_split_regex(text, '\x{FFFD}')) - 1 AS bigint)
+        |      AS n_replacement,
+        |    cast(len(string_split_regex(text, '[\x{0080}-\x{009F}]')) - 1 AS bigint)
+        |      AS n_c1_controls,
+        |    cast(len(string_split_regex(text,
+        |      '[\x{00C3}\x{00C2}\x{00E2}][\x{0080}-\x{00BF}\x{20AC}\x{201A}\x{0192}\x{201E}\x{2026}\x{2020}\x{2021}\x{02C6}\x{2030}\x{0160}\x{2039}\x{0152}\x{017D}\x{2018}\x{2019}\x{201C}\x{201D}\x{2022}\x{2013}\x{2014}\x{02DC}\x{2122}\x{0161}\x{203A}\x{0153}\x{017E}\x{0178}]'))
+        |      - 1 AS bigint) AS n_double_encoded
+        |  FROM m)
+        |SELECT doc_id, n_chars, n_replacement, n_c1_controls, n_double_encoded,
+        |  CASE WHEN n_chars = 0 THEN 0.0
+        |       ELSE cast(n_replacement + n_c1_controls + n_double_encoded AS double)
+        |            / n_chars END AS mojibake_ratio,
+        |  (CASE WHEN n_chars = 0 THEN 0.0
+        |        ELSE cast(n_replacement + n_c1_controls + n_double_encoded AS double)
+        |             / n_chars END <= 0.001) AS kept
+        |FROM c""".stripMargin,
     "q77_source_prior" ->
       """WITH m AS (
         |  SELECT doc_id,

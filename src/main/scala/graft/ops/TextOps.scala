@@ -559,6 +559,71 @@ object TextOps {
       s"tokenizer must be 'ws' or 'bpe', got '$other'")
   }
 
+  /** classic readability observables — Flesch reading-ease and
+    * Flesch-Kincaid grade (Kincaid et al. 1975), the readability member
+    * of the quality-signal family (alongside qualityScore / Gopher / C4 /
+    * perplexity buckets): syllables estimated as VOWEL RUNS ([aeiouy]+
+    * over lowercased text — the standard dictionary-free approximation;
+    * whitespace breaks runs, so the text-level count equals the sum of
+    * per-word counts), sentences as [.!?]+ runs floored at 1 (a fragment
+    * reads as one sentence), words via the shared tokenCount convention.
+    * Empty/NULL text yields NULL scores — null-on-no-evidence, not a
+    * fabricated grade. Per-row codegen'd column math fused into the scan
+    * (no shuffle, no UDF); scores 1e-6-rounded so recomputes rank
+    * identically. */
+  def readability(documents: DataFrame): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    val counted = documents.select(
+      col("doc_id"),
+      tokenCount(t).cast("long").as("n_words"),
+      greatest(lit(1L), (size(split(t, "[.!?]+")) - 1).cast("long")).as("n_sentences"),
+      (size(split(lower(t), "[aeiouy]+")) - 1).cast("long").as("n_syllables"))
+    val w = col("n_words").cast("double")
+    val fe = round(lit(206.835) - lit(1.015) * w / col("n_sentences")
+      - lit(84.6) * col("n_syllables") / w, 6)
+    val fk = round(lit(0.39) * w / col("n_sentences")
+      + lit(11.8) * col("n_syllables") / w - lit(15.59), 6)
+    counted.select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+      when(col("n_words") === 0, lit(null)).otherwise(fe).as("flesch_ease"),
+      when(col("n_words") === 0, lit(null)).otherwise(fk).as("fk_grade"))
+  }
+
+  /** cp1252 images of UTF-8 continuation bytes 0x80-0xBF: the chars a
+    * double-encoded sequence's SECOND char can be — either the Latin-1
+    * identity range or the cp1252 punctuation remaps ('é' -> 'Ã©' via
+    * Latin-1, '’' -> 'â€™' via cp1252) */
+  private val moji2nd =
+    "\\x{0080}-\\x{00BF}\\x{20AC}\\x{201A}\\x{0192}\\x{201E}\\x{2026}\\x{2020}" +
+      "\\x{2021}\\x{02C6}\\x{2030}\\x{0160}\\x{2039}\\x{0152}\\x{017D}\\x{2018}" +
+      "\\x{2019}\\x{201C}\\x{201D}\\x{2022}\\x{2013}\\x{2014}\\x{02DC}\\x{2122}" +
+      "\\x{0161}\\x{203A}\\x{0153}\\x{017E}\\x{0178}"
+
+  /** encoding-corruption observables — the OSCAR/CCNet-class mojibake
+    * gate that fluency scoring alone misses: U+FFFD replacement chars
+    * (a decoder already gave up on those bytes), stray C1 controls
+    * U+0080-U+009F (cp1252 bytes pasted into unicode), and
+    * UTF-8-read-as-Latin-1/cp1252 double-encoding digraphs (lead char
+    * Ã/Â/â followed by a continuation-image char). `mojibake_ratio` =
+    * flagged sequences per char; `kept` applies `maxRatio`. Counts are
+    * split-counts (non-overlapping matches), so the SQL mirror is exact;
+    * per-row codegen'd regex math fused into the scan — no shuffle. */
+  def mojibakeStats(documents: DataFrame, maxRatio: Double = 0.001): DataFrame = {
+    require(maxRatio >= 0, s"maxRatio must be >= 0, got $maxRatio")
+    val t = coalesce(col("text"), lit(""))
+    def cnt(pattern: String): Column = (size(split(t, pattern)) - 1).cast("long")
+    documents.select(
+      col("doc_id"),
+      length(t).cast("long").as("n_chars"),
+      cnt("\\x{FFFD}").as("n_replacement"),
+      cnt("[\\x{0080}-\\x{009F}]").as("n_c1_controls"),
+      cnt(s"[\\x{00C3}\\x{00C2}\\x{00E2}][$moji2nd]").as("n_double_encoded"))
+      .withColumn("mojibake_ratio",
+        when(col("n_chars") === 0, lit(0.0))
+          .otherwise((col("n_replacement") + col("n_c1_controls") +
+            col("n_double_encoded")).cast("double") / col("n_chars")))
+      .withColumn("kept", col("mojibake_ratio") <= maxRatio)
+  }
+
   /** documents -> per-doc text stats (one narrow pass, no shuffle) */
   def stats(documents: DataFrame): DataFrame =
     documents.select(

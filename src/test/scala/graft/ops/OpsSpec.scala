@@ -534,6 +534,49 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { CorpusOps.temperatureSample(df, 1.5) }
   }
 
+  test("readability: vowel-run syllables, sentence floor, NULL scores on empty text") {
+    val df = docsDf(
+      (1L, "The cat sat."), // 3 words, 1 sentence, syllables e/a/a = 3
+      (2L, "It is a truly remarkable observation! Yes. Indeed?"), // 3 sentences
+      (3L, ""), (4L, null.asInstanceOf[String]),
+      (5L, "word word word")) // no terminator -> floored to 1 sentence
+    val r = TextOps.readability(df).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_words"), x.getAs[Long]("n_sentences"),
+          x.getAs[Long]("n_syllables"), Option(x.get(x.fieldIndex("flesch_ease")))))).toMap
+    assert(r(1L)._1 == 3L && r(1L)._2 == 1L && r(1L)._3 == 3L)
+    // FRE = 206.835 - 1.015*3/1 - 84.6*3/3 = 119.19
+    assert(r(1L)._4.contains(119.19))
+    assert(r(2L)._2 == 3L, s"three sentences, got ${r(2L)}")
+    assert(r(3L) == ((0L, 1L, 0L, None)) && r(4L) == ((0L, 1L, 0L, None)),
+      "empty/NULL text -> zero counts, NULL score")
+    assert(r(5L)._2 == 1L, "no terminator floors at one sentence")
+    // per-word sum == text-level count (whitespace breaks vowel runs)
+    val words = "truly remarkable observation".split(" ")
+    val perWord = words.map(w => w.split("[^aeiouy]+").count(_.nonEmpty)).sum
+    val whole = "truly remarkable observation".split("[aeiouy]+").length - 1
+    assert(perWord == whole)
+  }
+
+  test("mojibakeStats: replacement/C1/double-encoding counts, clean text kept") {
+    val df = docsDf(
+      (1L, "perfectly clean prose with no corruption at all"),
+      (2L, "cafÃ© and â€™ twice Ã¼"), // 3 digraphs
+      (3L, "bad�byte�"), // 2 replacement chars
+      (4L, "ctrl\u0085here"), // 1 C1 control
+      (5L, null.asInstanceOf[String]))
+    val r = TextOps.mojibakeStats(df, maxRatio = 0.05).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_replacement"), x.getAs[Long]("n_c1_controls"),
+          x.getAs[Long]("n_double_encoded"), x.getAs[Boolean]("kept")))).toMap
+    assert(r(1L) == ((0L, 0L, 0L, true)))
+    assert(r(2L)._3 == 3L && !r(2L)._4, s"digraphs: ${r(2L)}")
+    assert(r(3L)._1 == 2L && !r(3L)._4)
+    assert(r(4L)._2 == 1L && !r(4L)._4)
+    assert(r(5L) == ((0L, 0L, 0L, true)), "NULL text -> zero counts, kept")
+    intercept[IllegalArgumentException] { TextOps.mojibakeStats(df, maxRatio = -1) }
+  }
+
   test("sourceQualityPrior: docs inherit source mean, small sources fall back to global, exact micros") {
     val rich = "The good document has the quality words and it is that long enough here."
     val poor = "!!! ??? ;;; buy !!!"
