@@ -1233,7 +1233,9 @@ object SparkEntry {
         |  SELECT doc_id, cast(length(text) AS bigint) AS n_chars,
         |    cast(len(string_split_regex(text, '\x{FFFD}')) - 1 AS bigint)
         |      AS n_replacement,
-        |    cast(len(string_split_regex(text, '[\x{0080}-\x{009F}]')) - 1 AS bigint)
+        |    cast(len(string_split_regex(text, '[\x{0080}-\x{009F}]'))
+        |      - len(string_split_regex(text,
+        |          '[\x{00C3}\x{00C2}\x{00E2}][\x{0080}-\x{009F}]')) AS bigint)
         |      AS n_c1_controls,
         |    cast(len(string_split_regex(text,
         |      '[\x{00C3}\x{00C2}\x{00E2}][\x{0080}-\x{00BF}\x{20AC}\x{201A}\x{0192}\x{201E}\x{2026}\x{2020}\x{2021}\x{02C6}\x{2030}\x{0160}\x{2039}\x{0152}\x{017D}\x{2018}\x{2019}\x{201C}\x{201D}\x{2022}\x{2013}\x{2014}\x{02DC}\x{2122}\x{0161}\x{203A}\x{0153}\x{017E}\x{0178}]'))
@@ -1251,8 +1253,8 @@ object SparkEntry {
       """WITH m AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 100 = 0 THEN 'rare' || CAST(doc_id AS VARCHAR)
-        |         ELSE source END AS source,
-        |    text
+        |         ELSE coalesce(source, 'unknown') END AS source,
+        |    coalesce(text, '') AS text
         |  FROM documents),
         |q AS (
         |  SELECT doc_id, source,

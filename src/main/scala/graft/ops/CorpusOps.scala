@@ -85,10 +85,14 @@ object CorpusOps {
       threshold: Double = 0.3): DataFrame = {
     require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
     val thrMicros = math.round(threshold * 1e6)
+    // NULL text scores as empty text (quality 0.3), NOT as NULL: a NULL
+    // quality would be skipped by sum() while count() includes the doc
+    // (silently deflating its source's mean), and an all-NULL source
+    // would emit kept=NULL rows that vanish from BOTH kept filters
     val scored = documents.select(
       col("doc_id"),
       coalesce(col("source"), lit("unknown")).as("source"),
-      TextOps.qualityScore(col("text")).as("quality"))
+      TextOps.qualityScore(coalesce(col("text"), lit(""))).as("quality"))
       .withColumn("qm", round(col("quality") * lit(1e6), 0).cast("long"))
     val bySource = scored.groupBy(col("source"))
       .agg(sum(col("qm")).as("sm"), count(lit(1)).as("n_source_docs"))

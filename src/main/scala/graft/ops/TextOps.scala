@@ -567,6 +567,12 @@ object TextOps {
     * whitespace breaks runs, so the text-level count equals the sum of
     * per-word counts), sentences as [.!?]+ runs floored at 1 (a fragment
     * reads as one sentence), words via the shared tokenCount convention.
+    * NOTE the sentence convention here intentionally differs from
+    * `c4Filters`' (which counts terminal-punctuation segments WITH
+    * alphanumeric content over the boilerplate-cleaned lines — C4's own
+    * rule): FK's words-per-sentence wants terminated sentences of the RAW
+    * text; both conventions are mirrored verbatim in their oracles, so a
+    * change to either must update its oracle, not the other op.
     * Empty/NULL text yields NULL scores — null-on-no-evidence, not a
     * fabricated grade. Per-row codegen'd column math fused into the scan
     * (no shuffle, no UDF); scores 1e-6-rounded so recomputes rank
@@ -600,8 +606,9 @@ object TextOps {
 
   /** encoding-corruption observables — the OSCAR/CCNet-class mojibake
     * gate that fluency scoring alone misses: U+FFFD replacement chars
-    * (a decoder already gave up on those bytes), stray C1 controls
-    * U+0080-U+009F (cp1252 bytes pasted into unicode), and
+    * (a decoder already gave up on those bytes), STRAY C1 controls
+    * U+0080-U+009F (cp1252 bytes pasted into unicode; one inside a
+    * counted digraph is that event, not a second flag), and
     * UTF-8-read-as-Latin-1/cp1252 double-encoding digraphs (lead char
     * Ã/Â/â followed by a continuation-image char). `mojibake_ratio` =
     * flagged sequences per char; `kept` applies `maxRatio`. Counts are
@@ -611,11 +618,18 @@ object TextOps {
     require(maxRatio >= 0, s"maxRatio must be >= 0, got $maxRatio")
     val t = coalesce(col("text"), lit(""))
     def cnt(pattern: String): Column = (size(split(t, pattern)) - 1).cast("long")
+    // n_c1_controls counts STRAY C1 controls only: a C1 char that is the
+    // second char of a counted double-encoding digraph (the Latin-1-read
+    // flavor, e.g. en-dash -> 'Â'+U+0096) belongs to that ONE corruption
+    // event — subtracting the digraph-second subset keeps the ratio at
+    // one flag per event for both digraph flavors (RE2 has no lookbehind,
+    // so the SQL mirror uses the same two-scan subtraction)
     documents.select(
       col("doc_id"),
       length(t).cast("long").as("n_chars"),
       cnt("\\x{FFFD}").as("n_replacement"),
-      cnt("[\\x{0080}-\\x{009F}]").as("n_c1_controls"),
+      (cnt("[\\x{0080}-\\x{009F}]") -
+        cnt("[\\x{00C3}\\x{00C2}\\x{00E2}][\\x{0080}-\\x{009F}]")).as("n_c1_controls"),
       cnt(s"[\\x{00C3}\\x{00C2}\\x{00E2}][$moji2nd]").as("n_double_encoded"))
       .withColumn("mojibake_ratio",
         when(col("n_chars") === 0, lit(0.0))

@@ -564,7 +564,11 @@ class OpsSpec extends AnyFunSuite {
       (2L, "cafÃ© and â€™ twice Ã¼"), // 3 digraphs
       (3L, "bad�byte�"), // 2 replacement chars
       (4L, "ctrl\u0085here"), // 1 C1 control
-      (5L, null.asInstanceOf[String]))
+      (5L, null.asInstanceOf[String]),
+      // Latin-1-flavor digraph: en-dash U+2013 read as Latin-1 becomes
+      // '\u00c2'+U+0096 \u2014 ONE corruption event, so the C1 second char must NOT
+      // also count as a stray control (the double-count review finding)
+      (6L, "dash\u00c2\u0096dash"))
     val r = TextOps.mojibakeStats(df, maxRatio = 0.05).collect()
       .map(x => x.getAs[Long]("doc_id") ->
         ((x.getAs[Long]("n_replacement"), x.getAs[Long]("n_c1_controls"),
@@ -574,6 +578,8 @@ class OpsSpec extends AnyFunSuite {
     assert(r(3L)._1 == 2L && !r(3L)._4)
     assert(r(4L)._2 == 1L && !r(4L)._4)
     assert(r(5L) == ((0L, 0L, 0L, true)), "NULL text -> zero counts, kept")
+    assert(r(6L) == ((0L, 0L, 1L, false)),
+      s"Latin-1 digraph is ONE event, not digraph+stray-C1: ${r(6L)}")
     intercept[IllegalArgumentException] { TextOps.mojibakeStats(df, maxRatio = -1) }
   }
 
@@ -585,25 +591,34 @@ class OpsSpec extends AnyFunSuite {
     // 2 docs (< minDocs -> global fallback)
     val df = ((1L to 5L).map(i => (i, rich, "A")) ++
       (11L to 15L).map(i => (i, poor, "B")) ++
-      Seq((21L, rich, "C"), (22L, poor, "C")))
+      Seq((21L, rich, "C"), (22L, poor, "C"),
+        // NULL text scores as EMPTY text (not a sum-skipped NULL that
+        // deflates the mean); NULL source lands in 'unknown'
+        (31L, null.asInstanceOf[String], "C"),
+        (41L, rich, null.asInstanceOf[String])))
       .toDF("doc_id", "text", "source")
     val out = CorpusOps.sourceQualityPrior(df, minDocs = 5L, threshold = 0.3).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[String]("source"), r.getAs[Double]("quality"),
           r.getAs[Double]("source_prior"), r.getAs[Long]("n_source_docs"),
           r.getAs[Boolean]("kept")))).toMap
-    assert(out.size == 12, "every doc comes back")
-    // sequential recompute in micro-units
-    val q = df.select(col("doc_id"), TextOps.qualityScore(col("text")).as("q")).collect()
+    assert(out.size == 14, "every doc comes back")
+    // sequential recompute in micro-units (NULL text scored as empty)
+    val q = df.select(col("doc_id"),
+      TextOps.qualityScore(coalesce(col("text"), lit(""))).as("q")).collect()
       .map(r => r.getAs[Long]("doc_id") -> math.round(r.getAs[Double]("q") * 1e6)).toMap
     val smA = (1L to 5L).map(q).sum; val smB = (11L to 15L).map(q).sum
-    val smC = q(21L) + q(22L)
+    val smC = q(21L) + q(22L) + q(31L)
     val pA = smA / 5; val pB = smB / 5
-    val pG = (smA + smB + smC) / 12
+    val pG = (smA + smB + smC + q(41L)) / 14
     assert(out(1L)._3 == pA / 1e6 && out(1L)._4 == 5L)
     assert(out(11L)._3 == pB / 1e6)
-    assert(out(21L)._3 == pG / 1e6 && out(21L)._4 == 2L,
+    assert(out(21L)._3 == pG / 1e6 && out(21L)._4 == 3L,
       s"small source must take the global prior: ${out(21L)} want ${pG / 1e6}")
+    assert(out(31L)._2 == 0.3 && out(31L)._1 == "C",
+      s"NULL text scores as empty text (0.3), got ${out(31L)}")
+    assert(out(41L)._1 == "unknown" && out(41L)._3 == pG / 1e6 && out(41L)._4 == 1L,
+      s"NULL source lands in 'unknown' with the global prior: ${out(41L)}")
     // the prior decides, not the page: every A doc kept, every B doc
     // dropped, C follows the global mean
     assert((1L to 5L).forall(out(_)._5 == (pA >= 300000L)))
