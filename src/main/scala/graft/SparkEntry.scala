@@ -205,6 +205,16 @@ object SparkEntry {
       // downsample toward the temperature share, tail langs saturate at
       // keep-all with the residual up_factor reported
       CorpusOps.temperatureSample(docs(s, dir), 0.3)),
+    "q80_nfc_normalize" -> ((s, dir) => {
+      // Unicode NFC pass (custom codegen'd Catalyst expression): every
+      // 4th doc gains a decomposed accent sequence ('e' + U+0301) that
+      // must compose to the single code point U+00E9
+      val d = docs(s, dir).withColumn("text",
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(" cafe\u0301")))
+          .otherwise(col("text")))
+      TextOps.nfcNormalized(d)
+    }),
     "q78_readability" -> ((s, dir) => {
       // Flesch/FK readability: every 3rd doc gains two extra sentences so
       // the sentence-count path is exercised (the synthetic corpus is
@@ -1194,6 +1204,15 @@ object SparkEntry {
         |  ((((d.doc_id % 2147483648) * 1597334677) % 4294967296) / 4294967296.0 < r.rate)
         |    AS kept
         |FROM documents d JOIN r ON coalesce(d.lang, 'und') = r.lang""".stripMargin,
+    "q80_nfc_normalize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN text || ' cafe' || chr(769)
+        |         ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(text) AS nfc_text,
+        |       (nfc_normalize(text) <> text) AS changed
+        |FROM m""".stripMargin,
     "q78_readability" ->
       """WITH m AS (
         |  SELECT doc_id,

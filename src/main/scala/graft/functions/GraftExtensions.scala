@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction(GraftExtensions.dotFunction)
+    extensions.injectFunction(GraftExtensions.nfcFunction)
   }
 }
 
@@ -26,10 +27,20 @@ object GraftExtensions {
       DotProduct(children(0), children(1))
     })
 
+  private[functions] val nfcFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_nfc"),
+    new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_nfc takes exactly 1 argument")
+      NfcNormalize(children(0))
+    })
+
   /** register on a live session (tests, notebooks) */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc", exprs => NfcNormalize(exprs(0)), "built-in")
     registerUdfs(spark)
   }
 

@@ -638,6 +638,20 @@ object TextOps {
       .withColumn("kept", col("mojibake_ratio") <= maxRatio)
   }
 
+  /** Unicode NFC pass in front of the hash-keyed family: canonically-
+    * equivalent byte sequences ('é' composed vs 'e'+combining-acute) hash
+    * DIFFERENTLY, silently splitting exact-dedup groups, URL identities
+    * and decontamination grams on any corpus with mixed producers.
+    * `changed` reports which docs were not already NFC (a corpus health
+    * observable in its own right). Per-row custom Catalyst expression
+    * (graft.functions.NfcNormalize) — stays inside whole-stage codegen,
+    * fast-path zero-alloc on already-normalized text; no shuffle. */
+  def nfcNormalized(documents: DataFrame): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    val n = graft.functions.NfcNormalize(t)
+    documents.select(col("doc_id"), n.as("nfc_text"), (n =!= t).as("changed"))
+  }
+
   /** documents -> per-doc text stats (one narrow pass, no shuffle) */
   def stats(documents: DataFrame): DataFrame =
     documents.select(

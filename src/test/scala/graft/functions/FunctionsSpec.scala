@@ -57,6 +57,35 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("NfcNormalize: composes decomposed accents, fast-path identity, NULL, SQL registration") {
+    GraftExtensions.register(spark)
+    val df = Seq(
+      (1L, "café plus é twice"), // decomposed -> composed
+      (2L, "plain ascii already nfc"),
+      (3L, "café already composed"),
+      (4L, null.asInstanceOf[String])).toDF("id", "t")
+    val out = df.select(col("id"), NfcNormalize(col("t")).as("n")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L).contains("café plus é twice"),
+      s"decomposed must compose: ${out(1L)}")
+    assert(out(2L).contains("plain ascii already nfc"))
+    assert(out(3L).contains("café already composed"))
+    assert(out(4L).isEmpty, "NULL propagates")
+    // parity with the JDK normalizer on every row (interpreted reference)
+    df.filter(col("t").isNotNull).collect().foreach { r =>
+      val s = r.getString(1)
+      assert(out(r.getLong(0)).contains(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)))
+    }
+    // SQL registration
+    df.createOrReplaceTempView("nfc_docs")
+    val viaSql = spark.sql("SELECT graft_nfc(t) AS n FROM nfc_docs WHERE id = 1").collect()
+    assert(viaSql(0).getString(0) == "café plus é twice")
+    // codegen span survives (filter over the expression, no fallback)
+    val n = spark.range(50).select(concat(lit("x"), col("id").cast("string")).as("t"))
+    assert(n.filter(NfcNormalize(col("t")) === col("t")).count() == 50)
+  }
+
   test("codegen path produces working generated code (no fallback errors)") {
     // force a wide plan through codegen with the expression in a filter
     val n = spark.range(100).select(col("id"),

@@ -583,6 +583,26 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { TextOps.mojibakeStats(df, maxRatio = -1) }
   }
 
+  test("nfcNormalized: decomposed accents compose, changed flag, NFC pass heals split dedup groups") {
+    val composed = "résumé text body"
+    val decomposed = "résumé text body"
+    val df = docsDf((1L, composed), (2L, decomposed), (3L, "plain"), (4L, null.asInstanceOf[String]))
+    val r = TextOps.nfcNormalized(df).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[String]("nfc_text"), x.getAs[Boolean]("changed")))).toMap
+    assert(r(1L) == ((composed, false)))
+    assert(r(2L) == ((composed, true)), s"decomposed must compose: ${r(2L)}")
+    assert(r(3L) == (("plain", false)) && r(4L) == (("", false)))
+    // the motivating property: the two canonically-equivalent docs land in
+    // ONE exact-dedup group after the NFC pass (and two groups without it)
+    val healed = Dedup.exact(
+      TextOps.nfcNormalized(df).select(col("doc_id"), col("nfc_text").as("text")))
+      .collect()
+    assert(healed.length == 1 && healed.head.getAs[Long]("n_copies") == 2L,
+      s"NFC must merge the split group: ${healed.toSeq}")
+    assert(Dedup.exact(df).collect().isEmpty, "without NFC the copies hash apart")
+  }
+
   test("sourceQualityPrior: docs inherit source mean, small sources fall back to global, exact micros") {
     val rich = "The good document has the quality words and it is that long enough here."
     val poor = "!!! ??? ;;; buy !!!"
