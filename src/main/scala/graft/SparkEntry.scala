@@ -205,6 +205,18 @@ object SparkEntry {
       // downsample toward the temperature share, tail langs saturate at
       // keep-all with the residual up_factor reported
       CorpusOps.temperatureSample(docs(s, dir), 0.3)),
+    "q81_decontaminate_fuzzy" -> ((s, dir) => {
+      // fuzzy decontamination: the eval set is every 50th doc LIGHTLY
+      // EDITED (five extra tokens) — exact-hash identity misses it and
+      // most exact n-grams drift, but the shingle set barely moves. No
+      // SQL oracle (minhash); the OpsSpec band-gated sequential
+      // recompute is the gate, rows-only here
+      val d = docs(s, dir)
+      val evalSet = d.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" benchmark answer key held out")).as("text"))
+      Dedup.decontaminateFuzzy(d, evalSet, threshold = 0.6)
+    }),
     "q80_nfc_normalize" -> ((s, dir) => {
       // Unicode NFC pass (custom codegen'd Catalyst expression): every
       // 4th doc gains a decomposed accent sequence ('e' + U+0301) that

@@ -874,6 +874,82 @@ object Dedup {
       .agg(count(lit(1)).as("n_bad_grams"))
   }
 
+  /** FUZZY benchmark decontamination — the third member of the family:
+    * `benchmarkContamination` flags docs containing an exact eval n-gram,
+    * `decontaminateSpans` cuts those spans, and THIS op flags docs that
+    * are near-duplicates of a WHOLE eval document — the reformatted/
+    * lightly-edited eval copy whose every n-gram drifted (punctuation,
+    * casing artifacts, shuffled boilerplate) but whose shingle set still
+    * overlaps heavily. Similarity = matching-minhash fraction (the same
+    * 64-hash/3-shingle signature family as `minhashLsh`, so the estimate
+    * is k/64 — an exact binary fraction, recompute-stable); a doc is
+    * `contaminated` when its best eval match >= threshold. Empty/NULL
+    * texts on either side never match (the empty signature is excluded
+    * rather than trivially matching every other empty).
+    *
+    * Scale shape: the EVAL side is bounded by construction (a benchmark,
+    * not a corpus) — its signatures + a band-key index are computed
+    * driver-side from one bounded collect and BROADCAST (64·8 bytes per
+    * eval doc); the corpus side is ONE mapPartitions pass that computes
+    * each doc's signature in-scan, probes the 16 band keys against the
+    * broadcast index, and verifies candidates against the (few) eval
+    * signatures sharing a band — no shuffle, no join, docs never move.
+    * Returns every input doc: (doc_id, eval_sim, contaminated). */
+  def decontaminateFuzzy(
+      documents: DataFrame,
+      evalDocs: DataFrame,
+      threshold: Double = 0.8,
+      seed: Long = 42L): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0, 1], got $threshold")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val (as, bs) = hashParams(seed)
+    def isEmptySig(sig: Array[Long]): Boolean = sig(0) == Long.MaxValue
+    val evalSigs: Array[Array[Long]] = evalDocs
+      .select(coalesce(col("text"), lit("")).as("text")).as[String]
+      .collect().map(t => minhashSignature(t, as, bs)).filterNot(isEmptySig)
+    val evalByBand: Map[Long, Array[Int]] =
+      (for { ei <- evalSigs.indices; b <- 0 until N_BANDS }
+        yield (bandKey(evalSigs(ei), b), ei))
+        .groupMap(_._1)(_._2).map { case (k, v) => k -> v.distinct.toArray }
+    val bSigs = spark.sparkContext.broadcast(evalSigs)
+    val bIdx = spark.sparkContext.broadcast(evalByBand)
+    documents.select(col("doc_id").cast("long"), coalesce(col("text"), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val sigsE = bSigs.value
+        val byBand = bIdx.value
+        rows.map { case (id, t) =>
+          val sig = minhashSignature(t, as, bs)
+          var best = 0.0
+          if (!isEmptySig(sig) && sigsE.nonEmpty) {
+            val seen = new java.util.HashSet[Int]
+            var b = 0
+            while (b < N_BANDS) {
+              val cands = byBand.getOrElse(bandKey(sig, b), null)
+              if (cands != null) {
+                var c = 0
+                while (c < cands.length) {
+                  val ei = cands(c)
+                  if (seen.add(ei)) {
+                    val e = sigsE(ei)
+                    var m = 0
+                    var h = 0
+                    while (h < N_HASHES) { if (sig(h) == e(h)) m += 1; h += 1 }
+                    val est = m.toDouble / N_HASHES
+                    if (est > best) best = est
+                  }
+                  c += 1
+                }
+              }
+              b += 1
+            }
+          }
+          (id, best, best >= threshold)
+        }
+      }.toDF("doc_id", "eval_sim", "contaminated")
+  }
+
   /** SPAN-LEVEL decontamination: instead of flagging/dropping a whole
     * document (`benchmarkContamination`), cut exactly the tokens covered
     * by any benchmark-matching `gramLen`-gram window and keep the rest —

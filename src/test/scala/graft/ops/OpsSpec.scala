@@ -583,6 +583,47 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { TextOps.mojibakeStats(df, maxRatio = -1) }
   }
 
+  test("decontaminateFuzzy: band-gated recompute exact, planted near-dups flagged, empties never match") {
+    // deterministic corpus: 30 docs of index-derived words; eval set =
+    // perturbed copies of docs 0/10/20 (five extra tokens) + an empty doc
+    // per-doc vocabulary (a shared cyclic vocab makes every doc a shifted
+    // copy of every other — all shingle sets nearly equal)
+    def words(i: Long): String =
+      (0 until 40).map(j => s"d${i}w$j").mkString(" ")
+    val corpus = ((0L until 30L).map(i => (i, words(i))) :+ (99L, ""))
+      .toDF("doc_id", "text")
+    val evalSet = Seq(0L, 10L, 20L).map(i => (i, words(i) + " held out answer key x"))
+      .:+((98L, ""))
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminateFuzzy(corpus, evalSet, threshold = 0.6).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("eval_sim"), r.getAs[Boolean]("contaminated")))).toMap
+    assert(out.size == 31, "every input doc returns")
+    // sequential band-gated recompute with the operator's own primitives
+    val (as, bs) = Dedup.hashParams(42L)
+    val evalSigs = Seq(0L, 10L, 20L)
+      .map(i => Dedup.minhashSignature(words(i) + " held out answer key x", as, bs))
+    val evalBands = evalSigs.map(s => (0 until Dedup.N_BANDS).map(b => Dedup.bandKey(s, b)).toSet)
+    corpus.collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val sig = Dedup.minhashSignature(r.getAs[String]("text"), as, bs)
+      val myBands = (0 until Dedup.N_BANDS).map(b => Dedup.bandKey(sig, b)).toSet
+      val best =
+        if (sig(0) == Long.MaxValue) 0.0
+        else evalSigs.zip(evalBands).collect {
+          case (e, eb) if eb.intersect(myBands).nonEmpty =>
+            sig.zip(e).count { case (a2, b2) => a2 == b2 }.toDouble / Dedup.N_HASHES
+        }.foldLeft(0.0)(math.max)
+      assert(out(id)._1 == best, s"doc $id sim ${out(id)._1} want $best")
+      assert(out(id)._2 == (best >= 0.6))
+    }
+    // planted near-dups flagged, unrelated docs not, empty never matches
+    assert(Seq(0L, 10L, 20L).forall(out(_)._2), s"planted: ${Seq(0L, 10L, 20L).map(out)}")
+    assert((1L until 10L).forall(!out(_)._2))
+    assert(out(99L) == ((0.0, false)), "empty doc never matches the empty eval doc")
+    intercept[IllegalArgumentException] { Dedup.decontaminateFuzzy(corpus, evalSet, 0.0) }
+  }
+
   test("nfcNormalized: decomposed accents compose, changed flag, NFC pass heals split dedup groups") {
     val composed = "résumé text body"
     val decomposed = "résumé text body"
