@@ -16,8 +16,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * corpus with mixed producers. Spark has no built-in; a Scala UDF would
   * box every row and break the whole-stage-codegen span. This expression
   * stays inside codegen (delegating to the static helper below) and takes
-  * the `isNormalized` FAST PATH — web text is overwhelmingly already NFC,
-  * so the common row costs one verification scan and zero allocation.
+  * a two-tier FAST PATH — pure-ASCII bytes short-circuit with no decode at
+  * all, and already-NFC non-ASCII text returns after one isNormalized
+  * scan — so the common row allocates nothing.
   * Matches DuckDB's `nfc_normalize()` (both implement UAX #15).
   */
 case class NfcNormalize(child: Expression) extends UnaryExpression {
@@ -45,8 +46,20 @@ object NfcNormalize {
   import org.apache.spark.sql.GraftColumnBridge
 
   /** static kernel shared by the interpreted and generated paths: returns
-    * the INPUT object untouched when already NFC (no realloc) */
+    * the INPUT object untouched when already NFC. Pure-ASCII bytes are NFC
+    * by definition — that pre-scan keeps the dominant web-text row truly
+    * allocation-free (no UTF8String->String decode); non-ASCII rows pay
+    * one decode for the JDK isNormalized check, and only genuinely
+    * denormalized text reallocates. */
   def nfc(s: UTF8String): UTF8String = {
+    val n = s.numBytes()
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) {
+      if ((s.getByte(i) & 0x80) != 0) ascii = false
+      i += 1
+    }
+    if (ascii) return s
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
     else UTF8String.fromString(

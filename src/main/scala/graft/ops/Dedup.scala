@@ -908,10 +908,12 @@ object Dedup {
     val evalSigs: Array[Array[Long]] = evalDocs
       .select(coalesce(col("text"), lit("")).as("text")).as[String]
       .collect().map(t => minhashSignature(t, as, bs)).filterNot(isEmptySig)
+    // no dedup needed building the index: the band index sits in the
+    // key's high 32 bits, so one (evalDoc, band) pair yields one entry
     val evalByBand: Map[Long, Array[Int]] =
       (for { ei <- evalSigs.indices; b <- 0 until N_BANDS }
         yield (bandKey(evalSigs(ei), b), ei))
-        .groupMap(_._1)(_._2).map { case (k, v) => k -> v.distinct.toArray }
+        .groupMap(_._1)(_._2).map { case (k, v) => k -> v.toArray }
     val bSigs = spark.sparkContext.broadcast(evalSigs)
     val bIdx = spark.sparkContext.broadcast(evalByBand)
     documents.select(col("doc_id").cast("long"), coalesce(col("text"), lit("")).as("text"))
@@ -919,11 +921,16 @@ object Dedup {
       .mapPartitions { rows =>
         val sigsE = bSigs.value
         val byBand = bIdx.value
+        // per-partition generation-stamped candidate dedup: zero per-row
+        // allocation in the hot loop (a per-row HashSet would box every
+        // candidate index)
+        val stamp = new Array[Int](sigsE.length)
+        var gen = 0
         rows.map { case (id, t) =>
           val sig = minhashSignature(t, as, bs)
           var best = 0.0
           if (!isEmptySig(sig) && sigsE.nonEmpty) {
-            val seen = new java.util.HashSet[Int]
+            gen += 1
             var b = 0
             while (b < N_BANDS) {
               val cands = byBand.getOrElse(bandKey(sig, b), null)
@@ -931,7 +938,8 @@ object Dedup {
                 var c = 0
                 while (c < cands.length) {
                   val ei = cands(c)
-                  if (seen.add(ei)) {
+                  if (stamp(ei) != gen) {
+                    stamp(ei) = gen
                     val e = sigsE(ei)
                     var m = 0
                     var h = 0

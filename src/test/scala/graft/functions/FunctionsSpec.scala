@@ -81,9 +81,15 @@ class FunctionsSpec extends AnyFunSuite {
     df.createOrReplaceTempView("nfc_docs")
     val viaSql = spark.sql("SELECT graft_nfc(t) AS n FROM nfc_docs WHERE id = 1").collect()
     assert(viaSql(0).getString(0) == "café plus é twice")
-    // codegen span survives (filter over the expression, no fallback)
-    val n = spark.range(50).select(concat(lit("x"), col("id").cast("string")).as("t"))
-    assert(n.filter(NfcNormalize(col("t")) === col("t")).count() == 50)
+    // codegen span survives — with fallback DISABLED, a broken generated
+    // call target (e.g. the static forwarder disappearing) THROWS instead
+    // of silently degrading to interpreted eval
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val n = spark.range(50).select(concat(lit("x"), col("id").cast("string")).as("t"))
+      assert(n.filter(NfcNormalize(col("t")) === col("t")).count() == 50)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
   test("codegen path produces working generated code (no fallback errors)") {
