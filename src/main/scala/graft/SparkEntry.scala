@@ -205,6 +205,13 @@ object SparkEntry {
       // downsample toward the temperature share, tail langs saturate at
       // keep-all with the residual up_factor reported
       CorpusOps.temperatureSample(docs(s, dir), 0.3)),
+    "q82_decontaminate_semantic" -> ((s, dir) => {
+      // embedding-space decontamination: the eval set is every 100th
+      // vector; its planted near-dups in the synthetic embeddings (the
+      // q09/q19 structure) are the paraphrased-copy stand-ins
+      val e = emb(s, dir)
+      Dedup.decontaminateSemantic(e, e.filter(col("vec_id") % 100 === 0), 0.95)
+    }),
     "q81_decontaminate_fuzzy" -> ((s, dir) => {
       // fuzzy decontamination: the eval set is every 50th doc LIGHTLY
       // EDITED (five extra tokens) — exact-hash identity misses it and
@@ -1216,6 +1223,20 @@ object SparkEntry {
         |  ((((d.doc_id % 2147483648) * 1597334677) % 4294967296) / 4294967296.0 < r.rate)
         |    AS kept
         |FROM documents d JOIN r ON coalesce(d.lang, 'und') = r.lang""".stripMargin,
+    "q82_decontaminate_semantic" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2
+        |  FROM embeddings),
+        |ev AS (SELECT v AS w, n2 AS m2 FROM e WHERE vec_id % 100 = 0 AND n2 > 0),
+        |s AS (
+        |  SELECT e.vec_id,
+        |    max(CASE WHEN e.n2 > 0
+        |          THEN list_inner_product(e.v, ev.w) / sqrt(e.n2 * ev.m2)
+        |          ELSE 0 END) AS best
+        |  FROM e CROSS JOIN ev GROUP BY 1)
+        |SELECT vec_id, round(best, 6) AS eval_sim, (best >= 0.95) AS contaminated
+        |FROM s""".stripMargin,
     "q80_nfc_normalize" ->
       """WITH m AS (
         |  SELECT doc_id,

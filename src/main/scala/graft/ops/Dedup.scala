@@ -958,6 +958,70 @@ object Dedup {
       }.toDF("doc_id", "eval_sim", "contaminated")
   }
 
+  /** SEMANTIC decontamination — the embedding-space member of the family
+    * (q40 flags exact eval grams, q46 cuts the spans, q81 flags shingle
+    * near-dups; THIS one catches the PARAPHRASED eval copy that shares no
+    * lexical surface at all): a corpus vector is `contaminated` when its
+    * best cosine against any eval vector >= threshold. `eval_sim` is the
+    * best cosine itself (1e-6-rounded on emit; the flag compares the
+    * unrounded value, like the SQL mirror). Zero-norm and NULL vectors
+    * never match; a zero-norm/absent EVAL vector is excluded from the
+    * index rather than poisoning every comparison.
+    *
+    * Scale shape: the eval matrix is bounded by construction (a
+    * benchmark, not a corpus) — collected once with its squared norms and
+    * BROADCAST; the corpus side is ONE mapPartitions pass taking the
+    * arg-max cosine in index-ordered double arithmetic (bit-identical to
+    * the DuckDB list_inner_product mirror, q09's parity recipe) — no
+    * shuffle, no join, vectors never move. */
+  def decontaminateSemantic(
+      embeddings: DataFrame,
+      evalEmbeddings: DataFrame,
+      threshold: Double = 0.95): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0, 1], got $threshold")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val evalVecs: Array[(Array[Float], Double)] = evalEmbeddings
+      .select(col("embedding")).as[Seq[Float]]
+      .collect().filter(_ != null).map { v => val a = v.toArray; (a, dot(a, a)) }
+      .filter(_._2 > 0)
+    val bEval = spark.sparkContext.broadcast(evalVecs)
+    embeddings.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { rows =>
+        val ev = bEval.value
+        rows.map { case (id, v) =>
+          val a = if (v == null) Array.empty[Float] else v.toArray
+          val na = dot(a, a)
+          val best =
+            if (ev.isEmpty || na <= 0) 0.0
+            else {
+              // true max, negatives included (the SQL mirror's max() does
+              // not clamp); per-pair sqrt keeps the op order identical
+              var b = Double.NegativeInfinity
+              var k = 0
+              while (k < ev.length) {
+                val (w, m2) = ev(k)
+                val c = dot(a, w) / math.sqrt(na * m2)
+                if (c > b) b = c
+                k += 1
+              }
+              b
+            }
+          (id, best)
+        }
+      }.toDF("vec_id", "best")
+      .select(col("vec_id"), round(col("best"), 6).as("eval_sim"),
+        (col("best") >= threshold).as("contaminated"))
+  }
+
   /** SPAN-LEVEL decontamination: instead of flagging/dropping a whole
     * document (`benchmarkContamination`), cut exactly the tokens covered
     * by any benchmark-matching `gramLen`-gram window and keep the rest —

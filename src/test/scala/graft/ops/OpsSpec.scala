@@ -624,6 +624,35 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Dedup.decontaminateFuzzy(corpus, evalSet, 0.0) }
   }
 
+  test("decontaminateSemantic: best cosine exact, negatives not clamped, zero-norm and empty edges") {
+    val corpus = Seq(
+      (1L, Seq(1f, 0f)),            // exact eval copy -> 1.0
+      (2L, Seq(3f, 1f)),            // cos vs (1,0) = 3/sqrt(10) ~ 0.9487
+      (3L, Seq(0f, 1f)),            // orthogonal -> 0.0
+      (4L, Seq(-1f, 0f)),           // anti-parallel -> -1.0 (NOT clamped)
+      (5L, Seq(0f, 0f)),            // zero norm -> 0.0, never contaminated
+      (6L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val evalSet = Seq((100L, Seq(1f, 0f)), (101L, Seq(0f, 0f))) // zero-norm eval excluded
+      .toDF("vec_id", "embedding")
+    val out = Dedup.decontaminateSemantic(corpus, evalSet, threshold = 0.9).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Double]("eval_sim"), r.getAs[Boolean]("contaminated")))).toMap
+    assert(out.size == 6, "every vector returns")
+    assert(out(1L) == ((1.0, true)))
+    val c2 = BigDecimal(3.0 / math.sqrt(10.0 * 1.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(2L) == ((c2, true)), s"got ${out(2L)} want $c2")
+    assert(out(3L) == ((0.0, false)))
+    assert(out(4L) == ((-1.0, false)), "anti-parallel max must stay -1, not clamp to 0")
+    assert(out(5L) == ((0.0, false)) && out(6L) == ((0.0, false)))
+    // empty eval set (after zero-norm exclusion): nothing contaminated
+    val none = Dedup.decontaminateSemantic(corpus,
+      Seq((101L, Seq(0f, 0f))).toDF("vec_id", "embedding"), 0.9).collect()
+    assert(none.forall(!_.getAs[Boolean]("contaminated")))
+    intercept[IllegalArgumentException] { Dedup.decontaminateSemantic(corpus, evalSet, 1.5) }
+  }
+
   test("nfcNormalized: decomposed accents compose, changed flag, NFC pass heals split dedup groups") {
     val composed = "résumé text body"
     val decomposed = "résumé text body"
