@@ -973,7 +973,11 @@ object Dedup {
     * BROADCAST; the corpus side is ONE mapPartitions pass taking the
     * arg-max cosine in index-ordered double arithmetic (bit-identical to
     * the DuckDB list_inner_product mirror, q09's parity recipe) — no
-    * shuffle, no join, vectors never move. */
+    * shuffle, no join, vectors never move. Per-doc cost is O(|eval|·dim):
+    * exact and right up to ~10^5 eval vectors; past that, prefilter
+    * candidates with the ANN stack (SimSearch.lshBuckets band-join or an
+    * IVF probe against an eval-side index — q81's candidate-then-verify
+    * shape) and reserve this exact pass for the survivors. */
   def decontaminateSemantic(
       embeddings: DataFrame,
       evalEmbeddings: DataFrame,
