@@ -1231,10 +1231,10 @@ object SparkEntry {
         |ev AS (SELECT v AS w, n2 AS m2 FROM e WHERE vec_id % 100 = 0 AND n2 > 0),
         |s AS (
         |  SELECT e.vec_id,
-        |    max(CASE WHEN e.n2 > 0
+        |    coalesce(max(CASE WHEN e.n2 > 0
         |          THEN list_inner_product(e.v, ev.w) / sqrt(e.n2 * ev.m2)
-        |          ELSE 0 END) AS best
-        |  FROM e CROSS JOIN ev GROUP BY 1)
+        |          ELSE 0 END), 0) AS best
+        |  FROM e LEFT JOIN ev ON TRUE GROUP BY 1)
         |SELECT vec_id, round(best, 6) AS eval_sim, (best >= 0.95) AS contaminated
         |FROM s""".stripMargin,
     "q80_nfc_normalize" ->

@@ -981,21 +981,40 @@ object Dedup {
   def decontaminateSemantic(
       embeddings: DataFrame,
       evalEmbeddings: DataFrame,
-      threshold: Double = 0.95): DataFrame = {
+      threshold: Double = 0.95,
+      maxEvalVectors: Long = 2000000L): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold must be in (0, 1], got $threshold")
     val spark = embeddings.sparkSession
     import spark.implicits._
+    // NOT cosineF (semDeDup's kernel): that one divides by the PRODUCT OF
+    // SQRTS (s / (na*nb)) to mirror its own recompute, while this op must
+    // divide by the SQRT OF THE PRODUCT (s / sqrt(n2*m2)) to stay
+    // bit-identical to the q09/q82 DuckDB formulation — the two differ in
+    // the last ulp and each is pinned by its own oracle
     def dot(a: Array[Float], b: Array[Float]): Double = {
-      val n = math.min(a.length, b.length)
+      require(a.length == b.length,
+        s"embedding dim mismatch: ${a.length} vs ${b.length} — a truncated dot" +
+          " would silently deflate cosines (the SQL mirror errors loudly here)")
       var s = 0.0
       var i = 0
-      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
       s
     }
-    val evalVecs: Array[(Array[Float], Double)] = evalEmbeddings
-      .select(col("embedding")).as[Seq[Float]]
-      .collect().filter(_ != null).map { v => val a = v.toArray; (a, dot(a, a)) }
-      .filter(_._2 > 0)
+    // count-gated bounded collect (the fast-path cap convention): the two
+    // arguments have identical types, so an accidental corpus/eval swap
+    // must fail loudly, not OOM the driver
+    val evalCached = evalEmbeddings.select(col("embedding")).as[Seq[Float]]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalVecs: Array[(Array[Float], Double)] =
+      try {
+        val n = evalCached.count()
+        require(n <= maxEvalVectors,
+          s"evalEmbeddings has $n rows (cap $maxEvalVectors): eval sets are " +
+            "benchmark-sized by contract — did the corpus/eval arguments get swapped?")
+        evalCached.collect().filter(_ != null)
+          .map { v => val a = v.toArray; (a, dot(a, a)) }
+          .filter(_._2 > 0)
+      } finally evalCached.unpersist()
     val bEval = spark.sparkContext.broadcast(evalVecs)
     embeddings.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Seq[Float])]
