@@ -205,6 +205,37 @@ object SparkEntry {
       // downsample toward the temperature share, tail langs saturate at
       // keep-all with the residual up_factor reported
       CorpusOps.temperatureSample(docs(s, dir), 0.3)),
+    "q83_host_pagerank" -> ((s, dir) => {
+      // host-graph centrality (the CommonCrawl/FineWeb seed-list signal):
+      // each doc emits two deterministic outlinks (mix32 targets over the
+      // indexed host universe), intra-host links dropped, and docs of the
+      // alphabetically-first host emit nothing (so it can only RECEIVE —
+      // a dangling-host candidate); 3 exact-integer PageRank rounds over
+      // the aggregated host->host graph
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).select(col("doc_id"),
+        coalesce(col("source"), lit("unknown")).as("source"))
+      val hosts = d.select(col("source")).distinct()
+        .withColumn("hid",
+          row_number().over(Window.orderBy(col("source"))).cast("long") - 1)
+      val nh = hosts.agg(count(lit(1)).as("nh"))
+      def target(mult: Long) = pmod(
+        shiftright(pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(mult),
+          lit(4294967296L)), 16),
+        col("nh"))
+      val linked = d.join(hosts, Seq("source"))
+        .crossJoin(broadcast(nh)).filter(col("hid") =!= 0)
+      val e0 = linked.select(col("source").as("src"),
+          target(2654435761L).as("thid"))
+        .union(linked.select(col("source").as("src"),
+          target(2246822519L).as("thid")))
+      val edges = e0
+        .join(hosts.select(col("source").as("dst"), col("hid").as("thid2")),
+          col("thid") === col("thid2"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("weight"))
+      CorpusOps.hostRank(edges, iterations = 3, dampingPct = 85)
+    }),
     "q82_decontaminate_semantic" -> ((s, dir) => {
       // embedding-space decontamination: the eval set is every 100th
       // vector; its planted near-dups in the synthetic embeddings (the
@@ -1223,6 +1254,61 @@ object SparkEntry {
         |  ((((d.doc_id % 2147483648) * 1597334677) % 4294967296) / 4294967296.0 < r.rate)
         |    AS kept
         |FROM documents d JOIN r ON coalesce(d.lang, 'und') = r.lang""".stripMargin,
+    "q83_host_pagerank" ->
+      """WITH d AS (
+        |  SELECT doc_id, coalesce(source, 'unknown') AS source FROM documents),
+        |h AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS hid
+        |      FROM (SELECT DISTINCT source FROM d)),
+        |c AS (SELECT count(*) AS nh FROM h),
+        |l AS (SELECT d.source, h.hid,
+        |        ((((d.doc_id % 2147483648) * 2654435761) % 4294967296) // 65536) % nh AS t1,
+        |        ((((d.doc_id % 2147483648) * 2246822519) % 4294967296) // 65536) % nh AS t2
+        |      FROM d JOIN h ON d.source = h.source CROSS JOIN c
+        |      WHERE h.hid <> 0),
+        |e0 AS (SELECT source AS src, t1 AS thid FROM l
+        |       UNION ALL
+        |       SELECT source AS src, t2 AS thid FROM l),
+        |e AS (SELECT e0.src, h.source AS dst, cast(count(*) AS bigint) AS weight
+        |      FROM e0 JOIN h ON e0.thid = h.hid
+        |      WHERE e0.src <> h.source
+        |      GROUP BY 1, 2),
+        |u AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        |ow AS (SELECT u.host, coalesce(s.w, 0) AS outw
+        |       FROM u LEFT JOIN
+        |         (SELECT src, cast(sum(weight) AS bigint) AS w FROM e GROUP BY 1) s
+        |         ON u.host = s.src),
+        |n AS (SELECT count(*) AS n FROM u),
+        |r0 AS (SELECT host, outw, 1000000000000 // n AS r FROM ow CROSS JOIN n),
+        |i1 AS (SELECT e.dst AS host,
+        |         cast(sum(e.weight * (r.r // r.outw)
+        |           + ((r.r % r.outw) * e.weight) // r.outw) AS bigint) AS infl
+        |       FROM e JOIN r0 r ON e.src = r.host GROUP BY 1),
+        |g1 AS (SELECT cast(coalesce(sum(r), 0) AS bigint) AS dang FROM r0 WHERE outw = 0),
+        |r1 AS (SELECT p.host, p.outw,
+        |         (15 * (1000000000000 // n.n)) // 100
+        |         + (85 * (coalesce(i1.infl, 0) + g1.dang // n.n)) // 100 AS r
+        |       FROM r0 p LEFT JOIN i1 ON p.host = i1.host CROSS JOIN g1 CROSS JOIN n),
+        |i2 AS (SELECT e.dst AS host,
+        |         cast(sum(e.weight * (r.r // r.outw)
+        |           + ((r.r % r.outw) * e.weight) // r.outw) AS bigint) AS infl
+        |       FROM e JOIN r1 r ON e.src = r.host GROUP BY 1),
+        |g2 AS (SELECT cast(coalesce(sum(r), 0) AS bigint) AS dang FROM r1 WHERE outw = 0),
+        |r2 AS (SELECT p.host, p.outw,
+        |         (15 * (1000000000000 // n.n)) // 100
+        |         + (85 * (coalesce(i2.infl, 0) + g2.dang // n.n)) // 100 AS r
+        |       FROM r1 p LEFT JOIN i2 ON p.host = i2.host CROSS JOIN g2 CROSS JOIN n),
+        |i3 AS (SELECT e.dst AS host,
+        |         cast(sum(e.weight * (r.r // r.outw)
+        |           + ((r.r % r.outw) * e.weight) // r.outw) AS bigint) AS infl
+        |       FROM e JOIN r2 r ON e.src = r.host GROUP BY 1),
+        |g3 AS (SELECT cast(coalesce(sum(r), 0) AS bigint) AS dang FROM r2 WHERE outw = 0),
+        |r3 AS (SELECT p.host, p.outw,
+        |         (15 * (1000000000000 // n.n)) // 100
+        |         + (85 * (coalesce(i3.infl, 0) + g3.dang // n.n)) // 100 AS r
+        |       FROM r2 p LEFT JOIN i3 ON p.host = i3.host CROSS JOIN g3 CROSS JOIN n)
+        |SELECT host, outw AS out_weight, r AS rank_e12,
+        |  r / 1000000000000.0 AS rank
+        |FROM r3""".stripMargin,
     "q82_decontaminate_semantic" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

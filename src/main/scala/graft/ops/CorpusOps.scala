@@ -685,6 +685,103 @@ object CorpusOps {
     w
   }
 
+  /** host-graph centrality — weighted PageRank over the host->host link
+    * graph, the seed-list/reputation signal the CommonCrawl ecosystem
+    * publishes (host-level harmonic-centrality/PageRank ranks) and the
+    * RefinedWeb/FineWeb family consumes as a curation prior: a host
+    * linked by many well-linked hosts outranks a content farm that only
+    * links to itself. Complements [[sourceQualityPrior]] (which judges a
+    * host by its own pages); this judges a host by who links to it.
+    *
+    * Semantics (K fixed rounds, no convergence test — deterministic):
+    * total mass M = 1e12 integer units over N hosts (the union of edge
+    * endpoints); r0 = M div N for every host; each round
+    * `r'(v) = ((100-d) * (M div N)) div 100
+    *        + (d * (inflow(v) + dangling div N)) div 100`
+    * where inflow(v) sums each in-edge's share of its source's rank
+    * `share = w * (r div outw) + ((r mod outw) * w) div outw`
+    * (== floor(r*w/outw), decomposed so every intermediate fits a
+    * 64-bit long), `outw` is the source host's total out-weight, and
+    * `dangling` is the summed rank of hosts with no out-edges
+    * (redistributed uniformly, the standard dangling-node rule).
+    *
+    * Exactness: every operation is floor-division/mod on non-negative
+    * longs — order-independent, no float summation anywhere — so any
+    * SQL engine recomputes bit-identical ranks (the q77 micro-unit
+    * discipline applied to an iterative fixpoint, unrolled like q74's
+    * GD iterations). Mass is not exactly conserved (floors leak a few
+    * units per round); that loss is deterministic too.
+    *
+    * Scale shape: the graph is HOST-pair-sized, not document-sized —
+    * the web is ~10^8 hosts / ~10^10 aggregated host edges, far below
+    * the 10^12-doc corpus. Duplicate (src,dst) rows are pre-aggregated
+    * once (one shuffle) and the aggregated edge table + the host base
+    * are lineage-cut and reused across rounds; each round is one
+    * equi-join on src + one partial-combined groupBy on dst + a
+    * broadcast of the 1-row dangling aggregate — the connectedComponents
+    * round shape. The per-host out-weight must stay below ~3e9
+    * (sqrt(Long.MaxValue), enforced) so the share decomposition cannot
+    * overflow; aggregated host->host weights sit orders of magnitude
+    * under that, and a caller with a pathological megahub caps weights
+    * first.
+    *
+    * Input: (src string, dst string, weight long>0 — rows with
+    * weight<=0 are dropped); output one row per host in the edge
+    * universe: (host, out_weight, rank_e12 long, rank double =
+    * rank_e12/1e12). */
+  def hostRank(edges: DataFrame, iterations: Int = 3, dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0,100], got $dampingPct")
+    val m = 1000000000000L
+    val e = Checkpoints.cut(
+      edges.select(col("src").cast("string").as("src"),
+          col("dst").cast("string").as("dst"),
+          col("weight").cast("long").as("weight"))
+        .filter(col("src").isNotNull && col("dst").isNotNull && col("weight") > 0)
+        .groupBy(col("src"), col("dst")).agg(sum(col("weight")).as("weight")))
+    val outBySrc = e.groupBy(col("src")).agg(sum(col("weight")).as("outw"))
+    val universe = e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host"))).distinct()
+    val base = Checkpoints.cut(
+      universe.join(outBySrc, universe("host") === outBySrc("src"), "left")
+        .select(col("host"), coalesce(col("outw"), lit(0L)).as("outw")))
+    // two bounded scalars off the checkpointed host table: N and the
+    // overflow guard (NOT a corpus-sized collect — the host universe is
+    // ~10^8 rows at full web scale and this is a 1-row aggregate)
+    val stats = base.agg(count(lit(1)).as("n"), max(col("outw")).as("mx")).head()
+    val n = stats.getLong(0)
+    if (n == 0L)
+      return base.select(col("host"), col("outw").as("out_weight"),
+        lit(0L).as("rank_e12"), lit(0.0).as("rank"))
+    val maxOutw = stats.getLong(1)
+    require(maxOutw <= 3000000000L,
+      s"per-host out-weight $maxOutw exceeds the exact-arithmetic bound 3e9; " +
+        "cap edge weights before ranking")
+    val r0 = m / n
+    val basePart = ((100L - dampingPct) * r0) / 100L
+    var ranks = base.withColumn("r", lit(r0))
+    for (_ <- 1 to iterations) {
+      val inflow = e.join(ranks, e("src") === ranks("host"))
+        .select(col("dst"),
+          (col("weight") * expr("r div outw") +
+            expr("((r % outw) * weight) div outw")).as("share"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("infl"))
+      val dang = ranks.filter(col("outw") === 0)
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+      ranks = Checkpoints.cut(
+        ranks.select(col("host"), col("outw"))
+          .join(inflow, col("host") === inflow("dst"), "left")
+          .crossJoin(broadcast(dang))
+          .select(col("host"), col("outw"),
+            (lit(basePart) +
+              expr(s"($dampingPct * (coalesce(infl, CAST(0 AS BIGINT)) " +
+                s"+ (dang div CAST($n AS BIGINT)))) div 100")).as("r")))
+    }
+    ranks.select(col("host"), col("outw").as("out_weight"),
+      col("r").as("rank_e12"), (col("r") / lit(1e12)).as("rank"))
+  }
+
   def lengthHistogram(documents: DataFrame, bucketWidth: Int = 100): DataFrame = {
     val bucketed = documents.select(col("source"),
       floor(col("n_chars").cast("double") / bucketWidth).cast("long").as("len_bucket"))

@@ -2572,4 +2572,88 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(b(2L) && b(3L) && !b(1L) && !b(4L), s"got $b")
   }
+
+  /** sequential exact recompute of hostRank's integer fixpoint — the same
+    * formula, driver-side, order-independent by construction */
+  private def seqHostRank(
+      edges: Seq[(String, String, Long)], iters: Int, d: Int): Map[String, Long] = {
+    val agg = edges.filter(_._3 > 0)
+      .groupBy(e => (e._1, e._2))
+      .map { case ((s, t), es) => (s, t, es.map(_._3).sum) }.toSeq
+    val hosts = (agg.map(_._1) ++ agg.map(_._2)).distinct.sorted
+    val outw = agg.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+      .withDefaultValue(0L)
+    val n = hosts.size.toLong
+    val m = 1000000000000L
+    val r0 = m / n
+    var r = hosts.map(_ -> r0).toMap
+    for (_ <- 1 to iters) {
+      val dang = hosts.filter(outw(_) == 0L).map(r).sum
+      val infl = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for ((s, t, w) <- agg) {
+        val ru = r(s); val o = outw(s)
+        infl(t) += w * (ru / o) + ((ru % o) * w) / o
+      }
+      val base = ((100L - d) * r0) / 100L
+      r = hosts.map(h => h -> (base + (d * (infl(h) + dang / n)) / 100L)).toMap
+    }
+    r
+  }
+
+  test("hostRank: exact integer PageRank matches sequential recompute, dangling redistributes") {
+    // hand graph: A links B once and C three times, B links back to A,
+    // C is dangling (receives, never emits)
+    val hand = Seq(("A", "B", 1L), ("A", "C", 3L), ("B", "A", 1L))
+    val out = CorpusOps.hostRank(hand.toDF("src", "dst", "weight"), 3, 85)
+      .collect()
+      .map(r => r.getAs[String]("host") ->
+        ((r.getAs[Long]("out_weight"), r.getAs[Long]("rank_e12"),
+          r.getAs[Double]("rank")))).toMap
+    val want = seqHostRank(hand, 3, 85)
+    assert(out.keySet == Set("A", "B", "C"))
+    for ((h, w) <- want)
+      assert(out(h)._2 == w, s"$h: got ${out(h)._2} want $w")
+    assert(out("A")._1 == 4L && out("B")._1 == 1L && out("C")._1 == 0L)
+    // rank is exactly rank_e12 / 1e12 (one IEEE division of an exact long)
+    for ((_, (_, e12, rk)) <- out) assert(rk == e12 / 1e12)
+    // C weighs 3x B in A's out-links AND holds the dangling mass, so it
+    // must outrank B; dangling mass keeps total near M (floors only leak)
+    assert(out("C")._2 > out("B")._2, s"got $out")
+    val mass = out.values.map(_._2).sum
+    assert(mass > 999999990000L && mass <= 1000000000000L, s"mass $mass")
+    // a wider pseudo-random multigraph (duplicate (src,dst) rows included
+    // so pre-aggregation is exercised) matches the sequential fixpoint
+    val wide = (0 until 400).map { i =>
+      (s"h${(i * 7) % 12}", s"h${(i * i + 3) % 12}", (i % 3 + 1).toLong)
+    }
+    val wideOut = CorpusOps.hostRank(wide.toDF("src", "dst", "weight"), 3, 85)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("rank_e12")).toMap
+    val wideWant = seqHostRank(wide, 3, 85)
+    assert(wideOut == wideWant)
+  }
+
+  test("hostRank: edge cases — weight<=0 dropped, empty graph, zero iterations, guards") {
+    // non-positive weights drop; a host reachable ONLY through a dropped
+    // edge leaves the universe entirely
+    val e = Seq(("A", "B", 2L), ("A", "Z", 0L), ("B", "A", -5L)).toDF("src", "dst", "weight")
+    val out = CorpusOps.hostRank(e, 2, 85).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("rank_e12")).toMap
+    assert(out.keySet == Set("A", "B"), s"got ${out.keySet}")
+    assert(out == seqHostRank(Seq(("A", "B", 2L)), 2, 85))
+    // empty graph -> empty frame with the full schema
+    val empty = CorpusOps.hostRank(
+      Seq.empty[(String, String, Long)].toDF("src", "dst", "weight"), 3, 85)
+    assert(empty.columns.toSeq == Seq("host", "out_weight", "rank_e12", "rank"))
+    assert(empty.count() == 0L)
+    // zero iterations -> the uniform prior M div N
+    val r0 = CorpusOps.hostRank(Seq(("A", "B", 1L)).toDF("src", "dst", "weight"), 0, 85)
+      .collect().map(r => r.getAs[Long]("rank_e12")).toSet
+    assert(r0 == Set(500000000000L))
+    intercept[IllegalArgumentException] {
+      CorpusOps.hostRank(e, -1, 85)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.hostRank(e, 1, 101)
+    }
+  }
 }
