@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Bpe, CorpusOps, Dedup, SimSearch, TextOps}
+import graft.ops.{Bpe, CorpusOps, Dedup, LinkOps, SimSearch, TextOps}
 import graft.pipeline.{Corpus, ExtractJob}
 
 /** Driver contract: one `queries` entry per implemented operator family
@@ -205,6 +205,47 @@ object SparkEntry {
       // downsample toward the temperature share, tail langs saturate at
       // keep-all with the residual up_factor reported
       CorpusOps.temperatureSample(docs(s, dir), 0.3)),
+    "q84_outlinks" -> ((s, dir) => {
+      // outlink extraction through the REAL anchor scanner over pages
+      // synthesized closed-form: one absolute link (entity-encoded
+      // query), one relative rel=nofollow link, one protocol-relative
+      // link (every 5th doc gets a mailto: instead — must drop), one
+      // href-less named anchor (drops); the oracle states the expected
+      // rows closed-form, the messy-HTML shapes are OpsSpec-gated
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).select(col("doc_id"),
+        coalesce(col("source"), lit("unknown")).as("source"))
+      val hosts = d.select(col("source")).distinct()
+        .withColumn("hid",
+          row_number().over(Window.orderBy(col("source"))).cast("long") - 1)
+      val nh = hosts.agg(count(lit(1)).as("nh"))
+      def target(mult: Long) = pmod(
+        shiftright(pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(mult),
+          lit(4294967296L)), 16),
+        col("nh"))
+      val m = d.crossJoin(broadcast(nh))
+        .withColumn("t1", target(2654435761L))
+        .withColumn("t2", target(2246822519L))
+        .join(hosts.select(col("hid").as("t1"), col("source").as("h1")), Seq("t1"))
+        .join(hosts.select(col("hid").as("t2"), col("source").as("h2")), Seq("t2"))
+      val pages = m.select(col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".example/p"),
+          col("doc_id")).as("url"),
+        concat(
+          lit("<html><body><p>intro text</p>"),
+          lit("<a href=\"https://"), col("h1"),
+          lit(".example/x?a=1&amp;b=2\">Visit "), col("h1"),
+          lit(" &amp; friends</a>"),
+          lit("<div><a rel=\"nofollow\" href=\"/local/p"), col("doc_id"),
+          lit("\">rel link</a></div>"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("<a href=\"mailto:team@"), col("h2"),
+              lit(".example\">mail</a>")))
+            .otherwise(concat(lit("<a href=\"//"), col("h2"),
+              lit(".example/q\">proto-relative</a>"))),
+          lit("<a name=\"top\">anchorless</a></body></html>")).as("html"))
+      LinkOps.outlinks(pages)
+    }),
     "q83_host_pagerank" -> ((s, dir) => {
       // host-graph centrality (the CommonCrawl/FineWeb seed-list signal):
       // each doc emits two deterministic outlinks (mix32 targets over the
@@ -1254,6 +1295,31 @@ object SparkEntry {
         |  ((((d.doc_id % 2147483648) * 1597334677) % 4294967296) / 4294967296.0 < r.rate)
         |    AS kept
         |FROM documents d JOIN r ON coalesce(d.lang, 'und') = r.lang""".stripMargin,
+    "q84_outlinks" ->
+      """WITH d AS (
+        |  SELECT doc_id, coalesce(source, 'unknown') AS source FROM documents),
+        |h AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS hid
+        |      FROM (SELECT DISTINCT source FROM d)),
+        |c AS (SELECT count(*) AS nh FROM h),
+        |m AS (SELECT d.doc_id, d.source, h1.source AS h1, h2.source AS h2
+        |      FROM d CROSS JOIN c
+        |      JOIN h h1 ON ((((d.doc_id % 2147483648) * 2654435761) % 4294967296)
+        |                     // 65536) % nh = h1.hid
+        |      JOIN h h2 ON ((((d.doc_id % 2147483648) * 2246822519) % 4294967296)
+        |                     // 65536) % nh = h2.hid)
+        |SELECT doc_id, 0 AS link_pos, source || '.example' AS src_host,
+        |       h1 || '.example' AS dst_host,
+        |       'https://' || h1 || '.example/x?a=1&b=2' AS href,
+        |       'Visit ' || h1 || ' & friends' AS anchor, false AS nofollow
+        |FROM m
+        |UNION ALL
+        |SELECT doc_id, 1, source || '.example', source || '.example',
+        |       '/local/p' || doc_id, 'rel link', true
+        |FROM m
+        |UNION ALL
+        |SELECT doc_id, 2, source || '.example', h2 || '.example',
+        |       '//' || h2 || '.example/q', 'proto-relative', false
+        |FROM m WHERE doc_id % 5 <> 0""".stripMargin,
     "q83_host_pagerank" ->
       """WITH d AS (
         |  SELECT doc_id, coalesce(source, 'unknown') AS source FROM documents),

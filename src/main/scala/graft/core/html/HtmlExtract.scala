@@ -470,6 +470,148 @@ object HtmlExtract {
   }
 
   /** collapse whitespace runs to single spaces, preserving explicit newlines */
+  /** one outlink: raw (entity-decoded) href, whitespace-normalized
+    * entity-decoded anchor text, and whether rel contains nofollow */
+  final case class Link(href: String, anchor: String, nofollow: Boolean)
+
+  /** case-preserving value of attribute `attr` (lowercase name) inside a
+    * tag's attribute text — same standalone-name/quoting tolerance as
+    * [[classIdHint]], but the VALUE keeps its case (URL paths are
+    * case-sensitive; classIdHint lowercases because hints are matched
+    * case-folded). Unterminated quote takes the rest of the tag. */
+  private[graft] def attrValue(inner: String, attr: String): Option[String] = {
+    val lower = inner.toLowerCase(java.util.Locale.ROOT)
+    var from = 0
+    while (from >= 0) {
+      val at = lower.indexOf(attr, from)
+      if (at < 0) return None
+      val before = if (at == 0) ' ' else lower.charAt(at - 1)
+      var j = at + attr.length
+      while (j < inner.length && inner.charAt(j).isWhitespace) j += 1
+      if ((before.isWhitespace || before == '"' || before == '\'') &&
+          j < inner.length && inner.charAt(j) == '=') {
+        j += 1
+        while (j < inner.length && inner.charAt(j).isWhitespace) j += 1
+        if (j >= inner.length) return Some("")
+        val q = inner.charAt(j)
+        if (q == '"' || q == '\'') {
+          val end = inner.indexOf(q, j + 1)
+          return Some(if (end < 0) inner.substring(j + 1) else inner.substring(j + 1, end))
+        }
+        var k = j
+        while (k < inner.length && !inner.charAt(k).isWhitespace) k += 1
+        return Some(inner.substring(j, k))
+      }
+      from = at + attr.length
+    }
+    None
+  }
+
+  /** outlink extraction — every `<a href=...>` with its anchor text, in
+    * document order. Same tolerance contract as [[tokenize]] (comments,
+    * doctype, quote-aware tag ends, raw-text skip) plus the anchor rules:
+    *
+    *  - anchors never nest (HTML spec: an `<a>` start tag implicitly
+    *    closes an open one) — a second `<a>` emits the first;
+    *  - an anchor left open at EOF still emits (tolerant, like the
+    *    unclosed-block handling in [[extract]]);
+    *  - raw-text elements (script/style) INSIDE an anchor contribute no
+    *    anchor text;
+    *  - href and anchor text are entity-decoded (attributes legally carry
+    *    `&amp;` etc.), anchor text is whitespace-normalized;
+    *  - `<a>` without href (a named anchor target) emits nothing;
+    *    a self-closed `<a href=... />` emits with empty anchor text.
+    *
+    * Feeds the host link graph ([[graft.ops.LinkOps]] -> hostRank): the
+    * reference has no HTML path at all (pdf_extractor.h:6 — PDF-only);
+    * this is north_rule surface. */
+  def extractLinks(html: String): Vector[Link] = {
+    val out = Vector.newBuilder[Link]
+    var i = 0
+    val n = html.length
+    var inA = false
+    var href = ""
+    var nofollow = false
+    val anchor = new StringBuilder
+    def close(): Unit = {
+      if (inA && href.nonEmpty)
+        out += Link(href, normalizeWs(decodeEntities(anchor.toString)), nofollow)
+      inA = false; href = ""; nofollow = false; anchor.setLength(0)
+    }
+    def relNofollow(inner: String): Boolean =
+      attrValue(inner, "rel").exists(
+        _.toLowerCase(java.util.Locale.ROOT).split("[\\s,]+").contains("nofollow"))
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) {
+        if (inA && i < n) anchor.append(html.substring(i))
+        i = n
+      } else {
+        if (inA && lt > i) anchor.append(html.substring(i, lt))
+        if (lt + 1 >= n) i = n
+        else if (html.startsWith("<!--", lt)) {
+          val end = html.indexOf("-->", lt + 4)
+          i = if (end < 0) n else end + 3
+        } else if (html.charAt(lt + 1) == '!' || html.charAt(lt + 1) == '?') {
+          val end = html.indexOf('>', lt + 1)
+          i = if (end < 0) n else end + 1
+        } else if (html.charAt(lt + 1) == '/') {
+          val end = html.indexOf('>', lt + 2)
+          if (end < 0) i = n
+          else {
+            val name = html.substring(lt + 2, end).trim
+              .toLowerCase(java.util.Locale.ROOT).takeWhile(_.isLetterOrDigit)
+            if (name == "a") close()
+            i = end + 1
+          }
+        } else if (html.charAt(lt + 1).isLetter) {
+          var j = lt + 1
+          var inQuote: Char = 0
+          var end = -1
+          while (j < n && end < 0) {
+            val c = html.charAt(j)
+            if (inQuote != 0) { if (c == inQuote) inQuote = 0 }
+            else if (c == '"' || c == '\'') inQuote = c
+            else if (c == '>') end = j
+            j += 1
+          }
+          if (end < 0) i = n
+          else {
+            val inner = html.substring(lt + 1, end)
+            val name = inner.takeWhile(c => c.isLetterOrDigit)
+              .toLowerCase(java.util.Locale.ROOT)
+            val selfClosing = inner.endsWith("/") || voidTags.contains(name)
+            if (name == "a") {
+              close() // implicit close: anchors never nest
+              val attrs = inner.drop(name.length)
+              val h = attrValue(attrs, "href").map(decodeEntities).getOrElse("")
+              if (selfClosing) {
+                if (h.nonEmpty) out += Link(h, "", relNofollow(attrs))
+              } else {
+                inA = true; href = h; nofollow = relNofollow(attrs)
+              }
+            }
+            i = end + 1
+            if (!selfClosing && rawTextTags.contains(name)) {
+              val closeIdx =
+                html.toLowerCase(java.util.Locale.ROOT).indexOf(s"</$name", i)
+              if (closeIdx < 0) i = n
+              else {
+                val gt = html.indexOf('>', closeIdx)
+                i = if (gt < 0) n else gt + 1
+              }
+            }
+          }
+        } else {
+          if (inA) anchor.append('<')
+          i = lt + 1
+        }
+      }
+    }
+    close()
+    out.result()
+  }
+
   def normalizeWs(s: String): String = {
     val sb = new StringBuilder(s.length)
     var i = 0

@@ -28,7 +28,8 @@ object PlanAudit {
       Set("q52_lm_perplexity", "q60_dsir_score", "q62_ccnet_buckets", "q69_mixture_balance",
         "q73_temperature_sample", // q73: the lang-count total + p^alpha normalizer scalars
         "q76_epoch_upsample", // q76: the same two rate-table scalars as q73
-        "q77_source_prior") // q77: the global-mean fallback scalar
+        "q77_source_prior", // q77: the global-mean fallback scalar
+        "q84_outlinks") // q84: the host-count scalar behind the mix32 targets
     graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>

@@ -2573,6 +2573,92 @@ class OpsSpec extends AnyFunSuite {
     assert(b(2L) && b(3L) && !b(1L) && !b(4L), s"got $b")
   }
 
+  test("extractLinks: tolerant anchor scan — implicit close, EOF, raw-text, entities, rel") {
+    import graft.core.html.HtmlExtract
+    // anchors never nest: a second <a> implicitly closes the first
+    val twoLinks = HtmlExtract.extractLinks("""<a href="/a">one<a href="/b">two</a>""")
+    assert(twoLinks.map(l => (l.href, l.anchor)) == Vector(("/a", "one"), ("/b", "two")))
+    // unterminated anchor at EOF still emits with its accumulated text
+    assert(HtmlExtract.extractLinks("""<p>x</p><a href="/x">tail text""")
+      .map(l => (l.href, l.anchor)) == Vector(("/x", "tail text")))
+    // raw-text elements inside an anchor contribute NO anchor text, even
+    // when the script body contains a decoy </a>
+    assert(HtmlExtract.extractLinks(
+      """<a href="/s">be<script>var x="</a>";</script>fore</a>""")
+      .map(_.anchor) == Vector("before"))
+    // entities decode in BOTH href and anchor; inline tags pass through;
+    // comments inside the anchor vanish
+    val ent = HtmlExtract.extractLinks(
+      """<a href="/p?a=1&amp;b=2">A &amp; <b>B</b><!-- hidden --></a>""")
+    assert(ent == Vector(HtmlExtract.Link("/p?a=1&b=2", "A & B", nofollow = false)))
+    // rel token list (space/comma separated) must CONTAIN nofollow;
+    // unquoted attribute values parse
+    val rels = HtmlExtract.extractLinks(
+      """<a rel="me nofollow" href="/1">a</a><a rel="nofollowx" href="/2">b</a>""" +
+        """<a rel=nofollow href=/3>c</a>""")
+    assert(rels.map(l => (l.href, l.nofollow)) ==
+      Vector(("/1", true), ("/2", false), ("/3", true)))
+    // href-less named anchor emits nothing; self-closed <a href/> emits
+    // with empty anchor text
+    assert(HtmlExtract.extractLinks("""<a name="top">x</a><a href="/sc"/>""")
+      == Vector(HtmlExtract.Link("/sc", "", nofollow = false)))
+    assert(HtmlExtract.extractLinks("") == Vector.empty)
+  }
+
+  test("LinkOps: host resolution, resolvable-only positions, edge aggregation") {
+    val pages = Seq(
+      (1L, "https://WWW.Base.Example/p1",
+        """<a href="https://Other.Example/x">abs</a>""" +
+          """<a href="mailto:a@b">m</a>""" + // drops, consumes no pos
+          """<a href="/rel">r</a>""" +
+          """<a href="//proto.example/q" rel="nofollow">p</a>""" +
+          """<a href="#frag">f</a>""" + // drops
+          """<a href="/rel">r2</a>"""), // same host again -> weight 2 via /rel + r2? (self edges drop in hostEdges)
+      (2L, "not a url at all",
+        """<a href="https://abs.example/ok">kept</a><a href="/lost">dropped</a>"""),
+      (3L, "https://base.example/p3", null.asInstanceOf[String]),
+      (4L, null.asInstanceOf[String], """<a href="https://abs.example/z">z</a>"""))
+      .toDF("doc_id", "url", "html")
+    val links = LinkOps.outlinks(pages).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("link_pos"),
+        r.getAs[String]("src_host"), r.getAs[String]("dst_host"),
+        r.getAs[Boolean]("nofollow"))).toSet
+    // doc 1: mailto and #frag consume no position; hosts lowercase
+    assert(links.filter(_._1 == 1L) == Set(
+      (1L, 0, "www.base.example", "other.example", false),
+      (1L, 1, "www.base.example", "www.base.example", false),
+      (1L, 2, "www.base.example", "proto.example", true),
+      (1L, 3, "www.base.example", "www.base.example", false)))
+    // doc 2: unparseable page URL -> absolute link kept with src "",
+    // relative link has no resolution target and drops
+    assert(links.filter(_._1 == 2L) == Set((2L, 0, "", "abs.example", false)))
+    assert(!links.exists(_._1 == 3L), "null html -> no links")
+    assert(links.filter(_._1 == 4L) == Set((4L, 0, "", "abs.example", false)))
+    // hostEdges: nofollow carries no endorsement, intra-host links drop,
+    // hostless src drops, duplicates aggregate
+    val edges = LinkOps.hostEdges(LinkOps.outlinks(pages)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("weight"))).toSet
+    assert(edges == Set(("www.base.example", "other.example", 1L)), s"got $edges")
+  }
+
+  test("LinkOps -> hostRank composition matches the sequential fixpoint") {
+    // a small synthetic web: host h{i}.example links h{(i*3+1)%7} twice
+    // and h{(i+2)%7} once per page, two pages per host
+    val pages = (0 until 14).map { p =>
+      val i = p % 7
+      val mk = (j: Int, k: Int) => s"""<a href="https://h$j.example/x$k">t</a>"""
+      (p.toLong, s"https://h$i.example/p$p",
+        mk((i * 3 + 1) % 7, 0) + mk((i * 3 + 1) % 7, 1) + mk((i + 2) % 7, 2))
+    }.toDF("doc_id", "url", "html")
+    val edgesDf = LinkOps.hostEdges(LinkOps.outlinks(pages))
+    val edgeSeq = edgesDf.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("weight"))).toSeq
+    val got = CorpusOps.hostRank(edgesDf, 3, 85).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("rank_e12")).toMap
+    assert(got == seqHostRank(edgeSeq, 3, 85))
+    assert(got.keySet == (0 until 7).map(i => s"h$i.example").toSet)
+  }
+
   /** sequential exact recompute of hostRank's integer fixpoint — the same
     * formula, driver-side, order-independent by construction */
   private def seqHostRank(
