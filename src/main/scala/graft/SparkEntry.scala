@@ -205,6 +205,49 @@ object SparkEntry {
       // downsample toward the temperature share, tail langs saturate at
       // keep-all with the residual up_factor reported
       CorpusOps.temperatureSample(docs(s, dir), 0.3)),
+    "q85_page_meta" -> ((s, dir) => {
+      // page metadata through the real scanner: rcdata title with entity
+      // + padding (must decode/normalize), every 3rd doc declares a
+      // RELATIVE canonical (must resolve against the page URL), robots
+      // metas on a 7-cycle (noindex+nofollow / nofollow-only / none)
+      val d = docs(s, dir).select(col("doc_id"),
+        coalesce(col("source"), lit("unknown")).as("source"))
+      val pages = d.select(col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".example/p"),
+          col("doc_id")).as("url"),
+        concat(
+          lit("<html><head><title> Page &amp; Title "), col("doc_id"),
+          lit(" </title>"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("<link rel=\"canonical\" href=\"/canon/c"),
+              col("doc_id"), lit("\">"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+            .when(col("doc_id") % 7 === 1,
+              lit("<meta name=\"robots\" content=\"nofollow\">"))
+            .otherwise(lit("")),
+          lit("</head><body><p>body</p></body></html>")).as("html"))
+      LinkOps.pageMetadata(pages)
+    }),
+    "q86_canonical_dedup" -> ((s, dir) => {
+      // canonical-LINK dedup: docs with doc_id%4!=0 declare their
+      // 4-aligned group head's canonical URL (mirror/AMP/pagination
+      // variants of one page); %4==0 docs declare nothing and fall back
+      // to self-canonical singletons; keeper = lowest doc_id per target
+      val d = docs(s, dir).select(col("doc_id"),
+        coalesce(col("source"), lit("unknown")).as("source"))
+      val pages = d.select(col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".example/p"),
+          col("doc_id")).as("url"),
+        concat(lit("<html><head>"),
+          when(col("doc_id") % 4 =!= 0,
+            concat(lit("<link rel=\"canonical\" href=\"https://"),
+              col("source"), lit(".example/canon/g"),
+              col("doc_id") - col("doc_id") % 4, lit("\">")))
+            .otherwise(lit("")),
+          lit("</head><body>x</body></html>")).as("html"))
+      LinkOps.canonicalLinkDedup(LinkOps.pageMetadata(pages))
+    }),
     "q84_outlinks" -> ((s, dir) => {
       // outlink extraction through the REAL anchor scanner over pages
       // synthesized closed-form: one absolute link (entity-encoded
@@ -1295,6 +1338,35 @@ object SparkEntry {
         |  ((((d.doc_id % 2147483648) * 1597334677) % 4294967296) / 4294967296.0 < r.rate)
         |    AS kept
         |FROM documents d JOIN r ON coalesce(d.lang, 'und') = r.lang""".stripMargin,
+    "q85_page_meta" ->
+      """WITH d AS (
+        |  SELECT doc_id, coalesce(source, 'unknown') AS source FROM documents)
+        |SELECT doc_id,
+        |  'Page & Title ' || doc_id AS title,
+        |  CASE WHEN doc_id % 3 = 0 THEN '/canon/c' || doc_id ELSE '' END
+        |    AS canonical_href,
+        |  CASE WHEN doc_id % 3 = 0
+        |       THEN 'https://' || source || '.example/canon/c' || doc_id
+        |       ELSE 'https://' || source || '.example/p' || doc_id END
+        |    AS canonical_url,
+        |  (doc_id % 7 = 0) AS noindex,
+        |  (doc_id % 7 = 0 OR doc_id % 7 = 1) AS nofollow
+        |FROM d""".stripMargin,
+    "q86_canonical_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, coalesce(source, 'unknown') AS source FROM documents),
+        |k AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 4 <> 0
+        |             THEN 'https://' || source || '.example/canon/g' ||
+        |                  (doc_id - doc_id % 4)
+        |             ELSE 'https://' || source || '.example/p' || doc_id END
+        |          AS canon_key
+        |      FROM d)
+        |SELECT doc_id, canon_key,
+        |  min(doc_id) OVER (PARTITION BY canon_key) AS keeper_id,
+        |  (doc_id = min(doc_id) OVER (PARTITION BY canon_key)) AS kept,
+        |  cast(count(*) OVER (PARTITION BY canon_key) AS bigint) AS n_dups
+        |FROM k""".stripMargin,
     "q84_outlinks" ->
       """WITH d AS (
         |  SELECT doc_id, coalesce(source, 'unknown') AS source FROM documents),

@@ -612,6 +612,87 @@ object HtmlExtract {
     out.result()
   }
 
+  /** page-level metadata: first `<title>` (entity-decoded, ws-normalized),
+    * first `<link rel="canonical" href=...>` (entity-decoded, case
+    * preserved), and the union of `<meta name="robots" content=...>`
+    * directives (noindex / nofollow; multiple robots metas union, the
+    * standard conservative reading). HTTP `X-Robots-Tag` is a header, not
+    * markup — callers with WARC headers apply it upstream. */
+  final case class PageMeta(
+      title: String, canonical: String, noindex: Boolean, nofollow: Boolean)
+
+  def pageMeta(html: String): PageMeta = {
+    var title: String = null
+    var canonical: String = null
+    var noindex = false
+    var nofollow = false
+    var i = 0
+    val n = html.length
+    val lowerAll = html.toLowerCase(java.util.Locale.ROOT)
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) i = n
+      else if (lt + 1 >= n) i = n
+      else if (html.startsWith("<!--", lt)) {
+        val end = html.indexOf("-->", lt + 4)
+        i = if (end < 0) n else end + 3
+      } else if (html.charAt(lt + 1) == '!' || html.charAt(lt + 1) == '?' ||
+          html.charAt(lt + 1) == '/') {
+        val end = html.indexOf('>', lt + 1)
+        i = if (end < 0) n else end + 1
+      } else if (html.charAt(lt + 1).isLetter) {
+        var j = lt + 1
+        var inQuote: Char = 0
+        var end = -1
+        while (j < n && end < 0) {
+          val c = html.charAt(j)
+          if (inQuote != 0) { if (c == inQuote) inQuote = 0 }
+          else if (c == '"' || c == '\'') inQuote = c
+          else if (c == '>') end = j
+          j += 1
+        }
+        if (end < 0) i = n
+        else {
+          val inner = html.substring(lt + 1, end)
+          val name = inner.takeWhile(_.isLetterOrDigit).toLowerCase(java.util.Locale.ROOT)
+          val selfClosing = inner.endsWith("/") || voidTags.contains(name)
+          val attrs = inner.drop(name.length)
+          i = end + 1
+          name match {
+            case "title" if title == null && !selfClosing =>
+              // rcdata: raw text to the matching close tag, tags-as-text
+              val closeIdx = lowerAll.indexOf("</title", i)
+              val stop = if (closeIdx < 0) n else closeIdx
+              title = normalizeWs(decodeEntities(html.substring(i, stop)))
+              i = if (closeIdx < 0) n
+              else { val gt = html.indexOf('>', closeIdx); if (gt < 0) n else gt + 1 }
+            case "link" if canonical == null =>
+              val isCanonical = attrValue(attrs, "rel").exists(
+                _.toLowerCase(java.util.Locale.ROOT).split("[\\s,]+").contains("canonical"))
+              if (isCanonical)
+                attrValue(attrs, "href").map(decodeEntities).filter(_.nonEmpty)
+                  .foreach(canonical = _)
+            case "meta" =>
+              val isRobots = attrValue(attrs, "name").exists(
+                _.trim.equalsIgnoreCase("robots"))
+              if (isRobots) attrValue(attrs, "content").foreach { c =>
+                val toks = c.toLowerCase(java.util.Locale.ROOT).split("[\\s,]+")
+                if (toks.contains("noindex") || toks.contains("none")) noindex = true
+                if (toks.contains("nofollow") || toks.contains("none")) nofollow = true
+              }
+            case nm if !selfClosing && rawTextTags.contains(nm) =>
+              val closeIdx = lowerAll.indexOf(s"</$nm", i)
+              i = if (closeIdx < 0) n
+              else { val gt = html.indexOf('>', closeIdx); if (gt < 0) n else gt + 1 }
+            case _ => ()
+          }
+        }
+      } else i = lt + 1
+    }
+    PageMeta(if (title == null) "" else title,
+      if (canonical == null) "" else canonical, noindex, nofollow)
+  }
+
   def normalizeWs(s: String): String = {
     val sb = new StringBuilder(s.length)
     var i = 0

@@ -79,6 +79,81 @@ object LinkOps {
       .toDF("doc_id", "link_pos", "src_host", "dst_host", "href", "anchor", "nofollow")
   }
 
+  /** absolute resolution of an href against the page URL — http(s) only
+    * (a canonical pointing at mailto:/javascript: is markup noise, not a
+    * document identity); "" when unresolvable */
+  private[graft] def resolveUrl(baseUrl: String, href: String): String = {
+    val h = href.trim
+    if (h.isEmpty) ""
+    else
+      try {
+        val lower = h.toLowerCase(java.util.Locale.ROOT)
+        val abs =
+          if (lower.startsWith("http://") || lower.startsWith("https://"))
+            new java.net.URI(h)
+          else {
+            val b = new java.net.URI(if (baseUrl == null) "" else baseUrl.trim)
+            if (b.getScheme == null || b.getHost == null) return ""
+            b.resolve(h)
+          }
+        val scheme = abs.getScheme
+        if (scheme != null && (scheme.equalsIgnoreCase("http") ||
+            scheme.equalsIgnoreCase("https"))) abs.toString
+        else ""
+      } catch { case scala.util.control.NonFatal(_) => "" }
+  }
+
+  /** page-level metadata through the real scanner: title, declared
+    * canonical (raw href + resolved absolute URL), and robots directives.
+    * `canonical_url` falls back to the page's OWN url when no canonical is
+    * declared or it cannot resolve (the self-canonical default every
+    * search pipeline assumes), so it is always a usable identity key.
+    *
+    * Input: (doc_id long, url string, html string). Output: (doc_id,
+    * title, canonical_href, canonical_url, noindex, nofollow).
+    *
+    * Scale shape: per-row typed map fused with the scan, zero shuffle. */
+  def pageMetadata(pages: DataFrame): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select(col("doc_id").cast("long"), col("url").cast("string"),
+        col("html").cast("string"))
+      .as[(Long, String, String)]
+      .map { case (id, url, html) =>
+        val m = HtmlExtract.pageMeta(if (html == null) "" else html)
+        val self = if (url == null) "" else url
+        val resolved =
+          if (m.canonical.isEmpty) self
+          else {
+            val r = resolveUrl(self, m.canonical)
+            if (r.isEmpty) self else r
+          }
+        (id, m.title, m.canonical, resolved, m.noindex, m.nofollow)
+      }
+      .toDF("doc_id", "title", "canonical_href", "canonical_url",
+        "noindex", "nofollow")
+  }
+
+  /** dedup on the DECLARED canonical: group by the canonicalized
+    * canonical_url (CorpusOps.urlCanonical folds spelling variants),
+    * keeper = lowest doc_id. The crawl-side complement of q39's
+    * string-canonicalization dedup — here the PAGE tells us which URL it
+    * considers itself a copy of (mirror pages, mobile/AMP variants,
+    * pagination tails all declare the same canonical).
+    *
+    * Scale shape: one shuffle on the canonical key; the window's groups
+    * are duplicate-cluster-sized. Documents carry only (doc_id, key). */
+  def canonicalLinkDedup(meta: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("canon_key"))
+    meta.select(col("doc_id"),
+        CorpusOps.urlCanonical(col("canonical_url")).as("canon_key"))
+      .withColumn("keeper_id", min(col("doc_id")).over(w))
+      .withColumn("n_dups", count(lit(1)).over(w))
+      .select(col("doc_id"), col("canon_key"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).as("kept"), col("n_dups"))
+  }
+
   /** aggregate an outlinks frame into the host->host edge list hostRank
     * consumes: nofollow links carry no endorsement (the rel=nofollow
     * contract search-engine graphs honor), intra-host links are navigation

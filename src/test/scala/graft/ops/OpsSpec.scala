@@ -2641,6 +2641,67 @@ class OpsSpec extends AnyFunSuite {
     assert(edges == Set(("www.base.example", "other.example", 1L)), s"got $edges")
   }
 
+  test("pageMeta: rcdata title, first-wins, robots union, raw-text decoys") {
+    import graft.core.html.HtmlExtract
+    // title is rcdata: tags inside are TEXT; entities decode; ws normalizes
+    val m1 = HtmlExtract.pageMeta(
+      "<head><title>  A &amp; <b>B</b>  </title><title>second</title></head>")
+    assert(m1.title == "A & <b>B</b>", s"got '${m1.title}'")
+    // first canonical wins; rel token list may carry more tokens
+    val m2 = HtmlExtract.pageMeta(
+      """<link rel="alternate canonical" href="/first">""" +
+        """<link rel="canonical" href="/second">""")
+    assert(m2.canonical == "/first")
+    // robots directives union across multiple metas; "none" implies both;
+    // attribute names match case-insensitively
+    val m3 = HtmlExtract.pageMeta(
+      """<META NAME="ROBOTS" CONTENT="noindex"><meta name="robots" content="nofollow">""")
+    assert(m3.noindex && m3.nofollow)
+    assert(HtmlExtract.pageMeta("""<meta name="robots" content="none">""")
+      == HtmlExtract.PageMeta("", "", noindex = true, nofollow = true))
+    // a <title> inside a script body is NOT the page title
+    val m4 = HtmlExtract.pageMeta(
+      """<script>var t = "<title>fake</title>";</script><title>real</title>""")
+    assert(m4.title == "real")
+    // unterminated title takes the rest (tolerant)
+    assert(HtmlExtract.pageMeta("<title>open end").title == "open end")
+    assert(HtmlExtract.pageMeta("") == HtmlExtract.PageMeta("", "", false, false))
+  }
+
+  test("pageMetadata + canonicalLinkDedup: resolution fallbacks, variant folding") {
+    val pages = Seq(
+      // relative canonical resolves against the page URL
+      (1L, "https://a.example/dir/p1", """<link rel="canonical" href="../c">"""),
+      // absolute canonical passes through
+      (2L, "https://b.example/p2",
+        """<link rel="canonical" href="https://A.Example/c?utm_source=x">"""),
+      // javascript: canonical is markup noise -> self-canonical
+      (3L, "https://c.example/p3", """<link rel="canonical" href="javascript:void(0)">"""),
+      // no canonical at all -> self; unparseable page URL stays its own key
+      (4L, "https://a.example/c", ""),
+      (5L, "::bad::", """<link rel="canonical" href="/x">"""))
+      .toDF("doc_id", "url", "html")
+    val meta = LinkOps.pageMetadata(pages).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("canonical_url")).toMap
+    assert(meta(1L) == "https://a.example/c")
+    assert(meta(2L) == "https://A.Example/c?utm_source=x")
+    assert(meta(3L) == "https://c.example/p3")
+    assert(meta(4L) == "https://a.example/c")
+    assert(meta(5L) == "::bad::")
+    // dedup folds spelling variants: doc 2's canonical (host case + utm
+    // param) and docs 1/4's resolved/self URLs all canonicalize to
+    // https://a.example/c
+    val dd = LinkOps.canonicalLinkDedup(LinkOps.pageMetadata(pages)).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[String]("canon_key"), r.getAs[Long]("keeper_id"),
+          r.getAs[Boolean]("kept"), r.getAs[Long]("n_dups")))).toMap
+    assert(dd(1L) == (("https://a.example/c", 1L, true, 3L)), s"got ${dd(1L)}")
+    assert(dd(2L) == (("https://a.example/c", 1L, false, 3L)))
+    assert(dd(4L) == (("https://a.example/c", 1L, false, 3L)))
+    assert(dd(3L)._3 && dd(3L)._4 == 1L)
+    assert(dd(5L)._3 && dd(5L)._4 == 1L)
+  }
+
   test("LinkOps -> hostRank composition matches the sequential fixpoint") {
     // a small synthetic web: host h{i}.example links h{(i*3+1)%7} twice
     // and h{(i+2)%7} once per page, two pages per host
