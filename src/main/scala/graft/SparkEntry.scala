@@ -1357,9 +1357,9 @@ object SparkEntry {
         |  SELECT doc_id, coalesce(source, 'unknown') AS source FROM documents),
         |k AS (SELECT doc_id,
         |        CASE WHEN doc_id % 4 <> 0
-        |             THEN 'https://' || source || '.example/canon/g' ||
+        |             THEN 'https://' || lower(source) || '.example/canon/g' ||
         |                  (doc_id - doc_id % 4)
-        |             ELSE 'https://' || source || '.example/p' || doc_id END
+        |             ELSE 'https://' || lower(source) || '.example/p' || doc_id END
         |          AS canon_key
         |      FROM d)
         |SELECT doc_id, canon_key,
@@ -1379,17 +1379,17 @@ object SparkEntry {
         |                     // 65536) % nh = h1.hid
         |      JOIN h h2 ON ((((d.doc_id % 2147483648) * 2246822519) % 4294967296)
         |                     // 65536) % nh = h2.hid)
-        |SELECT doc_id, 0 AS link_pos, source || '.example' AS src_host,
-        |       h1 || '.example' AS dst_host,
+        |SELECT doc_id, 0 AS link_pos, lower(source) || '.example' AS src_host,
+        |       lower(h1) || '.example' AS dst_host,
         |       'https://' || h1 || '.example/x?a=1&b=2' AS href,
         |       'Visit ' || h1 || ' & friends' AS anchor, false AS nofollow
         |FROM m
         |UNION ALL
-        |SELECT doc_id, 1, source || '.example', source || '.example',
+        |SELECT doc_id, 1, lower(source) || '.example', lower(source) || '.example',
         |       '/local/p' || doc_id, 'rel link', true
         |FROM m
         |UNION ALL
-        |SELECT doc_id, 2, source || '.example', h2 || '.example',
+        |SELECT doc_id, 2, lower(source) || '.example', lower(h2) || '.example',
         |       '//' || h2 || '.example/q', 'proto-relative', false
         |FROM m WHERE doc_id % 5 <> 0""".stripMargin,
     "q83_host_pagerank" ->

@@ -135,45 +135,104 @@ object HtmlExtract {
   final case class TOpen(name: String, selfClosing: Boolean, hint: String = "") extends Tok
   final case class TClose(name: String) extends Tok
 
+  /** index of ASCII-lowercase `needle` in `hay` from `from`, matching
+    * hay ASCII-case-insensitively WITHOUT allocating a lowered copy. Two
+    * properties the naive `hay.toLowerCase.indexOf` lacks: offsets are
+    * exact even where Unicode lowercasing changes string length (U+0130
+    * 'İ' lowers to two chars, shifting every later index), and repeated
+    * calls inside per-element loops cost no per-call allocation. Tag
+    * names are ASCII, so ASCII folding is the correct equivalence. */
+  private[graft] def indexOfAsciiLower(hay: String, needle: String, from: Int): Int = {
+    val n = hay.length
+    val m = needle.length
+    var i = if (from < 0) 0 else from
+    while (i + m <= n) {
+      var k = 0
+      var ok = true
+      while (ok && k < m) {
+        val c = hay.charAt(i + k)
+        val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+        if (lc != needle.charAt(k)) ok = false else k += 1
+      }
+      if (ok) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** quote-aware attribute iterator over a tag's attribute text: yields
+    * (lowercased name, raw value) in document order. Unlike a substring
+    * scan, an attribute NAME appearing inside another attribute's quoted
+    * VALUE (`title="see href=/spam" href="/real"`) is never matched —
+    * the scanner consumes whole name[=value] units. Standalone names
+    * yield "" (HTML boolean attributes); an unterminated quote takes the
+    * rest of the tag; duplicate names all yield (callers take the first,
+    * the HTML5 duplicate-attribute rule). */
+  private[graft] def foreachAttr(inner: String)(f: (String, String) => Unit): Unit = {
+    var i = 0
+    val n = inner.length
+    while (i < n) {
+      // skip whitespace and stray '/' (self-closing slash, malformed runs)
+      while (i < n && {
+        val c = inner.charAt(i)
+        c.isWhitespace || c == '/'
+      }) i += 1
+      if (i < n) {
+        val ns = i
+        while (i < n && {
+          val c = inner.charAt(i)
+          !c.isWhitespace && c != '=' && c != '/' && c != '"' && c != '\''
+        }) i += 1
+        val name = inner.substring(ns, i).toLowerCase(java.util.Locale.ROOT)
+        var j = i
+        while (j < n && inner.charAt(j).isWhitespace) j += 1
+        var value = ""
+        if (j < n && inner.charAt(j) == '=') {
+          j += 1
+          while (j < n && inner.charAt(j).isWhitespace) j += 1
+          if (j < n) {
+            val q = inner.charAt(j)
+            if (q == '"' || q == '\'') {
+              val end = inner.indexOf(q, j + 1)
+              if (end < 0) { value = inner.substring(j + 1); j = n }
+              else { value = inner.substring(j + 1, end); j = end + 1 }
+            } else {
+              val vs = j
+              while (j < n && !inner.charAt(j).isWhitespace) j += 1
+              value = inner.substring(vs, j)
+            }
+          }
+          i = j
+        } else if (i == ns) {
+          // no name consumed (stray quote): skip one char to guarantee progress
+          i += 1
+        }
+        if (name.nonEmpty) f(name, value)
+      }
+    }
+  }
+
+  /** trailing-slash self-closing test that does NOT misread an unquoted
+    * attribute value ending in '/' (`<a href=https://x.example/>` — per
+    * HTML5 the '/' is part of the value, the tag is open): self-closing
+    * only when the '/' directly follows the bare tag name, whitespace, or
+    * a closing quote. */
+  private[graft] def isSelfClosingInner(inner: String, name: String): Boolean =
+    inner.endsWith("/") && (inner.length == name.length + 1 || {
+      val b = inner.charAt(inner.length - 2)
+      b.isWhitespace || b == '"' || b == '\''
+    })
+
   /** lowercased `class` + `id` attribute values of a tag's attribute text
     * (minimal scan; only called when the tag body mentions class/id) */
   private[graft] def classIdHint(inner: String): String = {
     val lower = inner.toLowerCase(java.util.Locale.ROOT)
     if (!lower.contains("class") && !lower.contains("id")) return ""
     val sb = new StringBuilder
-    def grab(attr: String): Unit = {
-      var from = 0
-      while (from >= 0) {
-        val at = lower.indexOf(attr, from)
-        if (at < 0) from = -1
-        else {
-          // must be a standalone attribute name followed by =
-          val before = if (at == 0) ' ' else lower.charAt(at - 1)
-          var j = at + attr.length
-          while (j < lower.length && lower.charAt(j).isWhitespace) j += 1
-          if ((before.isWhitespace || before == '"' || before == '\'') &&
-              j < lower.length && lower.charAt(j) == '=') {
-            j += 1
-            while (j < lower.length && lower.charAt(j).isWhitespace) j += 1
-            if (j < lower.length) {
-              val q = lower.charAt(j)
-              val end =
-                if (q == '"' || q == '\'') lower.indexOf(q, j + 1)
-                else {
-                  var k = j
-                  while (k < lower.length && !lower.charAt(k).isWhitespace) k += 1
-                  k
-                }
-              val start = if (q == '"' || q == '\'') j + 1 else j
-              if (end > start) { sb.append(' ').append(lower.substring(start, end)) }
-            }
-          }
-          from = at + attr.length
-        }
-      }
+    foreachAttr(inner) { (name, v) =>
+      if ((name == "class" || name == "id") && v.nonEmpty)
+        sb.append(' ').append(v.toLowerCase(java.util.Locale.ROOT))
     }
-    grab("class")
-    grab("id")
     sb.toString
   }
 
@@ -235,13 +294,13 @@ object HtmlExtract {
           else {
             val inner = html.substring(lt + 1, end)
             val name = inner.takeWhile(c => c.isLetterOrDigit).toLowerCase(java.util.Locale.ROOT)
-            val selfClosing = inner.endsWith("/") || voidTags.contains(name)
+            val selfClosing = isSelfClosingInner(inner, name) || voidTags.contains(name)
             out += TOpen(name, selfClosing,
               if (blockTags.contains(name)) classIdHint(inner.drop(name.length)) else "")
             i = end + 1
             // raw-text elements: skip to the matching close tag verbatim
             if (!selfClosing && rawTextTags.contains(name)) {
-              val closeIdx = html.toLowerCase(java.util.Locale.ROOT).indexOf(s"</$name", i)
+              val closeIdx = indexOfAsciiLower(html, s"</$name", i)
               if (closeIdx < 0) i = n
               else {
                 val gt = html.indexOf('>', closeIdx)
@@ -480,31 +539,12 @@ object HtmlExtract {
     * case-sensitive; classIdHint lowercases because hints are matched
     * case-folded). Unterminated quote takes the rest of the tag. */
   private[graft] def attrValue(inner: String, attr: String): Option[String] = {
-    val lower = inner.toLowerCase(java.util.Locale.ROOT)
-    var from = 0
-    while (from >= 0) {
-      val at = lower.indexOf(attr, from)
-      if (at < 0) return None
-      val before = if (at == 0) ' ' else lower.charAt(at - 1)
-      var j = at + attr.length
-      while (j < inner.length && inner.charAt(j).isWhitespace) j += 1
-      if ((before.isWhitespace || before == '"' || before == '\'') &&
-          j < inner.length && inner.charAt(j) == '=') {
-        j += 1
-        while (j < inner.length && inner.charAt(j).isWhitespace) j += 1
-        if (j >= inner.length) return Some("")
-        val q = inner.charAt(j)
-        if (q == '"' || q == '\'') {
-          val end = inner.indexOf(q, j + 1)
-          return Some(if (end < 0) inner.substring(j + 1) else inner.substring(j + 1, end))
-        }
-        var k = j
-        while (k < inner.length && !inner.charAt(k).isWhitespace) k += 1
-        return Some(inner.substring(j, k))
-      }
-      from = at + attr.length
+    if (!inner.toLowerCase(java.util.Locale.ROOT).contains(attr)) return None
+    var res: Option[String] = None
+    foreachAttr(inner) { (name, v) =>
+      if (res.isEmpty && name == attr) res = Some(v)
     }
-    None
+    res
   }
 
   /** outlink extraction — every `<a href=...>` with its anchor text, in
@@ -580,7 +620,7 @@ object HtmlExtract {
             val inner = html.substring(lt + 1, end)
             val name = inner.takeWhile(c => c.isLetterOrDigit)
               .toLowerCase(java.util.Locale.ROOT)
-            val selfClosing = inner.endsWith("/") || voidTags.contains(name)
+            val selfClosing = isSelfClosingInner(inner, name) || voidTags.contains(name)
             if (name == "a") {
               close() // implicit close: anchors never nest
               val attrs = inner.drop(name.length)
@@ -593,8 +633,7 @@ object HtmlExtract {
             }
             i = end + 1
             if (!selfClosing && rawTextTags.contains(name)) {
-              val closeIdx =
-                html.toLowerCase(java.util.Locale.ROOT).indexOf(s"</$name", i)
+              val closeIdx = indexOfAsciiLower(html, s"</$name", i)
               if (closeIdx < 0) i = n
               else {
                 val gt = html.indexOf('>', closeIdx)
@@ -628,7 +667,6 @@ object HtmlExtract {
     var nofollow = false
     var i = 0
     val n = html.length
-    val lowerAll = html.toLowerCase(java.util.Locale.ROOT)
     while (i < n) {
       val lt = html.indexOf('<', i)
       if (lt < 0) i = n
@@ -655,15 +693,20 @@ object HtmlExtract {
         else {
           val inner = html.substring(lt + 1, end)
           val name = inner.takeWhile(_.isLetterOrDigit).toLowerCase(java.util.Locale.ROOT)
-          val selfClosing = inner.endsWith("/") || voidTags.contains(name)
+          val selfClosing = isSelfClosingInner(inner, name) || voidTags.contains(name)
           val attrs = inner.drop(name.length)
           i = end + 1
           name match {
-            case "title" if title == null && !selfClosing =>
-              // rcdata: raw text to the matching close tag, tags-as-text
-              val closeIdx = lowerAll.indexOf("</title", i)
+            case "title" if !selfClosing =>
+              // rcdata: raw text to the matching close tag, tags-as-text.
+              // EVERY title skips as rcdata (a second <title>, e.g. inside
+              // <svg>, must not leak its content back into live markup
+              // where a decoy <link rel=canonical> would be honored) —
+              // only the first one's text is captured
+              val closeIdx = indexOfAsciiLower(html, "</title", i)
               val stop = if (closeIdx < 0) n else closeIdx
-              title = normalizeWs(decodeEntities(html.substring(i, stop)))
+              if (title == null)
+                title = normalizeWs(decodeEntities(html.substring(i, stop)))
               i = if (closeIdx < 0) n
               else { val gt = html.indexOf('>', closeIdx); if (gt < 0) n else gt + 1 }
             case "link" if canonical == null =>
@@ -681,7 +724,7 @@ object HtmlExtract {
                 if (toks.contains("nofollow") || toks.contains("none")) nofollow = true
               }
             case nm if !selfClosing && rawTextTags.contains(nm) =>
-              val closeIdx = lowerAll.indexOf(s"</$nm", i)
+              val closeIdx = indexOfAsciiLower(html, s"</$nm", i)
               i = if (closeIdx < 0) n
               else { val gt = html.indexOf('>', closeIdx); if (gt < 0) n else gt + 1 }
             case _ => ()

@@ -107,7 +107,9 @@ object LinkOps {
     * canonical (raw href + resolved absolute URL), and robots directives.
     * `canonical_url` falls back to the page's OWN url when no canonical is
     * declared or it cannot resolve (the self-canonical default every
-    * search pipeline assumes), so it is always a usable identity key.
+    * search pipeline assumes) — a usable identity key whenever the page
+    * has a URL at all (null/empty url with no canonical yields "";
+    * [[canonicalLinkDedup]] treats those as singletons, not one group).
     *
     * Input: (doc_id long, url string, html string). Output: (doc_id,
     * title, canonical_href, canonical_url, noindex, nofollow).
@@ -142,12 +144,23 @@ object LinkOps {
     * pagination tails all declare the same canonical).
     *
     * Scale shape: one shuffle on the canonical key; the window's groups
-    * are duplicate-cluster-sized. Documents carry only (doc_id, key). */
+    * are duplicate-cluster-sized. Documents carry only (doc_id, key).
+    *
+    * A page with NO usable identity (null/empty page url and no
+    * resolvable canonical -> empty canon_key) is not a duplicate of the
+    * other identity-less pages: each such doc forms its own singleton
+    * group (kept=true, n_dups=1). Collapsing them onto the shared ""
+    * key would silently drop unrelated documents AND build one
+    * corpus-sized skew partition. */
   def canonicalLinkDedup(meta: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("canon_key"))
+    val w = Window.partitionBy(col("group_key"))
     meta.select(col("doc_id"),
-        CorpusOps.urlCanonical(col("canonical_url")).as("canon_key"))
+        coalesce(CorpusOps.urlCanonical(col("canonical_url")), lit(""))
+          .as("canon_key"))
+      .withColumn("group_key",
+        when(col("canon_key") === "",
+          concat(lit("\u0000doc:"), col("doc_id"))).otherwise(col("canon_key")))
       .withColumn("keeper_id", min(col("doc_id")).over(w))
       .withColumn("n_dups", count(lit(1)).over(w))
       .select(col("doc_id"), col("canon_key"), col("keeper_id"),

@@ -2702,6 +2702,57 @@ class OpsSpec extends AnyFunSuite {
     assert(dd(5L)._3 && dd(5L)._4 == 1L)
   }
 
+  test("scanner review fixes: U+0130 offsets, quoted-value decoys, unquoted trailing slash") {
+    import graft.core.html.HtmlExtract
+    // Unicode lowercasing changes length ('İ' U+0130 lowers to 2 chars);
+    // a lowered-copy indexOf would misalign every later offset. Titles,
+    // raw-text skips and anchors after a dotted capital I must stay exact.
+    assert(HtmlExtract.pageMeta("<title>İZMİR</title>").title == "İZMİR")
+    val afterTurkish = HtmlExtract.extractLinks(
+      "<a href=\"/k\">İKİ</a><script>var s=\"İ\";</script><a href=\"/m\">y</a>")
+    assert(afterTurkish.map(l => (l.href, l.anchor)) ==
+      Vector(("/k", "İKİ"), ("/m", "y")), s"got $afterTurkish")
+    assert(HtmlExtract.indexOfAsciiLower("xİ</SCRIPT>", "</script", 0) == 2)
+    // an attribute NAME inside another attribute's quoted VALUE is not a
+    // match: href must come from the real attribute, not the decoy
+    val decoy = HtmlExtract.extractLinks(
+      """<a title="see href=/spam here" href="/real">x</a>""")
+    assert(decoy.map(_.href) == Vector("/real"), s"got $decoy")
+    // HTML5: an unquoted value's trailing '/' is part of the VALUE, the
+    // tag is NOT self-closed — anchor text must survive
+    val unq = HtmlExtract.extractLinks("<a href=https://x.example/>click here</a>")
+    assert(unq == Vector(HtmlExtract.Link("https://x.example/", "click here", false)))
+    // ...but quoted-value and bare-name trailing slashes still self-close
+    assert(HtmlExtract.extractLinks("""<a href="/sc"/>after""").map(_.anchor) == Vector(""))
+    // a SECOND <title> (e.g. inside <svg>) is still rcdata: a decoy
+    // canonical inside it must not become the page identity
+    val m = HtmlExtract.pageMeta(
+      """<title>Real</title><svg><title><link rel="canonical" href="/wrong"></title></svg>""")
+    assert(m.title == "Real" && m.canonical == "", s"got $m")
+    // duplicate attributes: first one wins (HTML5 rule)
+    assert(HtmlExtract.extractLinks("""<a href="/first" href="/second">t</a>""")
+      .map(_.href) == Vector("/first"))
+  }
+
+  test("canonicalLinkDedup: identity-less pages are singletons, not one group") {
+    // url null/empty and no canonical -> canon_key "" -> each doc keeps
+    // itself; they are NOT duplicates of each other
+    val meta = Seq(
+      (10L, null.asInstanceOf[String], ""),
+      (11L, "", ""),
+      (12L, "https://a.example/x", "https://a.example/x"))
+      .toDF("doc_id", "url", "html")
+    val dd = LinkOps.canonicalLinkDedup(LinkOps.pageMetadata(
+        meta.select(col("doc_id"), col("url"), lit("<p>t</p>").as("html"))))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("canon_key"), r.getAs[Boolean]("kept"),
+          r.getAs[Long]("n_dups")))).toMap
+    assert(dd(10L) == (("", true, 1L)), s"got ${dd(10L)}")
+    assert(dd(11L) == (("", true, 1L)), s"got ${dd(11L)}")
+    assert(dd(12L)._2 && dd(12L)._3 == 1L)
+  }
+
   test("LinkOps -> hostRank composition matches the sequential fixpoint") {
     // a small synthetic web: host h{i}.example links h{(i*3+1)%7} twice
     // and h{(i+2)%7} once per page, two pages per host
