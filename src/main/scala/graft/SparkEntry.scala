@@ -18,6 +18,75 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame = s.read.parquet(t(dir, "documents"))
   private def emb(s: SparkSession, dir: String): DataFrame = s.read.parquet(t(dir, "embeddings"))
 
+  /** shared q84/q87 synthetic page frame: each doc carries one absolute
+    * link (entity-encoded query + anchor), one relative rel=nofollow
+    * link, one protocol-relative link (every 5th doc a mailto: instead —
+    * must drop), one href-less named anchor (drops); targets are mix32
+    * hashes over the indexed host universe so the oracle re-derives them
+    * closed-form. */
+  private def linkPages(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir).select(col("doc_id"),
+      coalesce(col("source"), lit("unknown")).as("source"))
+    val hosts = d.select(col("source")).distinct()
+      .withColumn("hid",
+        row_number().over(Window.orderBy(col("source"))).cast("long") - 1)
+    val nh = hosts.agg(count(lit(1)).as("nh"))
+    def target(mult: Long) = pmod(
+      shiftright(pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(mult),
+        lit(4294967296L)), 16),
+      col("nh"))
+    val m = d.crossJoin(broadcast(nh))
+      .withColumn("t1", target(2654435761L))
+      .withColumn("t2", target(2246822519L))
+      .join(hosts.select(col("hid").as("t1"), col("source").as("h1")), Seq("t1"))
+      .join(hosts.select(col("hid").as("t2"), col("source").as("h2")), Seq("t2"))
+    m.select(col("doc_id"),
+      concat(lit("https://"), col("source"), lit(".example/p"),
+        col("doc_id")).as("url"),
+      concat(
+        lit("<html><body><p>intro text</p>"),
+        lit("<a href=\"https://"), col("h1"),
+        lit(".example/x?a=1&amp;b=2\">Visit "), col("h1"),
+        lit(" &amp; friends</a>"),
+        lit("<div><a rel=\"nofollow\" href=\"/local/p"), col("doc_id"),
+        lit("\">rel link</a></div>"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("<a href=\"mailto:team@"), col("h2"),
+            lit(".example\">mail</a>")))
+          .otherwise(concat(lit("<a href=\"//"), col("h2"),
+            lit(".example/q\">proto-relative</a>"))),
+        lit("<a name=\"top\">anchorless</a></body></html>")).as("html"))
+  }
+
+  /** shared q83/q88 synthetic host graph: two deterministic mix32
+    * outlinks per doc over the indexed host universe, intra-host edges
+    * dropped, docs of the alphabetically-first host emit nothing (it can
+    * only RECEIVE — a dangling-host candidate). */
+  private def hostGraphEdges(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir).select(col("doc_id"),
+      coalesce(col("source"), lit("unknown")).as("source"))
+    val hosts = d.select(col("source")).distinct()
+      .withColumn("hid",
+        row_number().over(Window.orderBy(col("source"))).cast("long") - 1)
+    val nh = hosts.agg(count(lit(1)).as("nh"))
+    def target(mult: Long) = pmod(
+      shiftright(pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(mult),
+        lit(4294967296L)), 16),
+      col("nh"))
+    val linked = d.join(hosts, Seq("source"))
+      .crossJoin(broadcast(nh)).filter(col("hid") =!= 0)
+    val e0 = linked.select(col("source").as("src"),
+        target(2654435761L).as("thid"))
+      .union(linked.select(col("source").as("src"),
+        target(2246822519L).as("thid")))
+    e0.join(hosts.select(col("source").as("dst"), col("hid").as("thid2")),
+        col("thid") === col("thid2"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("weight"))
+  }
+
   /** Flagship: extraction pipeline over a synthesized 300-row corpus,
     * joined against golden. Driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -248,77 +317,34 @@ object SparkEntry {
           lit("</head><body>x</body></html>")).as("html"))
       LinkOps.canonicalLinkDedup(LinkOps.pageMetadata(pages))
     }),
-    "q84_outlinks" -> ((s, dir) => {
+    "q84_outlinks" -> ((s, dir) =>
       // outlink extraction through the REAL anchor scanner over pages
-      // synthesized closed-form: one absolute link (entity-encoded
-      // query), one relative rel=nofollow link, one protocol-relative
-      // link (every 5th doc gets a mailto: instead — must drop), one
-      // href-less named anchor (drops); the oracle states the expected
-      // rows closed-form, the messy-HTML shapes are OpsSpec-gated
-      import org.apache.spark.sql.expressions.Window
-      val d = docs(s, dir).select(col("doc_id"),
-        coalesce(col("source"), lit("unknown")).as("source"))
-      val hosts = d.select(col("source")).distinct()
-        .withColumn("hid",
-          row_number().over(Window.orderBy(col("source"))).cast("long") - 1)
-      val nh = hosts.agg(count(lit(1)).as("nh"))
-      def target(mult: Long) = pmod(
-        shiftright(pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(mult),
-          lit(4294967296L)), 16),
-        col("nh"))
-      val m = d.crossJoin(broadcast(nh))
-        .withColumn("t1", target(2654435761L))
-        .withColumn("t2", target(2246822519L))
-        .join(hosts.select(col("hid").as("t1"), col("source").as("h1")), Seq("t1"))
-        .join(hosts.select(col("hid").as("t2"), col("source").as("h2")), Seq("t2"))
-      val pages = m.select(col("doc_id"),
-        concat(lit("https://"), col("source"), lit(".example/p"),
-          col("doc_id")).as("url"),
-        concat(
-          lit("<html><body><p>intro text</p>"),
-          lit("<a href=\"https://"), col("h1"),
-          lit(".example/x?a=1&amp;b=2\">Visit "), col("h1"),
-          lit(" &amp; friends</a>"),
-          lit("<div><a rel=\"nofollow\" href=\"/local/p"), col("doc_id"),
-          lit("\">rel link</a></div>"),
-          when(col("doc_id") % 5 === 0,
-            concat(lit("<a href=\"mailto:team@"), col("h2"),
-              lit(".example\">mail</a>")))
-            .otherwise(concat(lit("<a href=\"//"), col("h2"),
-              lit(".example/q\">proto-relative</a>"))),
-          lit("<a name=\"top\">anchorless</a></body></html>")).as("html"))
-      LinkOps.outlinks(pages)
-    }),
-    "q83_host_pagerank" -> ((s, dir) => {
+      // synthesized closed-form (linkPages); the oracle states the
+      // expected rows closed-form, the messy-HTML shapes are OpsSpec-gated
+      LinkOps.outlinks(linkPages(s, dir))),
+    "q87_anchor_terms" -> ((s, dir) =>
+      // anchor-text aggregation over the same synthetic link frame:
+      // per target host, the terms the rest of the web links with —
+      // top-3 by distinct linking hosts (q33's whitespace tokenizer,
+      // so DuckDB recomputes exactly)
+      LinkOps.anchorTerms(LinkOps.outlinks(linkPages(s, dir)), topK = 3)),
+    "q83_host_pagerank" -> ((s, dir) =>
       // host-graph centrality (the CommonCrawl/FineWeb seed-list signal):
-      // each doc emits two deterministic outlinks (mix32 targets over the
-      // indexed host universe), intra-host links dropped, and docs of the
-      // alphabetically-first host emit nothing (so it can only RECEIVE —
-      // a dangling-host candidate); 3 exact-integer PageRank rounds over
-      // the aggregated host->host graph
+      // 3 exact-integer PageRank rounds over the synthetic host graph
+      CorpusOps.hostRank(hostGraphEdges(s, dir), iterations = 3, dampingPct = 85)),
+    "q88_trustrank" -> ((s, dir) => {
+      // seeded TrustRank over the same host graph: seeds = every 3rd
+      // host of the indexed universe (hid % 3 == 0 — includes the
+      // dangling-candidate host 0); 2 exact-integer rounds, teleport +
+      // dangling mass confined to the seeds
       import org.apache.spark.sql.expressions.Window
-      val d = docs(s, dir).select(col("doc_id"),
-        coalesce(col("source"), lit("unknown")).as("source"))
-      val hosts = d.select(col("source")).distinct()
+      val d = docs(s, dir).select(coalesce(col("source"), lit("unknown")).as("source"))
+      val seeds = d.distinct()
         .withColumn("hid",
           row_number().over(Window.orderBy(col("source"))).cast("long") - 1)
-      val nh = hosts.agg(count(lit(1)).as("nh"))
-      def target(mult: Long) = pmod(
-        shiftright(pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(mult),
-          lit(4294967296L)), 16),
-        col("nh"))
-      val linked = d.join(hosts, Seq("source"))
-        .crossJoin(broadcast(nh)).filter(col("hid") =!= 0)
-      val e0 = linked.select(col("source").as("src"),
-          target(2654435761L).as("thid"))
-        .union(linked.select(col("source").as("src"),
-          target(2246822519L).as("thid")))
-      val edges = e0
-        .join(hosts.select(col("source").as("dst"), col("hid").as("thid2")),
-          col("thid") === col("thid2"))
-        .filter(col("src") =!= col("dst"))
-        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("weight"))
-      CorpusOps.hostRank(edges, iterations = 3, dampingPct = 85)
+        .filter(col("hid") % 3 === 0).select(col("source").as("host"))
+      CorpusOps.trustRank(hostGraphEdges(s, dir), seeds,
+        iterations = 2, dampingPct = 85)
     }),
     "q82_decontaminate_semantic" -> ((s, dir) => {
       // embedding-space decontamination: the eval set is every 100th
@@ -1392,6 +1418,41 @@ object SparkEntry {
         |SELECT doc_id, 2, lower(source) || '.example', lower(h2) || '.example',
         |       '//' || h2 || '.example/q', 'proto-relative', false
         |FROM m WHERE doc_id % 5 <> 0""".stripMargin,
+    "q87_anchor_terms" ->
+      """WITH d AS (
+        |  SELECT doc_id, coalesce(source, 'unknown') AS source FROM documents),
+        |h AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS hid
+        |      FROM (SELECT DISTINCT source FROM d)),
+        |c AS (SELECT count(*) AS nh FROM h),
+        |m AS (SELECT d.doc_id, d.source, h1.source AS h1, h2.source AS h2
+        |      FROM d CROSS JOIN c
+        |      JOIN h h1 ON ((((d.doc_id % 2147483648) * 2654435761) % 4294967296)
+        |                     // 65536) % nh = h1.hid
+        |      JOIN h h2 ON ((((d.doc_id % 2147483648) * 2246822519) % 4294967296)
+        |                     // 65536) % nh = h2.hid),
+        |lk AS (
+        |  SELECT lower(source) || '.example' AS src_host,
+        |         lower(h1) || '.example' AS dst_host,
+        |         'Visit ' || h1 || ' & friends' AS anchor
+        |  FROM m WHERE lower(h1) <> lower(source)
+        |  UNION ALL
+        |  SELECT lower(source) || '.example', lower(h2) || '.example',
+        |         'proto-relative'
+        |  FROM m WHERE doc_id % 5 <> 0 AND lower(h2) <> lower(source)),
+        |toks AS (
+        |  SELECT src_host, dst_host,
+        |    unnest(regexp_split_to_array(trim(lower(anchor)), '\s+')) AS term
+        |  FROM lk),
+        |per_src AS (SELECT dst_host, term, src_host, count(*) AS n
+        |            FROM toks GROUP BY 1, 2, 3),
+        |agg AS (SELECT dst_host, term, cast(sum(n) AS bigint) AS n_links,
+        |          cast(count(*) AS bigint) AS n_hosts
+        |        FROM per_src GROUP BY 1, 2),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY dst_host
+        |             ORDER BY n_hosts DESC, n_links DESC, term ASC) AS rnk
+        |           FROM agg)
+        |SELECT dst_host, term, n_links, n_hosts, cast(rnk AS int) AS rnk
+        |FROM ranked WHERE rnk <= 3""".stripMargin,
     "q83_host_pagerank" ->
       """WITH d AS (
         |  SELECT doc_id, coalesce(source, 'unknown') AS source FROM documents),
@@ -1447,6 +1508,62 @@ object SparkEntry {
         |SELECT host, outw AS out_weight, r AS rank_e12,
         |  r / 1000000000000.0 AS rank
         |FROM r3""".stripMargin,
+    "q88_trustrank" ->
+      """WITH d AS (
+        |  SELECT doc_id, coalesce(source, 'unknown') AS source FROM documents),
+        |h AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS hid
+        |      FROM (SELECT DISTINCT source FROM d)),
+        |c AS (SELECT count(*) AS nh FROM h),
+        |l AS (SELECT d.source, h.hid,
+        |        ((((d.doc_id % 2147483648) * 2654435761) % 4294967296) // 65536) % nh AS t1,
+        |        ((((d.doc_id % 2147483648) * 2246822519) % 4294967296) // 65536) % nh AS t2
+        |      FROM d JOIN h ON d.source = h.source CROSS JOIN c
+        |      WHERE h.hid <> 0),
+        |e0 AS (SELECT source AS src, t1 AS thid FROM l
+        |       UNION ALL
+        |       SELECT source AS src, t2 AS thid FROM l),
+        |e AS (SELECT e0.src, h.source AS dst, cast(count(*) AS bigint) AS weight
+        |      FROM e0 JOIN h ON e0.thid = h.hid
+        |      WHERE e0.src <> h.source
+        |      GROUP BY 1, 2),
+        |u AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        |sd AS (SELECT source AS host FROM h WHERE hid % 3 = 0),
+        |ow AS (SELECT u.host, coalesce(s.w, 0) AS outw,
+        |         (u.host IN (SELECT host FROM sd)) AS seed
+        |       FROM u LEFT JOIN
+        |         (SELECT src, cast(sum(weight) AS bigint) AS w FROM e GROUP BY 1) s
+        |         ON u.host = s.src),
+        |ns AS (SELECT count(*) AS s FROM ow WHERE seed),
+        |r0 AS (SELECT host, outw, seed,
+        |         cast(CASE WHEN seed THEN 1000000000000 // s ELSE 0 END AS bigint) AS r
+        |       FROM ow CROSS JOIN ns),
+        |i1 AS (SELECT e.dst AS host,
+        |         cast(sum(e.weight * (r.r // r.outw)
+        |           + ((r.r % r.outw) * e.weight) // r.outw) AS bigint) AS infl
+        |       FROM e JOIN r0 r ON e.src = r.host GROUP BY 1),
+        |g1 AS (SELECT cast(coalesce(sum(r), 0) AS bigint) AS dang FROM r0 WHERE outw = 0),
+        |r1 AS (SELECT p.host, p.outw, p.seed,
+        |         cast(CASE WHEN p.seed
+        |                THEN (15 * (1000000000000 // ns.s)) // 100 ELSE 0 END
+        |           + (85 * (coalesce(i1.infl, 0)
+        |              + CASE WHEN p.seed THEN g1.dang // ns.s ELSE 0 END)) // 100
+        |           AS bigint) AS r
+        |       FROM r0 p LEFT JOIN i1 ON p.host = i1.host CROSS JOIN g1 CROSS JOIN ns),
+        |i2 AS (SELECT e.dst AS host,
+        |         cast(sum(e.weight * (r.r // r.outw)
+        |           + ((r.r % r.outw) * e.weight) // r.outw) AS bigint) AS infl
+        |       FROM e JOIN r1 r ON e.src = r.host GROUP BY 1),
+        |g2 AS (SELECT cast(coalesce(sum(r), 0) AS bigint) AS dang FROM r1 WHERE outw = 0),
+        |r2 AS (SELECT p.host, p.outw, p.seed,
+        |         cast(CASE WHEN p.seed
+        |                THEN (15 * (1000000000000 // ns.s)) // 100 ELSE 0 END
+        |           + (85 * (coalesce(i2.infl, 0)
+        |              + CASE WHEN p.seed THEN g2.dang // ns.s ELSE 0 END)) // 100
+        |           AS bigint) AS r
+        |       FROM r1 p LEFT JOIN i2 ON p.host = i2.host CROSS JOIN g2 CROSS JOIN ns)
+        |SELECT host, outw AS out_weight, seed AS is_seed, r AS rank_e12,
+        |  r / 1000000000000.0 AS rank
+        |FROM r2""".stripMargin,
     "q82_decontaminate_semantic" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -729,7 +729,44 @@ object CorpusOps {
     * weight<=0 are dropped); output one row per host in the edge
     * universe: (host, out_weight, rank_e12 long, rank double =
     * rank_e12/1e12). */
-  def hostRank(edges: DataFrame, iterations: Int = 3, dampingPct: Int = 85): DataFrame = {
+  def hostRank(edges: DataFrame, iterations: Int = 3, dampingPct: Int = 85): DataFrame =
+    rankFixpoint(edges, None, iterations, dampingPct)
+      .select(col("host"), col("out_weight"), col("rank_e12"), col("rank"))
+
+  /** Seeded PageRank — TrustRank (Gyöngyi/Garcia-Molina/Pedersen, VLDB
+    * 2004): identical power iteration to [[hostRank]] except the teleport
+    * vector is restricted to a curated SEED set — mass enters the graph
+    * only at trusted hosts and flows outward along endorsement edges, so
+    * a spam cluster unreachable from the seeds scores ~0 however densely
+    * it interlinks itself. The standard web-curation complement to raw
+    * centrality (rank says "important"; trust says "important AND
+    * reachable from vetted ground").
+    *
+    * Same exact-integer semantics as [[hostRank]] with N replaced by S =
+    * |seeds ∩ universe|: r0 = (M div S) on seeds / 0 elsewhere; each
+    * round a seed gets `((100-d)*(M div S)) div 100 + (d*(inflow +
+    * dang div S)) div 100` and a non-seed `(d*inflow) div 100`; dangling
+    * mass returns to the seeds (the paper's teleport-to-seed rule).
+    * With seeds = the whole universe this IS hostRank, bit for bit —
+    * both run the same [[rankFixpoint]] core, so the two builders
+    * cannot diverge.
+    *
+    * `seeds`: one string column `host`; rows not in the edge universe
+    * are ignored (a seed list is curated against a larger web than any
+    * one crawl); at least one seed must be present in the universe.
+    * Seed lists are small (hundreds to low thousands) — the flag join
+    * broadcasts.
+    *
+    * Output: (host, out_weight, is_seed, rank_e12 long, rank double). */
+  def trustRank(edges: DataFrame, seeds: DataFrame, iterations: Int = 3,
+      dampingPct: Int = 85): DataFrame =
+    rankFixpoint(edges, Some(seeds), iterations, dampingPct)
+
+  /** shared exact-integer power-iteration core of [[hostRank]] /
+    * [[trustRank]]; `seeds` = None means teleport-everywhere (S = N).
+    * Semantics + scale shape documented on hostRank above. */
+  private def rankFixpoint(edges: DataFrame, seeds: Option[DataFrame],
+      iterations: Int, dampingPct: Int): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100], got $dampingPct")
@@ -743,24 +780,38 @@ object CorpusOps {
     val outBySrc = e.groupBy(col("src")).agg(sum(col("weight")).as("outw"))
     val universe = e.select(col("src").as("host"))
       .union(e.select(col("dst").as("host"))).distinct()
-    val base = Checkpoints.cut(
-      universe.join(outBySrc, universe("host") === outBySrc("src"), "left")
-        .select(col("host"), coalesce(col("outw"), lit(0L)).as("outw")))
-    // two bounded scalars off the checkpointed host table: N and the
+    val hosts = universe.join(outBySrc, universe("host") === outBySrc("src"), "left")
+      .select(col("host"), coalesce(col("outw"), lit(0L)).as("outw"))
+    val flagged = seeds match {
+      case None => hosts.withColumn("seed", lit(true))
+      case Some(sd) =>
+        val keys = sd.select(col("host").cast("string").as("seed_host"))
+          .filter(col("seed_host").isNotNull).distinct()
+        hosts.join(broadcast(keys), col("host") === col("seed_host"), "left")
+          .select(col("host"), col("outw"), col("seed_host").isNotNull.as("seed"))
+    }
+    val base = Checkpoints.cut(flagged)
+    // bounded scalars off the checkpointed host table: N, S and the
     // overflow guard (NOT a corpus-sized collect — the host universe is
     // ~10^8 rows at full web scale and this is a 1-row aggregate)
-    val stats = base.agg(count(lit(1)).as("n"), max(col("outw")).as("mx")).head()
+    val stats = base.agg(count(lit(1)).as("n"),
+      coalesce(sum(when(col("seed"), 1L).otherwise(0L)), lit(0L)).as("s"),
+      max(col("outw")).as("mx")).head()
     val n = stats.getLong(0)
     if (n == 0L)
       return base.select(col("host"), col("outw").as("out_weight"),
-        lit(0L).as("rank_e12"), lit(0.0).as("rank"))
-    val maxOutw = stats.getLong(1)
+        col("seed").as("is_seed"), lit(0L).as("rank_e12"), lit(0.0).as("rank"))
+    val nSeeds = stats.getLong(1)
+    require(nSeeds > 0L,
+      "no seed host appears in the edge universe; trust cannot enter the graph")
+    val maxOutw = stats.getLong(2)
     require(maxOutw <= 3000000000L,
       s"per-host out-weight $maxOutw exceeds the exact-arithmetic bound 3e9; " +
         "cap edge weights before ranking")
-    val r0 = m / n
+    val r0 = m / nSeeds
     val basePart = ((100L - dampingPct) * r0) / 100L
-    var ranks = base.withColumn("r", lit(r0))
+    var ranks = base.withColumn("r",
+      when(col("seed"), lit(r0)).otherwise(lit(0L)))
     for (_ <- 1 to iterations) {
       val inflow = e.join(ranks, e("src") === ranks("host"))
         .select(col("dst"),
@@ -770,16 +821,18 @@ object CorpusOps {
       val dang = ranks.filter(col("outw") === 0)
         .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
       ranks = Checkpoints.cut(
-        ranks.select(col("host"), col("outw"))
+        ranks.select(col("host"), col("outw"), col("seed"))
           .join(inflow, col("host") === inflow("dst"), "left")
           .crossJoin(broadcast(dang))
-          .select(col("host"), col("outw"),
-            (lit(basePart) +
+          .select(col("host"), col("outw"), col("seed"),
+            (when(col("seed"), lit(basePart)).otherwise(lit(0L)) +
               expr(s"($dampingPct * (coalesce(infl, CAST(0 AS BIGINT)) " +
-                s"+ (dang div CAST($n AS BIGINT)))) div 100")).as("r")))
+                s"+ (CASE WHEN seed THEN dang div CAST($nSeeds AS BIGINT) " +
+                s"ELSE CAST(0 AS BIGINT) END))) div 100")).as("r")))
     }
     ranks.select(col("host"), col("outw").as("out_weight"),
-      col("r").as("rank_e12"), (col("r") / lit(1e12)).as("rank"))
+      col("seed").as("is_seed"), col("r").as("rank_e12"),
+      (col("r") / lit(1e12)).as("rank"))
   }
 
   def lengthHistogram(documents: DataFrame, bucketWidth: Int = 100): DataFrame = {

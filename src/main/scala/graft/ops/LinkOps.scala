@@ -178,4 +178,46 @@ object LinkOps {
         col("src_host") =!= "" && col("src_host") =!= col("dst_host"))
       .groupBy(col("src_host").as("src"), col("dst_host").as("dst"))
       .agg(count(lit(1)).as("weight"))
+
+  /** anchor-text aggregation: the terms the REST of the web uses when
+    * linking to a host — the classic "anchor text describes the target
+    * better than the target describes itself" retrieval signal, and a
+    * seed-curation feature (a host whose in-anchors are all "cheap pills
+    * casino" is judged by them). Same endorsement filter as
+    * [[hostEdges]]: nofollow, intra-host, and hostless-src links carry
+    * no description; so do empty anchors (image links, bare hrefs).
+    *
+    * Tokenization is the q33 contract (lower, trim, split on
+    * whitespace) so any SQL engine recomputes it exactly.
+    *
+    * Output: top-`topK` terms per dst_host ranked by the number of
+    * DISTINCT linking hosts (one spammy host repeating a term a million
+    * times counts once), ties by total link count then term:
+    * (dst_host, term, n_links long, n_hosts long, rnk int).
+    *
+    * Scale shape: one partial-combined groupBy on (dst_host, term,
+    * src_host) — anchor-token-cardinality-sized, never document-sized —
+    * then a second partial agg folding src out, then a per-dst-host
+    * top-K window whose partitions are term-vocabulary-sized (bounded
+    * by distinct anchor vocab per host, not by in-link count: the
+    * distinct-host pre-agg collapses repeat anchors first). */
+  def anchorTerms(links: DataFrame, topK: Int = 5): DataFrame = {
+    require(topK > 0, s"topK must be > 0, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val toks = links.filter(!col("nofollow") &&
+        col("src_host") =!= "" && col("src_host") =!= col("dst_host") &&
+        trim(col("anchor")) =!= "")
+      .select(col("src_host"), col("dst_host"),
+        explode(split(trim(lower(col("anchor"))), "\\s+")).as("term"))
+    val perSrc = toks.groupBy(col("dst_host"), col("term"), col("src_host"))
+      .agg(count(lit(1)).as("n"))
+    val agg = perSrc.groupBy(col("dst_host"), col("term"))
+      .agg(sum(col("n")).as("n_links"), count(lit(1)).as("n_hosts"))
+    val w = Window.partitionBy(col("dst_host"))
+      .orderBy(col("n_hosts").desc, col("n_links").desc, col("term").asc)
+    agg.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("dst_host"), col("term"), col("n_links"), col("n_hosts"),
+        col("rnk"))
+  }
 }

@@ -2854,4 +2854,124 @@ class OpsSpec extends AnyFunSuite {
       CorpusOps.hostRank(e, 1, 101)
     }
   }
+
+  /** sequential exact recompute of trustRank's seeded fixpoint — same
+    * formula as seqHostRank with N replaced by |seeds ∩ universe| and
+    * teleport/dangling mass confined to the seeds */
+  private def seqTrustRank(edges: Seq[(String, String, Long)], seeds: Set[String],
+      iters: Int, d: Int): Map[String, Long] = {
+    val agg = edges.filter(_._3 > 0)
+      .groupBy(e => (e._1, e._2))
+      .map { case ((s, t), es) => (s, t, es.map(_._3).sum) }.toSeq
+    val hosts = (agg.map(_._1) ++ agg.map(_._2)).distinct.sorted
+    val outw = agg.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+      .withDefaultValue(0L)
+    val sd = hosts.toSet.intersect(seeds)
+    val s = sd.size.toLong
+    val m = 1000000000000L
+    val r0 = m / s
+    var r = hosts.map(h => h -> (if (sd(h)) r0 else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val dang = hosts.filter(outw(_) == 0L).map(r).sum
+      val infl = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for ((src, t, w) <- agg) {
+        val ru = r(src); val o = outw(src)
+        infl(t) += w * (ru / o) + ((ru % o) * w) / o
+      }
+      val base = ((100L - d) * r0) / 100L
+      r = hosts.map(h => h -> ((if (sd(h)) base else 0L) +
+        (d * (infl(h) + (if (sd(h)) dang / s else 0L))) / 100L)).toMap
+    }
+    r
+  }
+
+  test("trustRank: seeded teleport matches sequential recompute; unseeded cluster starves") {
+    // two components: A<->B->D (A seeded, D dangling) and a densely
+    // self-linked spam pair X<->Y unreachable from the seed
+    val hand = Seq(("A", "B", 1L), ("B", "A", 1L), ("B", "D", 1L),
+      ("X", "Y", 5L), ("Y", "X", 5L))
+    // seeds outside the edge universe are ignored (curated against a
+    // larger web than this crawl); nulls too
+    val seeds = Seq(Some("A"), Some("NOT_IN_GRAPH"), None).toDF("host")
+    val out = CorpusOps.trustRank(hand.toDF("src", "dst", "weight"), seeds, 3, 85)
+      .collect()
+      .map(r => r.getAs[String]("host") ->
+        ((r.getAs[Boolean]("is_seed"), r.getAs[Long]("rank_e12"),
+          r.getAs[Double]("rank")))).toMap
+    val want = seqTrustRank(hand, Set("A"), 3, 85)
+    assert(out.keySet == Set("A", "B", "D", "X", "Y"))
+    for ((h, w) <- want)
+      assert(out(h)._2 == w, s"$h: got ${out(h)._2} want $w")
+    assert(out("A")._1 && !out("B")._1 && !out("X")._1)
+    // trust never reaches the spam cluster however densely it interlinks
+    assert(out("X")._2 == 0L && out("Y")._2 == 0L, s"got $out")
+    assert(out("B")._2 > 0L && out("D")._2 > 0L)
+    for ((_, (_, e12, rk)) <- out) assert(rk == e12 / 1e12)
+    // wide pseudo-random multigraph with a seed subset (duplicate
+    // (src,dst) rows exercise pre-aggregation under seeding)
+    val wide = (0 until 400).map { i =>
+      (s"h${(i * 7) % 12}", s"h${(i * i + 3) % 12}", (i % 3 + 1).toLong)
+    }
+    val wideOut = CorpusOps.trustRank(wide.toDF("src", "dst", "weight"),
+        Seq("h0", "h5", "h7").toDF("host"), 3, 85)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("rank_e12")).toMap
+    assert(wideOut == seqTrustRank(wide, Set("h0", "h5", "h7"), 3, 85))
+  }
+
+  test("trustRank: seeds=universe IS hostRank bit-for-bit; guards") {
+    val hand = Seq(("A", "B", 1L), ("A", "C", 3L), ("B", "A", 1L))
+    val e = hand.toDF("src", "dst", "weight")
+    val tr = CorpusOps.trustRank(e, Seq("A", "B", "C").toDF("host"), 3, 85)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("rank_e12")).toMap
+    val hr = CorpusOps.hostRank(e, 3, 85)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("rank_e12")).toMap
+    assert(tr == hr, s"trustRank(all seeds) $tr != hostRank $hr")
+    // no seed in the edge universe -> trust cannot enter the graph
+    intercept[IllegalArgumentException] {
+      CorpusOps.trustRank(e, Seq("Z").toDF("host"), 1, 85)
+    }
+    // empty graph -> empty frame with the full seeded schema (no seed
+    // check: there is no universe to intersect)
+    val empty = CorpusOps.trustRank(
+      Seq.empty[(String, String, Long)].toDF("src", "dst", "weight"),
+      Seq("A").toDF("host"), 3, 85)
+    assert(empty.columns.toSeq ==
+      Seq("host", "out_weight", "is_seed", "rank_e12", "rank"))
+    assert(empty.count() == 0L)
+    // zero iterations -> M div S on seeds, 0 elsewhere
+    val r0 = CorpusOps.trustRank(e, Seq("B").toDF("host"), 0, 85)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("rank_e12")).toMap
+    assert(r0 == Map("A" -> 0L, "B" -> 1000000000000L, "C" -> 0L))
+  }
+
+  test("anchorTerms: endorsement filter, distinct-host ranking, tie-break, topK") {
+    val links = Seq(
+      (1L, 0, "a.example", "t.example", "h", "Great Promo", false),
+      (2L, 0, "b.example", "t.example", "h", "great", false),
+      (3L, 0, "a.example", "t.example", "h", "promo promo", false),
+      (4L, 0, "c.example", "t.example", "h", "ignored", true), // nofollow
+      (5L, 0, "t.example", "t.example", "h", "self", false), // intra-host
+      (6L, 0, "", "t.example", "h", "lost", false), // hostless src
+      (7L, 0, "d.example", "t.example", "h", "   ", false), // empty anchor
+      (8L, 0, "a.example", "u.example", "h", "other host", false))
+      .toDF("doc_id", "link_pos", "src_host", "dst_host", "href", "anchor", "nofollow")
+    val out = LinkOps.anchorTerms(links, topK = 5).collect()
+      .map(r => (r.getAs[String]("dst_host"), r.getAs[String]("term")) ->
+        ((r.getAs[Long]("n_links"), r.getAs[Long]("n_hosts"),
+          r.getAs[Int]("rnk")))).toMap
+    // "promo" has MORE links (3) but from one host; "great" links from
+    // two distinct hosts and outranks it — the anti-spam rule
+    assert(out(("t.example", "great")) == ((2L, 2L, 1)), s"got $out")
+    assert(out(("t.example", "promo")) == ((3L, 1L, 2)))
+    assert(!out.keySet.exists { case (_, t) =>
+      Set("ignored", "self", "lost").contains(t) })
+    // equal counts tie-break by term ascending
+    assert(out(("u.example", "host")) == ((1L, 1L, 1)))
+    assert(out(("u.example", "other")) == ((1L, 1L, 2)))
+    // topK truncates per dst_host
+    val top1 = LinkOps.anchorTerms(links, topK = 1).collect()
+      .map(r => r.getAs[String]("dst_host") -> r.getAs[String]("term")).toMap
+    assert(top1 == Map("t.example" -> "great", "u.example" -> "host"))
+    intercept[IllegalArgumentException] { LinkOps.anchorTerms(links, topK = 0) }
+  }
 }
