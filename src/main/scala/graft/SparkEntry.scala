@@ -332,6 +332,11 @@ object SparkEntry {
       // host-graph centrality (the CommonCrawl/FineWeb seed-list signal):
       // 3 exact-integer PageRank rounds over the synthetic host graph
       CorpusOps.hostRank(hostGraphEdges(s, dir), iterations = 3, dampingPct = 85)),
+    "q89_host_graph_stats" -> ((s, dir) =>
+      // structural spam signals over the same host graph: in/out
+      // degree+weight and reciprocity (fraction of out-neighbors that
+      // link back — link farms reciprocate ~1.0)
+      LinkOps.hostGraphStats(hostGraphEdges(s, dir))),
     "q88_trustrank" -> ((s, dir) => {
       // seeded TrustRank over the same host graph: seeds = every 3rd
       // host of the indexed universe (hid % 3 == 0 — includes the
@@ -1508,6 +1513,43 @@ object SparkEntry {
         |SELECT host, outw AS out_weight, r AS rank_e12,
         |  r / 1000000000000.0 AS rank
         |FROM r3""".stripMargin,
+    "q89_host_graph_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, coalesce(source, 'unknown') AS source FROM documents),
+        |h AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS hid
+        |      FROM (SELECT DISTINCT source FROM d)),
+        |c AS (SELECT count(*) AS nh FROM h),
+        |l AS (SELECT d.source, h.hid,
+        |        ((((d.doc_id % 2147483648) * 2654435761) % 4294967296) // 65536) % nh AS t1,
+        |        ((((d.doc_id % 2147483648) * 2246822519) % 4294967296) // 65536) % nh AS t2
+        |      FROM d JOIN h ON d.source = h.source CROSS JOIN c
+        |      WHERE h.hid <> 0),
+        |e0 AS (SELECT source AS src, t1 AS thid FROM l
+        |       UNION ALL
+        |       SELECT source AS src, t2 AS thid FROM l),
+        |e AS (SELECT e0.src, h.source AS dst, cast(count(*) AS bigint) AS weight
+        |      FROM e0 JOIN h ON e0.thid = h.hid
+        |      WHERE e0.src <> h.source
+        |      GROUP BY 1, 2),
+        |u AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        |o AS (SELECT src, cast(count(*) AS bigint) AS out_deg,
+        |        cast(sum(weight) AS bigint) AS out_weight FROM e GROUP BY 1),
+        |i AS (SELECT dst, cast(count(*) AS bigint) AS in_deg,
+        |        cast(sum(weight) AS bigint) AS in_weight FROM e GROUP BY 1),
+        |rc AS (SELECT a.src, cast(count(*) AS bigint) AS n_recip
+        |       FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src GROUP BY 1)
+        |SELECT u.host,
+        |  coalesce(o.out_deg, 0) AS out_deg,
+        |  coalesce(i.in_deg, 0) AS in_deg,
+        |  coalesce(o.out_weight, 0) AS out_weight,
+        |  coalesce(i.in_weight, 0) AS in_weight,
+        |  coalesce(rc.n_recip, 0) AS n_recip,
+        |  CASE WHEN coalesce(o.out_deg, 0) = 0 THEN 0.0
+        |       ELSE round(coalesce(rc.n_recip, 0) / cast(o.out_deg AS double), 6)
+        |  END AS reciprocity
+        |FROM u LEFT JOIN o ON u.host = o.src
+        |LEFT JOIN i ON u.host = i.dst
+        |LEFT JOIN rc ON u.host = rc.src""".stripMargin,
     "q88_trustrank" ->
       """WITH d AS (
         |  SELECT doc_id, coalesce(source, 'unknown') AS source FROM documents),

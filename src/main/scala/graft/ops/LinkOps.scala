@@ -201,6 +201,59 @@ object LinkOps {
     * top-K window whose partitions are term-vocabulary-sized (bounded
     * by distinct anchor vocab per host, not by in-link count: the
     * distinct-host pre-agg collapses repeat anchors first). */
+  /** per-host graph degree/reciprocity statistics — the structural
+    * spam signals every web-graph curation pass computes alongside
+    * centrality: in/out degree and weight, and the fraction of a host's
+    * out-NEIGHBORS that link back (link farms and paid-link rings
+    * reciprocate ~100% of their edges; organically cited hosts don't).
+    *
+    * Input: (src, dst, weight>0) host edges (duplicates pre-aggregated
+    * here, like hostRank). Output one row per host in the edge
+    * universe: (host, out_deg, in_deg, out_weight, in_weight, n_recip,
+    * reciprocity double = round(n_recip/out_deg, 6), 0.0 for pure
+    * sinks).
+    *
+    * Scale shape: everything is edge-cardinality-sized — two partial
+    * aggs (by src, by dst), one pair-key self-equi-join for the
+    * reciprocated count (edges on (dst,src) — no cartesian anywhere),
+    * and host-keyed outer joins to assemble. Documents never enter.
+    * The aggregated edge table is consumed SIX times (out/in/recip
+    * both sides/universe both sides), so it is lineage-cut once like
+    * hostRank's — without the cut the upstream edge derivation
+    * re-executes per consumer. */
+  def hostGraphStats(edges: DataFrame): DataFrame = {
+    val e = Checkpoints.cut(
+      edges.select(col("src").cast("string").as("src"),
+          col("dst").cast("string").as("dst"),
+          col("weight").cast("long").as("weight"))
+        .filter(col("src").isNotNull && col("dst").isNotNull && col("weight") > 0)
+        .groupBy(col("src"), col("dst")).agg(sum(col("weight")).as("weight")))
+    val outAgg = e.groupBy(col("src")).agg(
+      count(lit(1)).as("out_deg"), sum(col("weight")).as("out_weight"))
+    val inAgg = e.groupBy(col("dst")).agg(
+      count(lit(1)).as("in_deg"), sum(col("weight")).as("in_weight"))
+    val recip = e.select(col("src"), col("dst"))
+      .join(e.select(col("dst").as("r_src"), col("src").as("r_dst")),
+        col("src") === col("r_src") && col("dst") === col("r_dst"))
+      .groupBy(col("src")).agg(count(lit(1)).as("n_recip"))
+    val universe = e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host"))).distinct()
+    universe
+      .join(outAgg, universe("host") === outAgg("src"), "left")
+      .join(inAgg, universe("host") === inAgg("dst"), "left")
+      .join(recip.withColumnRenamed("src", "rc_src"),
+        universe("host") === col("rc_src"), "left")
+      .select(col("host"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("out_weight"), lit(0L)).as("out_weight"),
+        coalesce(col("in_weight"), lit(0L)).as("in_weight"),
+        coalesce(col("n_recip"), lit(0L)).as("n_recip"),
+        when(coalesce(col("out_deg"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(round(coalesce(col("n_recip"), lit(0L)).cast("double") /
+            col("out_deg"), 6)).as("reciprocity"))
+  }
+
   def anchorTerms(links: DataFrame, topK: Int = 5): DataFrame = {
     require(topK > 0, s"topK must be > 0, got $topK")
     import org.apache.spark.sql.expressions.Window

@@ -2944,6 +2944,25 @@ class OpsSpec extends AnyFunSuite {
     assert(r0 == Map("A" -> 0L, "B" -> 1000000000000L, "C" -> 0L))
   }
 
+  test("hostGraphStats: degrees, weights, reciprocity; sinks and duplicates") {
+    // A<->B reciprocated (A->B carried as TWO rows to exercise pre-agg),
+    // A->C (C a pure sink), D->A unreciprocated; junk rows drop
+    val e = Seq(("A", "B", 2L), ("A", "B", 5L), ("B", "A", 1L),
+      ("A", "C", 3L), ("D", "A", 1L),
+      ("A", "Z", 0L), ("Z", "A", -2L), (null.asInstanceOf[String], "A", 9L))
+      .toDF("src", "dst", "weight")
+    val out = LinkOps.hostGraphStats(e).collect()
+      .map(r => r.getAs[String]("host") ->
+        ((r.getAs[Long]("out_deg"), r.getAs[Long]("in_deg"),
+          r.getAs[Long]("out_weight"), r.getAs[Long]("in_weight"),
+          r.getAs[Long]("n_recip"), r.getAs[Double]("reciprocity")))).toMap
+    assert(out.keySet == Set("A", "B", "C", "D"), s"got ${out.keySet}")
+    assert(out("A") == ((2L, 2L, 10L, 2L, 1L, 0.5)), s"got ${out("A")}")
+    assert(out("B") == ((1L, 1L, 1L, 7L, 1L, 1.0)))
+    assert(out("C") == ((0L, 1L, 0L, 3L, 0L, 0.0)))
+    assert(out("D") == ((1L, 0L, 1L, 0L, 0L, 0.0)))
+  }
+
   test("anchorTerms: endorsement filter, distinct-host ranking, tie-break, topK") {
     val links = Seq(
       (1L, 0, "a.example", "t.example", "h", "Great Promo", false),
