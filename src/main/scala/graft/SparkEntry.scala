@@ -332,6 +332,38 @@ object SparkEntry {
       // host-graph centrality (the CommonCrawl/FineWeb seed-list signal):
       // 3 exact-integer PageRank rounds over the synthetic host graph
       CorpusOps.hostRank(hostGraphEdges(s, dir), iterations = 3, dampingPct = 85)),
+    "q90_domain_edges" -> ((s, dir) => {
+      // domain-level link graph: pages live on subdomain fronts
+      // (apex/www./blog. by doc_id%3) of their source domain — half
+      // under a ccTLD suffix (doc_id%2 picks .example vs .co.uk) — and
+      // link the www. front of a mix32 target's .example domain plus a
+      // relative nav link; the fold must collapse the fronts, keep
+      // ccTLD registered domains intact, and drop intra-domain nav
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).select(col("doc_id"),
+        coalesce(col("source"), lit("unknown")).as("source"))
+      val hosts = d.select(col("source")).distinct()
+        .withColumn("hid",
+          row_number().over(Window.orderBy(col("source"))).cast("long") - 1)
+      val nh = hosts.agg(count(lit(1)).as("nh"))
+      val t1 = pmod(
+        shiftright(pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L),
+          lit(4294967296L)), 16),
+        col("nh"))
+      val m = d.crossJoin(broadcast(nh)).withColumn("t1", t1)
+        .join(hosts.select(col("hid").as("t1"), col("source").as("h1")), Seq("t1"))
+      val sub = when(col("doc_id") % 3 === 0, lit(""))
+        .when(col("doc_id") % 3 === 1, lit("www.")).otherwise(lit("blog."))
+      val tld = when(col("doc_id") % 2 === 0, lit(".example"))
+        .otherwise(lit(".co.uk"))
+      val pages = m.select(col("doc_id"),
+        concat(lit("https://"), sub, col("source"), tld, lit("/p"),
+          col("doc_id")).as("url"),
+        concat(lit("<html><body><a href=\"https://www."), col("h1"),
+          lit(".example/x\">t</a>"),
+          lit("<a href=\"/nav\">nav</a></body></html>")).as("html"))
+      LinkOps.domainEdges(LinkOps.outlinks(pages))
+    }),
     "q89_host_graph_stats" -> ((s, dir) =>
       // structural spam signals over the same host graph: in/out
       // degree+weight and reciprocity (fraction of out-neighbors that
@@ -1513,6 +1545,22 @@ object SparkEntry {
         |SELECT host, outw AS out_weight, r AS rank_e12,
         |  r / 1000000000000.0 AS rank
         |FROM r3""".stripMargin,
+    "q90_domain_edges" ->
+      """WITH d AS (
+        |  SELECT doc_id, coalesce(source, 'unknown') AS source FROM documents),
+        |h AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS hid
+        |      FROM (SELECT DISTINCT source FROM d)),
+        |c AS (SELECT count(*) AS nh FROM h),
+        |m AS (SELECT d.doc_id, d.source, h1.source AS h1
+        |      FROM d CROSS JOIN c
+        |      JOIN h h1 ON ((((d.doc_id % 2147483648) * 2654435761) % 4294967296)
+        |                     // 65536) % nh = h1.hid),
+        |lk AS (SELECT lower(source) ||
+        |         (CASE WHEN doc_id % 2 = 0 THEN '.example' ELSE '.co.uk' END) AS src,
+        |         lower(h1) || '.example' AS dst
+        |       FROM m)
+        |SELECT src, dst, cast(count(*) AS bigint) AS weight
+        |FROM lk WHERE src <> dst GROUP BY 1, 2""".stripMargin,
     "q89_host_graph_stats" ->
       """WITH d AS (
         |  SELECT doc_id, coalesce(source, 'unknown') AS source FROM documents),

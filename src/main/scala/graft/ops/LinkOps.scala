@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.core.html.HtmlExtract
 
@@ -201,6 +201,39 @@ object LinkOps {
     * top-K window whose partitions are term-vocabulary-sized (bounded
     * by distinct anchor vocab per host, not by in-link count: the
     * distinct-host pre-agg collapses repeat anchors first). */
+  /** registered domain of a lowercased host — the aggregation key of
+    * the DOMAIN-level web graph (Common Crawl publishes its link graph
+    * at both host and registered-domain granularity; curation ranks
+    * domains, since one operator's subdomains are one reputation).
+    * Heuristic public-suffix rule, pure codegen'd column math: last two
+    * labels, or last THREE when the host ends in a common second-level
+    * suffix under a 2-letter ccTLD (co/com/net/org/gov/ac/edu.xx — the
+    * shapes covering the overwhelming majority of multi-part suffixes;
+    * the full public-suffix list is versioned data this library does
+    * not ship, and the rule is deliberately RE2-expressible so any SQL
+    * engine recomputes it exactly). Hosts with fewer labels (or "")
+    * pass through unchanged. */
+  def registeredDomain(host: Column): Column = {
+    val cc = regexp_extract(host,
+      "([^.]+\\.(?:co|com|net|org|gov|ac|edu)\\.[a-z][a-z])$", 1)
+    val two = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    coalesce(nullif(cc, lit("")), nullif(two, lit("")), host)
+  }
+
+  /** [[hostEdges]] at registered-domain granularity: subdomain variants
+    * (www./blog./m. fronts of one operator) fold onto one node before
+    * endorsement is counted, and links BETWEEN an operator's own
+    * subdomains become intra-domain navigation and drop. Same scale
+    * shape as hostEdges — one partial-combined groupBy on the folded
+    * (src,dst) pair. */
+  def domainEdges(links: DataFrame): DataFrame =
+    links.filter(!col("nofollow") && col("src_host") =!= "")
+      .select(registeredDomain(col("src_host")).as("src"),
+        registeredDomain(col("dst_host")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("weight"))
+
   /** per-host graph degree/reciprocity statistics — the structural
     * spam signals every web-graph curation pass computes alongside
     * centrality: in/out degree and weight, and the fraction of a host's

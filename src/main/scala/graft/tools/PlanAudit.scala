@@ -30,7 +30,8 @@ object PlanAudit {
         "q76_epoch_upsample", // q76: the same two rate-table scalars as q73
         "q77_source_prior", // q77: the global-mean fallback scalar
         "q84_outlinks", // q84: the host-count scalar behind the mix32 targets
-        "q87_anchor_terms") // q87: feeds on q84's frame — same host-count scalar
+        "q87_anchor_terms", // q87: feeds on q84's frame — same host-count scalar
+        "q90_domain_edges") // q90: same host-count scalar in its subdomain frame
     graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>

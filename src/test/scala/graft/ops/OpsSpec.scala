@@ -2944,6 +2944,37 @@ class OpsSpec extends AnyFunSuite {
     assert(r0 == Map("A" -> 0L, "B" -> 1000000000000L, "C" -> 0L))
   }
 
+  test("registeredDomain + domainEdges: suffix fold, ccTLD, intra-domain drop") {
+    val folded = Seq("www.a.example", "a.example", "deep.sub.b.co.uk",
+      "b.co.uk", "x.com.au", "www.x.com.au", "m.news.org.uk", "localhost", "")
+      .toDF("host")
+      .select(col("host"), LinkOps.registeredDomain(col("host")).as("dom"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(folded("www.a.example") == "a.example")
+    assert(folded("a.example") == "a.example")
+    assert(folded("deep.sub.b.co.uk") == "b.co.uk")
+    assert(folded("b.co.uk") == "b.co.uk")
+    assert(folded("x.com.au") == "x.com.au")
+    assert(folded("www.x.com.au") == "x.com.au")
+    assert(folded("m.news.org.uk") == "news.org.uk")
+    assert(folded("localhost") == "localhost")
+    assert(folded("") == "")
+    // domainEdges: subdomain fronts fold onto one node (two links from
+    // a.example's fronts to b.co.uk aggregate), a link BETWEEN an
+    // operator's own fronts is intra-domain navigation, nofollow and
+    // hostless-src carry nothing
+    val links = Seq(
+      (1L, 0, "www.a.example", "sub.b.co.uk", "h", "t", false),
+      (2L, 0, "blog.a.example", "b.co.uk", "h", "t", false),
+      (3L, 0, "www.a.example", "blog.a.example", "h", "t", false), // intra
+      (4L, 0, "a.example", "c.example", "h", "t", true), // nofollow
+      (5L, 0, "", "c.example", "h", "t", false)) // hostless src
+      .toDF("doc_id", "link_pos", "src_host", "dst_host", "href", "anchor", "nofollow")
+    val edges = LinkOps.domainEdges(links).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("weight"))).toSet
+    assert(edges == Set(("a.example", "b.co.uk", 2L)), s"got $edges")
+  }
+
   test("hostGraphStats: degrees, weights, reciprocity; sinks and duplicates") {
     // A<->B reciprocated (A->B carried as TWO rows to exercise pre-agg),
     // A->C (C a pure sink), D->A unreciprocated; junk rows drop
