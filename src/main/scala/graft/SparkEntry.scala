@@ -332,6 +332,16 @@ object SparkEntry {
       // host-graph centrality (the CommonCrawl/FineWeb seed-list signal):
       // 3 exact-integer PageRank rounds over the synthetic host graph
       CorpusOps.hostRank(hostGraphEdges(s, dir), iterations = 3, dampingPct = 85)),
+    "q91_harmonic_centrality" -> ((s, dir) =>
+      // exact bounded-radius harmonic centrality (the Common Crawl
+      // ranking metric) over the synthetic host graph: radius 3,
+      // integer micro-unit pair sums (scale=lcm(1..3)=6)
+      CorpusOps.harmonicCentrality(hostGraphEdges(s, dir), maxDist = 3)),
+    "q92_harmonic_hyperball" -> ((s, dir) =>
+      // HyperBall: the HLL-sketch harmonic centrality (the actual
+      // 100TB algorithm). No SQL oracle (sketch estimates); the OpsSpec
+      // gate compares against q91's exact recompute on fixture graphs
+      CorpusOps.harmonicCentralityApprox(hostGraphEdges(s, dir), maxDist = 3)),
     "q90_domain_edges" -> ((s, dir) => {
       // domain-level link graph: pages live on subdomain fronts
       // (apex/www./blog. by doc_id%3) of their source domain — half
@@ -1545,6 +1555,44 @@ object SparkEntry {
         |SELECT host, outw AS out_weight, r AS rank_e12,
         |  r / 1000000000000.0 AS rank
         |FROM r3""".stripMargin,
+    "q91_harmonic_centrality" ->
+      """WITH d AS (
+        |  SELECT doc_id, coalesce(source, 'unknown') AS source FROM documents),
+        |h AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS hid
+        |      FROM (SELECT DISTINCT source FROM d)),
+        |c AS (SELECT count(*) AS nh FROM h),
+        |l AS (SELECT d.source, h.hid,
+        |        ((((d.doc_id % 2147483648) * 2654435761) % 4294967296) // 65536) % nh AS t1,
+        |        ((((d.doc_id % 2147483648) * 2246822519) % 4294967296) // 65536) % nh AS t2
+        |      FROM d JOIN h ON d.source = h.source CROSS JOIN c
+        |      WHERE h.hid <> 0),
+        |e0 AS (SELECT source AS src, t1 AS thid FROM l
+        |       UNION ALL
+        |       SELECT source AS src, t2 AS thid FROM l),
+        |e AS (SELECT DISTINCT e0.src, h.source AS dst
+        |      FROM e0 JOIN h ON e0.thid = h.hid
+        |      WHERE e0.src <> h.source),
+        |p2 AS (SELECT DISTINCT a.src, b.dst FROM e a JOIN e b ON a.dst = b.src
+        |       WHERE a.src <> b.dst
+        |         AND NOT EXISTS (SELECT 1 FROM e
+        |                         WHERE e.src = a.src AND e.dst = b.dst)),
+        |p3 AS (SELECT DISTINCT a.src, b.dst FROM p2 a JOIN e b ON a.dst = b.src
+        |       WHERE a.src <> b.dst
+        |         AND NOT EXISTS (SELECT 1 FROM e
+        |                         WHERE e.src = a.src AND e.dst = b.dst)
+        |         AND NOT EXISTS (SELECT 1 FROM p2
+        |                         WHERE p2.src = a.src AND p2.dst = b.dst)),
+        |al AS (SELECT src, dst, 1 AS dd FROM e
+        |       UNION ALL SELECT src, dst, 2 FROM p2
+        |       UNION ALL SELECT src, dst, 3 FROM p3),
+        |u AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        |hm AS (SELECT dst, cast(count(*) AS bigint) AS n_reached,
+        |         cast(sum(6 // dd) AS bigint) AS harm_num
+        |       FROM al GROUP BY 1)
+        |SELECT u.host, coalesce(hm.n_reached, 0) AS n_reached,
+        |  coalesce(hm.harm_num, 0) AS harm_num,
+        |  coalesce(hm.harm_num, 0) / 6.0 AS harmonic
+        |FROM u LEFT JOIN hm ON u.host = hm.dst""".stripMargin,
     "q90_domain_edges" ->
       """WITH d AS (
         |  SELECT doc_id, coalesce(source, 'unknown') AS source FROM documents),

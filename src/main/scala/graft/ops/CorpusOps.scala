@@ -835,6 +835,128 @@ object CorpusOps {
       (col("r") / lit(1e12)).as("rank"))
   }
 
+  /** exact bounded-radius harmonic centrality over the host graph — the
+    * metric Common Crawl actually publishes its host/domain rankings by
+    * (harmonic centrality, Boldi/Vigna "Axioms for centrality" 2014):
+    * `H(v) = Σ_{u≠v, d(u,v)≤maxDist} 1/d(u,v)` over INCOMING shortest
+    * paths, truncated at `maxDist` (distant nodes contribute ≤ 1/d and
+    * the truncation error vanishes as the radius grows).
+    *
+    * Exactness: per-pair contributions are summed in integer micro-units
+    * (`scale div d` where scale = lcm(1..maxDist) — exactly divisible,
+    * so the sum is an exact long and order-independent; the q77
+    * discipline), with ONE IEEE division at the end.
+    *
+    * Scale shape + honest bound: round k is one equi-join of the
+    * frontier with the edge table + distinct + anti-join against known
+    * pairs — the pair-state is Σ|B_k(v)|, fine for bounded radii on
+    * sparse graphs but quadratic on dense ones. This exact form is the
+    * ORACLE BASELINE (the q14 role); the 100 TB path is
+    * [[harmonicCentralityApprox]] (HyperBall — the q15 role), whose
+    * per-node state is a constant-size HLL sketch regardless of ball
+    * size. Same exact/approx split Common Crawl itself uses.
+    *
+    * Input: (src, dst) edges (weights ignored — distance is hop count).
+    * Output: (host, n_reached long — |{u: d(u,host)<=maxDist}|,
+    * harm_num long — Σ scale div d, harmonic double = harm_num/scale). */
+  def harmonicCentrality(edges: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 12,
+      s"maxDist must be in [1,12], got $maxDist")
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val scale = (1 to maxDist).foldLeft(1L)((l, k) => l / gcd(l, k) * k)
+    val e = Checkpoints.cut(
+      edges.select(col("src").cast("string").as("src"),
+          col("dst").cast("string").as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull &&
+          col("src") =!= col("dst"))
+        .distinct())
+    var known = Checkpoints.cut(e.withColumn("d", lit(1)))
+    var frontier = known
+    for (k <- 2 to maxDist) {
+      val step = e.select(col("src").as("e_src"), col("dst").as("e_dst"))
+      val next = frontier.join(step, frontier("dst") === col("e_src"))
+        .select(col("src"), col("e_dst").as("dst")).distinct()
+        .filter(col("src") =!= col("dst"))
+        .join(known.select(col("src"), col("dst")), Seq("src", "dst"), "left_anti")
+        .withColumn("d", lit(k))
+      frontier = Checkpoints.cut(next)
+      known = Checkpoints.cut(known.unionByName(frontier))
+    }
+    val universe = e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host"))).distinct()
+    val harm = known.groupBy(col("dst").as("h"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr(s"CAST($scale AS BIGINT) div d")).as("harm_num"))
+    universe.join(harm, universe("host") === col("h"), "left")
+      .select(col("host"),
+        coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+        coalesce(col("harm_num"), lit(0L)).as("harm_num"),
+        (coalesce(col("harm_num"), lit(0L)) / lit(scale.toDouble)).as("harmonic"))
+  }
+
+  /** HyperBall (Boldi/Vigna WSDM 2013) — harmonic centrality by
+    * HyperLogLog ball sketches, THE web-scale algorithm (Common Crawl's
+    * published rankings are computed this way): each node carries one
+    * constant-size HLL sketch of the set of nodes that reach it; round
+    * k replaces every ball with the union of its in-neighbors' balls
+    * and itself (register-wise max — associative, partial-aggregable),
+    * and the harmonic sum accumulates `(|B_k| - |B_{k-1}|) / k`.
+    *
+    * Per-round cost: one equi-join edge⋈ball + ONE partial-combined
+    * `hll_union_agg` groupBy — sketch-sized state per node regardless
+    * of ball size (vs [[harmonicCentrality]]'s exact pair-state, which
+    * is the small-graph oracle this is gated against). Spark-native
+    * Datasketches HLL (`hll_sketch_agg`/`hll_union_agg`), fully
+    * codegen-compatible, deterministic for a fixed lgK.
+    *
+    * Output: (host, est_reached double — |B_maxDist| estimate,
+    * harmonic_approx double). Estimates are exact below the sketch's
+    * sparse threshold (small balls), ~1/sqrt(2^lgK) relative error
+    * beyond. */
+  def harmonicCentralityApprox(edges: DataFrame, maxDist: Int = 3,
+      lgK: Int = 12): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 12,
+      s"maxDist must be in [1,12], got $maxDist")
+    require(lgK >= 4 && lgK <= 21, s"lgK must be in [4,21], got $lgK")
+    val e = Checkpoints.cut(
+      edges.select(col("src").cast("string").as("src"),
+          col("dst").cast("string").as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull &&
+          col("src") =!= col("dst"))
+        .distinct())
+    val universe = e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host"))).distinct()
+    // ball_0 = {self}: universe hosts are distinct, so the groupBy
+    // builds one single-element sketch per node
+    var ball = Checkpoints.cut(
+      universe.groupBy(col("host"))
+        .agg(hll_sketch_agg(col("host"), lit(lgK)).as("sketch"))
+        // hll_sketch_estimate returns a rounded LONG; carry it as double
+        .withColumn("est", hll_sketch_estimate(col("sketch")).cast("double"))
+        .withColumn("harm", lit(0.0)))
+    for (k <- 1 to maxDist) {
+      val pulled = e.join(ball, e("src") === ball("host"))
+        .select(col("dst").as("host"), col("sketch"))
+        .unionByName(ball.select(col("host"), col("sketch")))
+        .groupBy(col("host"))
+        .agg(hll_union_agg(col("sketch"), lit(true)).as("sketch"))
+      ball = Checkpoints.cut(
+        ball.select(col("host").as("h"), col("est"), col("harm"))
+          .join(pulled, col("h") === pulled("host"))
+          .select(col("host"), col("sketch"),
+            hll_sketch_estimate(col("sketch")).cast("double").as("new_est"),
+            col("est"), col("harm"))
+          .select(col("host"), col("sketch"),
+            col("new_est").as("est"),
+            (col("harm") +
+              greatest(lit(0.0), col("new_est") - col("est")) / lit(k.toDouble))
+              .as("harm")))
+    }
+    ball.select(col("host"), col("est").as("est_reached"),
+      col("harm").as("harmonic_approx"))
+  }
+
   def lengthHistogram(documents: DataFrame, bucketWidth: Int = 100): DataFrame = {
     val bucketed = documents.select(col("source"),
       floor(col("n_chars").cast("double") / bucketWidth).cast("long").as("len_bucket"))

@@ -2944,6 +2944,94 @@ class OpsSpec extends AnyFunSuite {
     assert(r0 == Map("A" -> 0L, "B" -> 1000000000000L, "C" -> 0L))
   }
 
+  /** sequential BFS recompute of bounded harmonic centrality: for every
+    * node, hop-count shortest incoming distances up to maxDist */
+  private def seqHarmonic(edges: Seq[(String, String)], maxDist: Int)
+      : Map[String, (Long, Long)] = {
+    val e = edges.filter(p => p._1 != p._2).distinct
+    val hosts = (e.map(_._1) ++ e.map(_._2)).distinct
+    val out = e.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+      .withDefaultValue(Nil)
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val scale = (1 to maxDist).foldLeft(1L)((l, k) => l / gcd(l, k) * k)
+    // forward BFS from every source u gives d(u, v) for all v
+    val dist = scala.collection.mutable.Map.empty[(String, String), Int]
+    for (u <- hosts) {
+      var frontier = Set(u)
+      var seen = Set(u)
+      for (k <- 1 to maxDist) {
+        frontier = frontier.flatMap(out).diff(seen)
+        frontier.foreach { v => if (v != u) dist((u, v)) = k }
+        seen ++= frontier
+      }
+    }
+    hosts.map { v =>
+      val ds = dist.collect { case ((_, t), d) if t == v => d }.toSeq
+      v -> ((ds.size.toLong, ds.map(d => scale / d).sum))
+    }.toMap
+  }
+
+  test("harmonicCentrality: exact bounded radius matches sequential BFS") {
+    // chain A->B->C->D plus a shortcut A->C: D reaches via C(1), B(2),
+    // A(2 via shortcut, NOT 3) — shortest-path semantics, not path count
+    val chain = Seq(("A", "B"), ("B", "C"), ("C", "D"), ("A", "C"))
+    val out = CorpusOps.harmonicCentrality(
+        chain.toDF("src", "dst").withColumn("weight", lit(1L)), 3)
+      .collect()
+      .map(r => r.getAs[String]("host") ->
+        ((r.getAs[Long]("n_reached"), r.getAs[Long]("harm_num"),
+          r.getAs[Double]("harmonic")))).toMap
+    val want = seqHarmonic(chain, 3)
+    for ((h, (n, num)) <- want) {
+      assert(out(h)._1 == n, s"$h n_reached: got ${out(h)._1} want $n")
+      assert(out(h)._2 == num, s"$h harm_num: got ${out(h)._2} want $num")
+      assert(out(h)._3 == num / 6.0)
+    }
+    // D: C at 1 (6), B at 2 (3), A at 2 via the shortcut (3) -> 12
+    assert(out("D") == ((3L, 12L, 2.0)), s"got ${out("D")}")
+    // A receives nothing
+    assert(out("A") == ((0L, 0L, 0.0)))
+    // wider pseudo-random digraph, radius 2 (scale=2) and 4 (scale=12)
+    val wide = (0 until 300).map { i =>
+      (s"n${(i * 13) % 23}", s"n${(i * i + 7) % 23}")
+    }
+    val wideDf = wide.toDF("src", "dst")
+    for (r <- Seq(2, 4)) {
+      val got = CorpusOps.harmonicCentrality(wideDf, r).collect()
+        .map(x => x.getString(0) ->
+          ((x.getAs[Long]("n_reached"), x.getAs[Long]("harm_num")))).toMap
+      assert(got == seqHarmonic(wide, r), s"radius $r mismatch")
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.harmonicCentrality(wideDf, 0)
+    }
+  }
+
+  test("harmonicCentralityApprox: HyperBall tracks the exact oracle") {
+    // balls on a 23-node graph sit below the HLL sparse threshold, so
+    // estimates are near-exact; gate at 5% relative error per node
+    val wide = (0 until 300).map { i =>
+      (s"n${(i * 13) % 23}", s"n${(i * i + 7) % 23}")
+    }
+    val wideDf = wide.toDF("src", "dst")
+    val exact = CorpusOps.harmonicCentrality(wideDf, 3).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_reached"), r.getAs[Double]("harmonic")))).toMap
+    val approx = CorpusOps.harmonicCentralityApprox(wideDf, 3).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Double]("est_reached"), r.getAs[Double]("harmonic_approx")))).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((h, (n, harm)) <- exact) {
+      val (estN, estH) = approx(h)
+      // est_reached counts the ball INCLUDING self; n_reached excludes it
+      assert(math.abs(estN - (n + 1)) <= 0.05 * (n + 1) + 1e-9,
+        s"$h: est_reached $estN vs exact ${n + 1}")
+      assert(math.abs(estH - harm) <= 0.05 * math.max(harm, 1.0),
+        s"$h: harmonic $estH vs exact $harm")
+    }
+  }
+
   test("registeredDomain + domainEdges: suffix fold, ccTLD, intra-domain drop") {
     val folded = Seq("www.a.example", "a.example", "deep.sub.b.co.uk",
       "b.co.uk", "x.com.au", "www.x.com.au", "m.news.org.uk", "localhost", "")
