@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{Bpe, CorpusOps, Dedup, LinkOps, SimSearch, TextOps}
 import graft.pipeline.{Corpus, ExtractJob}
@@ -18,6 +18,27 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame = s.read.parquet(t(dir, "documents"))
   private def emb(s: SparkSession, dir: String): DataFrame = s.read.parquet(t(dir, "embeddings"))
 
+  /** distinct sources of the documents table indexed by alphabetical
+    * rank — the synthetic host universe behind every q83-q92 link-graph
+    * surface. Returns (docs-with-source, hosts(source, hid)). */
+  private def rankedSources(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir).select(col("doc_id"),
+      coalesce(col("source"), lit("unknown")).as("source"))
+    val hosts = d.select(col("source")).distinct()
+      .withColumn("hid",
+        row_number().over(Window.orderBy(col("source"))).cast("long") - 1)
+    (d, hosts)
+  }
+
+  /** the mix32 target-host expression shared by every link-graph
+    * surface — ONE source of truth, because each query's DuckDB oracle
+    * replicates it literally (reads `doc_id` and the `nh` host count). */
+  private def mixTarget(mult: Long): Column = pmod(
+    shiftright(pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(mult),
+      lit(4294967296L)), 16),
+    col("nh"))
+
   /** shared q84/q87 synthetic page frame: each doc carries one absolute
     * link (entity-encoded query + anchor), one relative rel=nofollow
     * link, one protocol-relative link (every 5th doc a mailto: instead —
@@ -25,20 +46,11 @@ object SparkEntry {
     * hashes over the indexed host universe so the oracle re-derives them
     * closed-form. */
   private def linkPages(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val d = docs(s, dir).select(col("doc_id"),
-      coalesce(col("source"), lit("unknown")).as("source"))
-    val hosts = d.select(col("source")).distinct()
-      .withColumn("hid",
-        row_number().over(Window.orderBy(col("source"))).cast("long") - 1)
+    val (d, hosts) = rankedSources(s, dir)
     val nh = hosts.agg(count(lit(1)).as("nh"))
-    def target(mult: Long) = pmod(
-      shiftright(pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(mult),
-        lit(4294967296L)), 16),
-      col("nh"))
     val m = d.crossJoin(broadcast(nh))
-      .withColumn("t1", target(2654435761L))
-      .withColumn("t2", target(2246822519L))
+      .withColumn("t1", mixTarget(2654435761L))
+      .withColumn("t2", mixTarget(2246822519L))
       .join(hosts.select(col("hid").as("t1"), col("source").as("h1")), Seq("t1"))
       .join(hosts.select(col("hid").as("t2"), col("source").as("h2")), Seq("t2"))
     m.select(col("doc_id"),
@@ -64,23 +76,14 @@ object SparkEntry {
     * dropped, docs of the alphabetically-first host emit nothing (it can
     * only RECEIVE — a dangling-host candidate). */
   private def hostGraphEdges(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val d = docs(s, dir).select(col("doc_id"),
-      coalesce(col("source"), lit("unknown")).as("source"))
-    val hosts = d.select(col("source")).distinct()
-      .withColumn("hid",
-        row_number().over(Window.orderBy(col("source"))).cast("long") - 1)
+    val (d, hosts) = rankedSources(s, dir)
     val nh = hosts.agg(count(lit(1)).as("nh"))
-    def target(mult: Long) = pmod(
-      shiftright(pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(mult),
-        lit(4294967296L)), 16),
-      col("nh"))
     val linked = d.join(hosts, Seq("source"))
       .crossJoin(broadcast(nh)).filter(col("hid") =!= 0)
     val e0 = linked.select(col("source").as("src"),
-        target(2654435761L).as("thid"))
+        mixTarget(2654435761L).as("thid"))
       .union(linked.select(col("source").as("src"),
-        target(2246822519L).as("thid")))
+        mixTarget(2246822519L).as("thid")))
     e0.join(hosts.select(col("source").as("dst"), col("hid").as("thid2")),
         col("thid") === col("thid2"))
       .filter(col("src") =!= col("dst"))
@@ -348,28 +351,24 @@ object SparkEntry {
       // under a ccTLD suffix (doc_id%2 picks .example vs .co.uk) — and
       // link the www. front of a mix32 target's .example domain plus a
       // relative nav link; the fold must collapse the fronts, keep
-      // ccTLD registered domains intact, and drop intra-domain nav
-      import org.apache.spark.sql.expressions.Window
-      val d = docs(s, dir).select(col("doc_id"),
-        coalesce(col("source"), lit("unknown")).as("source"))
-      val hosts = d.select(col("source")).distinct()
-        .withColumn("hid",
-          row_number().over(Window.orderBy(col("source"))).cast("long") - 1)
+      // ccTLD registered domains intact, and drop intra-domain nav.
+      // Source names become ONE host label (dots -> dashes, mirrored in
+      // the oracle): a dotted source would otherwise add labels the
+      // registeredDomain fold sees but the closed-form oracle doesn't
+      val (d, hosts) = rankedSources(s, dir)
       val nh = hosts.agg(count(lit(1)).as("nh"))
-      val t1 = pmod(
-        shiftright(pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L),
-          lit(4294967296L)), 16),
-        col("nh"))
-      val m = d.crossJoin(broadcast(nh)).withColumn("t1", t1)
+      val m = d.crossJoin(broadcast(nh)).withColumn("t1", mixTarget(2654435761L))
         .join(hosts.select(col("hid").as("t1"), col("source").as("h1")), Seq("t1"))
       val sub = when(col("doc_id") % 3 === 0, lit(""))
         .when(col("doc_id") % 3 === 1, lit("www.")).otherwise(lit("blog."))
       val tld = when(col("doc_id") % 2 === 0, lit(".example"))
         .otherwise(lit(".co.uk"))
       val pages = m.select(col("doc_id"),
-        concat(lit("https://"), sub, col("source"), tld, lit("/p"),
+        concat(lit("https://"), sub,
+          regexp_replace(col("source"), "[.]", "-"), tld, lit("/p"),
           col("doc_id")).as("url"),
-        concat(lit("<html><body><a href=\"https://www."), col("h1"),
+        concat(lit("<html><body><a href=\"https://www."),
+          regexp_replace(col("h1"), "[.]", "-"),
           lit(".example/x\">t</a>"),
           lit("<a href=\"/nav\">nav</a></body></html>")).as("html"))
       LinkOps.domainEdges(LinkOps.outlinks(pages))
@@ -384,11 +383,7 @@ object SparkEntry {
       // host of the indexed universe (hid % 3 == 0 — includes the
       // dangling-candidate host 0); 2 exact-integer rounds, teleport +
       // dangling mass confined to the seeds
-      import org.apache.spark.sql.expressions.Window
-      val d = docs(s, dir).select(coalesce(col("source"), lit("unknown")).as("source"))
-      val seeds = d.distinct()
-        .withColumn("hid",
-          row_number().over(Window.orderBy(col("source"))).cast("long") - 1)
+      val seeds = rankedSources(s, dir)._2
         .filter(col("hid") % 3 === 0).select(col("source").as("host"))
       CorpusOps.trustRank(hostGraphEdges(s, dir), seeds,
         iterations = 2, dampingPct = 85)
@@ -1603,9 +1598,9 @@ object SparkEntry {
         |      FROM d CROSS JOIN c
         |      JOIN h h1 ON ((((d.doc_id % 2147483648) * 2654435761) % 4294967296)
         |                     // 65536) % nh = h1.hid),
-        |lk AS (SELECT lower(source) ||
+        |lk AS (SELECT lower(replace(source, '.', '-')) ||
         |         (CASE WHEN doc_id % 2 = 0 THEN '.example' ELSE '.co.uk' END) AS src,
-        |         lower(h1) || '.example' AS dst
+        |         lower(replace(h1, '.', '-')) || '.example' AS dst
         |       FROM m)
         |SELECT src, dst, cast(count(*) AS bigint) AS weight
         |FROM lk WHERE src <> dst GROUP BY 1, 2""".stripMargin,

@@ -179,28 +179,6 @@ object LinkOps {
       .groupBy(col("src_host").as("src"), col("dst_host").as("dst"))
       .agg(count(lit(1)).as("weight"))
 
-  /** anchor-text aggregation: the terms the REST of the web uses when
-    * linking to a host — the classic "anchor text describes the target
-    * better than the target describes itself" retrieval signal, and a
-    * seed-curation feature (a host whose in-anchors are all "cheap pills
-    * casino" is judged by them). Same endorsement filter as
-    * [[hostEdges]]: nofollow, intra-host, and hostless-src links carry
-    * no description; so do empty anchors (image links, bare hrefs).
-    *
-    * Tokenization is the q33 contract (lower, trim, split on
-    * whitespace) so any SQL engine recomputes it exactly.
-    *
-    * Output: top-`topK` terms per dst_host ranked by the number of
-    * DISTINCT linking hosts (one spammy host repeating a term a million
-    * times counts once), ties by total link count then term:
-    * (dst_host, term, n_links long, n_hosts long, rnk int).
-    *
-    * Scale shape: one partial-combined groupBy on (dst_host, term,
-    * src_host) — anchor-token-cardinality-sized, never document-sized —
-    * then a second partial agg folding src out, then a per-dst-host
-    * top-K window whose partitions are term-vocabulary-sized (bounded
-    * by distinct anchor vocab per host, not by in-link count: the
-    * distinct-host pre-agg collapses repeat anchors first). */
   /** registered domain of a lowercased host — the aggregation key of
     * the DOMAIN-level web graph (Common Crawl publishes its link graph
     * at both host and registered-domain granularity; curation ranks
@@ -287,6 +265,28 @@ object LinkOps {
             col("out_deg"), 6)).as("reciprocity"))
   }
 
+  /** anchor-text aggregation: the terms the REST of the web uses when
+    * linking to a host — the classic "anchor text describes the target
+    * better than the target describes itself" retrieval signal, and a
+    * seed-curation feature (a host whose in-anchors are all "cheap pills
+    * casino" is judged by them). Same endorsement filter as
+    * [[hostEdges]]: nofollow, intra-host, and hostless-src links carry
+    * no description; so do empty anchors (image links, bare hrefs).
+    *
+    * Tokenization is the q33 contract (lower, trim, split on
+    * whitespace) so any SQL engine recomputes it exactly.
+    *
+    * Output: top-`topK` terms per dst_host ranked by the number of
+    * DISTINCT linking hosts (one spammy host repeating a term a million
+    * times counts once), ties by total link count then term:
+    * (dst_host, term, n_links long, n_hosts long, rnk int).
+    *
+    * Scale shape: one partial-combined groupBy on (dst_host, term,
+    * src_host) — anchor-token-cardinality-sized, never document-sized —
+    * then a second partial agg folding src out, then a per-dst-host
+    * top-K window whose partitions are term-vocabulary-sized (bounded
+    * by distinct anchor vocab per host, not by in-link count: the
+    * distinct-host pre-agg collapses repeat anchors first). */
   def anchorTerms(links: DataFrame, topK: Int = 5): DataFrame = {
     require(topK > 0, s"topK must be > 0, got $topK")
     import org.apache.spark.sql.expressions.Window
