@@ -60,11 +60,30 @@ object DedupScaling {
     }.mkString("\n")
   }
 
+  /** deterministic host-graph edge for the host_rank job shape:
+    * uniform sources over nHosts, destinations skewed toward low host
+    * ids (squared draw — hubs attract more in-links, the real web
+    * shape), weight 1..3 */
+  def edgeRow(i: Long, nHosts: Long): (String, String, Long) = {
+    var z = i * 0x9e3779b97f4a7c15L + 0x243f6a8885a308d3L
+    def next(): Long = {
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      (z ^ (z >>> 31)) >>> 1
+    }
+    val src = next() % nHosts
+    val u = (next() % nHosts).toDouble / nHosts
+    val dst = (u * u * nHosts).toLong min (nHosts - 1)
+    (s"h$src", s"h$dst", next() % 3 + 1)
+  }
+
   def main(args: Array[String]): Unit = {
     val cores = args.headOption.map(_.toInt).getOrElse(8)
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_DEDUP_DOCS", "150000").toLong
-    // job shapes: minhash_lsh (banded shuffle + candidate joins) or
-    // line_dedup (hash-only keeper shuffle + one doc_id reassembly pass)
+    // job shapes: minhash_lsh (banded shuffle + candidate joins),
+    // line_dedup (hash-only keeper shuffle + one doc_id reassembly pass),
+    // host_rank (ITERATIVE join+agg rounds over a lineage-cut graph —
+    // the q83/q88 fixpoint shape; nDocs counts EDGES here)
     val job = sys.env.getOrElse("SPARK_GRAFT_DEDUP_JOB", "minhash_lsh")
     val corpusDir = s"/dev/shm/graft-dedup-$job-corpus-$nDocs-f128"
     // identical harness config to graft.Scaling BY CONSTRUCTION — the
@@ -72,10 +91,17 @@ object DedupScaling {
     val spark = graft.ScalingHarness.session(cores)
     import spark.implicits._
     if (!new java.io.File(s"$corpusDir/_SUCCESS").exists()) {
-      spark.range(nDocs).repartition(128).as[Long]
-        .map(i => (i, if (job == "line_dedup") lineDocText(i) else docText(i)))
-        .toDF("doc_id", "text")
-        .write.mode("overwrite").parquet(corpusDir)
+      if (job == "host_rank") {
+        val nHosts = nDocs / 15 max 1000L // ~15 raw edges per host
+        spark.range(nDocs).repartition(128).as[Long]
+          .map(i => edgeRow(i, nHosts))
+          .toDF("src", "dst", "weight")
+          .write.mode("overwrite").parquet(corpusDir)
+      } else
+        spark.range(nDocs).repartition(128).as[Long]
+          .map(i => (i, if (job == "line_dedup") lineDocText(i) else docText(i)))
+          .toDF("doc_id", "text")
+          .write.mode("overwrite").parquet(corpusDir)
     }
     def once(): Double = {
       val t0 = System.nanoTime()
@@ -88,6 +114,11 @@ object DedupScaling {
         // scan, not the job
         graft.ops.Dedup.corpusLineDedup(docs)
           .agg(sum(length(col("clean_text"))), sum(col("n_removed"))).collect()
+      else if (job == "host_rank")
+        // sum over rank_e12 forces every round's join+agg (nothing for
+        // Catalyst to eliminate — the rank column IS the fixpoint)
+        graft.ops.CorpusOps.hostRank(docs, iterations = 3, dampingPct = 85)
+          .agg(sum(col("rank_e12"))).collect()
       else graft.ops.Dedup.minhashLsh(docs).count()
       nDocs / ((System.nanoTime() - t0) / 1e9)
     }
