@@ -373,6 +373,62 @@ object SparkEntry {
           lit("<a href=\"/nav\">nav</a></body></html>")).as("html"))
       LinkOps.domainEdges(LinkOps.outlinks(pages))
     }),
+    "q93_bm25_search" -> ((s, dir) =>
+      // Okapi BM25 top-20 over the documents table for a 4-term query
+      // ("order" is corpus-frequent -> low idf, "vector" rare -> high):
+      // zero-shuffle two-scan plan, per-term contributions in exact
+      // integer micro-units (summation-order-independent)
+      TextOps.bm25TopDocs(docs(s, dir), "spark join window vector", topK = 20)),
+    "q94_url_patterns" -> ((s, dir) => {
+      // crawl-trap template mining over a synthesized URL frame: every
+      // 7th doc sits in a calendar archive (one template, many distinct
+      // paths -> trap), every 7th+1 on a static page (one path), every
+      // 13th is schemeless junk (hostless group), the rest in a small
+      // /post/N section (template with <=10 paths)
+      val d = docs(s, dir)
+      val urls = d.select(col("doc_id"),
+        when(col("doc_id") % 13 === 0,
+          concat(lit("not a url "), col("doc_id").cast("string")))
+          .when(col("doc_id") % 7 === 0,
+            concat(lit("https://"), col("source"), lit(".example.com/cal/2024/"),
+              (col("doc_id") % 12).cast("string"), lit("/"),
+              col("doc_id").cast("string")))
+          .when(col("doc_id") % 7 === 1,
+            concat(lit("https://"), col("source"), lit(".example.com/about")))
+          .otherwise(
+            concat(lit("https://"), col("source"), lit(".example.com/post/"),
+              (col("doc_id") % 10).cast("string"), lit("?ref="),
+              col("doc_id").cast("string")))
+          .as("url"))
+      CorpusOps.urlPatternStats(urls, trapMinPaths = 5)
+    }),
+    "q95_host_components" -> ((s, dir) => {
+      // weakly-connected components over the host graph restricted to
+      // same-residue (hid % 3) edges — three disconnected slices of the
+      // q83 graph; component_host = lexicographic min via rank-ordered
+      // dense ids + the q26 engine
+      val (_, hosts) = rankedSources(s, dir)
+      val e = hostGraphEdges(s, dir)
+        .join(hosts.select(col("source").as("src"), col("hid").as("sh")), Seq("src"))
+        .join(hosts.select(col("source").as("dst"), col("hid").as("dh")), Seq("dst"))
+        .filter(col("sh") % 3 === col("dh") % 3)
+        .select(col("src"), col("dst"))
+      LinkOps.hostComponents(e)
+    }),
+    "q96_host_boilerplate" -> ((s, dir) => {
+      // per-SOURCE boilerplate: the per-source footer crosses maxDf
+      // inside its own group and is removed; the cross-source promo
+      // line (every 25th doc) repeats corpus-wide but at most a handful
+      // of times per source, so it SURVIVES — the line q42's global
+      // count would have nuked
+      val multi = docs(s, dir).select(col("doc_id"), col("source"),
+        concat_ws("\n",
+          col("text"),
+          concat(lit("footer of "), col("source")),
+          when(col("doc_id") % 25 === 0, lit("rare cross-site promo"))
+            .otherwise(concat(lit("tail "), col("doc_id").cast("string")))).as("text"))
+      TextOps.removeBoilerplateLinesPerGroup(multi, maxDf = 10)
+    }),
     "q89_host_graph_stats" -> ((s, dir) =>
       // structural spam signals over the same host graph: in/out
       // degree+weight and reciprocity (fraction of out-neighbors that
@@ -1604,6 +1660,114 @@ object SparkEntry {
         |       FROM m)
         |SELECT src, dst, cast(count(*) AS bigint) AS weight
         |FROM lk WHERE src <> dst GROUP BY 1, 2""".stripMargin,
+    "q93_bm25_search" ->
+      """WITH tt AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') END AS t
+        |  FROM documents),
+        |base AS (SELECT doc_id, t, len(t) AS dl FROM tt),
+        |q AS (SELECT unnest(['spark', 'join', 'window', 'vector']) AS term),
+        |st AS (SELECT count(*) AS n_docs, coalesce(sum(dl), 0) AS sum_dl FROM base),
+        |tf AS (SELECT b.doc_id, q.term, len(list_filter(b.t, x -> x = q.term)) AS tf, b.dl
+        |       FROM base b CROSS JOIN q),
+        |dfq AS (SELECT term, sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df
+        |        FROM tf GROUP BY term),
+        |co AS (SELECT tf.doc_id,
+        |         CASE WHEN tf.tf > 0 THEN cast(round(
+        |           ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1) *
+        |           (tf.tf * (1.2 + 1)) /
+        |           (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl /
+        |             (cast(st.sum_dl AS double) / st.n_docs))) *
+        |           1e6, 0) AS bigint) ELSE 0 END AS c,
+        |         CASE WHEN tf.tf > 0 THEN 1 ELSE 0 END AS m
+        |       FROM tf JOIN dfq USING (term) CROSS JOIN st),
+        |sc AS (SELECT doc_id, cast(sum(m) AS bigint) AS n_terms_matched,
+        |         cast(sum(c) AS bigint) AS score_e6
+        |       FROM co GROUP BY doc_id HAVING sum(m) > 0),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY score_e6 DESC, doc_id ASC) AS rnk
+        |       FROM sc)
+        |SELECT doc_id, n_terms_matched, score_e6, cast(rnk AS bigint) AS rnk
+        |FROM rk WHERE rnk <= 20""".stripMargin,
+    "q94_url_patterns" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'not a url ' || doc_id
+        |         WHEN doc_id % 7 = 0 THEN 'https://' || source || '.example.com/cal/2024/'
+        |              || (doc_id % 12) || '/' || doc_id
+        |         WHEN doc_id % 7 = 1 THEN 'https://' || source || '.example.com/about'
+        |         ELSE 'https://' || source || '.example.com/post/' || (doc_id % 10)
+        |              || '?ref=' || doc_id END AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT url,
+        |    lower(coalesce(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1), '')) AS host,
+        |    coalesce(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1), '') AS rawpath
+        |  FROM u),
+        |pp AS (
+        |  SELECT url, host,
+        |    CASE WHEN host = '' THEN ''
+        |         WHEN rawpath = '' THEN '/' ELSE rawpath END AS path
+        |  FROM p)
+        |SELECT host, regexp_replace(path, '[0-9]+', 'N', 'g') AS path_template,
+        |  cast(count(*) AS bigint) AS n_urls,
+        |  cast(count(DISTINCT path) AS bigint) AS n_paths,
+        |  min(url) AS sample_url,
+        |  count(DISTINCT path) >= 5 AS is_trap
+        |FROM pp GROUP BY 1, 2""".stripMargin,
+    "q95_host_components" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, coalesce(source, 'unknown') AS source FROM documents),
+        |h AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS hid
+        |      FROM (SELECT DISTINCT source FROM d)),
+        |c AS (SELECT count(*) AS nh FROM h),
+        |l AS (SELECT d.source, h.hid,
+        |        ((((d.doc_id % 2147483648) * 2654435761) % 4294967296) // 65536) % nh AS t1,
+        |        ((((d.doc_id % 2147483648) * 2246822519) % 4294967296) // 65536) % nh AS t2
+        |      FROM d JOIN h ON d.source = h.source CROSS JOIN c
+        |      WHERE h.hid <> 0),
+        |e0 AS (SELECT source AS src, t1 AS thid FROM l
+        |       UNION ALL
+        |       SELECT source AS src, t2 AS thid FROM l),
+        |e AS (SELECT e0.src, h.source AS dst
+        |      FROM e0 JOIN h ON e0.thid = h.hid
+        |      WHERE e0.src <> h.source
+        |      GROUP BY 1, 2),
+        |f AS (SELECT e.src, e.dst FROM e
+        |      JOIN h hs ON e.src = hs.source
+        |      JOIN h hd ON e.dst = hd.source
+        |      WHERE hs.hid % 3 = hd.hid % 3),
+        |bidir AS (SELECT src AS a, dst AS b FROM f
+        |          UNION SELECT dst, src FROM f),
+        |walk AS (
+        |  SELECT a AS node, a AS reach FROM bidir
+        |  UNION
+        |  SELECT w.node, e2.b AS reach FROM walk w JOIN bidir e2 ON w.reach = e2.a)
+        |SELECT node AS host, min(reach) AS component_host
+        |FROM walk GROUP BY node""".stripMargin,
+    "q96_host_boilerplate" ->
+      """WITH m AS (
+        |  SELECT doc_id, source,
+        |    text || chr(10) || 'footer of ' || source || chr(10) ||
+        |    CASE WHEN doc_id % 25 = 0 THEN 'rare cross-site promo'
+        |         ELSE 'tail ' || doc_id END AS text
+        |  FROM documents),
+        |s AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM m),
+        |l AS (SELECT doc_id, source, i AS pos, ls[i] AS line
+        |      FROM (SELECT doc_id, source, ls,
+        |              unnest(generate_series(1, len(ls))) AS i FROM s)),
+        |f AS (SELECT source, line FROM l WHERE trim(line) <> ''
+        |      GROUP BY 1, 2 HAVING count(*) > 10),
+        |k AS (SELECT l.doc_id, l.pos, l.line FROM l ANTI JOIN f USING (source, line)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM k GROUP BY 1)
+        |SELECT s.doc_id,
+        |  coalesce(agg.clean_text, '') AS clean_text,
+        |  cast(coalesce(agg.n_kept, 0) AS bigint) AS n_kept,
+        |  cast(len(s.ls) - coalesce(agg.n_kept, 0) AS bigint) AS n_removed
+        |FROM s LEFT JOIN agg USING (doc_id)""".stripMargin,
     "q89_host_graph_stats" ->
       """WITH d AS (
         |  SELECT doc_id, coalesce(source, 'unknown') AS source FROM documents),

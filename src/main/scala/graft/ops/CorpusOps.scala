@@ -957,6 +957,45 @@ object CorpusOps {
       col("harm").as("harmonic_approx"))
   }
 
+  /** URL path-template mining — the crawl-trap / infinite-space detector
+    * every frontier scheduler runs before spending fetch budget: collapse
+    * each URL's path to a digit-folded template (`/2024/03/15/post` ->
+    * `/N/N/N/post`) and count how many distinct paths each (host,
+    * template) pair generates. Calendar archives, session-id paths and
+    * faceted-navigation traps show up as a single template with an
+    * enormous distinct-path count; legitimate sections stay small.
+    * Query strings are deliberately ignored (tracking-param noise is
+    * q39's job); the path is the trap signal.
+    *
+    * Host/path extraction is pure RE2-expressible column math (any SQL
+    * engine recomputes it exactly) — the column-math sibling of
+    * LinkOps.hostOf: `scheme://<authority up to /?#>` lowercased, path =
+    * everything after the authority up to `?`/`#`, "" -> "/". URLs with
+    * no parseable scheme+host group under host "" (honest accounting,
+    * same contract as LinkOps.outlinks' hostless srcs).
+    *
+    * Output one row per (host, path_template): n_urls, n_paths (distinct
+    * concrete paths), sample_url (lexicographic min — a stable exemplar
+    * for triage), is_trap = n_paths >= trapMinPaths.
+    *
+    * Scale shape: one scan, per-row regex math, ONE partial-combined
+    * groupBy on (host, template) carrying a distinct-count partial —
+    * template-cardinality-sized output, documents never move again. */
+  def urlPatternStats(urls: DataFrame, trapMinPaths: Long = 100): DataFrame = {
+    val u = coalesce(col("url").cast("string"), lit(""))
+    val host = lower(regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+    val rawPath = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val path = when(host === "", lit("")) // hostless: no path identity
+      .otherwise(when(rawPath === "", lit("/")).otherwise(rawPath))
+    urls.select(u.as("url"), host.as("host"),
+        regexp_replace(path, "[0-9]+", "N").as("path_template"), path.as("path"))
+      .groupBy(col("host"), col("path_template"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("path")).as("n_paths"),
+        min(col("url")).as("sample_url"))
+      .withColumn("is_trap", col("n_paths") >= trapMinPaths)
+  }
+
   def lengthHistogram(documents: DataFrame, bucketWidth: Int = 100): DataFrame = {
     val bucketed = documents.select(col("source"),
       floor(col("n_chars").cast("double") / bucketWidth).cast("long").as("len_bucket"))

@@ -265,6 +265,51 @@ object LinkOps {
             col("out_deg"), 6)).as("reciprocity"))
   }
 
+  /** weakly-connected components of the host graph — the partition map
+    * Common Crawl publishes alongside its graphs (one giant component +
+    * an archipelago of isolated clusters; spam rings and walled-off
+    * mirror farms surface as dense small components, and anything not
+    * connected to the main web is a curation signal by itself).
+    *
+    * Input: (src, dst) host edges (direction ignored — weak
+    * connectivity). Output: (host, component_host) for every host in
+    * the edge universe, component_host = the lexicographically smallest
+    * host in the component (deterministic, engine-independent for the
+    * ASCII/punycode hosts real crawls carry — Spark orders strings by
+    * UTF-16 code unit, byte-collating engines by UTF-8; they agree on
+    * ASCII).
+    *
+    * Scale shape: dense host ids via total-sort + zipWithIndex (one
+    * host-cardinality sort shuffle + one count pass — the standard
+    * dense-id assignment; NO single-partition window, NO hash-as-id
+    * collision risk), then the q26 engine does the real work
+    * ([[Dedup.connectedComponents]]: min-label propagation + pointer
+    * jumping in O(log diameter) rounds, union-find fast path under the
+    * edge cap). Because ids are rank-ordered, min-id semantics IS
+    * min-host semantics. The id table feeds four joins, so it is
+    * lineage-cut once. */
+  def hostComponents(edges: DataFrame, maxIter: Int = 20,
+      localEdgeCap: Long = 2000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges.select(col("src").cast("string").as("s"),
+        col("dst").cast("string").as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull &&
+        col("s") =!= "" && col("d") =!= "")
+    val hosts = e0.select(col("s").as("host")).union(e0.select(col("d"))).distinct()
+    val ids = Checkpoints.cut(
+      hosts.as[String].rdd.sortBy(identity).zipWithIndex().toDF("host", "hid"))
+    val pairs = e0
+      .join(ids.select(col("host").as("s"), col("hid").as("doc_a")), Seq("s"))
+      .join(ids.select(col("host").as("d"), col("hid").as("doc_b")), Seq("d"))
+      .select(col("doc_a"), col("doc_b"))
+    Dedup.connectedComponents(pairs, maxIter, localEdgeCap)
+      .join(ids.select(col("hid").as("doc_id"), col("host")), Seq("doc_id"))
+      .join(ids.select(col("hid").as("cluster_id"),
+        col("host").as("component_host")), Seq("cluster_id"))
+      .select(col("host"), col("component_host"))
+  }
+
   /** anchor-text aggregation: the terms the REST of the web uses when
     * linking to a host — the classic "anchor text describes the target
     * better than the target describes itself" retrieval signal, and a

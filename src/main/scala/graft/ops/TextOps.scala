@@ -1088,24 +1088,50 @@ object TextOps {
     * approximate variant could broadcast, with documented recall loss),
     * (3) one regroup by doc_id reassembling kept lines AND counting
     * totals in the same aggregate (no second scan of the input). */
-  def removeBoilerplateLines(documents: DataFrame, maxDf: Int = 2): DataFrame = {
+  def removeBoilerplateLines(documents: DataFrame, maxDf: Int = 2): DataFrame =
+    boilerplateEngine(documents, maxDf, Nil)
+
+  /** [[removeBoilerplateLines]] with df counted PER GROUP (default: the
+    * `source` column — per-host at crawl scale): a nav bar repeated on
+    * every page of one site is removed from that site without a corpus-
+    * wide threshold ever seeing it, and a phrase that legitimately
+    * recurs across MANY sites ("All rights reserved" quotes inside
+    * articles) is not globally nuked by one site's template. This is the
+    * granularity the CCNet line-dedup actually runs at (per shard ≈ per
+    * crawl slice) and the natural one for site-template stripping.
+    * NULL group keys fold to "" (one shared bucket, mirroring q36's
+    * coalesce contract) — a null-source doc still gets its lines
+    * deduped, just against the other unattributed docs.
+    *
+    * Same output shape and scale shape as q42, with every shuffle keyed
+    * by (group, 8-byte line hash) instead of the bare hash — strictly
+    * better skew behavior (the hottest global line, an empty-ish
+    * separator or cookie notice, splits across groups). */
+  def removeBoilerplateLinesPerGroup(documents: DataFrame, maxDf: Int = 2,
+      groupCol: String = "source"): DataFrame =
+    boilerplateEngine(documents, maxDf, Seq(groupCol))
+
+  private def boilerplateEngine(documents: DataFrame, maxDf: Int,
+      keyCols: Seq[String]): DataFrame = {
     // NULL text coalesces to "" BEFORE the split: split(NULL) is NULL and
     // posexplode(NULL) emits ZERO rows, which would silently drop the
     // document from the output — exactly the corpus-accounting lie the
     // docstring promises not to tell. A NULL-text doc behaves like an
     // empty-text doc: one blank line, kept, clean_text = "".
+    val keys = keyCols.map(k => coalesce(col(k).cast("string"), lit("")).as(k))
     val lines = documents
-      .select(col("doc_id"),
-        posexplode(split(coalesce(col("text"), lit("")), "\n")).as(Seq("pos", "line")))
+      .select(col("doc_id") +: keys :+
+        posexplode(split(coalesce(col("text"), lit("")), "\n")).as(Seq("pos", "line")): _*)
       .withColumn("line_hash", xxhash64(col("line")))
+    val joinKeys = keyCols :+ "line_hash"
     val frequent = lines
       .filter(trim(col("line")) =!= "")
-      .groupBy(col("line_hash"))
+      .groupBy(joinKeys.map(col): _*)
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
-      .select(col("line_hash"), lit(true).as("is_freq"))
+      .select(joinKeys.map(col) :+ lit(true).as("is_freq"): _*)
     lines
-      .join(frequent, Seq("line_hash"), "left_outer")
+      .join(frequent, joinKeys, "left_outer")
       .withColumn("freq", coalesce(col("is_freq"), lit(false)))
       .groupBy(col("doc_id"))
       .agg(
@@ -1178,5 +1204,105 @@ object TextOps {
       (punctRatio > punctLineRatioMin &&
         shortFrac < shortLineFracMax &&
         nlRatio < newlineWordRatioMax).as("passes"))
+  }
+
+  // ---- BM25 retrieval scoring ---------------------------------------------------
+
+  /** Okapi BM25 top-K document retrieval for a term query — the lexical
+    * ranking every curation pipeline reaches for when it needs "the docs
+    * most about X" (seed expansion, targeted decontamination sweeps,
+    * audit sampling). Uses the Robertson/Sparck-Jones idf with the +1
+    * floor (the Lucene form, non-negative for df > N/2):
+    *
+    *   score(d) = Σ_t ln((N - df_t + 0.5)/(df_t + 0.5) + 1)
+    *                · tf_t·(k1+1) / (tf_t + k1·(1 - b + b·dl/avgdl))
+    *
+    * Tokenization is the q33 contract (lower, trim, split on whitespace)
+    * so any SQL engine recomputes it exactly. Per-term contributions are
+    * rounded to integer MICRO-units before summing (the q77 exact-parity
+    * discipline: long sums are order-independent, so the cross-engine
+    * float hazard is confined to one ln + one division per term, not to
+    * a summation order). Only documents matching at least one query term
+    * are candidates (standard retrieval semantics).
+    *
+    * Output: (doc_id, n_terms_matched, score_e6, rnk) — the topK docs by
+    * (score_e6 desc, doc_id asc), rnk 1-based.
+    *
+    * Scale shape: the query-term list is tiny and driver-resident, so
+    * everything is per-row column math over TWO corpus scans and ZERO
+    * data shuffles — scan 1 is one partial-combined global aggregate
+    * (N, Σdl, per-term df via conditional sums — a single scalar row),
+    * scan 2 scores each row against driver-computed idf literals; the
+    * only movement is the distributed top-K (TakeOrderedAndProject, K
+    * rows per partition to the driver). The alternative explode + join
+    * plan shuffles a posting list per occurrence of every query term —
+    * corpus-sized for a stopword query — and is strictly worse. */
+  def bm25TopDocs(documents: DataFrame, query: String, topK: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(topK > 0, s"topK must be > 0, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val spark = documents.sparkSession
+    val qterms = Option(query).getOrElse("").trim.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_terms_matched",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("score_e6",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rnk",
+          org.apache.spark.sql.types.LongType))))
+    if (qterms.isEmpty) return empty
+    val txt = coalesce(col("text"), lit(""))
+    val toks = when(length(trim(txt)) === 0, expr("array()"))
+      .otherwise(split(trim(lower(txt)), "\\s+"))
+    val base = documents.select(col("doc_id").cast("long").as("doc_id"),
+      toks.as("toks")).withColumn("dl", size(col("toks")).cast("long"))
+    // scan 1: N, Σdl and every query term's df in ONE partial-combined agg
+    val tf = (t: String) => size(filter(col("toks"), x => x === lit(t))).cast("long")
+    val aggCols = count(lit(1)).as("n_docs") +:
+      sum(col("dl")).as("sum_dl") +:
+      qterms.zipWithIndex.map { case (t, i) =>
+        sum(when(tf(t) > 0, 1L).otherwise(0L)).as(s"df_$i")
+      }
+    val statsRow = base.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    val nDocs = statsRow.getLong(0)
+    if (nDocs == 0) return empty
+    val sumDl = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
+    // exact-integer sum / exact count: one IEEE division, identical in
+    // any engine recomputing it
+    val avgdl = sumDl.toDouble / nDocs.toDouble
+    // scan 2: per-row contributions against driver-computed idf literals
+    val contribs = qterms.zipWithIndex.map { case (t, i) =>
+      val df = statsRow.getLong(2 + i)
+      val idf = math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
+      val tfc = tf(t).cast("double")
+      val denom = when(lit(avgdl) === 0.0, lit(k1) * lit(1.0 - b) + tfc)
+        .otherwise(tfc + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+      when(tfc > 0,
+        round(lit(idf) * (tfc * lit(k1 + 1.0)) / denom * 1e6, 0).cast("long"))
+        .otherwise(lit(0L))
+    }
+    val matched = qterms.indices
+      .map(i => when(col(s"c_$i") > 0 || col(s"m_$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val scored = base.select(
+      col("doc_id") +: col("dl") +:
+        (contribs.zipWithIndex.map { case (c, i) => c.as(s"c_$i") } ++
+          // tf>0 with a zero contribution (idf rounds to 0) still counts
+          // as a match — track it separately from the contribution
+          qterms.zipWithIndex.map { case (t, i) => (tf(t) > 0).as(s"m_$i") }): _*)
+      .withColumn("score_e6", qterms.indices.map(i => col(s"c_$i")).reduce(_ + _))
+      .withColumn("n_terms_matched", matched)
+      .filter(col("n_terms_matched") > 0)
+      .orderBy(col("score_e6").desc, col("doc_id").asc)
+      .limit(topK)
+    scored.withColumn("rnk",
+        row_number().over(Window.orderBy(col("score_e6").desc, col("doc_id").asc))
+          .cast("long"))
+      .select(col("doc_id"), col("n_terms_matched"), col("score_e6"), col("rnk"))
   }
 }

@@ -3112,4 +3112,131 @@ class OpsSpec extends AnyFunSuite {
     assert(top1 == Map("t.example" -> "great", "u.example" -> "host"))
     intercept[IllegalArgumentException] { LinkOps.anchorTerms(links, topK = 0) }
   }
+
+  test("bm25TopDocs: exact scoring, ranking, match-only candidates, topK") {
+    val df = Seq(
+      (1L, "apple banana apple"), // tf(apple)=2, dl=3
+      (2L, "apple"),              // tf(apple)=1, dl=1
+      (3L, "cherry cherry"),      // no query term -> excluded
+      (4L, "banana date")         // tf(banana)=1, dl=2
+    ).toDF("doc_id", "text")
+    val got = TextOps.bm25TopDocs(df, "apple banana", topK = 10).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_terms_matched"), r.getAs[Long]("score_e6"),
+          r.getAs[Long]("rnk")))).toMap
+    // recompute the published formula independently: N=4, sum_dl=8, avgdl=2.0
+    def idf(dfT: Long) = math.log((4 - dfT + 0.5) / (dfT + 0.5) + 1.0)
+    def contrib(dfT: Long, tf: Long, dl: Long) = math.round(
+      idf(dfT) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 2.0)) * 1e6)
+    // df(apple)=2, df(banana)=2
+    val d1 = contrib(2, 2, 3) + contrib(2, 1, 3) // matches both terms
+    val d2 = contrib(2, 1, 1)
+    val d4 = contrib(2, 1, 2)
+    assert(got.keySet == Set(1L, 2L, 4L), s"doc 3 must be excluded: $got")
+    assert(got(1L) == ((2L, d1, 1L)), s"got ${got(1L)}, want (2,$d1,1)")
+    assert(got(2L)._2 == d2 && got(4L)._2 == d4)
+    // shorter doc with same tf outscores longer (length normalization)
+    assert(d2 > d4)
+    assert(got(2L)._3 == 2L && got(4L)._3 == 3L)
+    // topK truncates; rnk stays 1-based dense
+    val top1 = TextOps.bm25TopDocs(df, "apple banana", topK = 1).collect()
+    assert(top1.length == 1 && top1(0).getAs[Long]("doc_id") == 1L &&
+      top1(0).getAs[Long]("rnk") == 1L)
+    // empty / no-term query -> empty frame with the contract schema
+    val none = TextOps.bm25TopDocs(df, "  ")
+    assert(none.count() == 0 &&
+      none.columns.toSeq == Seq("doc_id", "n_terms_matched", "score_e6", "rnk"))
+    // unmatched vocabulary -> empty, not error
+    assert(TextOps.bm25TopDocs(df, "zzz").count() == 0)
+    intercept[IllegalArgumentException] { TextOps.bm25TopDocs(df, "apple", topK = 0) }
+  }
+
+  test("bm25TopDocs: NULL text, duplicate query terms, tie-break by doc_id") {
+    val rows = Seq(org.apache.spark.sql.Row(1L, "tie word"),
+      org.apache.spark.sql.Row(2L, "tie word"), org.apache.spark.sql.Row(3L, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows),
+      new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("text", "string"))
+    // duplicate terms in the query count once (distinct): identical docs tie
+    val got = TextOps.bm25TopDocs(df, "tie tie TIE", topK = 5).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_e6"), r.getAs[Long]("rnk")))
+    assert(got.length == 2, s"NULL-text doc must not match: ${got.toSeq}")
+    assert(got(0)._2 == got(1)._2, "identical docs must tie exactly")
+    // tie broken by doc_id ascending
+    assert(got.map(g => (g._1, g._3)).toSeq == Seq((1L, 1L), (2L, 2L)))
+  }
+
+  test("urlPatternStats: digit folding, trap flag, hostless and query-string handling") {
+    val urls = Seq(
+      (1L, "https://A.example.com/cal/2024/3/15"),   // host lowercased
+      (2L, "https://a.example.com/cal/2023/11/2"),
+      (3L, "https://a.example.com/cal/2022/7/9"),
+      (4L, "https://a.example.com/about"),
+      (5L, "https://a.example.com/about?utm=x"),     // query ignored -> same path
+      (6L, "https://b.example.com"),                 // empty path -> "/"
+      (7L, "not a url at all"),                      // hostless bucket
+      (8L, "ftp:/missing-authority")                 // no ://host -> hostless too
+    ).toDF("doc_id", "url").select(col("doc_id"), col("url"))
+    val got = CorpusOps.urlPatternStats(urls, trapMinPaths = 3).collect()
+      .map(r => (r.getAs[String]("host"), r.getAs[String]("path_template")) ->
+        ((r.getAs[Long]("n_urls"), r.getAs[Long]("n_paths"),
+          r.getAs[String]("sample_url"), r.getAs[Boolean]("is_trap")))).toMap
+    // calendar template: 3 urls, 3 distinct paths -> trap at threshold 3
+    assert(got(("a.example.com", "/cal/N/N/N")) ==
+      ((3L, 3L, "https://A.example.com/cal/2024/3/15", true)), s"got $got")
+    // /about: two urls (query stripped), ONE distinct path, not a trap
+    assert(got(("a.example.com", "/about")) ==
+      ((2L, 1L, "https://a.example.com/about", false)))
+    assert(got(("b.example.com", "/")) ==
+      ((1L, 1L, "https://b.example.com", false)))
+    // hostless URLs group under host "" with empty template
+    assert(got(("", ""))._1 == 2L)
+    assert(got.size == 4)
+  }
+
+  test("hostComponents: weak connectivity, lexicographic-min labels, isolated pairs") {
+    // component 1: a<->b, b->c (direction must not matter); component 2: x->y
+    val edges = Seq(
+      ("b.example", "a.example"), ("b.example", "c.example"),
+      ("y.example", "x.example"),
+      ("", "z.example"), ("w.example", null) // malformed edges dropped entirely
+    ).toDF("src", "dst")
+    val got = LinkOps.hostComponents(edges).collect()
+      .map(r => r.getAs[String]("host") -> r.getAs[String]("component_host")).toMap
+    assert(got == Map(
+      "a.example" -> "a.example", "b.example" -> "a.example",
+      "c.example" -> "a.example",
+      "x.example" -> "x.example", "y.example" -> "x.example"), s"got $got")
+  }
+
+  test("removeBoilerplateLinesPerGroup: per-group df, cross-group survivors, NULL group") {
+    // "site nav" and "shared promo" both repeat 3x inside source s1
+    // (> maxDf=2) -> removed from s1; the SAME lines appear once each in
+    // s2 and the null-source bucket -> survive there. Per-group df is the
+    // point: one site's template never decides another site's lines.
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, "s1", "site nav\nalpha\nshared promo"),
+      org.apache.spark.sql.Row(2L, "s1", "site nav\nbeta\nshared promo"),
+      org.apache.spark.sql.Row(3L, "s1", "site nav\ngamma\nshared promo"),
+      org.apache.spark.sql.Row(4L, "s2", "site nav\ndelta\nshared promo"),
+      org.apache.spark.sql.Row(5L, null, "epsilon\nshared promo"))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows),
+      new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("source", "string").add("text", "string"))
+    val got = TextOps.removeBoilerplateLinesPerGroup(df, maxDf = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_removed")))).toMap
+    assert(got(1L) == (("alpha", 2L)), s"got $got")
+    assert(got(2L) == (("beta", 2L)))
+    assert(got(3L) == (("gamma", 2L)))
+    // s2 keeps BOTH lines: df=1 each within its own group
+    assert(got(4L) == (("site nav\ndelta\nshared promo", 0L)))
+    // NULL source folds to "" bucket and is processed, not dropped
+    assert(got(5L) == (("epsilon\nshared promo", 0L)))
+    // global variant removes "site nav" from s2 too (global df=4 > 2) —
+    // the contrast that justifies the per-group granularity
+    val global = TextOps.removeBoilerplateLines(df, maxDf = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    assert(global(4L) == "delta" && global(5L) == "epsilon")
+  }
 }
