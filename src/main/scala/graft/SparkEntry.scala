@@ -379,6 +379,37 @@ object SparkEntry {
       // zero-shuffle two-scan plan, per-term contributions in exact
       // integer micro-units (summation-order-independent)
       TextOps.bm25TopDocs(docs(s, dir), "spark join window vector", topK = 20)),
+    "q97_sessionize" -> ((s, dir) =>
+      // batch gap-based sessionization over the events table (30-min
+      // gap): one shuffle by user_id reused by both windows AND the
+      // final per-session aggregate; exact integer-cent value totals
+      CorpusOps.sessionize(s.read.parquet(t(dir, "events")), gapSeconds = 1800L)),
+    "q98_crawl_delta" -> ((s, dir) => {
+      // two-snapshot crawl diff over synthesized old/new views of the
+      // documents table: every 10th doc is new-only (added), every 7th
+      // old-only (gone), every 5th surviving doc has its text touched
+      // (changed), the rest byte-identical (unchanged)
+      val d = docs(s, dir)
+      val withUrl = d.select(col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".example.com/doc/"),
+          col("doc_id").cast("string")).as("url"), col("text"))
+      val oldSnap = withUrl.filter(col("doc_id") % 10 =!= 0)
+      val newSnap = withUrl.filter(col("doc_id") % 7 =!= 0)
+        .select(col("url"),
+          when(col("doc_id") % 5 === 0,
+            concat(coalesce(col("text"), lit("")), lit(" updated")))
+            .otherwise(col("text")).as("text"))
+      CorpusOps.crawlDelta(oldSnap, newSnap)
+    }),
+    "q99_bm25_indexed" -> ((s, dir) => {
+      // the SAME query as q93 answered from the inverted index instead
+      // of a corpus scan (build/search split, like IVF vs brute): the
+      // two paths share one scoring expression, so the oracle is q93's
+      // SQL verbatim — value-identical rows via a different plan
+      val (postings, docLens) = TextOps.buildTextIndex(docs(s, dir))
+      TextOps.bm25TopDocsIndexed(postings, docLens,
+        "spark join window vector", topK = 20)
+    }),
     "q94_url_patterns" -> ((s, dir) => {
       // crawl-trap template mining over a synthesized URL frame: every
       // 7th doc sits in a calendar archive (one template, many distinct
@@ -983,6 +1014,39 @@ object SparkEntry {
     * (the driver sorts columns by name before hashing). Money/double sums
     * are projected to integers (cents / e3 / e4) so both engines sum
     * exactly; per-row rounding is deterministic in both. */
+  /** the BM25 oracle, shared verbatim by q93 (corpus-scan path) and q99
+    * (inverted-index path): same query, same integer micro-unit scoring —
+    * one SQL, two Spark plans. */
+  private val bm25OracleSql: String =
+    """WITH tt AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []
+      |         ELSE regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') END AS t
+      |  FROM documents),
+      |base AS (SELECT doc_id, t, len(t) AS dl FROM tt),
+      |q AS (SELECT unnest(['spark', 'join', 'window', 'vector']) AS term),
+      |st AS (SELECT count(*) AS n_docs, coalesce(sum(dl), 0) AS sum_dl FROM base),
+      |tf AS (SELECT b.doc_id, q.term, len(list_filter(b.t, x -> x = q.term)) AS tf, b.dl
+      |       FROM base b CROSS JOIN q),
+      |dfq AS (SELECT term, sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df
+      |        FROM tf GROUP BY term),
+      |co AS (SELECT tf.doc_id,
+      |         CASE WHEN tf.tf > 0 THEN cast(round(
+      |           ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1) *
+      |           (tf.tf * (1.2 + 1)) /
+      |           (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl /
+      |             (cast(st.sum_dl AS double) / st.n_docs))) *
+      |           1e6, 0) AS bigint) ELSE 0 END AS c,
+      |         CASE WHEN tf.tf > 0 THEN 1 ELSE 0 END AS m
+      |       FROM tf JOIN dfq USING (term) CROSS JOIN st),
+      |sc AS (SELECT doc_id, cast(sum(m) AS bigint) AS n_terms_matched,
+      |         cast(sum(c) AS bigint) AS score_e6
+      |       FROM co GROUP BY doc_id HAVING sum(m) > 0),
+      |rk AS (SELECT *, row_number() OVER (ORDER BY score_e6 DESC, doc_id ASC) AS rnk
+      |       FROM sc)
+      |SELECT doc_id, n_terms_matched, score_e6, cast(rnk AS bigint) AS rnk
+      |FROM rk WHERE rnk <= 20""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1660,35 +1724,45 @@ object SparkEntry {
         |       FROM m)
         |SELECT src, dst, cast(count(*) AS bigint) AS weight
         |FROM lk WHERE src <> dst GROUP BY 1, 2""".stripMargin,
-    "q93_bm25_search" ->
-      """WITH tt AS (
+    "q93_bm25_search" -> bm25OracleSql,
+    // the indexed path answers the SAME query from postings — one oracle,
+    // two plans (scan vs index probe); value-identity is the contract
+    "q99_bm25_indexed" -> bm25OracleSql,
+    "q97_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS tus,
+        |    coalesce(value, 0) AS value
+        |  FROM events),
+        |l AS (SELECT *, lag(tus) OVER (PARTITION BY user_id
+        |        ORDER BY tus, event_id) AS prev FROM e),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR tus - prev > 1800000000
+        |        THEN 1 ELSE 0 END AS brk FROM l),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |        ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |      FROM f)
+        |SELECT user_id, cast(session_id AS bigint) AS session_id,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  cast(count(*) AS bigint) AS n_events,
+        |  cast(sum(cast(round(value * 100, 0) AS bigint)) AS bigint) AS value_cents
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+    "q98_crawl_delta" ->
+      """WITH d AS (
         |  SELECT doc_id,
-        |    CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []
-        |         ELSE regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') END AS t
+        |    coalesce('https://' || source || '.example.com/doc/' || doc_id, '') AS url,
+        |    text
         |  FROM documents),
-        |base AS (SELECT doc_id, t, len(t) AS dl FROM tt),
-        |q AS (SELECT unnest(['spark', 'join', 'window', 'vector']) AS term),
-        |st AS (SELECT count(*) AS n_docs, coalesce(sum(dl), 0) AS sum_dl FROM base),
-        |tf AS (SELECT b.doc_id, q.term, len(list_filter(b.t, x -> x = q.term)) AS tf, b.dl
-        |       FROM base b CROSS JOIN q),
-        |dfq AS (SELECT term, sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df
-        |        FROM tf GROUP BY term),
-        |co AS (SELECT tf.doc_id,
-        |         CASE WHEN tf.tf > 0 THEN cast(round(
-        |           ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1) *
-        |           (tf.tf * (1.2 + 1)) /
-        |           (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl /
-        |             (cast(st.sum_dl AS double) / st.n_docs))) *
-        |           1e6, 0) AS bigint) ELSE 0 END AS c,
-        |         CASE WHEN tf.tf > 0 THEN 1 ELSE 0 END AS m
-        |       FROM tf JOIN dfq USING (term) CROSS JOIN st),
-        |sc AS (SELECT doc_id, cast(sum(m) AS bigint) AS n_terms_matched,
-        |         cast(sum(c) AS bigint) AS score_e6
-        |       FROM co GROUP BY doc_id HAVING sum(m) > 0),
-        |rk AS (SELECT *, row_number() OVER (ORDER BY score_e6 DESC, doc_id ASC) AS rnk
-        |       FROM sc)
-        |SELECT doc_id, n_terms_matched, score_e6, cast(rnk AS bigint) AS rnk
-        |FROM rk WHERE rnk <= 20""".stripMargin,
+        |o AS (SELECT url, min(md5(coalesce(text, ''))) AS old_hash
+        |      FROM d WHERE doc_id % 10 <> 0 GROUP BY url),
+        |n0 AS (SELECT url, CASE WHEN doc_id % 5 = 0
+        |         THEN coalesce(text, '') || ' updated' ELSE text END AS text
+        |       FROM d WHERE doc_id % 7 <> 0),
+        |n AS (SELECT url, min(md5(coalesce(text, ''))) AS new_hash FROM n0 GROUP BY url)
+        |SELECT coalesce(o.url, n.url) AS url, old_hash, new_hash,
+        |  CASE WHEN old_hash IS NULL THEN 'added'
+        |       WHEN new_hash IS NULL THEN 'gone'
+        |       WHEN old_hash = new_hash THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.url = n.url""".stripMargin,
     "q94_url_patterns" ->
       """WITH u AS (
         |  SELECT doc_id,

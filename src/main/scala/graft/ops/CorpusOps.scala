@@ -996,6 +996,91 @@ object CorpusOps {
       .withColumn("is_trap", col("n_paths") >= trapMinPaths)
   }
 
+  /** batch gap-based sessionization over an event log — the batch twin of
+    * StreamOps.sessionize (same gap rule, run over a bounded table instead
+    * of an unbounded stream): consecutive events of one user belong to the
+    * same session while the inter-event gap stays <= `gapSeconds`; a larger
+    * gap starts a new session. This is how crawl-log / clickstream tables
+    * are folded into per-visit rows before any engagement or curation
+    * signal is computed from them.
+    *
+    * Determinism: the per-user order is the TOTAL order (ts, event_id) —
+    * equal timestamps cannot flip sessions between engines (the ducktest
+    * window-total-order rule). Gap math is exact integer microseconds
+    * (unix_micros), value totals are exact integer cents (the q77
+    * discipline: long sums are summation-order-independent; the input's
+    * values carry 2 decimals so cents are exact).
+    *
+    * Output one row per (user_id, session_id): session_id is the per-user
+    * 1-based ordinal by time, with start/end, n_events and value_cents.
+    *
+    * Scale shape: ONE hash shuffle by user_id; the session-break lag
+    * window, the running-sum window AND the per-(user, session) aggregate
+    * all reuse that partitioning (session_seq is a refinement of the
+    * user hash — Spark satisfies their ClusteredDistribution from the
+    * subset key, so no second Exchange). Per-user data is never
+    * materialized as one in-memory blob beyond the sort, and the sort is
+    * the disk-backed shuffle sort — hot users spill, not OOM. */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be > 0, got $gapSeconds")
+    import org.apache.spark.sql.expressions.Window
+    val order = Seq(col("tus").asc, col("event_id").asc)
+    val w = Window.partitionBy(col("user_id")).orderBy(order: _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("tus"), 1).over(w)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        // NTZ-safe: cast to TIMESTAMP first (event tables are commonly
+        // TIMESTAMP_NTZ); the cast interprets naive values in the session
+        // timezone — a constant offset under a fixed-offset zone, which
+        // CANCELS in the gap differences. Run sessions under UTC (Verify
+        // does) if the log straddles a DST transition.
+        unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .as("tus"),
+        round(coalesce(col("value"), lit(0.0)) * 100, 0).cast("long").as("cents"))
+      .withColumn("brk",
+        when(prev.isNull || col("tus") - prev > gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("brk")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"), sum(col("cents")).as("value_cents"))
+  }
+
+  /** two-snapshot crawl diff — the CDX-style revisit classification run
+    * between consecutive crawls of the same URL space: which URLs appeared,
+    * disappeared, changed content, or stayed byte-identical. The churn
+    * table drives refetch scheduling (changed URLs get revisited sooner)
+    * and incremental curation (only added/changed docs re-enter the
+    * pipeline — the batch analog of Dedup's incremental snapshot ops).
+    *
+    * Content identity is md5 over the exact text (NULL folds to "" — both
+    * engines agree on md5('')), so any SQL engine recomputes the verdict.
+    * Each side is first collapsed to one row per URL (min hash — a crawl
+    * snapshot SHOULD be URL-unique; duplicate fetches fold
+    * deterministically rather than exploding the join).
+    *
+    * Output: (url, old_hash, new_hash, status) with status in
+    * added | gone | changed | unchanged.
+    *
+    * Scale shape: two partial-combined per-URL aggregates, then ONE
+    * full-outer sort-merge join keyed by url. Hashes (16 bytes) move, text
+    * never does — the join payload is O(urls), not O(corpus bytes). At
+    * recurring-diff scale, bucket both snapshots by url to make the join
+    * co-located and exchange-free. */
+  def crawlDelta(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    def side(df: DataFrame, hashCol: String) = df
+      .select(coalesce(col("url").cast("string"), lit("")).as("url"),
+        md5(coalesce(col("text"), lit(""))).as("h"))
+      .groupBy(col("url")).agg(min(col("h")).as(hashCol))
+    side(oldSnap, "old_hash").join(side(newSnap, "new_hash"), Seq("url"), "full_outer")
+      .select(col("url"), col("old_hash"), col("new_hash"),
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "gone")
+          .when(col("old_hash") === col("new_hash"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   def lengthHistogram(documents: DataFrame, bucketWidth: Int = 100): DataFrame = {
     val bucketed = documents.select(col("source"),
       floor(col("n_chars").cast("double") / bucketWidth).cast("long").as("len_bucket"))

@@ -1237,14 +1237,15 @@ object TextOps {
     * rows per partition to the driver). The alternative explode + join
     * plan shuffles a posting list per occurrence of every query term —
     * corpus-sized for a stopword query — and is strictly worse. */
-  def bm25TopDocs(documents: DataFrame, query: String, topK: Int = 10,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(topK > 0, s"topK must be > 0, got $topK")
-    import org.apache.spark.sql.expressions.Window
-    val spark = documents.sparkSession
-    val qterms = Option(query).getOrElse("").trim.toLowerCase(java.util.Locale.ROOT)
+  /** query normalization shared by both BM25 paths: lower, trim,
+    * whitespace split, distinct (duplicate query terms count once). */
+  private def bm25Terms(query: String): Seq[String] =
+    Option(query).getOrElse("").trim.toLowerCase(java.util.Locale.ROOT)
       .split("\\s+").filter(_.nonEmpty).distinct.toSeq
-    val empty = spark.createDataFrame(
+
+  /** the BM25 output contract schema, for empty-result short circuits. */
+  private def bm25Empty(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
@@ -1255,12 +1256,41 @@ object TextOps {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("rnk",
           org.apache.spark.sql.types.LongType))))
-    if (qterms.isEmpty) return empty
+
+  /** the q33-contract tokenization both BM25 paths and the index build
+    * share: lower, trim, split on whitespace; empty/NULL text -> []. */
+  private def bm25Toks: Column = {
     val txt = coalesce(col("text"), lit(""))
-    val toks = when(length(trim(txt)) === 0, expr("array()"))
+    when(length(trim(txt)) === 0, expr("array()"))
       .otherwise(split(trim(lower(txt)), "\\s+"))
+  }
+
+  /** one term's integer micro-unit BM25 contribution — the EXACT double
+    * expression both the scan path and the index path evaluate, so their
+    * scores are bit-identical (same association order; the idf enters as
+    * a literal here and as an equal-valued column in the index path —
+    * identical IEEE ops either way). */
+  private def bm25Contrib(tfc: Column, dl: Column, idf: Column,
+      avgdl: Double, k1: Double, b: Double): Column = {
+    val denom = when(lit(avgdl) === 0.0, lit(k1) * lit(1.0 - b) + tfc)
+      .otherwise(tfc + lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(avgdl)))
+    round(idf * (tfc * lit(k1 + 1.0)) / denom * 1e6, 0).cast("long")
+  }
+
+  /** Robertson idf with the +1 floor, shared by both paths. */
+  private def bm25Idf(nDocs: Long, df: Long): Double =
+    math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
+
+  def bm25TopDocs(documents: DataFrame, query: String, topK: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(topK > 0, s"topK must be > 0, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val spark = documents.sparkSession
+    val qterms = bm25Terms(query)
+    val empty = bm25Empty(spark)
+    if (qterms.isEmpty) return empty
     val base = documents.select(col("doc_id").cast("long").as("doc_id"),
-      toks.as("toks")).withColumn("dl", size(col("toks")).cast("long"))
+      bm25Toks.as("toks")).withColumn("dl", size(col("toks")).cast("long"))
     // scan 1: N, Σdl and every query term's df in ONE partial-combined agg
     val tf = (t: String) => size(filter(col("toks"), x => x === lit(t))).cast("long")
     val aggCols = count(lit(1)).as("n_docs") +:
@@ -1278,12 +1308,9 @@ object TextOps {
     // scan 2: per-row contributions against driver-computed idf literals
     val contribs = qterms.zipWithIndex.map { case (t, i) =>
       val df = statsRow.getLong(2 + i)
-      val idf = math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
       val tfc = tf(t).cast("double")
-      val denom = when(lit(avgdl) === 0.0, lit(k1) * lit(1.0 - b) + tfc)
-        .otherwise(tfc + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
       when(tfc > 0,
-        round(lit(idf) * (tfc * lit(k1 + 1.0)) / denom * 1e6, 0).cast("long"))
+        bm25Contrib(tfc, col("dl"), lit(bm25Idf(nDocs, df)), avgdl, k1, b))
         .otherwise(lit(0L))
     }
     val matched = qterms.indices
@@ -1305,4 +1332,103 @@ object TextOps {
           .cast("long"))
       .select(col("doc_id"), col("n_terms_matched"), col("score_e6"), col("rnk"))
   }
+
+  /** inverted-index build for [[bm25TopDocsIndexed]] — the serving-side
+    * counterpart of the scan-side [[bm25TopDocs]], mirroring the
+    * build/search split the ANN family uses (SimSearch.buildIvfIndex vs
+    * ivfTopK): pay one indexing pass, then answer every query by touching
+    * only its terms' postings instead of rescanning the corpus.
+    *
+    * Returns (postings, docLens): postings has one row per (term, doc_id)
+    * with the term frequency; docLens one row per document with its token
+    * length (empty/NULL-text docs kept at dl=0 — they are part of N and
+    * avgdl, exactly as the scan path counts them).
+    *
+    * Scale shape: one explode + ONE partial-combined aggregate shuffled by
+    * (term, doc_id) — the standard index-build shuffle; docLens is a
+    * shuffle-free projection. Persist both with [[saveTextIndex]]
+    * partitioned however the store likes; at serving scale, sort/bucket
+    * postings by term so a query's probe is a pruned range read, not a
+    * full postings scan. */
+  def buildTextIndex(documents: DataFrame): (DataFrame, DataFrame) = {
+    val base = documents.select(col("doc_id").cast("long").as("doc_id"),
+      bm25Toks.as("toks"))
+    val postings = base
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val docLens = base.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    (postings, docLens)
+  }
+
+  /** parquet snapshot of a text index (postings + docLens subdirs). */
+  def saveTextIndex(postings: DataFrame, docLens: DataFrame, dir: String): Unit = {
+    postings.write.mode("overwrite").parquet(s"$dir/postings")
+    docLens.write.mode("overwrite").parquet(s"$dir/doclens")
+  }
+
+  def loadTextIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/postings"), spark.read.parquet(s"$dir/doclens"))
+
+  /** BM25 top-K over a prebuilt inverted index — value-identical to
+    * [[bm25TopDocs]] on the same corpus (same tokenization, same integer
+    * micro-unit contributions via the shared expression, same
+    * tie-breaking), but the per-query cost is O(matching postings), not
+    * O(corpus): the postings scan is filtered to the query's terms (an
+    * `IN` predicate that reaches the parquet reader as a pushed filter on
+    * a sorted/bucketed store), joined to docLens only for the matched
+    * docs.
+    *
+    * Scale shape: corpus-level stats (N, Σdl) are one partial-combined
+    * aggregate over docLens; per-term dfs one tiny aggregate over the
+    * filtered postings; scoring joins the filtered postings (small for
+    * selective terms) against docLens on doc_id and finishes with a
+    * distributed top-K. No corpus-sized shuffle at query time. */
+  def bm25TopDocsIndexed(postings: DataFrame, docLens: DataFrame,
+      query: String, topK: Int = 10, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(topK > 0, s"topK must be > 0, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val spark = postings.sparkSession
+    val qterms = bm25Terms(query)
+    val empty = bm25Empty(spark)
+    if (qterms.isEmpty) return empty
+    val statsRow = docLens.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl")).collect()(0)
+    val nDocs = statsRow.getLong(0)
+    if (nDocs == 0) return empty
+    val sumDl = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
+    val avgdl = sumDl.toDouble / nDocs.toDouble
+    val matched = postings
+      .filter(col("term").isin(qterms: _*))
+      .select(col("term"), col("doc_id").cast("long").as("doc_id"),
+        col("tf").cast("long").as("tf"))
+    // per-term document frequencies: one tiny aggregate (<= |qterms| rows)
+    val dfByTerm = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (dfByTerm.isEmpty) return empty
+    // idf literals resolved per posting row via a when-chain on term
+    // (bounded by |qterms|, stays inside codegen)
+    val idfCol = qterms.filter(dfByTerm.contains).map { t =>
+      (col("term") === t, lit(bm25Idf(nDocs, dfByTerm(t))))
+    }.foldRight(lit(0.0): Column) { case ((cond, v), acc) => when(cond, v).otherwise(acc) }
+    val scored = matched
+      .join(docLens.select(col("doc_id").cast("long").as("doc_id"),
+        col("dl").cast("long").as("dl")), Seq("doc_id"))
+      .select(col("doc_id"),
+        // contribution recomputed per posting with the SHARED expression
+        // (idf resolved by the bounded when-chain above)
+        bm25Contrib(col("tf").cast("double"), col("dl"), idfCol, avgdl, k1, b)
+          .as("c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_matched"), sum(col("c")).as("score_e6"))
+      .orderBy(col("score_e6").desc, col("doc_id").asc)
+      .limit(topK)
+    scored.withColumn("rnk",
+        row_number().over(Window.orderBy(col("score_e6").desc, col("doc_id").asc))
+          .cast("long"))
+      .select(col("doc_id"), col("n_terms_matched"), col("score_e6"), col("rnk"))
+  }
+
 }

@@ -3239,4 +3239,95 @@ class OpsSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
     assert(global(4L) == "delta" && global(5L) == "epsilon")
   }
+
+  test("sessionize: gap splits, total order on equal ts, exact cents, null value") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val rows = Seq(
+      // user 1: events at 0s, 100s (same session), 2000s (new: gap 1900 > 1800)
+      org.apache.spark.sql.Row(10L, ts(0), 1L, 1.25),
+      org.apache.spark.sql.Row(11L, ts(100), 1L, 2.50),
+      org.apache.spark.sql.Row(12L, ts(2000), 1L, null),
+      // user 2: two events at the SAME ts — event_id breaks the tie, one session
+      org.apache.spark.sql.Row(21L, ts(50), 2L, 0.10),
+      org.apache.spark.sql.Row(20L, ts(50), 2L, 0.01))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows),
+      new org.apache.spark.sql.types.StructType()
+        .add("event_id", "long").add("ts", "timestamp")
+        .add("user_id", "long").add("value", "double"))
+    val got = CorpusOps.sessionize(df, gapSeconds = 1800L).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id")) ->
+        ((r.getAs[Timestamp]("session_start"), r.getAs[Timestamp]("session_end"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("value_cents")))).toMap
+    assert(got.keySet == Set((1L, 1L), (1L, 2L), (2L, 1L)), s"got $got")
+    assert(got((1L, 1L)) == ((ts(0), ts(100), 2L, 375L)))
+    // NULL value folds to 0 cents; singleton session start == end
+    assert(got((1L, 2L)) == ((ts(2000), ts(2000), 1L, 0L)))
+    assert(got((2L, 1L)) == ((ts(50), ts(50), 2L, 11L)))
+    // a gap of EXACTLY gapSeconds stays in-session (strict > breaks)
+    val edge = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      org.apache.spark.sql.Row(1L, ts(0), 9L, 1.0),
+      org.apache.spark.sql.Row(2L, ts(1800), 9L, 1.0))),
+      new org.apache.spark.sql.types.StructType()
+        .add("event_id", "long").add("ts", "timestamp")
+        .add("user_id", "long").add("value", "double"))
+    assert(CorpusOps.sessionize(edge, gapSeconds = 1800L).count() == 1)
+    intercept[IllegalArgumentException] { CorpusOps.sessionize(df, gapSeconds = 0L) }
+  }
+
+  test("crawlDelta: added/gone/changed/unchanged, duplicate-url fold, NULLs") {
+    def snap(rows: (String, String)*) = {
+      val rr = rows.map { case (u, t) => org.apache.spark.sql.Row(u, t) }
+      spark.createDataFrame(spark.sparkContext.parallelize(rr),
+        new org.apache.spark.sql.types.StructType()
+          .add("url", "string").add("text", "string"))
+    }
+    val oldSnap = snap(("u1", "same"), ("u2", "old text"), ("u3", "going away"),
+      ("dup", "b"), ("dup", "a"), // duplicate fetches fold to min(md5)
+      (null, "null-url doc"))
+    val newSnap = snap(("u1", "same"), ("u2", "new text"), ("u4", "brand new"),
+      ("dup", "b"), ("dup", "a"),
+      (null, "null-url doc"))
+    val got = CorpusOps.crawlDelta(oldSnap, newSnap).collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("status")).toMap
+    assert(got == Map("u1" -> "unchanged", "u2" -> "changed", "u3" -> "gone",
+      "u4" -> "added", "dup" -> "unchanged", "" -> "unchanged"), s"got $got")
+    // NULL text hashes like empty text, changed when the other side differs
+    val o2 = snap(("n", null)); val n2 = snap(("n", ""))
+    assert(CorpusOps.crawlDelta(o2, n2).collect()(0)
+      .getAs[String]("status") == "unchanged")
+  }
+
+  test("bm25TopDocsIndexed: value-identical to the scan path, snapshot roundtrip") {
+    val df = Seq(
+      (1L, "apple banana apple cherry"), (2L, "apple"), (3L, "cherry cherry"),
+      (4L, "banana date elephant fig grape"), (5L, ""),
+      (6L, "apple apple apple banana banana cherry date")
+    ).toDF("doc_id", "text")
+    val q = "apple banana missing"
+    val scan = TextOps.bm25TopDocs(df, q, topK = 10).collect().toSeq
+    val (postings, docLens) = TextOps.buildTextIndex(df)
+    val idx = TextOps.bm25TopDocsIndexed(postings, docLens, q, topK = 10).collect().toSeq
+    assert(idx == scan, s"index path diverged:\n idx=$idx\n scan=$scan")
+    // docLens must count the empty doc (N and avgdl parity with the scan)
+    assert(docLens.count() == 6)
+    assert(docLens.filter(col("doc_id") === 5L).collect()(0).getAs[Long]("dl") == 0L)
+    // parquet snapshot roundtrip: identical results from the reloaded index
+    val dir = java.nio.file.Files.createTempDirectory("textidx").toString
+    try {
+      TextOps.saveTextIndex(postings, docLens, dir)
+      val (p2, l2) = TextOps.loadTextIndex(spark, dir)
+      val re = TextOps.bm25TopDocsIndexed(p2, l2, q, topK = 10).collect().toSeq
+      assert(re == scan, "snapshot roundtrip changed results")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+    // all-unmatched query -> empty with the contract schema
+    val none = TextOps.bm25TopDocsIndexed(postings, docLens, "zzz qqq")
+    assert(none.count() == 0 &&
+      none.columns.toSeq == Seq("doc_id", "n_terms_matched", "score_e6", "rnk"))
+    intercept[IllegalArgumentException] {
+      TextOps.bm25TopDocsIndexed(postings, docLens, "apple", topK = 0)
+    }
+  }
 }
