@@ -375,7 +375,7 @@ object SparkEntry {
     }),
     "q93_bm25_search" -> ((s, dir) =>
       // Okapi BM25 top-20 over the documents table for a 4-term query
-      // ("order" is corpus-frequent -> low idf, "vector" rare -> high):
+      // (mixed document frequencies -> a spread of idf weights):
       // zero-shuffle two-scan plan, per-term contributions in exact
       // integer micro-units (summation-order-independent)
       TextOps.bm25TopDocs(docs(s, dir), "spark join window vector", topK = 20)),
@@ -452,10 +452,13 @@ object SparkEntry {
       // line (every 25th doc) repeats corpus-wide but at most a handful
       // of times per source, so it SURVIVES — the line q42's global
       // count would have nuked
+      // NULLs coalesced BEFORE composing so both engines build the same
+      // string (concat_ws skips NULL elements, SQL || nullifies — the
+      // coalesce removes the divergence from the surface entirely)
       val multi = docs(s, dir).select(col("doc_id"), col("source"),
         concat_ws("\n",
-          col("text"),
-          concat(lit("footer of "), col("source")),
+          coalesce(col("text"), lit("")),
+          concat(lit("footer of "), coalesce(col("source"), lit(""))),
           when(col("doc_id") % 25 === 0, lit("rare cross-site promo"))
             .otherwise(concat(lit("tail "), col("doc_id").cast("string")))).as("text"))
       TextOps.removeBoilerplateLinesPerGroup(multi, maxDf = 10)
@@ -1732,7 +1735,7 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT user_id, event_id, ts, epoch_us(ts) AS tus,
         |    coalesce(value, 0) AS value
-        |  FROM events),
+        |  FROM events WHERE ts IS NOT NULL),
         |l AS (SELECT *, lag(tus) OVER (PARTITION BY user_id
         |        ORDER BY tus, event_id) AS prev FROM e),
         |f AS (SELECT *, CASE WHEN prev IS NULL OR tus - prev > 1800000000
@@ -1821,8 +1824,9 @@ object SparkEntry {
         |FROM walk GROUP BY node""".stripMargin,
     "q96_host_boilerplate" ->
       """WITH m AS (
-        |  SELECT doc_id, source,
-        |    text || chr(10) || 'footer of ' || source || chr(10) ||
+        |  SELECT doc_id, coalesce(source, '') AS source,
+        |    coalesce(text, '') || chr(10) || 'footer of ' || coalesce(source, '')
+        |      || chr(10) ||
         |    CASE WHEN doc_id % 25 = 0 THEN 'rare cross-site promo'
         |         ELSE 'tail ' || doc_id END AS text
         |  FROM documents),

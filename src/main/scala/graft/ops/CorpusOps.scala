@@ -1006,7 +1006,11 @@ object CorpusOps {
     *
     * Determinism: the per-user order is the TOTAL order (ts, event_id) —
     * equal timestamps cannot flip sessions between engines (the ducktest
-    * window-total-order rule). Gap math is exact integer microseconds
+    * window-total-order rule). NULL-ts events are DROPPED up front: a
+    * timestamp-less event has no place on a timeline, and engines disagree
+    * on NULL sort position (Spark NULLS FIRST, SQL engines NULLS LAST), so
+    * keeping them would make session numbering engine-dependent. Gap math
+    * is exact integer microseconds
     * (unix_micros), value totals are exact integer cents (the q77
     * discipline: long sums are summation-order-independent; the input's
     * values carry 2 decimals so cents are exact).
@@ -1029,6 +1033,7 @@ object CorpusOps {
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prev = lag(col("tus"), 1).over(w)
     events
+      .filter(col("ts").isNotNull)
       .select(col("user_id"), col("event_id"), col("ts"),
         // NTZ-safe: cast to TIMESTAMP first (event tables are commonly
         // TIMESTAMP_NTZ); the cast interprets naive values in the session

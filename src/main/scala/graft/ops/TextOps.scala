@@ -1314,7 +1314,7 @@ object TextOps {
         .otherwise(lit(0L))
     }
     val matched = qterms.indices
-      .map(i => when(col(s"c_$i") > 0 || col(s"m_$i"), 1L).otherwise(0L))
+      .map(i => when(col(s"m_$i"), 1L).otherwise(0L))
       .reduce(_ + _)
     val scored = base.select(
       col("doc_id") +: col("dl") +:

@@ -3250,7 +3250,9 @@ class OpsSpec extends AnyFunSuite {
       org.apache.spark.sql.Row(12L, ts(2000), 1L, null),
       // user 2: two events at the SAME ts — event_id breaks the tie, one session
       org.apache.spark.sql.Row(21L, ts(50), 2L, 0.10),
-      org.apache.spark.sql.Row(20L, ts(50), 2L, 0.01))
+      org.apache.spark.sql.Row(20L, ts(50), 2L, 0.01),
+      // timestamp-less event: dropped (engines disagree on NULL sort side)
+      org.apache.spark.sql.Row(22L, null, 2L, 9.99))
     val df = spark.createDataFrame(spark.sparkContext.parallelize(rows),
       new org.apache.spark.sql.types.StructType()
         .add("event_id", "long").add("ts", "timestamp")
