@@ -410,6 +410,17 @@ object SparkEntry {
       TextOps.bm25TopDocsIndexed(postings, docLens,
         "spark join window vector", topK = 20)
     }),
+    "q100_pmi_collocations" -> ((s, dir) =>
+      // adjacent-bigram PMI in fixed-order ln micro-units: in-row bigram
+      // build (array zipped with its tail), two partial-combined
+      // aggregates, vocabulary-sized joins — corpus text never shuffles
+      TextOps.pmiCollocations(docs(s, dir), minCount = 5L)),
+    "q101_cocitation" -> ((s, dir) =>
+      // related-host discovery over the q83 host graph: pairs endorsed
+      // by >= 2 distinct common sources, hub sources (out-degree > 25)
+      // dropped whole before the bounded self-join
+      LinkOps.coCitation(hostGraphEdges(s, dir), minCommon = 2L,
+        maxOutDeg = 25L)),
     "q94_url_patterns" -> ((s, dir) => {
       // crawl-trap template mining over a synthesized URL frame: every
       // 7th doc sits in a calendar archive (one template, many distinct
@@ -1766,6 +1777,52 @@ object SparkEntry {
         |       WHEN old_hash = new_hash THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM o FULL OUTER JOIN n ON o.url = n.url""".stripMargin,
+    "q100_pmi_collocations" ->
+      """WITH tt AS (
+        |  SELECT CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') END AS t
+        |  FROM documents),
+        |uni AS (SELECT u.x AS term, count(*) AS n
+        |        FROM tt, unnest(t) AS u(x) GROUP BY 1),
+        |tot AS (SELECT coalesce(sum(len(t)), 0) AS nu,
+        |          coalesce(sum(greatest(len(t) - 1, 0)), 0) AS nbg FROM tt),
+        |bg AS (SELECT t[i] AS term_a, t[i + 1] AS term_b
+        |       FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        |             FROM tt WHERE len(t) >= 2)),
+        |pc AS (SELECT term_a, term_b, count(*) AS n_pair
+        |       FROM bg GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT pc.term_a, pc.term_b, cast(pc.n_pair AS bigint) AS n_pair,
+        |  cast(a.n AS bigint) AS n_a, cast(b.n AS bigint) AS n_b,
+        |  cast(round((ln(pc.n_pair) + ln(nu) + ln(nu) - ln(nbg)
+        |    - ln(a.n) - ln(b.n)) * 1e6, 0) AS bigint) AS pmi_e6
+        |FROM pc
+        |JOIN uni a ON pc.term_a = a.term
+        |JOIN uni b ON pc.term_b = b.term
+        |CROSS JOIN tot""".stripMargin,
+    "q101_cocitation" ->
+      """WITH d AS (
+        |  SELECT doc_id, coalesce(source, 'unknown') AS source FROM documents),
+        |h AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS hid
+        |      FROM (SELECT DISTINCT source FROM d)),
+        |c AS (SELECT count(*) AS nh FROM h),
+        |l AS (SELECT d.source, h.hid,
+        |        ((((d.doc_id % 2147483648) * 2654435761) % 4294967296) // 65536) % nh AS t1,
+        |        ((((d.doc_id % 2147483648) * 2246822519) % 4294967296) // 65536) % nh AS t2
+        |      FROM d JOIN h ON d.source = h.source CROSS JOIN c
+        |      WHERE h.hid <> 0),
+        |e0 AS (SELECT source AS src, t1 AS thid FROM l
+        |       UNION ALL
+        |       SELECT source AS src, t2 AS thid FROM l),
+        |e AS (SELECT e0.src, h.source AS dst
+        |      FROM e0 JOIN h ON e0.thid = h.hid
+        |      WHERE e0.src <> h.source
+        |      GROUP BY 1, 2),
+        |kept AS (SELECT src FROM e GROUP BY src HAVING count(*) <= 25),
+        |ek AS (SELECT e.src, e.dst FROM e JOIN kept USING (src))
+        |SELECT a.dst AS host_a, b.dst AS host_b,
+        |  cast(count(*) AS bigint) AS n_common_sources
+        |FROM ek a JOIN ek b ON a.src = b.src AND a.dst < b.dst
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     "q94_url_patterns" ->
       """WITH u AS (
         |  SELECT doc_id,

@@ -310,6 +310,51 @@ object LinkOps {
       .select(col("host"), col("component_host"))
   }
 
+  /** host co-citation — "related hosts" discovery (Small 1973, the
+    * classic bibliometric signal applied to the web graph): two hosts are
+    * related when many DISTINCT sources link to both. Complements q89's
+    * reciprocity (a spam ring interlinks itself; organically related hosts
+    * are co-cited by third parties that need not link each other).
+    *
+    * Input: (src, dst) host edges (weights ignored — one source endorses a
+    * pair once). Hub sources with out-degree > `maxOutDeg` are dropped
+    * WHOLE before pairing — a directory page linking 10^5 hosts
+    * contributes C(10^5,2) pairs of pure noise and is exactly the
+    * quadratic blow-up the cap exists for (same role as q21's maxDf; the
+    * cap is part of the contract, so any engine recomputes the same
+    * result). Pairs are emitted once with host_a < host_b.
+    *
+    * Output: (host_a, host_b, n_common_sources) for pairs co-cited by at
+    * least `minCommon` distinct sources.
+    *
+    * Scale shape: dedup + degree-cap are two partial-combined aggregates;
+    * pairing is ONE self-equi-join on src with per-src fan-out bounded by
+    * maxOutDeg (join output <= Σ C(deg,2), deg <= cap — never cartesian);
+    * the pair aggregate is pair-cardinality-sized. Hosts move as strings
+    * once; documents are never touched. */
+  def coCitation(edges: DataFrame, minCommon: Long = 2L,
+      maxOutDeg: Long = 1000L): DataFrame = {
+    require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    require(maxOutDeg >= 2, s"maxOutDeg must be >= 2, got $maxOutDeg")
+    // lineage-cut once: the deduped edge table feeds THREE consumers (the
+    // degree cap + both sides of the pair self-join) — without the cut
+    // each consumption re-runs the upstream edge derivation
+    val e = Checkpoints.cut(edges.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= "" && col("dst") =!= "" && col("src") =!= col("dst"))
+      .distinct())
+    val kept = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= maxOutDeg).select(col("src"))
+    val ek = e.join(kept, Seq("src"))
+    ek.select(col("src"), col("dst").as("host_a"))
+      .join(ek.select(col("src"), col("dst").as("host_b")), Seq("src"))
+      .filter(col("host_a") < col("host_b"))
+      .groupBy(col("host_a"), col("host_b"))
+      .agg(count(lit(1)).as("n_common_sources"))
+      .filter(col("n_common_sources") >= minCommon)
+  }
+
   /** anchor-text aggregation: the terms the REST of the web uses when
     * linking to a host — the classic "anchor text describes the target
     * better than the target describes itself" retrieval signal, and a

@@ -1333,6 +1333,63 @@ object TextOps {
       .select(col("doc_id"), col("n_terms_matched"), col("score_e6"), col("rnk"))
   }
 
+  /** PMI collocation mining — the corpus-statistics pass run before
+    * tokenizer training and multi-word-expression detection: for every
+    * adjacent token bigram occurring at least `minCount` times,
+    * PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ) with p(a,b) = c_ab/N_bigrams
+    * and p(x) = c_x/N_tokens. "new york" scores high (its parts rarely
+    * appear apart); "of the" scores near zero.
+    *
+    * Cross-engine exactness: every count is an exact long; the PMI is
+    * assembled as a FIXED left-associated sum of ln's of those exact longs
+    * (ln c_ab + ln N_u + ln N_u − ln N_bg − ln c_a − ln c_b), rounded to
+    * integer micro-units — six IEEE ops in a written order any engine
+    * reproduces bit-for-bit, no product that could overflow and no
+    * summation-order hazard. Tokenization is the q33 contract.
+    *
+    * Output: (term_a, term_b, n_pair, n_a, n_b, pmi_e6) for bigrams with
+    * n_pair >= minCount.
+    *
+    * Scale shape: one token explode + ONE partial-combined unigram
+    * aggregate; one in-row bigram build (zip of the array with its tail —
+    * no second explode pass over positions) + ONE bigram aggregate; the
+    * surviving bigram table (vocabulary²-bounded, minCount-pruned) joins
+    * the unigram table twice on the term key. Corpus text never moves:
+    * both shuffles carry tokens/pairs with partial counts. */
+  def pmiCollocations(documents: DataFrame, minCount: Long = 2L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val base = documents.select(bm25Toks.as("toks"))
+    val uni = base.select(explode(col("toks")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    // bigrams in-row: zip toks with its tail; slice is 1-based
+    val pairs = base
+      .filter(size(col("toks")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1))).as("bg"))
+      .select(col("bg.0").as("term_a"), col("bg.1").as("term_b"))
+      .groupBy(col("term_a"), col("term_b")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val totals = base.agg(
+      sum(size(col("toks")).cast("long")).as("nu"),
+      sum(greatest(size(col("toks")) - 1, lit(0)).cast("long")).as("nbg"))
+      .collect()(0)
+    val nu = if (totals.isNullAt(0)) 0L else totals.getLong(0)
+    val nbg = if (totals.isNullAt(1)) 0L else totals.getLong(1)
+    if (nu == 0L || nbg == 0L)
+      return pairs.select(col("term_a"), col("term_b"), col("n_pair"),
+        lit(0L).as("n_a"), lit(0L).as("n_b"), lit(0L).as("pmi_e6")).limit(0)
+    val lnNu = lit(math.log(nu.toDouble))
+    val lnNbg = lit(math.log(nbg.toDouble))
+    pairs
+      .join(uni.select(col("term").as("term_a"), col("n").as("n_a")), Seq("term_a"))
+      .join(uni.select(col("term").as("term_b"), col("n").as("n_b")), Seq("term_b"))
+      .select(col("term_a"), col("term_b"), col("n_pair"), col("n_a"), col("n_b"),
+        round((log(col("n_pair").cast("double")) + lnNu + lnNu - lnNbg -
+          log(col("n_a").cast("double")) - log(col("n_b").cast("double"))) * 1e6, 0)
+          .cast("long").as("pmi_e6"))
+  }
+
   /** inverted-index build for [[bm25TopDocsIndexed]] — the serving-side
     * counterpart of the scan-side [[bm25TopDocs]], mirroring the
     * build/search split the ANN family uses (SimSearch.buildIvfIndex vs

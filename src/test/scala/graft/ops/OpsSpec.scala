@@ -3332,4 +3332,50 @@ class OpsSpec extends AnyFunSuite {
       TextOps.bm25TopDocsIndexed(postings, docLens, "apple", topK = 0)
     }
   }
+
+  test("pmiCollocations: exact fixed-order ln micro-units, minCount prune, empties") {
+    val df = Seq(
+      (1L, "new york new york"), // bigrams: (new,york) x2, (york,new) x1
+      (2L, "the cat sat"),       // (the,cat), (cat,sat)
+      (3L, "")                   // contributes nothing, crashes nothing
+    ).toDF("doc_id", "text")
+    val got = TextOps.pmiCollocations(df, minCount = 2L).collect()
+      .map(r => (r.getAs[String]("term_a"), r.getAs[String]("term_b")) ->
+        ((r.getAs[Long]("n_pair"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("pmi_e6")))).toMap
+    // only (new, york) survives minCount=2; nu=7 tokens, nbg=5 bigrams
+    val want = math.round((math.log(2) + math.log(7) + math.log(7) -
+      math.log(5) - math.log(2) - math.log(2)) * 1e6)
+    assert(got == Map(("new", "york") -> ((2L, 2L, 2L, want))), s"got $got")
+    // minCount=1 admits the rest; "of the"-style independence scores lower
+    val all = TextOps.pmiCollocations(df, minCount = 1L).collect()
+    assert(all.length == 4)
+    assert(TextOps.pmiCollocations(Seq.empty[(Long, String)]
+      .toDF("doc_id", "text"), 1L).count() == 0)
+    intercept[IllegalArgumentException] { TextOps.pmiCollocations(df, 0L) }
+  }
+
+  test("coCitation: distinct-source pairs, hub cap drops whole, dedup and junk edges") {
+    val edges = Seq(
+      ("s1", "a"), ("s1", "a"), // duplicate endorsement counts once
+      ("s1", "b"), ("s2", "a"), ("s2", "b"), ("s3", "a"),
+      // hub with out-degree 4 > maxOutDeg=3: contributes NO pairs at all
+      ("s4", "a"), ("s4", "b"), ("s4", "c"), ("s4", "d"),
+      ("s5", "s5"), ("", "x"), ("s6", null) // self/empty/null dropped
+    ).toDF("src", "dst")
+    val got = LinkOps.coCitation(edges, minCommon = 2L, maxOutDeg = 3L).collect()
+      .map(r => (r.getAs[String]("host_a"), r.getAs[String]("host_b")) ->
+        r.getAs[Long]("n_common_sources")).toMap
+    // (a,b) co-cited by s1 and s2; s4's endorsements are capped away,
+    // s3 cites only a — no other pair reaches minCommon
+    assert(got == Map(("a", "b") -> 2L), s"got $got")
+    // with the cap relaxed the hub's pairs appear (a,b)=3 plus c/d pairs
+    val loose = LinkOps.coCitation(edges, minCommon = 1L, maxOutDeg = 10L).collect()
+      .map(r => (r.getAs[String]("host_a"), r.getAs[String]("host_b")) ->
+        r.getAs[Long]("n_common_sources")).toMap
+    assert(loose(("a", "b")) == 3L && loose(("c", "d")) == 1L &&
+      loose(("a", "c")) == 1L)
+    intercept[IllegalArgumentException] { LinkOps.coCitation(edges, 0L, 3L) }
+    intercept[IllegalArgumentException] { LinkOps.coCitation(edges, 1L, 1L) }
+  }
 }
