@@ -733,6 +733,60 @@ object CorpusOps {
     rankFixpoint(edges, None, iterations, dampingPct)
       .select(col("host"), col("out_weight"), col("rank_e12"), col("rank"))
 
+  /** host-tier assignment — the TIER EXTRACTION last mile: fold a host
+    * centrality table ([[hostRank]] / [[trustRank]] output) into ordinal
+    * quality tiers by rank percentile, then stamp every document with its
+    * host's tier. This is how seed-list curation actually consumes
+    * centrality (FineWeb/CCNet-style: tier 1 = head hosts that anchor the
+    * corpus, middle tiers sampled, tail tiers filtered or heavily
+    * downweighted) — downstream mixture ops (q69/q73) take tiers, not raw
+    * ranks.
+    *
+    * Tier rule, exact integer math end-to-end: hosts are totally ordered
+    * by (rank_e12 desc, host asc) and 1-based ranked; host is tier i
+    * (1-based) when `rnk * 100 <= cut_i * n_hosts` for the i-th percent
+    * cut (default cuts 10/50: top 10% -> tier 1, next 40% -> tier 2, rest
+    * -> tier 3). No percentile/float quantile anywhere, so any engine
+    * reproduces the boundaries exactly. Documents whose host is outside
+    * the ranked universe get tier 0 (unranked — a curation signal itself);
+    * NULL source folds to "unknown" (the [[hostRank]] surface convention).
+    *
+    * Scale shape: ranking is a distributed sort + zipWithIndex over the
+    * HOST table (host-cardinality, ~10^8 — never a single-partition
+    * window); the doc stamp is one join of the corpus's (doc_id, host)
+    * pairs against the host-tier table — broadcastable whenever the host
+    * table fits, and AQE decides (no forced hint). Document text never
+    * moves. */
+  def hostTiers(hostRanks: DataFrame, documents: DataFrame,
+      tierPctCuts: Seq[Int] = Seq(10, 50)): DataFrame = {
+    require(tierPctCuts.nonEmpty && tierPctCuts == tierPctCuts.sorted &&
+      tierPctCuts.forall(p => p > 0 && p < 100),
+      s"tierPctCuts must be ascending percents in (0,100), got $tierPctCuts")
+    val spark = hostRanks.sparkSession
+    import spark.implicits._
+    val ranked = Checkpoints.cut(
+      hostRanks.select(col("host").cast("string").as("host"),
+          col("rank_e12").cast("long").as("rank_e12"))
+        .as[(String, Long)].rdd
+        .sortBy({ case (h, r) => (-r, h) })
+        .zipWithIndex()
+        .map { case ((h, r), i) => (h, r, i + 1L) }
+        .toDF("host", "rank_e12", "rnk"))
+    val n = ranked.count()
+    val tier = tierPctCuts.zipWithIndex.foldRight(lit(tierPctCuts.size + 1): Column) {
+      case ((pct, i), acc) =>
+        when(col("rnk") * 100 <= lit(pct.toLong) * n, lit(i + 1)).otherwise(acc)
+    }
+    val hostTier = ranked.withColumn("tier", tier.cast("int"))
+    documents
+      .select(col("doc_id"), coalesce(col("source"), lit("unknown")).as("host"))
+      .join(hostTier, Seq("host"), "left_outer")
+      .select(col("doc_id"), col("host"),
+        coalesce(col("rank_e12"), lit(0L)).as("rank_e12"),
+        coalesce(col("rnk"), lit(0L)).as("rnk"),
+        coalesce(col("tier"), lit(0)).as("tier"))
+  }
+
   /** Seeded PageRank — TrustRank (Gyöngyi/Garcia-Molina/Pedersen, VLDB
     * 2004): identical power iteration to [[hostRank]] except the teleport
     * vector is restricted to a curated SEED set — mass enters the graph

@@ -3378,4 +3378,46 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { LinkOps.coCitation(edges, 0L, 3L) }
     intercept[IllegalArgumentException] { LinkOps.coCitation(edges, 1L, 1L) }
   }
+
+  test("hostTiers: exact percentile boundaries, rank ties, unranked tier 0, NULL source") {
+    // 10 hosts, rank 1000..100; h08/h09 TIE at 150 -> host asc breaks it
+    val ranks = Seq(
+      ("h01", 1000L), ("h02", 900L), ("h03", 800L), ("h04", 700L),
+      ("h05", 600L), ("h06", 500L), ("h07", 400L), ("h09", 150L),
+      ("h08", 150L), ("h10", 100L)
+    ).toDF("host", "rank_e12")
+    val docRows = Seq(
+      org.apache.spark.sql.Row(1L, "h01"), org.apache.spark.sql.Row(2L, "h02"),
+      org.apache.spark.sql.Row(3L, "h05"), org.apache.spark.sql.Row(4L, "h06"),
+      org.apache.spark.sql.Row(5L, "h08"), org.apache.spark.sql.Row(6L, "h09"),
+      org.apache.spark.sql.Row(7L, "h10"),
+      org.apache.spark.sql.Row(8L, "offgraph"), // not in the rank table
+      org.apache.spark.sql.Row(9L, null))       // folds to "unknown", unranked
+    val docs = spark.createDataFrame(spark.sparkContext.parallelize(docRows),
+      new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("source", "string"))
+    val got = CorpusOps.hostTiers(ranks, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("host"), r.getAs[Long]("rnk"), r.getAs[Int]("tier")))).toMap
+    // n=10, cuts 10/50: tier 1 iff rnk <= 1, tier 2 iff rnk <= 5
+    assert(got(1L) == (("h01", 1L, 1)), s"got $got")
+    assert(got(2L) == (("h02", 2L, 2)))
+    assert(got(3L) == (("h05", 5L, 2)))
+    assert(got(4L) == (("h06", 6L, 3))) // first row past the 50% cut
+    // tie at 150: h08 before h09 by host asc
+    assert(got(5L) == (("h08", 8L, 3)) && got(6L) == (("h09", 9L, 3)))
+    assert(got(7L) == (("h10", 10L, 3)))
+    assert(got(8L) == (("offgraph", 0L, 0)))
+    assert(got(9L) == (("unknown", 0L, 0)))
+    // custom single cut: a 20% head split on the same table
+    val head = CorpusOps.hostTiers(ranks, docs, tierPctCuts = Seq(20)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("tier")).toMap
+    assert(head(1L) == 1 && head(2L) == 1 && head(3L) == 2)
+    intercept[IllegalArgumentException] {
+      CorpusOps.hostTiers(ranks, docs, tierPctCuts = Seq(50, 10))
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.hostTiers(ranks, docs, tierPctCuts = Seq(100))
+    }
+  }
 }
