@@ -430,6 +430,28 @@ object SparkEntry {
         CorpusOps.hostRank(hostGraphEdges(s, dir), iterations = 3,
           dampingPct = 85),
         docs(s, dir))),
+    "q103_hits" -> ((s, dir) =>
+      // HITS hubs/authorities over the q83 host graph: 2 exact-integer
+      // divisor-normalized rounds (authorities from old hubs, hubs from
+      // new authorities) — the endorser/endorsed split PageRank can't see
+      CorpusOps.hits(hostGraphEdges(s, dir), iterations = 2)),
+    "q104_ngram_containment" -> ((s, dir) =>
+      // asymmetric shingle containment (syndication/wrapper detection):
+      // same inverted-index self-join core as q21, thresholding
+      // |A∩B|/|A| per direction instead of the symmetric jaccard
+      Dedup.ngramContainment(docs(s, dir), threshold = 0.5)),
+    "q105_curation_funnel" -> ((s, dir) =>
+      // per-stage survivor accounting (the C4/Gopher-style "N% removed
+      // by stage X" table): docs attributed to the FIRST failing stage,
+      // so the funnel partitions the corpus exactly
+      CorpusOps.curationFunnel(docs(s, dir), Seq(
+        "nonempty" -> (length(coalesce(col("text"), lit(""))) > 0),
+        "min_len" -> (col("n_chars") >= 200),
+        "max_len" -> (col("n_chars") <= 20000),
+        "lang_known" -> (coalesce(col("lang"), lit("")) =!= ""),
+        "alpha_ratio" ->
+          (length(regexp_replace(col("text"), "[^A-Za-z]", "")) * 10 >=
+            length(col("text")) * 4)))),
     "q94_url_patterns" -> ((s, dir) => {
       // crawl-trap template mining over a synthesized URL frame: every
       // 7th doc sits in a calendar archive (one template, many distinct
@@ -1176,6 +1198,59 @@ object SparkEntry {
         |JOIN sizes sa ON doc_a = sa.doc_id
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE common / (sa.sz + sb.sz - common) >= 0.5""".stripMargin,
+    "q104_ngram_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |gsets AS (
+        |  SELECT doc_id, list_distinct([array_to_string(t[i+1:i+3], ' ')
+        |          for i in range(0, greatest(len(t)-3, 0) + 1)]) AS gs
+        |  FROM toks),
+        |grams AS (SELECT doc_id, unnest(gs) AS g FROM gsets),
+        |sizes AS (SELECT doc_id, len(gs) AS sz FROM gsets),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sized AS (
+        |  SELECT doc_a, doc_b, common, sa.sz AS sz_a, sb.sz AS sz_b
+        |  FROM pairs
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id)
+        |SELECT doc_a AS contained_id, doc_b AS container_id,
+        |  cast(common AS bigint) AS n_common, cast(sz_a AS bigint) AS sz_contained,
+        |  round(common / sz_a, 6) AS containment
+        |FROM sized WHERE common / sz_a >= 0.5
+        |UNION ALL
+        |SELECT doc_b, doc_a, cast(common AS bigint), cast(sz_b AS bigint),
+        |  round(common / sz_b, 6)
+        |FROM sized WHERE common / sz_b >= 0.5""".stripMargin,
+    "q105_curation_funnel" ->
+      """WITH f AS (
+        |  SELECT CASE
+        |    WHEN NOT coalesce(length(coalesce(text, '')) > 0, false) THEN 1
+        |    WHEN NOT coalesce(n_chars >= 200, false) THEN 2
+        |    WHEN NOT coalesce(n_chars <= 20000, false) THEN 3
+        |    WHEN NOT coalesce(coalesce(lang, '') <> '', false) THEN 4
+        |    WHEN NOT coalesce(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 10
+        |                      >= length(text) * 4, false) THEN 5
+        |    ELSE 0 END AS ff
+        |  FROM documents),
+        |c AS (SELECT ff, cast(count(*) AS bigint) AS n FROM f GROUP BY 1),
+        |t AS (SELECT cast(count(*) AS bigint) AS n_total FROM f),
+        |s AS (SELECT * FROM (VALUES (1, 'nonempty'), (2, 'min_len'),
+        |        (3, 'max_len'), (4, 'lang_known'), (5, 'alpha_ratio'))
+        |        AS v(stage_idx, stage)),
+        |j AS (SELECT s.stage_idx, s.stage, coalesce(c.n, 0) AS n_dropped
+        |      FROM s LEFT JOIN c ON s.stage_idx = c.ff),
+        |acc AS (SELECT stage_idx, stage, n_dropped,
+        |    t.n_total - coalesce(sum(n_dropped) OVER (ORDER BY stage_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_in
+        |  FROM j CROSS JOIN t)
+        |SELECT cast(stage_idx AS int) AS stage_idx, stage,
+        |  cast(n_in AS bigint) AS n_in, cast(n_dropped AS bigint) AS n_dropped,
+        |  cast(n_in - n_dropped AS bigint) AS n_out,
+        |  CASE WHEN n_in = 0 THEN 0.0 ELSE round(n_dropped / n_in, 6) END AS drop_pct
+        |FROM acc""".stripMargin,
     "q20_repetition" ->
       """WITH lines AS (
         |  SELECT doc_id, list_filter(list_transform(string_split(text, chr(10)),
@@ -1693,6 +1768,55 @@ object SparkEntry {
         |SELECT host, outw AS out_weight, r AS rank_e12,
         |  r / 1000000000000.0 AS rank
         |FROM r3""".stripMargin,
+    "q103_hits" ->
+      """WITH d AS (
+        |  SELECT doc_id, coalesce(source, 'unknown') AS source FROM documents),
+        |h AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS hid
+        |      FROM (SELECT DISTINCT source FROM d)),
+        |c AS (SELECT count(*) AS nh FROM h),
+        |l AS (SELECT d.source, h.hid,
+        |        ((((d.doc_id % 2147483648) * 2654435761) % 4294967296) // 65536) % nh AS t1,
+        |        ((((d.doc_id % 2147483648) * 2246822519) % 4294967296) // 65536) % nh AS t2
+        |      FROM d JOIN h ON d.source = h.source CROSS JOIN c
+        |      WHERE h.hid <> 0),
+        |e0 AS (SELECT source AS src, t1 AS thid FROM l
+        |       UNION ALL
+        |       SELECT source AS src, t2 AS thid FROM l),
+        |ed AS (SELECT DISTINCT e0.src, h.source AS dst
+        |       FROM e0 JOIN h ON e0.thid = h.hid
+        |       WHERE e0.src <> h.source),
+        |u AS (SELECT src AS host FROM ed UNION SELECT dst FROM ed),
+        |n AS (SELECT count(*) AS n FROM u),
+        |s0 AS (SELECT host, 1000000000000 // n AS hub FROM u CROSS JOIN n),
+        |ar1 AS (SELECT ed.dst AS host, cast(sum(s.hub) AS bigint) AS a_raw
+        |        FROM ed JOIN s0 s ON ed.src = s.host GROUP BY 1),
+        |ta1 AS (SELECT cast(coalesce(sum(a_raw), 0) AS bigint) AS t FROM ar1),
+        |a1 AS (SELECT u.host, cast(coalesce(ar1.a_raw, 0)
+        |           // (1 + (ta1.t // 1000000000000)) AS bigint) AS auth
+        |       FROM u LEFT JOIN ar1 ON u.host = ar1.host CROSS JOIN ta1),
+        |hr1 AS (SELECT ed.src AS host, cast(sum(a.auth) AS bigint) AS h_raw
+        |        FROM ed JOIN a1 a ON ed.dst = a.host GROUP BY 1),
+        |th1 AS (SELECT cast(coalesce(sum(h_raw), 0) AS bigint) AS t FROM hr1),
+        |s1 AS (SELECT u.host, cast(coalesce(hr1.h_raw, 0)
+        |           // (1 + (th1.t // 1000000000000)) AS bigint) AS hub, a1.auth
+        |       FROM u LEFT JOIN hr1 ON u.host = hr1.host
+        |       JOIN a1 ON u.host = a1.host CROSS JOIN th1),
+        |ar2 AS (SELECT ed.dst AS host, cast(sum(s.hub) AS bigint) AS a_raw
+        |        FROM ed JOIN s1 s ON ed.src = s.host GROUP BY 1),
+        |ta2 AS (SELECT cast(coalesce(sum(a_raw), 0) AS bigint) AS t FROM ar2),
+        |a2 AS (SELECT u.host, cast(coalesce(ar2.a_raw, 0)
+        |           // (1 + (ta2.t // 1000000000000)) AS bigint) AS auth
+        |       FROM u LEFT JOIN ar2 ON u.host = ar2.host CROSS JOIN ta2),
+        |hr2 AS (SELECT ed.src AS host, cast(sum(a.auth) AS bigint) AS h_raw
+        |        FROM ed JOIN a2 a ON ed.dst = a.host GROUP BY 1),
+        |th2 AS (SELECT cast(coalesce(sum(h_raw), 0) AS bigint) AS t FROM hr2),
+        |s2 AS (SELECT u.host, cast(coalesce(hr2.h_raw, 0)
+        |           // (1 + (th2.t // 1000000000000)) AS bigint) AS hub, a2.auth
+        |       FROM u LEFT JOIN hr2 ON u.host = hr2.host
+        |       JOIN a2 ON u.host = a2.host CROSS JOIN th2)
+        |SELECT host, hub AS hub_e12, auth AS auth_e12,
+        |  hub / 1000000000000.0 AS hub, auth / 1000000000000.0 AS auth
+        |FROM s2""".stripMargin,
     "q102_host_tiers" ->
       """WITH d AS (
         |  SELECT doc_id, coalesce(source, 'unknown') AS source FROM documents),

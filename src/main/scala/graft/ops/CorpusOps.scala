@@ -889,6 +889,95 @@ object CorpusOps {
       (col("r") / lit(1e12)).as("rank"))
   }
 
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) over the host link
+    * graph — the classic complement to [[hostRank]]: PageRank says
+    * "endorsed", HITS separates ENDORSERS (hubs — directories, curated
+    * link lists, "awesome" pages) from the ENDORSED (authorities). Seed
+    * curation wants both: authorities anchor the corpus, hubs are where
+    * new authorities get discovered.
+    *
+    * Semantics (K fixed rounds, mutual recursion in the classic order —
+    * authorities from the PREVIOUS hubs, hubs from the NEW authorities):
+    * edges are DEDUPED, unweighted (one endorsement per (src,dst) pair —
+    * HITS's adjacency is boolean; a repeated link is the same
+    * endorsement) with self-loops dropped; scores live in integer
+    * micro-units of M = 1e12.
+    *   h0 = M div N on every host; a0 = 0 (overwritten by round 1)
+    *   a_k(v) = (Σ_{u→v} h_{k-1}(u)) div D,  D = 1 + (T div M),
+    *            T = Σ_v Σ_{u→v} h_{k-1}(u)
+    *   h_k(u) = (Σ_{u→v} a_k(v)) div D' (same divisor rule on its own T')
+    * The divisor normalization replaces the float L1/L2 normalization:
+    * it keeps every score table summing to <= M (so every raw sum fits a
+    * long) using ONLY floor division on non-negative longs — every step
+    * is order-independent, so any SQL engine recomputes bit-identical
+    * scores (the q83 micro-unit discipline applied to the mutual
+    * fixpoint, unrolled like q83's rounds in the oracle).
+    *
+    * Overflow bound: each score <= M, so a raw sum <= M * maxDegree and
+    * the per-round totals T <= M * maxDegree; maxDegree (in OR out, on
+    * the deduped graph) is enforced <= 1e6, keeping T under 1e18 <
+    * Long.MaxValue. Real host graphs sit far under that; a caller with a
+    * 10^6-degree megahub caps edges first (the q101 maxOutDeg role).
+    *
+    * Scale shape: the graph is host-pair-sized, never document-sized.
+    * Per round: two equi-joins edge⋈scores + two partial-combined
+    * groupBys + two 1-row total aggregates broadcast — the rankFixpoint
+    * round shape doubled; the score table is lineage-cut per round.
+    *
+    * Input: (src, dst) string edges (extra columns ignored). Output one
+    * row per host in the edge universe: (host, hub_e12 long, auth_e12
+    * long, hub double = hub_e12/1e12, auth double). */
+  def hits(edges: DataFrame, iterations: Int = 2): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val m = 1000000000000L
+    val e = Checkpoints.cut(
+      edges.select(col("src").cast("string").as("src"),
+          col("dst").cast("string").as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull &&
+          col("src") =!= "" && col("dst") =!= "" && col("src") =!= col("dst"))
+        .distinct())
+    val universe = Checkpoints.cut(
+      e.select(col("src").as("host")).union(e.select(col("dst").as("host")))
+        .distinct())
+    val n = universe.count()
+    if (n == 0L)
+      return universe.select(col("host"), lit(0L).as("hub_e12"),
+        lit(0L).as("auth_e12"), lit(0.0).as("hub"), lit(0.0).as("auth"))
+    val maxDeg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .select(col("d"))
+      .union(e.groupBy(col("dst")).agg(count(lit(1)).as("d")).select(col("d")))
+      .agg(max(col("d"))).head().getLong(0)
+    require(maxDeg <= 1000000L,
+      s"max in/out degree $maxDeg exceeds the exact-arithmetic bound 1e6; " +
+        "cap edges before scoring")
+    // `div (1 + (T div M))`: the divisor normalization — exact floor
+    // division, keeps the score table's sum <= M for the next round
+    val norm = s"div (1 + (t div CAST($m AS BIGINT)))"
+    var scores = universe.withColumn("hub", lit(m / n)).withColumn("auth", lit(0L))
+    for (_ <- 1 to iterations) {
+      val aRaw = e.join(scores.select(col("host").as("src"), col("hub")), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("hub")).as("a_raw"))
+      val ta = aRaw.agg(coalesce(sum(col("a_raw")), lit(0L)).as("t"))
+      val auth = scores.select(col("host"), col("hub"))
+        .join(aRaw, col("host") === aRaw("dst"), "left")
+        .crossJoin(broadcast(ta))
+        .select(col("host"), col("hub"),
+          expr(s"coalesce(a_raw, CAST(0 AS BIGINT)) $norm").as("auth"))
+      val hRaw = e.join(auth.select(col("host").as("dst"), col("auth")), Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("auth")).as("h_raw"))
+      val th = hRaw.agg(coalesce(sum(col("h_raw")), lit(0L)).as("t"))
+      scores = Checkpoints.cut(
+        auth.select(col("host"), col("auth"))
+          .join(hRaw, col("host") === hRaw("src"), "left")
+          .crossJoin(broadcast(th))
+          .select(col("host"),
+            expr(s"coalesce(h_raw, CAST(0 AS BIGINT)) $norm").as("hub"),
+            col("auth")))
+    }
+    scores.select(col("host"), col("hub").as("hub_e12"), col("auth").as("auth_e12"),
+      (col("hub") / lit(1e12)).as("hub"), (col("auth") / lit(1e12)).as("auth"))
+  }
+
   /** exact bounded-radius harmonic centrality over the host graph — the
     * metric Common Crawl actually publishes its host/domain rankings by
     * (harmonic centrality, Boldi/Vigna "Axioms for centrality" 2014):
@@ -1138,6 +1227,64 @@ object CorpusOps {
           .when(col("new_hash").isNull, "gone")
           .when(col("old_hash") === col("new_hash"), "unchanged")
           .otherwise("changed").as("status"))
+  }
+
+  /** curation funnel audit — the per-stage survivor accounting every
+    * published pipeline reports (C4/Gopher/CCNet/FineWeb all publish
+    * "N% removed by stage X" tables): run an ORDERED list of named keep
+    * predicates and attribute every document to the FIRST stage that
+    * drops it, so stage counts sum to the corpus and the funnel is an
+    * honest partition (evaluating stages independently would double-count
+    * docs failing several filters and the percentages wouldn't reconcile).
+    *
+    * A predicate that evaluates to NULL (e.g. any length test on a NULL
+    * text) DROPS the doc at that stage — curation treats unknown as fail,
+    * and silently passing NULLs through would leak unfilterable rows into
+    * the survivor count.
+    *
+    * Output: one row per stage, in order — (stage_idx int 1-based, stage
+    * string, n_in long = docs entering the stage, n_dropped long, n_out
+    * long, drop_pct double = round(n_dropped/n_in, 6), 0.0 when n_in=0).
+    * The last row's n_out is the corpus the pipeline would keep.
+    *
+    * Scale shape: ONE corpus scan — the first-fail attribution is a
+    * codegen'd CASE chain folded into a partial-combined groupBy whose
+    * output is (nStages+1) rows; the cumulative window after it runs on
+    * that bounded table (single partition of <= nStages rows, not a
+    * corpus-sized window). Document text never shuffles. */
+  def curationFunnel(documents: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "curationFunnel needs at least one stage")
+    require(stages.map(_._1).distinct.size == stages.size,
+      s"stage names must be unique, got ${stages.map(_._1)}")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // first failing stage, 1-based; 0 = survived every stage. NULL
+    // predicate == fail (coalesce false) per the contract above.
+    val firstFail = stages.zipWithIndex.foldRight(lit(0): Column) {
+      case (((_, cond), i), acc) =>
+        when(!coalesce(cond, lit(false)), lit(i + 1)).otherwise(acc)
+    }
+    val counts = documents.select(firstFail.as("first_fail"))
+      .groupBy(col("first_fail")).agg(count(lit(1)).as("n"))
+    val total = documents.agg(count(lit(1)).as("n_total"))
+    val stagesDf = stages.zipWithIndex
+      .map { case ((name, _), i) => (i + 1, name) }
+      .toDF("stage_idx", "stage")
+    val w = Window.orderBy(col("stage_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    stagesDf
+      .join(counts, col("stage_idx") === col("first_fail"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("stage_idx"), col("stage"),
+        coalesce(col("n"), lit(0L)).as("n_dropped"), col("n_total"))
+      .withColumn("n_in",
+        col("n_total") - coalesce(sum(col("n_dropped")).over(w), lit(0L)))
+      .select(col("stage_idx"), col("stage"), col("n_in"), col("n_dropped"),
+        (col("n_in") - col("n_dropped")).as("n_out"),
+        when(col("n_in") === 0L, lit(0.0))
+          .otherwise(round(col("n_dropped").cast("double") / col("n_in"), 6))
+          .as("drop_pct"))
   }
 
   def lengthHistogram(documents: DataFrame, bucketWidth: Int = 100): DataFrame = {

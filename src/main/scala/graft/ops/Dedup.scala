@@ -476,24 +476,24 @@ object Dedup {
     Checkpoints.eager(out) { postings.unpersist() }
   }
 
-  /** lazy plan behind `ngramJaccardAllPairs` (plan-gate tests inspect the
-    * join shape here; the public method checkpoints the result to release
-    * the postings cache). Returns (result, postings-to-unpersist). */
-  private[graft] def ngramJaccardAllPairsLazy(
-      documents: DataFrame,
-      threshold: Double,
-      maxDf: Int): (DataFrame, DataFrame) = {
+  /** shared inverted-index core of the exact n-gram set-similarity
+    * self-joins ([[ngramJaccardAllPairs]] / [[ngramContainment]]):
+    * hashed distinct-gram postings, per-doc set sizes, and the sized
+    * pair table (doc_a < doc_b, common, sz_a, sz_b). Returns
+    * (sizedPairs, postings-to-unpersist-after-materialization).
+    *
+    * Postings are computed ONCE (typed flatMap) and persisted: the
+    * self-join below reads them twice and `sizes` a third time — without
+    * the persist the whole shingling subtree runs 3x (no exchange reuse
+    * across the differently-projected join sides). Grams are carried as
+    * 64-bit poly-31 hashes, not strings: 8-byte shuffle/join keys instead
+    * of ~20-char strings. A within-doc or cross-doc hash collision would
+    * perturb `common` by 1 — probability ~(grams^2)/2^64, negligible at
+    * any realistic vocabulary; the LSH+verify path (ngramJaccardDups)
+    * stays fully string-exact. */
+  private def gramPairCore(documents: DataFrame, maxDf: Int): (DataFrame, DataFrame) = {
     val spark = documents.sparkSession
     import spark.implicits._
-    // postings computed ONCE (typed flatMap) and persisted: the self-join
-    // below reads it twice and `sizes` a third time — without the persist
-    // the whole shingling subtree runs 3x (no exchange reuse across the
-    // differently-projected join sides). Grams are carried as 64-bit
-    // poly-31 hashes, not strings: 8-byte shuffle/join keys instead of
-    // ~20-char strings. A within-doc or cross-doc hash collision would
-    // perturb `common` by 1 — probability ~(grams^2)/2^64, negligible at
-    // any realistic vocabulary; the LSH+verify path (ngramJaccardDups)
-    // stays fully string-exact.
     val postings0 = documents.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
@@ -519,9 +519,21 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
-    val out = pairs
+    val sized = pairs
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+    (sized, postings0)
+  }
+
+  /** lazy plan behind `ngramJaccardAllPairs` (plan-gate tests inspect the
+    * join shape here; the public method checkpoints the result to release
+    * the postings cache). Returns (result, postings-to-unpersist). */
+  private[graft] def ngramJaccardAllPairsLazy(
+      documents: DataFrame,
+      threshold: Double,
+      maxDf: Int): (DataFrame, DataFrame) = {
+    val (sized, postings0) = gramPairCore(documents, maxDf)
+    val out = sized
       // threshold the RAW ratio (like the DuckDB oracle); rounding happens
       // only in the projected column — filtering on the rounded value kept/
       // dropped pairs within 5e-7 of the threshold differently than the
@@ -530,6 +542,60 @@ object Dedup {
         col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard_raw") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 6).as("jaccard"))
+    (out, postings0)
+  }
+
+  /** EXACT all-pairs word-3-gram CONTAINMENT — the asymmetric
+    * complement of [[ngramJaccardAllPairs]]: C(A in B) = |S(A) ∩ S(B)| /
+    * |S(A)|. Jaccard misses the syndication/wrapper shape entirely — a
+    * short article republished inside a long portal page shares all of
+    * ITS grams but few of the page's, so jaccard ≈ |A|/|B| ≈ 0 while
+    * containment = 1. This is the signal for quote farms, scraped-and-
+    * wrapped reposts, and template pages embedding whole feeds (the
+    * Broder "roughly contained" relation from the original shingling
+    * paper, SEQUENCES 1997).
+    *
+    * Output: one row per DIRECTED containment at or above `threshold` —
+    * (contained_id, container_id, n_common, sz_contained, containment =
+    * round(raw, 6); threshold tests the RAW ratio like the oracle). A
+    * near-identical pair emits both directions; `container` means "the
+    * other doc of the pair", not a size claim (with equal sets both
+    * directions are 1.0).
+    *
+    * Scale shape: identical to the jaccard all-pairs — same hashed
+    * postings self-join (never cartesian), same maxDf hot-gram cap (a
+    * dropped gram lowers computed containment by at most 1/|S(A)| —
+    * bounded recall loss at the boundary only), one extra
+    * pair-cardinality union for the second direction. */
+  def ngramContainment(
+      documents: DataFrame,
+      threshold: Double = 0.8,
+      maxDf: Int = 0): DataFrame = {
+    val (out, postings) = ngramContainmentLazy(documents, threshold, maxDf)
+    Checkpoints.eager(out) { postings.unpersist() }
+  }
+
+  /** lazy plan behind `ngramContainment` (plan-gate tests); returns
+    * (result, postings-to-unpersist). */
+  private[graft] def ngramContainmentLazy(
+      documents: DataFrame,
+      threshold: Double,
+      maxDf: Int): (DataFrame, DataFrame) = {
+    val (sized, postings0) = gramPairCore(documents, maxDf)
+    // both directions from ONE pass over the pair table (a union of two
+    // projections would execute the postings self-join subtree twice)
+    val out = sized.select(explode(array(
+        struct(col("doc_a").as("contained_id"), col("doc_b").as("container_id"),
+          col("common"), col("sz_a").as("sz_contained")),
+        struct(col("doc_b").as("contained_id"), col("doc_a").as("container_id"),
+          col("common"), col("sz_b").as("sz_contained")))).as("r"))
+      .select(col("r.*"))
+      .withColumn("containment_raw",
+        col("common").cast("double") / col("sz_contained"))
+      .filter(col("containment_raw") >= threshold)
+      .select(col("contained_id"), col("container_id"),
+        col("common").as("n_common"), col("sz_contained"),
+        round(col("containment_raw"), 6).as("containment"))
     (out, postings0)
   }
 
