@@ -924,9 +924,12 @@ object CorpusOps {
     * groupBys + two 1-row total aggregates broadcast — the rankFixpoint
     * round shape doubled; the score table is lineage-cut per round.
     *
-    * Input: (src, dst) string edges (extra columns ignored). Output one
-    * row per host in the edge universe: (host, hub_e12 long, auth_e12
-    * long, hub double = hub_e12/1e12, auth double). */
+    * Input: (src, dst) string edges (extra columns ignored; NULL
+    * endpoints and self-loops drop — "" is an ordinary host, the
+    * rankFixpoint edge-cleaning contract, so hits and hostRank see the
+    * same universe on the same input). Output one row per host in the
+    * edge universe: (host, hub_e12 long, auth_e12 long, hub double =
+    * hub_e12/1e12, auth double). */
   def hits(edges: DataFrame, iterations: Int = 2): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     val m = 1000000000000L
@@ -934,19 +937,26 @@ object CorpusOps {
       edges.select(col("src").cast("string").as("src"),
           col("dst").cast("string").as("dst"))
         .filter(col("src").isNotNull && col("dst").isNotNull &&
-          col("src") =!= "" && col("dst") =!= "" && col("src") =!= col("dst"))
+          col("src") =!= col("dst"))
         .distinct())
     val universe = Checkpoints.cut(
       e.select(col("src").as("host")).union(e.select(col("dst").as("host")))
         .distinct())
-    val n = universe.count()
+    // bounded scalars in ONE action over the two cut tables (the
+    // rankFixpoint consolidation): universe size + the degree bound
+    val stats = universe
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("od")),
+        universe("host") === col("src"), "left")
+      .join(e.groupBy(col("dst")).agg(count(lit(1)).as("id")),
+        universe("host") === col("dst"), "left")
+      .agg(count(lit(1)).as("n"),
+        max(greatest(coalesce(col("od"), lit(0L)),
+          coalesce(col("id"), lit(0L)))).as("maxDeg")).head()
+    val n = stats.getLong(0)
     if (n == 0L)
       return universe.select(col("host"), lit(0L).as("hub_e12"),
         lit(0L).as("auth_e12"), lit(0.0).as("hub"), lit(0.0).as("auth"))
-    val maxDeg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .select(col("d"))
-      .union(e.groupBy(col("dst")).agg(count(lit(1)).as("d")).select(col("d")))
-      .agg(max(col("d"))).head().getLong(0)
+    val maxDeg = stats.getLong(1)
     require(maxDeg <= 1000000L,
       s"max in/out degree $maxDeg exceeds the exact-arithmetic bound 1e6; " +
         "cap edges before scoring")
@@ -958,10 +968,10 @@ object CorpusOps {
       val aRaw = e.join(scores.select(col("host").as("src"), col("hub")), Seq("src"))
         .groupBy(col("dst")).agg(sum(col("hub")).as("a_raw"))
       val ta = aRaw.agg(coalesce(sum(col("a_raw")), lit(0L)).as("t"))
-      val auth = scores.select(col("host"), col("hub"))
+      val auth = scores.select(col("host"))
         .join(aRaw, col("host") === aRaw("dst"), "left")
         .crossJoin(broadcast(ta))
-        .select(col("host"), col("hub"),
+        .select(col("host"),
           expr(s"coalesce(a_raw, CAST(0 AS BIGINT)) $norm").as("auth"))
       val hRaw = e.join(auth.select(col("host").as("dst"), col("auth")), Seq("dst"))
         .groupBy(col("src")).agg(sum(col("auth")).as("h_raw"))
@@ -1249,9 +1259,12 @@ object CorpusOps {
     *
     * Scale shape: ONE corpus scan — the first-fail attribution is a
     * codegen'd CASE chain folded into a partial-combined groupBy whose
-    * output is (nStages+1) rows; the cumulative window after it runs on
-    * that bounded table (single partition of <= nStages rows, not a
-    * corpus-sized window). Document text never shuffles. */
+    * output is (nStages+1) rows, materialized once (lineage cut); the
+    * corpus total is the SUM of that bounded table (first-fail is a
+    * partition of the corpus, so no second scan), read driver-side as a
+    * bounded scalar, and the cumulative window runs on the same bounded
+    * table (single partition of <= nStages rows, not a corpus-sized
+    * window). Document text never shuffles. */
   def curationFunnel(documents: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
     require(stages.nonEmpty, "curationFunnel needs at least one stage")
     require(stages.map(_._1).distinct.size == stages.size,
@@ -1265,9 +1278,11 @@ object CorpusOps {
       case (((_, cond), i), acc) =>
         when(!coalesce(cond, lit(false)), lit(i + 1)).otherwise(acc)
     }
-    val counts = documents.select(firstFail.as("first_fail"))
-      .groupBy(col("first_fail")).agg(count(lit(1)).as("n"))
-    val total = documents.agg(count(lit(1)).as("n_total"))
+    val counts = Checkpoints.cut(documents.select(firstFail.as("first_fail"))
+      .groupBy(col("first_fail")).agg(count(lit(1)).as("n")))
+    // counts partitions the corpus (every doc has exactly one first_fail,
+    // 0 included), so the total is a bounded-table sum — no second scan
+    val nTotal = counts.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
     val stagesDf = stages.zipWithIndex
       .map { case ((name, _), i) => (i + 1, name) }
       .toDF("stage_idx", "stage")
@@ -1275,11 +1290,10 @@ object CorpusOps {
       .rowsBetween(Window.unboundedPreceding, -1)
     stagesDf
       .join(counts, col("stage_idx") === col("first_fail"), "left")
-      .crossJoin(broadcast(total))
       .select(col("stage_idx"), col("stage"),
-        coalesce(col("n"), lit(0L)).as("n_dropped"), col("n_total"))
+        coalesce(col("n"), lit(0L)).as("n_dropped"))
       .withColumn("n_in",
-        col("n_total") - coalesce(sum(col("n_dropped")).over(w), lit(0L)))
+        lit(nTotal) - coalesce(sum(col("n_dropped")).over(w), lit(0L)))
       .select(col("stage_idx"), col("stage"), col("n_in"), col("n_dropped"),
         (col("n_in") - col("n_dropped")).as("n_out"),
         when(col("n_in") === 0L, lit(0.0))

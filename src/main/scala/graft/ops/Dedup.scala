@@ -575,8 +575,9 @@ object Dedup {
     Checkpoints.eager(out) { postings.unpersist() }
   }
 
-  /** lazy plan behind `ngramContainment` (plan-gate tests); returns
-    * (result, postings-to-unpersist). */
+  /** lazy plan behind `ngramContainment` (the OpsSpec containment test
+    * plan-gates the join shape here); returns (result,
+    * postings-to-unpersist). */
   private[graft] def ngramContainmentLazy(
       documents: DataFrame,
       threshold: Double,

@@ -31,8 +31,7 @@ object PlanAudit {
         "q77_source_prior", // q77: the global-mean fallback scalar
         "q84_outlinks", // q84: the host-count scalar behind the mix32 targets
         "q87_anchor_terms", // q87: feeds on q84's frame — same host-count scalar
-        "q90_domain_edges", // q90: same host-count scalar in its subdomain frame
-        "q105_curation_funnel") // q105: the 1-row corpus-total scalar the funnel divides by
+        "q90_domain_edges") // q90: same host-count scalar in its subdomain frame
     graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>

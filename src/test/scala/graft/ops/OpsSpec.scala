@@ -3424,7 +3424,7 @@ class OpsSpec extends AnyFunSuite {
   /** sequential exact recompute of the hits() integer fixpoint — same
     * divisor-normalization formula, driver-side. */
   private def seqHits(edges: Seq[(String, String)], iters: Int): Map[String, (Long, Long)] = {
-    val e = edges.filter { case (s, d) => s.nonEmpty && d.nonEmpty && s != d }.distinct
+    val e = edges.filter { case (s, d) => s != d }.distinct
     val hosts = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
     val m = 1000000000000L
     if (hosts.isEmpty) return Map.empty
@@ -3488,11 +3488,14 @@ class OpsSpec extends AnyFunSuite {
     val r0 = CorpusOps.hits(Seq(("A", "B")).toDF("src", "dst"), 0).collect()
       .map(r => (r.getAs[Long]("hub_e12"), r.getAs[Long]("auth_e12"))).toSet
     assert(r0 == Set((500000000000L, 0L)))
-    // null/empty endpoints and self-loops drop before the universe forms
+    // self-loops drop before the universe forms; "" is an ordinary host
+    // (the rankFixpoint edge-cleaning contract — hits and hostRank see
+    // the same universe on the same input), so a host reachable only
+    // through a self-loop leaves the universe but "" endpoints stay
     val junk = CorpusOps.hits(
       Seq(("A", "B"), ("", "B"), ("A", ""), ("C", "C"))
         .toDF("src", "dst"), 1).collect().map(_.getString(0)).toSet
-    assert(junk == Set("A", "B"), s"got $junk")
+    assert(junk == Set("A", "B", ""), s"got $junk")
     intercept[IllegalArgumentException] {
       CorpusOps.hits(Seq(("A", "B")).toDF("src", "dst"), -1)
     }
@@ -3504,6 +3507,11 @@ class OpsSpec extends AnyFunSuite {
     val a = (1 to 12).map(i => s"w$i").mkString(" ")
     val wrapper = (1 to 40).map(i => s"nav$i").mkString(" ")
     val df = docsDf((1L, a), (2L, s"$wrapper $a $wrapper"), (3L, "zz yy xx vv"))
+    // plan gate on the lazy builder (the public method checkpoints the
+    // result, hiding the join shape) — same equi-join core as q21
+    val (lazyC, lazyPostings) = Dedup.ngramContainmentLazy(df, 0.9, 0)
+    assertNoCartesian(lazyC, "ngramContainment")
+    lazyPostings.unpersist()
     val out = Dedup.ngramContainment(df, threshold = 0.9).collect()
       .map(r => (r.getAs[Long]("contained_id"), r.getAs[Long]("container_id")) ->
         ((r.getAs[Long]("n_common"), r.getAs[Long]("sz_contained"),
