@@ -71,6 +71,17 @@ object SparkEntry {
         lit("<a name=\"top\">anchorless</a></body></html>")).as("html"))
   }
 
+  /** shared q105/q106 funnel stage list — ordered keep-predicates over
+    * the documents table, each mirrored literally in the oracle SQL. */
+  private def funnelStages: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "nonempty" -> (length(coalesce(col("text"), lit(""))) > 0),
+    "min_len" -> (col("n_chars") >= 200),
+    "max_len" -> (col("n_chars") <= 20000),
+    "lang_known" -> (coalesce(col("lang"), lit("")) =!= ""),
+    "alpha_ratio" ->
+      (length(regexp_replace(col("text"), "[^A-Za-z]", "")) * 10 >=
+        length(col("text")) * 4))
+
   /** shared q83/q88 synthetic host graph: two deterministic mix32
     * outlinks per doc over the indexed host universe, intra-host edges
     * dropped, docs of the alphabetically-first host emit nothing (it can
@@ -444,14 +455,13 @@ object SparkEntry {
       // per-stage survivor accounting (the C4/Gopher-style "N% removed
       // by stage X" table): docs attributed to the FIRST failing stage,
       // so the funnel partitions the corpus exactly
-      CorpusOps.curationFunnel(docs(s, dir), Seq(
-        "nonempty" -> (length(coalesce(col("text"), lit(""))) > 0),
-        "min_len" -> (col("n_chars") >= 200),
-        "max_len" -> (col("n_chars") <= 20000),
-        "lang_known" -> (coalesce(col("lang"), lit("")) =!= ""),
-        "alpha_ratio" ->
-          (length(regexp_replace(col("text"), "[^A-Za-z]", "")) * 10 >=
-            length(col("text")) * 4)))),
+      CorpusOps.curationFunnel(docs(s, dir), funnelStages)),
+    "q106_funnel_by_source" -> ((s, dir) =>
+      // the same funnel per SOURCE (the per-dump removal table FineWeb
+      // publishes): a stage gutting one source is visible instead of
+      // averaged away in the corpus-wide rate
+      CorpusOps.curationFunnelByGroup(docs(s, dir), col("source"),
+        funnelStages)),
     "q94_url_patterns" -> ((s, dir) => {
       // crawl-trap template mining over a synthesized URL frame: every
       // 7th doc sits in a calendar archive (one template, many distinct
@@ -1247,6 +1257,36 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_in
         |  FROM j CROSS JOIN t)
         |SELECT cast(stage_idx AS int) AS stage_idx, stage,
+        |  cast(n_in AS bigint) AS n_in, cast(n_dropped AS bigint) AS n_dropped,
+        |  cast(n_in - n_dropped AS bigint) AS n_out,
+        |  CASE WHEN n_in = 0 THEN 0.0 ELSE round(n_dropped / n_in, 6) END AS drop_pct
+        |FROM acc""".stripMargin,
+    "q106_funnel_by_source" ->
+      """WITH f AS (
+        |  SELECT coalesce(source, 'unknown') AS grp, CASE
+        |    WHEN NOT coalesce(length(coalesce(text, '')) > 0, false) THEN 1
+        |    WHEN NOT coalesce(n_chars >= 200, false) THEN 2
+        |    WHEN NOT coalesce(n_chars <= 20000, false) THEN 3
+        |    WHEN NOT coalesce(coalesce(lang, '') <> '', false) THEN 4
+        |    WHEN NOT coalesce(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 10
+        |                      >= length(text) * 4, false) THEN 5
+        |    ELSE 0 END AS ff
+        |  FROM documents),
+        |c AS (SELECT grp, ff, cast(count(*) AS bigint) AS n FROM f GROUP BY 1, 2),
+        |t AS (SELECT grp, cast(sum(n) AS bigint) AS n_total FROM c GROUP BY 1),
+        |s AS (SELECT * FROM (VALUES (1, 'nonempty'), (2, 'min_len'),
+        |        (3, 'max_len'), (4, 'lang_known'), (5, 'alpha_ratio'))
+        |        AS v(stage_idx, stage)),
+        |g AS (SELECT t.grp, t.n_total, s.stage_idx, s.stage FROM t CROSS JOIN s),
+        |j AS (SELECT g.grp, g.stage_idx, g.stage, g.n_total,
+        |        coalesce(c.n, 0) AS n_dropped
+        |      FROM g LEFT JOIN c ON g.grp = c.grp AND g.stage_idx = c.ff),
+        |acc AS (SELECT grp, stage_idx, stage, n_dropped,
+        |    n_total - coalesce(sum(n_dropped) OVER (PARTITION BY grp
+        |      ORDER BY stage_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_in
+        |  FROM j)
+        |SELECT grp, cast(stage_idx AS int) AS stage_idx, stage,
         |  cast(n_in AS bigint) AS n_in, cast(n_dropped AS bigint) AS n_dropped,
         |  cast(n_in - n_dropped AS bigint) AS n_out,
         |  CASE WHEN n_in = 0 THEN 0.0 ELSE round(n_dropped / n_in, 6) END AS drop_pct

@@ -1266,19 +1266,11 @@ object CorpusOps {
     * table (single partition of <= nStages rows, not a corpus-sized
     * window). Document text never shuffles. */
   def curationFunnel(documents: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
-    require(stages.nonEmpty, "curationFunnel needs at least one stage")
-    require(stages.map(_._1).distinct.size == stages.size,
-      s"stage names must be unique, got ${stages.map(_._1)}")
     val spark = documents.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    // first failing stage, 1-based; 0 = survived every stage. NULL
-    // predicate == fail (coalesce false) per the contract above.
-    val firstFail = stages.zipWithIndex.foldRight(lit(0): Column) {
-      case (((_, cond), i), acc) =>
-        when(!coalesce(cond, lit(false)), lit(i + 1)).otherwise(acc)
-    }
-    val counts = Checkpoints.cut(documents.select(firstFail.as("first_fail"))
+    val counts = Checkpoints.cut(documents
+      .select(firstFailStage(stages).as("first_fail"))
       .groupBy(col("first_fail")).agg(count(lit(1)).as("n")))
     // counts partitions the corpus (every doc has exactly one first_fail,
     // 0 included), so the total is a bounded-table sum — no second scan
@@ -1296,6 +1288,72 @@ object CorpusOps {
         lit(nTotal) - coalesce(sum(col("n_dropped")).over(w), lit(0L)))
       .select(col("stage_idx"), col("stage"), col("n_in"), col("n_dropped"),
         (col("n_in") - col("n_dropped")).as("n_out"),
+        when(col("n_in") === 0L, lit(0.0))
+          .otherwise(round(col("n_dropped").cast("double") / col("n_in"), 6))
+          .as("drop_pct"))
+  }
+
+  /** shared first-fail attribution of the funnel pair: the 1-based index
+    * of the first stage whose keep-predicate is not TRUE (NULL == fail —
+    * unknown never leaks into survivors), 0 = survived every stage. A
+    * codegen'd CASE chain, evaluated once per doc. */
+  private def firstFailStage(stages: Seq[(String, Column)]): Column = {
+    require(stages.nonEmpty, "curationFunnel needs at least one stage")
+    require(stages.map(_._1).distinct.size == stages.size,
+      s"stage names must be unique, got ${stages.map(_._1)}")
+    stages.zipWithIndex.foldRight(lit(0): Column) {
+      case (((_, cond), i), acc) =>
+        when(!coalesce(cond, lit(false)), lit(i + 1)).otherwise(acc)
+    }
+  }
+
+  /** [[curationFunnel]] per group — the per-source/per-dump removal
+    * table published pipelines actually report (FineWeb per CC dump,
+    * CCNet per language/source shard): the same first-fail partition
+    * accounting, one funnel per group, so a stage that guts ONE source
+    * is visible instead of averaged away in the corpus-wide rate.
+    *
+    * `groupCol` is any string-castable column of `documents` (NULL folds
+    * to "unknown", the corpus-wide surface convention). Output: one row
+    * per (group, stage) — (grp, stage_idx, stage, n_in, n_dropped,
+    * n_out, drop_pct), the q105 columns keyed by grp; every group
+    * reports every stage (zero-drop stages included, so funnels align
+    * across groups).
+    *
+    * Scale shape: still ONE corpus scan — the groupBy key gains the
+    * group column, so the bounded table is (nGroups x (nStages+1)) rows
+    * (group cardinality is the OUTPUT size; hosts/dumps, not documents),
+    * materialized once; per-group totals are sums over it, the stage
+    * grid comes from exploding a literal array (no join, no cross
+    * product), and the cumulative window partitions BY GROUP — parallel
+    * across groups, nStages rows within each. */
+  def curationFunnelByGroup(documents: DataFrame, groupCol: Column,
+      stages: Seq[(String, Column)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Checkpoints.cut(documents
+      .select(coalesce(groupCol.cast("string"), lit("unknown")).as("grp"),
+        firstFailStage(stages).as("first_fail"))
+      .groupBy(col("grp"), col("first_fail")).agg(count(lit(1)).as("n")))
+    val totals = counts.groupBy(col("grp")).agg(sum(col("n")).as("n_total"))
+    val stageArr = array(stages.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(i + 1).as("stage_idx"), lit(name).as("stage"))
+    }: _*)
+    val grid = totals.select(col("grp"), col("n_total"),
+        explode(stageArr).as("st"))
+      .select(col("grp"), col("n_total"),
+        col("st.stage_idx").as("stage_idx"), col("st.stage").as("stage"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("stage_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grid
+      .join(counts.withColumnRenamed("grp", "c_grp"),
+        col("grp") === col("c_grp") && col("stage_idx") === col("first_fail"),
+        "left")
+      .select(col("grp"), col("stage_idx"), col("stage"),
+        coalesce(col("n"), lit(0L)).as("n_dropped"), col("n_total"))
+      .withColumn("n_in",
+        col("n_total") - coalesce(sum(col("n_dropped")).over(w), lit(0L)))
+      .select(col("grp"), col("stage_idx"), col("stage"), col("n_in"),
+        col("n_dropped"), (col("n_in") - col("n_dropped")).as("n_out"),
         when(col("n_in") === 0L, lit(0.0))
           .otherwise(round(col("n_dropped").cast("double") / col("n_in"), 6))
           .as("drop_pct"))

@@ -3575,4 +3575,36 @@ class OpsSpec extends AnyFunSuite {
       CorpusOps.curationFunnel(df, Seq("a" -> lit(true), "a" -> lit(false)))
     }
   }
+
+  test("curationFunnelByGroup: per-group funnels align, NULL group folds to unknown") {
+    val df = Seq(
+      (1L, "good text here ok", "s1"),  // s1 survives
+      (2L, "", "s1"),                   // s1 stage 1
+      (3L, "short", "s1"),              // s1 stage 2
+      (4L, "also a fine doc", "s2"),    // s2 survives
+      (5L, "tiny", "s2"),               // s2 stage 2
+      (6L, "x", null)                   // unknown stage 2
+    ).toDF("doc_id", "text", "source")
+    val stages = Seq(
+      "nonempty" -> (length(coalesce(col("text"), lit(""))) > 0),
+      "min_len" -> (length(col("text")) >= 10))
+    val out = CorpusOps.curationFunnelByGroup(df, col("source"), stages)
+      .collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Int]("stage_idx")) ->
+        ((r.getAs[Long]("n_in"), r.getAs[Long]("n_dropped"),
+          r.getAs[Long]("n_out"), r.getAs[Double]("drop_pct")))).toMap
+    // every group reports every stage, zero-drop stages included
+    assert(out.keySet ==
+      Set(("s1", 1), ("s1", 2), ("s2", 1), ("s2", 2), ("unknown", 1), ("unknown", 2)))
+    assert(out(("s1", 1)) == ((3L, 1L, 2L, 0.333333)), s"got ${out(("s1", 1))}")
+    assert(out(("s1", 2)) == ((2L, 1L, 1L, 0.5)), s"got ${out(("s1", 2))}")
+    assert(out(("s2", 1)) == ((2L, 0L, 2L, 0.0)), s"got ${out(("s2", 1))}")
+    assert(out(("s2", 2)) == ((2L, 1L, 1L, 0.5)), s"got ${out(("s2", 2))}")
+    assert(out(("unknown", 1)) == ((1L, 0L, 1L, 0.0)))
+    assert(out(("unknown", 2)) == ((1L, 1L, 0L, 1.0)))
+    // per-group survivors reconcile with the corpus-wide funnel
+    val whole = CorpusOps.curationFunnel(df, stages).collect()
+      .map(r => r.getAs[Int]("stage_idx") -> r.getAs[Long]("n_out")).toMap
+    assert(whole(2) == Seq(("s1", 2), ("s2", 2), ("unknown", 2)).map(out(_)._3).sum)
+  }
 }
