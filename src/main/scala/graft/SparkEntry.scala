@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Bpe, CorpusOps, Dedup, LinkOps, SimSearch, TextOps}
+import graft.ops.{Bpe, CorpusOps, Dedup, LinkOps, RobotsOps, SimSearch, TextOps}
 import graft.pipeline.{Corpus, ExtractJob}
 
 /** Driver contract: one `queries` entry per implemented operator family
@@ -462,6 +462,54 @@ object SparkEntry {
       // averaged away in the corpus-wide rate
       CorpusOps.curationFunnelByGroup(docs(s, dir), col("source"),
         funnelStages)),
+    "q107_robots_filter" -> ((s, dir) => {
+      // robots.txt permission filter through the REAL parser (RFC 9309
+      // groups, comments, case-insensitive keys, pattern rules dropped
+      // per the documented literal-prefix subset) + longest-match URL
+      // filter; the oracle restates the expected parsed rules
+      // closed-form (the q84 discipline: kernel parsing gated by the
+      // oracle stating its output). URL mix: hostless junk (allowed,
+      // no identity), /cal/ trap pages (disallowed), /cal/public
+      // (longer allow overrides), /mix/ab (length tie -> allow wins),
+      // /post (no rule matches)
+      val d = docs(s, dir).select(col("doc_id"),
+        lower(coalesce(col("source"), lit("unknown"))).as("src"))
+      val body =
+        "# robots for the synthetic corpus\n" +
+        "User-agent: EvilBot\n" +
+        "Disallow: /\n" +
+        "\n" +
+        "User-agent: *\n" +
+        "DisAllow: /cal/    # calendar trap\n" +
+        "Allow: /cal/public\n" +
+        "Disallow: /tmp/*\n" +
+        "Allow: /print$\n" +
+        "Disallow:\n" +
+        "Disallow: /mix/ab\n" +
+        "Allow: /mix/ab\n" +
+        "Crawl-delay: 10\n" +
+        "Sitemap: https://example.com/sitemap.xml\n"
+      val robots = d.select(col("src")).distinct()
+        .select(concat(col("src"), lit(".example.com")).as("host"),
+          lit(body).as("body"))
+      val urls = d.select(col("doc_id"),
+        when(col("doc_id") % 13 === 0,
+          concat(lit("not a url "), col("doc_id").cast("string")))
+          .when(col("doc_id") % 7 === 0,
+            concat(lit("https://"), col("src"), lit(".example.com/cal/2024/"),
+              (col("doc_id") % 12).cast("string"), lit("/"),
+              col("doc_id").cast("string")))
+          .when(col("doc_id") % 7 === 1,
+            concat(lit("https://"), col("src"), lit(".example.com/cal/public/"),
+              col("doc_id").cast("string")))
+          .when(col("doc_id") % 7 === 2,
+            concat(lit("https://"), col("src"), lit(".example.com/mix/ab/"),
+              col("doc_id").cast("string")))
+          .otherwise(concat(lit("https://"), col("src"),
+            lit(".example.com/post/"), col("doc_id").cast("string")))
+          .as("url"))
+      RobotsOps.robotsFilter(urls, RobotsOps.parseRobots(robots))
+    }),
     "q94_url_patterns" -> ((s, dir) => {
       // crawl-trap template mining over a synthesized URL frame: every
       // 7th doc sits in a calendar archive (one template, many distinct
@@ -1291,6 +1339,36 @@ object SparkEntry {
         |  cast(n_in - n_dropped AS bigint) AS n_out,
         |  CASE WHEN n_in = 0 THEN 0.0 ELSE round(n_dropped / n_in, 6) END AS drop_pct
         |FROM acc""".stripMargin,
+    "q107_robots_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id, lower(coalesce(source, 'unknown')) AS src FROM documents),
+        |u AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 13 = 0 THEN 'not a url ' || doc_id
+        |       WHEN doc_id % 7 = 0 THEN 'https://' || src || '.example.com/cal/2024/'
+        |            || (doc_id % 12) || '/' || doc_id
+        |       WHEN doc_id % 7 = 1 THEN 'https://' || src || '.example.com/cal/public/' || doc_id
+        |       WHEN doc_id % 7 = 2 THEN 'https://' || src || '.example.com/mix/ab/' || doc_id
+        |       ELSE 'https://' || src || '.example.com/post/' || doc_id END AS url,
+        |  CASE WHEN doc_id % 13 = 0 THEN '' ELSE src || '.example.com' END AS host,
+        |  CASE WHEN doc_id % 13 = 0 THEN ''
+        |       WHEN doc_id % 7 = 0 THEN '/cal/2024/' || (doc_id % 12) || '/' || doc_id
+        |       WHEN doc_id % 7 = 1 THEN '/cal/public/' || doc_id
+        |       WHEN doc_id % 7 = 2 THEN '/mix/ab/' || doc_id
+        |       ELSE '/post/' || doc_id END AS pathq
+        |  FROM d),
+        |r AS (SELECT src || '.example.com' AS host, rule, path
+        |      FROM (SELECT DISTINCT src FROM d) CROSS JOIN
+        |        (VALUES ('disallow', '/cal/'), ('allow', '/cal/public'),
+        |                ('disallow', '/mix/ab'), ('allow', '/mix/ab'))
+        |        AS v(rule, path)),
+        |m AS (SELECT u.doc_id, r.rule, r.path,
+        |        row_number() OVER (PARTITION BY u.doc_id
+        |          ORDER BY length(r.path) DESC, r.rule ASC, r.path ASC) AS rnk
+        |      FROM u JOIN r ON u.host = r.host AND starts_with(u.pathq, r.path))
+        |SELECT u.doc_id, u.url, u.host,
+        |  coalesce(m.rule <> 'disallow', true) AS allowed,
+        |  m.rule AS matched_rule, m.path AS matched_path
+        |FROM u LEFT JOIN (SELECT * FROM m WHERE rnk = 1) m ON u.doc_id = m.doc_id""".stripMargin,
     "q20_repetition" ->
       """WITH lines AS (
         |  SELECT doc_id, list_filter(list_transform(string_split(text, chr(10)),

@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.{LinkOps => L}
+
+/** robots.txt rules — the crawl-side permission layer every
+  * Common-Crawl-style pipeline applies before (or while re-auditing) a
+  * corpus: parse per-host robots.txt bodies into (allow|disallow, path)
+  * rules for an agent, then filter a URL table by RFC 9309
+  * longest-match semantics. The reference is PDF-only
+  * (pdf_extractor.h:6); this is north_rule surface (Common-Crawl-style
+  * pages come from crawls that honor REP, and a curation pass re-checks
+  * it when policies change after the fetch).
+  *
+  * Scope (documented subset): literal path-prefix rules only — the
+  * pre-wildcard REP core. `*`/`$` pattern rules are DROPPED by the
+  * parser (a conservative consumer must treat unsupported patterns
+  * separately; mixing a partial wildcard implementation into
+  * longest-match would silently mis-rank rules). Directives beyond
+  * Allow/Disallow (Crawl-delay, Sitemap, Host) are ignored.
+  */
+object RobotsOps {
+
+  /** rules of `body` applying to `agent`, RFC 9309 group semantics:
+    * a group = consecutive User-agent lines followed by rules (a
+    * User-agent line after rules starts a NEW group); the applicable
+    * groups are those naming the agent EXACTLY (case-insensitive) if
+    * any exist, else the `*` groups (the RFC's most-specific-match,
+    * restricted to the exact-vs-wildcard distinction — product tokens
+    * here are full names, not prefixes). Same-agent groups merge (RFC
+    * 9309 §2.2.1). Comments (#) strip; blank lines do NOT end a group
+    * (the RFC dropped that pre-standard rule); empty-path rules drop
+    * ("Disallow:" alone means no restriction); pattern rules (*, $)
+    * drop per the documented subset. Returned paths are decoded only
+    * in case: matching is byte-literal prefix. */
+  private[graft] def parseRules(body: String, agent: String): Seq[(String, String)] = {
+    val want = agent.toLowerCase(java.util.Locale.ROOT)
+    val exact = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val wild = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var groupAgents = Set.empty[String]
+    var inRules = false
+    val lines = (if (body == null) "" else body).split("\r?\n", -1)
+    var i = 0
+    while (i < lines.length) {
+      val noComment = {
+        val h = lines(i).indexOf('#')
+        if (h < 0) lines(i) else lines(i).substring(0, h)
+      }
+      val line = noComment.trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val key = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(colon + 1).trim
+        key match {
+          case "user-agent" =>
+            if (inRules) { groupAgents = Set.empty; inRules = false }
+            groupAgents += value.toLowerCase(java.util.Locale.ROOT)
+          case "allow" | "disallow" =>
+            inRules = true
+            val clean = value.takeWhile(c => c != ' ' && c != '\t')
+            if (clean.nonEmpty && !clean.contains('*') && !clean.endsWith("$")) {
+              if (groupAgents.contains(want)) exact += ((key, clean))
+              else if (groupAgents.contains("*")) wild += ((key, clean))
+            }
+          case _ => // Crawl-delay, Sitemap, Host, unknown keys: ignored
+            // (they neither open a group nor end one, RFC 9309 §2.2.4)
+        }
+      }
+      i += 1
+    }
+    (if (exact.nonEmpty) exact else wild).distinct.toSeq
+  }
+
+  /** parse a (host, body) robots.txt table into the rule table
+    * [[robotsFilter]] consumes: (host, rule in {allow,disallow}, path).
+    * Per-row typed flatMap fused with the scan — zero shuffle, output
+    * proportional to rule count (real robots.txt files are O(100)
+    * lines; the table is host-cardinality-sized, never corpus-sized). */
+  def parseRobots(robots: DataFrame, agent: String = "*"): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col("host").cast("string"), col("body").cast("string"))
+      .as[(String, String)]
+      .flatMap { case (host, body) =>
+        if (host == null) Iterator.empty
+        else parseRules(body, agent).iterator.map { case (r, p) => (host, r, p) }
+      }
+      .toDF("host", "rule", "path")
+  }
+
+  /** URL path+query of an absolute URL — the REP match target (RFC 9309
+    * matches the path and optional query, never scheme/host); "/" when
+    * the URL has an empty path. "" for unparseable/hostless URLs (no
+    * host -> no rules -> allowed, like a host with no robots.txt). */
+  private[graft] def pathQueryOf(url: String): String =
+    try {
+      val u = new java.net.URI(if (url == null) "" else url.trim)
+      if (u.getHost == null) ""
+      else {
+        val p = u.getRawPath
+        val q = u.getRawQuery
+        (if (p == null || p.isEmpty) "/" else p) +
+          (if (q == null) "" else "?" + q)
+      }
+    } catch { case scala.util.control.NonFatal(_) => "" }
+
+  /** filter a URL table by robots rules, RFC 9309 longest-match: among
+    * a host's rules whose path is a literal prefix of the URL's
+    * path+query, the LONGEST path wins; on an allow/disallow tie at the
+    * same length, allow wins (§2.2.2); no matching rule (or no rules
+    * for the host, or an unparseable URL) means allowed.
+    *
+    * Input: urls (doc_id, url) + rules (host, rule, path) from
+    * [[parseRobots]]. Output one row per input url: (doc_id, url, host,
+    * allowed boolean, matched_rule, matched_path — NULL when no rule
+    * matched).
+    *
+    * Scale shape: rules are host-cardinality-sized, urls corpus-sized —
+    * ONE equi-join on host (the prefix test is a post-join filter on
+    * the host-matched candidates, so the join never degenerates to a
+    * cartesian; per-URL candidates are bounded by that host's rule
+    * count) + a per-doc_id top-1 window over those bounded candidates +
+    * one left join back to the full URL set. Document text never
+    * enters; whether the rule side broadcasts is AQE's call. */
+  def robotsFilter(urls: DataFrame, rules: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = urls.sparkSession
+    import spark.implicits._
+    val u = urls.select(col("doc_id").cast("long"), col("url").cast("string"))
+      .as[(Long, String)]
+      .map { case (id, url) =>
+        (id, url, L.hostOf(if (url == null) "" else url), pathQueryOf(url))
+      }
+      .toDF("doc_id", "url", "host", "pathq")
+    val r = rules.select(col("host").cast("string").as("r_host"),
+        lower(col("rule")).as("r_rule"), col("path").cast("string").as("r_path"))
+      .filter(col("r_host").isNotNull && col("r_path").isNotNull &&
+        col("r_path") =!= "" &&
+        (col("r_rule") === "allow" || col("r_rule") === "disallow"))
+      .distinct()
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(length(col("r_path")).desc, col("r_rule").asc, col("r_path").asc)
+    val matched = u.select(col("doc_id"), col("host"), col("pathq"))
+      .join(r, col("host") === col("r_host") &&
+        col("pathq").startsWith(col("r_path")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("r_rule"), col("r_path"))
+    u.join(matched, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("url"), col("host"),
+        coalesce(col("r_rule") =!= "disallow", lit(true)).as("allowed"),
+        col("r_rule").as("matched_rule"), col("r_path").as("matched_path"))
+  }
+}

@@ -3607,4 +3607,81 @@ class OpsSpec extends AnyFunSuite {
       .map(r => r.getAs[Int]("stage_idx") -> r.getAs[Long]("n_out")).toMap
     assert(whole(2) == Seq(("s1", 2), ("s2", 2), ("unknown", 2)).map(out(_)._3).sum)
   }
+
+  test("robots parser: groups, agent precedence, comments, pattern subset") {
+    val body =
+      """# global
+        |User-agent: SpecialBot
+        |User-agent: OtherBot
+        |Disallow: /special/
+        |
+        |User-agent: *
+        |DisAllow: /cal/   # trap
+        |Allow: /cal/public
+        |Disallow: /tmp/*
+        |Allow: /print$
+        |Disallow:
+        |Crawl-delay: 10
+        |Allow: /ok
+        |Sitemap: https://x/sitemap.xml
+        |
+        |User-agent: *
+        |Disallow: /merge/
+        |""".stripMargin
+    // wildcard agent: pattern rules + empty-path drop, same-agent groups
+    // merge, unknown keys (Crawl-delay/Sitemap) neither end the group nor
+    // emit rules, case-insensitive directive names
+    assert(RobotsOps.parseRules(body, "*").toSet ==
+      Set(("disallow", "/cal/"), ("allow", "/cal/public"), ("allow", "/ok"),
+        ("disallow", "/merge/")))
+    // exact agent (case-insensitive) wins: ONLY its groups apply
+    assert(RobotsOps.parseRules(body, "specialbot").toSet ==
+      Set(("disallow", "/special/")))
+    // an agent named in no group falls back to *
+    assert(RobotsOps.parseRules(body, "nobody") ==
+      RobotsOps.parseRules(body, "*"))
+    // rules before any User-agent line are outside every group: ignored
+    assert(RobotsOps.parseRules("Disallow: /x\nUser-agent: *\nAllow: /y", "*")
+      == Seq(("allow", "/y")))
+    assert(RobotsOps.parseRules(null, "*").isEmpty)
+    // a User-agent line AFTER rules starts a new group (RFC 9309), it
+    // does not extend the previous one
+    val twoGroups = "User-agent: a\nDisallow: /a\nUser-agent: b\nDisallow: /b"
+    assert(RobotsOps.parseRules(twoGroups, "b") == Seq(("disallow", "/b")))
+  }
+
+  test("robotsFilter: longest match wins, allow on tie, no-rule and hostless allowed") {
+    val urls = Seq(
+      (1L, "https://h.example/cal/2024/5"),   // disallow /cal/
+      (2L, "https://h.example/cal/public/5"), // allow /cal/public (longer)
+      (3L, "https://h.example/mix/ab/1"),     // tie -> allow
+      (4L, "https://h.example/post/1"),       // no rule
+      (5L, "not a url"),                      // hostless
+      (6L, "https://other.example/cal/2024")  // host without rules
+    ).toDF("doc_id", "url")
+    val rules = Seq(
+      ("h.example", "disallow", "/cal/"), ("h.example", "allow", "/cal/public"),
+      ("h.example", "disallow", "/mix/ab"), ("h.example", "allow", "/mix/ab")
+    ).toDF("host", "rule", "path")
+    val out = RobotsOps.robotsFilter(urls, rules).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("allowed"), Option(r.getAs[String]("matched_rule")),
+          Option(r.getAs[String]("matched_path"))))).toMap
+    assert(out(1L) == ((false, Some("disallow"), Some("/cal/"))), s"got ${out(1L)}")
+    assert(out(2L) == ((true, Some("allow"), Some("/cal/public"))))
+    assert(out(3L) == ((true, Some("allow"), Some("/mix/ab"))))
+    assert(out(4L) == ((true, None, None)))
+    assert(out(5L) == ((true, None, None)))
+    assert(out(6L) == ((true, None, None)))
+    // path+query is the match target; bare-host URL folds to "/"
+    assert(RobotsOps.pathQueryOf("https://h.example") == "/")
+    assert(RobotsOps.pathQueryOf("https://h.example/p?a=1") == "/p?a=1")
+    assert(RobotsOps.pathQueryOf("::bad::") == "")
+    // a root disallow blocks the bare-host URL through the "/" fold
+    val rootOut = RobotsOps.robotsFilter(
+      Seq((1L, "https://h.example")).toDF("doc_id", "url"),
+      Seq(("h.example", "disallow", "/")).toDF("host", "rule", "path"))
+      .collect().head
+    assert(!rootOut.getAs[Boolean]("allowed"))
+  }
 }
