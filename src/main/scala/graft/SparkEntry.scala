@@ -510,6 +510,17 @@ object SparkEntry {
           .as("url"))
       RobotsOps.robotsFilter(urls, RobotsOps.parseRobots(robots))
     }),
+    "q108_phrase_scan" -> ((s, dir) => {
+      // exact multi-phrase scan (the decontamination AUDIT ground
+      // truth): one Aho-Corasick pass reporting every literal
+      // occurrence — overlapping starts counted, first_pos in code
+      // points; needles span common words, a multi-word phrase, an
+      // absent needle (emits nothing), and an overlap-heavy bigram
+      import s.implicits._
+      Dedup.phraseScan(docs(s, dir),
+        Seq("the", "data process", "spark", "zz-absent-needle", "aa")
+          .toDF("phrase"))
+    }),
     "q94_url_patterns" -> ((s, dir) => {
       // crawl-trap template mining over a synthesized URL frame: every
       // 7th doc sits in a calendar archive (one template, many distinct
@@ -1369,6 +1380,19 @@ object SparkEntry {
         |  coalesce(m.rule <> 'disallow', true) AS allowed,
         |  m.rule AS matched_rule, m.path AS matched_path
         |FROM u LEFT JOIN (SELECT * FROM m WHERE rnk = 1) m ON u.doc_id = m.doc_id""".stripMargin,
+    "q108_phrase_scan" ->
+      """WITH p AS (SELECT * FROM (VALUES ('the'), ('data process'), ('spark'),
+        |             ('zz-absent-needle'), ('aa')) AS v(phrase)),
+        |pos AS (
+        |  SELECT d.doc_id, p.phrase, p.phrase AS ph,
+        |    unnest(range(1, length(d.text) - length(p.phrase) + 2)) AS i
+        |  FROM documents d JOIN p ON contains(d.text, p.phrase))
+        |SELECT pos.doc_id, pos.phrase,
+        |  cast(count(*) AS bigint) AS n_matches,
+        |  cast(min(pos.i) - 1 AS int) AS first_pos
+        |FROM pos JOIN documents d ON pos.doc_id = d.doc_id
+        |WHERE substr(d.text, cast(pos.i AS int), length(pos.ph)) = pos.ph
+        |GROUP BY 1, 2""".stripMargin,
     "q20_repetition" ->
       """WITH lines AS (
         |  SELECT doc_id, list_filter(list_transform(string_split(text, chr(10)),

@@ -1766,4 +1766,180 @@ object Dedup {
   }
 
   private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
+
+  // ---- exact multi-phrase scan (decontamination audit) -------------------
+
+  /** Aho-Corasick automaton over a bounded phrase set — goto maps +
+    * fail/dict links (serializable, broadcast once per job). Built
+    * driver-side; matching walks the text once whatever the phrase
+    * count. Char->child maps use getOrDefault(c, 0): node 0 is the root
+    * and never anyone's child, so 0 doubles as "missing". */
+  private[graft] final class PhraseAutomaton(phrases: Array[String])
+      extends Serializable {
+    /** (per-node char->child, pattern idx ending at node or -1, failure
+      * link, nearest suffix-pattern node or -1) */
+    val (gotos, out, fail, dict) = PhraseAutomaton.build(phrases)
+    /** next state from `state` on `c` (NFA simulation via fail links) */
+    def step(state: Int, c: Char): Int = {
+      var s = state
+      var n = gotos(s).getOrDefault(c, 0)
+      while (s != 0 && n == 0) { s = fail(s); n = gotos(s).getOrDefault(c, 0) }
+      n
+    }
+    /** every pattern ending at `state` (via the dict chain — per-position
+      * work bounded by patterns ACTUALLY ending here), fed to `f` */
+    def emit(state: Int, f: Int => Unit): Unit = {
+      var s = if (out(state) >= 0) state else dict(state)
+      while (s >= 0) { f(out(s)); s = dict(s) }
+    }
+  }
+
+  private[graft] object PhraseAutomaton {
+    private def build(phrases: Array[String]):
+        (Array[java.util.HashMap[Char, Int]], Array[Int], Array[Int], Array[Int]) = {
+      val gotoMaps = scala.collection.mutable.ArrayBuffer(
+        new java.util.HashMap[Char, Int]())
+      val outBuf = scala.collection.mutable.ArrayBuffer(-1)
+      for (pi <- phrases.indices) {
+        var node = 0
+        val p = phrases(pi)
+        var i = 0
+        while (i < p.length) {
+          val c = p.charAt(i)
+          val next = gotoMaps(node).getOrDefault(c, 0)
+          node =
+            if (next != 0) next
+            else {
+              gotoMaps += new java.util.HashMap[Char, Int]()
+              outBuf += -1
+              gotoMaps(node).put(c, gotoMaps.size - 1)
+              gotoMaps.size - 1
+            }
+          i += 1
+        }
+        outBuf(node) = pi
+      }
+      val out = outBuf.toArray
+      val fail = new Array[Int](out.length)
+      val dict = Array.fill(out.length)(-1)
+      // BFS failure links (classic construction); a child's fail target
+      // is strictly shallower than the child, so getOrDefault's 0 can
+      // never alias a real transition back to the child
+      val queue = new java.util.ArrayDeque[Int]()
+      gotoMaps(0).forEach { (_, child) => fail(child) = 0; queue.add(child) }
+      while (!queue.isEmpty) {
+        val u = queue.poll()
+        dict(u) = if (out(fail(u)) >= 0) fail(u) else dict(fail(u))
+        gotoMaps(u).forEach { (c, v) =>
+          var f = fail(u)
+          while (f != 0 && gotoMaps(f).getOrDefault(c, 0) == 0) f = fail(f)
+          fail(v) = gotoMaps(f).getOrDefault(c, 0)
+          queue.add(v)
+        }
+      }
+      (gotoMaps.toArray, out, fail, dict)
+    }
+  }
+
+  /** exact multi-phrase scan — the decontamination AUDIT primitive: find
+    * every literal occurrence of every phrase (eval prompts, canary
+    * strings, license markers) across the corpus in ONE pass. The n-gram
+    * (q40/q46/q81) and semantic (q82) decontaminators decide what to cut;
+    * this reports the ground truth they are judged against, and it is the
+    * tool an audit actually runs ("which docs contain this exact prompt,
+    * how many times, where").
+    *
+    * Semantics: case-sensitive literal matching; EVERY start offset
+    * counts (overlapping occurrences included — "aa" occurs 3x in
+    * "aaaa"); `first_pos` is the first occurrence's 0-based offset in
+    * Unicode code points (engine-neutral: UTF-16 indices would disagree
+    * with any codepoint-counting SQL engine on astral chars). NULL text
+    * matches nothing; NULL/empty phrases are dropped (an empty needle
+    * matching everywhere is never what an audit means). Only matching
+    * (doc, phrase) pairs are emitted.
+    *
+    * Output: (doc_id, phrase, n_matches long, first_pos int).
+    *
+    * Scale shape: the phrase set is bounded by construction (a benchmark
+    * or blocklist, not a corpus) — count-gated collect (cap
+    * `maxPhrases`), ONE Aho-Corasick automaton built driver-side and
+    * broadcast; the corpus side is one mapPartitions scan, text walked
+    * ONCE regardless of phrase count (per-position work bounded by
+    * patterns actually ending there via dictionary links), per-partition
+    * generation-stamped counters so the hot loop allocates nothing per
+    * row. No shuffle, no join, documents never move. */
+  def phraseScan(
+      documents: DataFrame,
+      phrases: DataFrame,
+      maxPhrases: Int = 1000000): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val phraseCached = phrases.select(col("phrase").cast("string")).as[String]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pats: Array[String] =
+      try {
+        val n = phraseCached.count()
+        require(n <= maxPhrases,
+          s"phrases has $n rows (cap $maxPhrases): phrase sets are " +
+            "benchmark/blocklist-sized by contract — did the corpus/phrase " +
+            "arguments get swapped?")
+        phraseCached.collect().filter(p => p != null && p.nonEmpty).distinct
+      } finally phraseCached.unpersist()
+    if (pats.isEmpty)
+      return spark.emptyDataset[(Long, String, Long, Int)]
+        .toDF("doc_id", "phrase", "n_matches", "first_pos")
+    val bAc = spark.sparkContext.broadcast(new PhraseAutomaton(pats))
+    val bPats = spark.sparkContext.broadcast(pats)
+    documents.select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val ac = bAc.value
+        val names = bPats.value
+        // generation-stamped per-pattern counters: zero per-row allocation
+        val stamp = new Array[Int](names.length)
+        val cnt = new Array[Long](names.length)
+        val firstUtf16 = new Array[Int](names.length)
+        var gen = 0
+        rows.flatMap { case (id, text) =>
+          if (text == null || text.isEmpty) Iterator.empty
+          else {
+            gen += 1
+            val g = gen
+            var state = 0
+            var i = 0
+            var nHit = 0
+            while (i < text.length) {
+              state = ac.step(state, text.charAt(i))
+              val pos = i
+              ac.emit(state, { pi =>
+                if (stamp(pi) != g) {
+                  stamp(pi) = g; cnt(pi) = 0L
+                  firstUtf16(pi) = pos - names(pi).length + 1
+                  nHit += 1
+                }
+                cnt(pi) += 1L
+              })
+              i += 1
+            }
+            if (nHit == 0) Iterator.empty
+            else {
+              val outRows = new Array[(Long, String, Long, Int)](nHit)
+              var k = 0
+              var pi = 0
+              while (pi < names.length) {
+                if (stamp(pi) == g) {
+                  // one codepoint conversion per matched (doc, phrase)
+                  outRows(k) = (id, names(pi), cnt(pi),
+                    text.codePointCount(0, firstUtf16(pi)))
+                  k += 1
+                }
+                pi += 1
+              }
+              outRows.iterator
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "phrase", "n_matches", "first_pos")
+  }
 }

@@ -3684,4 +3684,44 @@ class OpsSpec extends AnyFunSuite {
       .collect().head
     assert(!rootOut.getAs[Boolean]("allowed"))
   }
+
+  test("phraseScan: overlaps, suffix patterns via dict links, codepoint first_pos") {
+    val docs = Seq(
+      (1L, "aaaa and ushers usher in the data"), // aa x3 overlapping
+      (2L, "no matccs at all"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "😀 smile the end")         // astral char before "the"
+    ).toDF("doc_id", "text")
+    // "she"/"he"/"hers" share suffixes (the classic AC dict-link fixture);
+    // "usher" contains "she"/"he" as inner matches
+    val phrases = Seq("aa", "she", "he", "hers", "the", "zz", "", null)
+      .toDF("phrase")
+    val out = Dedup.phraseScan(docs, phrases).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("phrase")) ->
+        ((r.getAs[Long]("n_matches"), r.getAs[Int]("first_pos")))).toMap
+    // doc 1: "aaaa" -> aa at 0,1,2; "ushers usher" -> she at 10+? walk:
+    // text = "aaaa and ushers usher in the data"
+    //         0123456789...
+    // ushers: u(9)s(10)h(11)e(12)r(13)s(14); usher: u(16)...r(20)
+    assert(out((1L, "aa")) == ((3L, 0)), s"got ${out.get((1L, "aa"))}")
+    assert(out((1L, "she")) == ((2L, 10)))   // u[she]rs + u[she]r
+    assert(out((1L, "hers")) == ((1L, 11)))  // us[hers]
+    assert(out((1L, "he")) == ((3L, 11)))    // us[he]rs, us[he]r, t[he]
+    assert(out((1L, "the")) == ((1L, 25)))
+    assert(!out.contains((1L, "zz")) && !out.contains((2L, "aa")))
+    assert(!out.exists(_._1._1 == 2L) && !out.exists(_._1._1 == 3L))
+    // astral char counts ONE codepoint: "😀 smile the end" -> "the" at
+    // UTF-16 index 9 but codepoint 8; "he" inside it at codepoint 9
+    assert(out((4L, "the")) == ((1L, 8)), s"got ${out.get((4L, "the"))}")
+    assert(out((4L, "he")) == ((1L, 9)))
+    // phrase-set cap guard (corpus/phrase swap protection)
+    intercept[IllegalArgumentException] {
+      Dedup.phraseScan(docs, phrases, maxPhrases = 2)
+    }
+    // empty/null phrases dropped; all-empty set yields an empty frame
+    val none = Dedup.phraseScan(docs,
+      Seq("", null.asInstanceOf[String]).toDF("phrase"))
+    assert(none.columns.toSeq == Seq("doc_id", "phrase", "n_matches", "first_pos"))
+    assert(none.count() == 0L)
+  }
 }
