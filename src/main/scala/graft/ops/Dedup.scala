@@ -1769,34 +1769,46 @@ object Dedup {
 
   // ---- exact multi-phrase scan (decontamination audit) -------------------
 
-  /** Aho-Corasick automaton over a bounded phrase set — goto maps +
-    * fail/dict links (serializable, broadcast once per job). Built
-    * driver-side; matching walks the text once whatever the phrase
-    * count. Char->child maps use getOrDefault(c, 0): node 0 is the root
-    * and never anyone's child, so 0 doubles as "missing". */
+  /** Aho-Corasick automaton over a bounded phrase set — transitions as
+    * per-node SORTED parallel (char, child) primitive arrays (binary
+    * search, no Character boxing in the scan loop — a HashMap[Char,_]
+    * key boxes every non-ASCII lookup), fail/dict links as flat int
+    * arrays. Serializable, broadcast once per job; matching walks the
+    * text once whatever the phrase count. Node 0 is the root and never
+    * anyone's child, so 0 doubles as "missing" in lookups. */
   private[graft] final class PhraseAutomaton(phrases: Array[String])
       extends Serializable {
-    /** (per-node char->child, pattern idx ending at node or -1, failure
-      * link, nearest suffix-pattern node or -1) */
-    val (gotos, out, fail, dict) = PhraseAutomaton.build(phrases)
+    /** (per-node sorted edge chars, per-node child ids aligned with the
+      * chars, pattern idx ending at node or -1, failure link, nearest
+      * suffix-pattern node or -1 — the dictionary link: per-position
+      * match work is bounded by patterns ACTUALLY ending there) */
+    val (edgeChars, edgeKids, out, fail, dict) = PhraseAutomaton.build(phrases)
+    /** child of `s` on `c`, 0 when absent (binary search, boxing-free) */
+    private def child(s: Int, c: Char): Int = {
+      val cs = edgeChars(s)
+      var lo = 0
+      var hi = cs.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val mc = cs(mid)
+        if (mc == c) return edgeKids(s)(mid)
+        else if (mc < c) lo = mid + 1
+        else hi = mid - 1
+      }
+      0
+    }
     /** next state from `state` on `c` (NFA simulation via fail links) */
     def step(state: Int, c: Char): Int = {
       var s = state
-      var n = gotos(s).getOrDefault(c, 0)
-      while (s != 0 && n == 0) { s = fail(s); n = gotos(s).getOrDefault(c, 0) }
+      var n = child(s, c)
+      while (s != 0 && n == 0) { s = fail(s); n = child(s, c) }
       n
-    }
-    /** every pattern ending at `state` (via the dict chain — per-position
-      * work bounded by patterns ACTUALLY ending here), fed to `f` */
-    def emit(state: Int, f: Int => Unit): Unit = {
-      var s = if (out(state) >= 0) state else dict(state)
-      while (s >= 0) { f(out(s)); s = dict(s) }
     }
   }
 
   private[graft] object PhraseAutomaton {
     private def build(phrases: Array[String]):
-        (Array[java.util.HashMap[Char, Int]], Array[Int], Array[Int], Array[Int]) = {
+        (Array[Array[Char]], Array[Array[Int]], Array[Int], Array[Int], Array[Int]) = {
       val gotoMaps = scala.collection.mutable.ArrayBuffer(
         new java.util.HashMap[Char, Int]())
       val outBuf = scala.collection.mutable.ArrayBuffer(-1)
@@ -1837,7 +1849,20 @@ object Dedup {
           queue.add(v)
         }
       }
-      (gotoMaps.toArray, out, fail, dict)
+      // freeze the boxed build maps into sorted primitive parallel arrays
+      val edgeChars = new Array[Array[Char]](out.length)
+      val edgeKids = new Array[Array[Int]](out.length)
+      var n = 0
+      while (n < out.length) {
+        val entries = new Array[(Char, Int)](gotoMaps(n).size)
+        var k = 0
+        gotoMaps(n).forEach { (c, v) => entries(k) = (c, v); k += 1 }
+        java.util.Arrays.sort(entries, Ordering.by((e: (Char, Int)) => e._1))
+        edgeChars(n) = entries.map(_._1)
+        edgeKids(n) = entries.map(_._2)
+        n += 1
+      }
+      (edgeChars, edgeKids, out, fail, dict)
     }
   }
 
@@ -1910,15 +1935,20 @@ object Dedup {
             var nHit = 0
             while (i < text.length) {
               state = ac.step(state, text.charAt(i))
-              val pos = i
-              ac.emit(state, { pi =>
+              // dict-chain walk inlined (a per-char emit callback would
+              // allocate one closure per character — the opposite of the
+              // zero-allocation contract this loop documents)
+              var s = if (ac.out(state) >= 0) state else ac.dict(state)
+              while (s >= 0) {
+                val pi = ac.out(s)
                 if (stamp(pi) != g) {
                   stamp(pi) = g; cnt(pi) = 0L
-                  firstUtf16(pi) = pos - names(pi).length + 1
+                  firstUtf16(pi) = i - names(pi).length + 1
                   nHit += 1
                 }
                 cnt(pi) += 1L
-              })
+                s = ac.dict(s)
+              }
               i += 1
             }
             if (nHit == 0) Iterator.empty

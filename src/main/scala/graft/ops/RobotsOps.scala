@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.ops.{LinkOps => L}
 
 /** robots.txt rules — the crawl-side permission layer every
   * Common-Crawl-style pipeline applies before (or while re-auditing) a
@@ -31,14 +30,21 @@ object RobotsOps {
     * here are full names, not prefixes). Same-agent groups merge (RFC
     * 9309 §2.2.1). Comments (#) strip; blank lines do NOT end a group
     * (the RFC dropped that pre-standard rule); empty-path rules drop
-    * ("Disallow:" alone means no restriction); pattern rules (*, $)
-    * drop per the documented subset. Returned paths are decoded only
-    * in case: matching is byte-literal prefix. */
+    * ("Disallow:" alone means no restriction); rules with interior
+    * whitespace or pattern metachars (*, $) drop per the documented
+    * subset (truncating them would enter a DIFFERENT rule into
+    * longest-match ranking). Group precedence is decided by whether any
+    * group NAMES the agent — an exact group whose rules all drop (the
+    * classic whitelist `User-agent: goodbot` + bare `Disallow:`) still
+    * preempts `*`: falling back would hand the whitelisted agent the
+    * wildcard group's restrictions, the exact inversion of the file.
+    * Returned paths are matched byte-literally (no case folding). */
   private[graft] def parseRules(body: String, agent: String): Seq[(String, String)] = {
     val want = agent.toLowerCase(java.util.Locale.ROOT)
     val exact = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val wild = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var groupAgents = Set.empty[String]
+    var sawExactGroup = false
     var inRules = false
     val lines = (if (body == null) "" else body).split("\r?\n", -1)
     var i = 0
@@ -56,12 +62,14 @@ object RobotsOps {
           case "user-agent" =>
             if (inRules) { groupAgents = Set.empty; inRules = false }
             groupAgents += value.toLowerCase(java.util.Locale.ROOT)
+            if (groupAgents.contains(want)) sawExactGroup = true
           case "allow" | "disallow" =>
             inRules = true
-            val clean = value.takeWhile(c => c != ' ' && c != '\t')
-            if (clean.nonEmpty && !clean.contains('*') && !clean.endsWith("$")) {
-              if (groupAgents.contains(want)) exact += ((key, clean))
-              else if (groupAgents.contains("*")) wild += ((key, clean))
+            if (value.nonEmpty &&
+                !value.exists(c => c == ' ' || c == '\t') &&
+                !value.contains('*') && !value.endsWith("$")) {
+              if (groupAgents.contains(want)) exact += ((key, value))
+              else if (groupAgents.contains("*")) wild += ((key, value))
             }
           case _ => // Crawl-delay, Sitemap, Host, unknown keys: ignored
             // (they neither open a group nor end one, RFC 9309 §2.2.4)
@@ -69,7 +77,7 @@ object RobotsOps {
       }
       i += 1
     }
-    (if (exact.nonEmpty) exact else wild).distinct.toSeq
+    (if (sawExactGroup) exact else wild).distinct.toSeq
   }
 
   /** parse a (host, body) robots.txt table into the rule table
@@ -84,26 +92,37 @@ object RobotsOps {
       .as[(String, String)]
       .flatMap { case (host, body) =>
         if (host == null) Iterator.empty
-        else parseRules(body, agent).iterator.map { case (r, p) => (host, r, p) }
+        else {
+          // lowercase the key so it joins against hostOf's lowercased URL
+          // hosts — a mixed-case robots key would otherwise never match
+          // and its disallows would silently pass everything
+          val h = host.toLowerCase(java.util.Locale.ROOT)
+          parseRules(body, agent).iterator.map { case (r, p) => (h, r, p) }
+        }
       }
       .toDF("host", "rule", "path")
   }
 
-  /** URL path+query of an absolute URL — the REP match target (RFC 9309
-    * matches the path and optional query, never scheme/host); "/" when
-    * the URL has an empty path. "" for unparseable/hostless URLs (no
-    * host -> no rules -> allowed, like a host with no robots.txt). */
-  private[graft] def pathQueryOf(url: String): String =
+  /** (lowercased host, path+query) of an absolute URL in ONE parse —
+    * the REP match target is the path plus optional query (RFC 9309),
+    * never scheme/host; an empty path folds to "/". ("", "") for
+    * unparseable/hostless URLs (no host -> no rules -> allowed, like a
+    * host with no robots.txt). */
+  private[graft] def hostPathOf(url: String): (String, String) =
     try {
       val u = new java.net.URI(if (url == null) "" else url.trim)
-      if (u.getHost == null) ""
+      val h = u.getHost
+      if (h == null) ("", "")
       else {
         val p = u.getRawPath
         val q = u.getRawQuery
-        (if (p == null || p.isEmpty) "/" else p) +
-          (if (q == null) "" else "?" + q)
+        (h.toLowerCase(java.util.Locale.ROOT),
+          (if (p == null || p.isEmpty) "/" else p) +
+            (if (q == null) "" else "?" + q))
       }
-    } catch { case scala.util.control.NonFatal(_) => "" }
+    } catch { case scala.util.control.NonFatal(_) => ("", "") }
+
+  private[graft] def pathQueryOf(url: String): String = hostPathOf(url)._2
 
   /** filter a URL table by robots rules, RFC 9309 longest-match: among
     * a host's rules whose path is a literal prefix of the URL's
@@ -117,12 +136,15 @@ object RobotsOps {
     * matched).
     *
     * Scale shape: rules are host-cardinality-sized, urls corpus-sized —
-    * ONE equi-join on host (the prefix test is a post-join filter on
-    * the host-matched candidates, so the join never degenerates to a
-    * cartesian; per-URL candidates are bounded by that host's rule
-    * count) + a per-doc_id top-1 window over those bounded candidates +
-    * one left join back to the full URL set. Document text never
-    * enters; whether the rule side broadcasts is AQE's call. */
+    * URLs are parsed ONCE (one typed map, one URI construction per
+    * row), then ONE LEFT equi-join on host (the prefix test rides the
+    * join condition as a post-join filter on the host-matched
+    * candidates, so it never degenerates to a cartesian; per-URL
+    * candidates are bounded by that host's rule count, and non-matching
+    * URLs survive as the null-rule row) + a per-doc_id top-1 window
+    * where null rules sort last — no second scan, no join-back.
+    * Document text never enters; whether the rule side broadcasts is
+    * AQE's call. */
   def robotsFilter(urls: DataFrame, rules: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = urls.sparkSession
@@ -130,24 +152,25 @@ object RobotsOps {
     val u = urls.select(col("doc_id").cast("long"), col("url").cast("string"))
       .as[(Long, String)]
       .map { case (id, url) =>
-        (id, url, L.hostOf(if (url == null) "" else url), pathQueryOf(url))
+        val (h, pq) = hostPathOf(url)
+        (id, url, h, pq)
       }
       .toDF("doc_id", "url", "host", "pathq")
-    val r = rules.select(col("host").cast("string").as("r_host"),
+    val r = rules.select(lower(col("host")).cast("string").as("r_host"),
         lower(col("rule")).as("r_rule"), col("path").cast("string").as("r_path"))
       .filter(col("r_host").isNotNull && col("r_path").isNotNull &&
         col("r_path") =!= "" &&
         (col("r_rule") === "allow" || col("r_rule") === "disallow"))
       .distinct()
+    // desc = nulls-last in Spark, so the null-rule row of an unmatched
+    // URL ranks below every real candidate and wins only when nothing
+    // matched — exactly the "no rule -> allowed" row we want to keep
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(length(col("r_path")).desc, col("r_rule").asc, col("r_path").asc)
-    val matched = u.select(col("doc_id"), col("host"), col("pathq"))
-      .join(r, col("host") === col("r_host") &&
-        col("pathq").startsWith(col("r_path")))
+    u.join(r, col("host") === col("r_host") &&
+        col("pathq").startsWith(col("r_path")), "left_outer")
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
-      .select(col("doc_id"), col("r_rule"), col("r_path"))
-    u.join(matched, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("url"), col("host"),
         coalesce(col("r_rule") =!= "disallow", lit(true)).as("allowed"),
         col("r_rule").as("matched_rule"), col("r_path").as("matched_path"))

@@ -3648,6 +3648,25 @@ class OpsSpec extends AnyFunSuite {
     // does not extend the previous one
     val twoGroups = "User-agent: a\nDisallow: /a\nUser-agent: b\nDisallow: /b"
     assert(RobotsOps.parseRules(twoGroups, "b") == Seq(("disallow", "/b")))
+    // the classic whitelist: an exact group whose only rule drops
+    // (empty-path Disallow) still PREEMPTS * — falling back would hand
+    // the whitelisted agent the wildcard group's disallow-all
+    val whitelist = "User-agent: goodbot\nDisallow:\n\nUser-agent: *\nDisallow: /"
+    assert(RobotsOps.parseRules(whitelist, "goodbot").isEmpty)
+    assert(RobotsOps.parseRules(whitelist, "*") == Seq(("disallow", "/")))
+    // same when the exact group exists with NO rule lines at all (only
+    // possible at EOF: a blank line does NOT end a group, so a UA line
+    // directly after another UA line merges agents into one group)
+    assert(RobotsOps.parseRules(
+      "User-agent: *\nDisallow: /x\nUser-agent: goodbot", "goodbot") == Seq.empty)
+    assert(RobotsOps.parseRules(
+      "User-agent: goodbot\n\nUser-agent: *\nDisallow: /x", "goodbot") ==
+      Seq(("disallow", "/x"))) // merged group names both agents
+    // interior whitespace = malformed rule: DROPPED, not truncated (a
+    // truncated '/my docs/' would disallow '/mypage' the file never named)
+    assert(RobotsOps.parseRules(
+      "User-agent: *\nDisallow: /my docs/\nAllow: /ok", "*") ==
+      Seq(("allow", "/ok")))
   }
 
   test("robotsFilter: longest match wins, allow on tie, no-rule and hostless allowed") {
@@ -3659,8 +3678,9 @@ class OpsSpec extends AnyFunSuite {
       (5L, "not a url"),                      // hostless
       (6L, "https://other.example/cal/2024")  // host without rules
     ).toDF("doc_id", "url")
+    // mixed-case rules host must still match the lowercased URL host
     val rules = Seq(
-      ("h.example", "disallow", "/cal/"), ("h.example", "allow", "/cal/public"),
+      ("H.Example", "disallow", "/cal/"), ("h.example", "allow", "/cal/public"),
       ("h.example", "disallow", "/mix/ab"), ("h.example", "allow", "/mix/ab")
     ).toDF("host", "rule", "path")
     val out = RobotsOps.robotsFilter(urls, rules).collect()
