@@ -521,6 +521,19 @@ object SparkEntry {
         Seq("the", "data process", "spark", "zz-absent-needle", "aa")
           .toDF("phrase"))
     }),
+    "q109_phrase_docs" -> ((s, dir) =>
+      // token-level exact phrase retrieval, scan side: in-row candidate
+      // filter under the shared BM25/q33 tokenization — "batch batch"
+      // exercises overlap counting (a "batch batch batch" run matches
+      // twice) and the token-boundary semantics q108's byte scan can't
+      // express
+      TextOps.phraseDocs(docs(s, dir), "batch batch")),
+    "q110_phrase_index" -> ((s, dir) =>
+      // the indexed twin: positional postings + the adjacency join —
+      // value-identical to q109 by construction (same tokenization, same
+      // overlap algebra), per-query cost O(term postings) not O(corpus)
+      TextOps.phraseDocsIndexed(
+        TextOps.buildPositionalIndex(docs(s, dir)), "batch batch")),
     "q94_url_patterns" -> ((s, dir) => {
       // crawl-trap template mining over a synthesized URL frame: every
       // 7th doc sits in a calendar archive (one template, many distinct
@@ -1393,6 +1406,30 @@ object SparkEntry {
         |FROM pos JOIN documents d ON pos.doc_id = d.doc_id
         |WHERE substr(d.text, cast(pos.i AS int), length(pos.ph)) = pos.ph
         |GROUP BY 1, 2""".stripMargin,
+    "q109_phrase_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, unnest(range(1, len(t))) AS i, t
+        |  FROM toks WHERE len(t) >= 2)
+        |SELECT doc_id, cast(count(*) AS bigint) AS n_matches,
+        |  cast(min(i) - 1 AS int) AS first_pos
+        |FROM occ WHERE t[i] = 'batch' AND t[i+1] = 'batch'
+        |GROUP BY doc_id""".stripMargin,
+    "q110_phrase_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, unnest(range(1, len(t))) AS i, t
+        |  FROM toks WHERE len(t) >= 2)
+        |SELECT doc_id, cast(count(*) AS bigint) AS n_matches,
+        |  cast(min(i) - 1 AS int) AS first_pos
+        |FROM occ WHERE t[i] = 'batch' AND t[i+1] = 'batch'
+        |GROUP BY doc_id""".stripMargin,
     "q20_repetition" ->
       """WITH lines AS (
         |  SELECT doc_id, list_filter(list_transform(string_split(text, chr(10)),

@@ -1488,4 +1488,122 @@ object TextOps {
       .select(col("doc_id"), col("n_terms_matched"), col("score_e6"), col("rnk"))
   }
 
+  /** phrase tokens: the q33/BM25 tokenization contract WITHOUT the
+    * distinct/dedup step — a phrase is an ordered sequence, repeats
+    * matter ("batch batch" is a 2-token phrase). */
+  private def phraseTokens(phrase: String): Seq[String] =
+    Option(phrase).getOrElse("").trim.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty).toSeq
+
+  private def phraseEmpty(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_matches",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("first_pos",
+          org.apache.spark.sql.types.IntegerType))))
+
+  /** token-level exact phrase search, scan side — the retrieval twin of
+    * [[Dedup.phraseScan]] (which matches byte-literal substrings): here a
+    * phrase matches only on TOKEN boundaries under the shared BM25/q33
+    * tokenization, the semantics an inverted index can serve. Output one
+    * row per matching doc: (doc_id, n_matches, first_pos) with first_pos
+    * a 0-based token index; overlapping occurrences all count ("batch
+    * batch batch" matches "batch batch" twice). No reference analog
+    * (pdf_extractor.h:6 — the reference is a PDF text extractor);
+    * north_rule surface (phrase-level decontamination audits and quote
+    * retrieval over the extracted corpus).
+    *
+    * Scale shape: one projection — the occurrence positions are computed
+    * IN-ROW by filtering a `sequence(1, n-k+1)` of candidate starts with
+    * an unrolled k-term conjunction (k = phrase length, bounded and tiny),
+    * all inside codegen; no explode, no shuffle, no join. The corpus is
+    * scanned once and only (doc_id, text) is read. */
+  def phraseDocs(documents: DataFrame, phrase: String): DataFrame = {
+    val spark = documents.sparkSession
+    val pts = phraseTokens(phrase)
+    if (pts.isEmpty) return phraseEmpty(spark)
+    val k = pts.length
+    val base = documents.select(col("doc_id").cast("long").as("doc_id"),
+      bm25Toks.as("toks"))
+    // candidate starts are 1-based (element_at is 1-based); a start i
+    // matches when every phrase token equals the doc token at i+j
+    val starts = filter(
+      sequence(lit(1), size(col("toks")) - lit(k - 1)),
+      i => pts.zipWithIndex.map { case (t, j) =>
+        element_at(col("toks"), (i + lit(j)).cast("int")) === lit(t)
+      }.reduce(_ && _))
+    base.filter(size(col("toks")) >= k)
+      .select(col("doc_id"), starts.as("hits"))
+      .filter(size(col("hits")) > 0)
+      .select(col("doc_id"),
+        size(col("hits")).cast("long").as("n_matches"),
+        (element_at(col("hits"), 1) - lit(1)).cast("int").as("first_pos"))
+  }
+
+  /** positional inverted index: one row per token OCCURRENCE — (term,
+    * doc_id, pos) with pos a 0-based token index under the shared
+    * tokenization. The positional counterpart of [[buildTextIndex]]'s
+    * tf postings; [[phraseDocsIndexed]] serves phrase queries from it.
+    *
+    * Scale shape: one posexplode; no aggregation at all (occurrences ARE
+    * the rows). Persist sorted/bucketed by term so a phrase probe is a
+    * pruned range read; index size is corpus token count × 3 small
+    * columns — the standard positional-index cost paid once. */
+  def buildPositionalIndex(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id").cast("long").as("doc_id"),
+        bm25Toks.as("toks"))
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "term")))
+      .select(col("term"), col("doc_id"), col("pos").cast("int").as("pos"))
+
+  /** exact phrase search over a prebuilt positional index —
+    * value-identical to [[phraseDocs]] on the same corpus (same
+    * tokenization, same overlap counting, same 0-based first_pos), but
+    * the per-query cost is O(postings of the phrase's terms), not
+    * O(corpus): the classic positional-postings adjacency join.
+    *
+    * Plan: the phrase becomes a tiny (term_idx, term) literal frame; ONE
+    * broadcast join pulls each matching posting with every phrase slot it
+    * could fill (a posting matches slot j when its term equals token j —
+    * repeated phrase tokens fan out, which is exactly the adjacency
+    * algebra); base = pos - j aligns candidates so an occurrence at base
+    * b is a (doc_id, b) group containing ALL k slots. One partial-combined
+    * aggregate groups by (doc_id, base) counting distinct slots, a second
+    * tiny aggregate folds occurrences per doc. Postings never shuffle by
+    * corpus size — only the phrase's term postings move, keyed by
+    * (doc_id, base).
+    *
+    * Query-time filter: `term isin (...)` reaches the index scan as a
+    * pushed filter (PlanSpec-gated for the BM25 twin; same shape). */
+  def phraseDocsIndexed(positions: DataFrame, phrase: String): DataFrame = {
+    val spark = positions.sparkSession
+    import spark.implicits._
+    val pts = phraseTokens(phrase)
+    if (pts.isEmpty) return phraseEmpty(spark)
+    val k = pts.length
+    val slots = pts.zipWithIndex.map { case (t, j) => (j, t) }
+      .toDF("slot", "q_term")
+    val matched = positions
+      .filter(col("term").isin(pts.distinct: _*))
+      .select(col("term"), col("doc_id").cast("long").as("doc_id"),
+        col("pos").cast("int").as("pos"))
+      .join(broadcast(slots), col("term") === col("q_term"))
+      .select(col("doc_id"), (col("pos") - col("slot")).as("base"), col("slot"))
+      .filter(col("base") >= 0)
+    matched
+      .groupBy(col("doc_id"), col("base"))
+      // distinct is exact here: a (doc_id, base, slot) triple is unique
+      // because a doc has at most one token at position base+slot — but
+      // countDistinct keeps the contract honest if the index ever holds
+      // duplicate rows (e.g. a snapshot unioned with a delta)
+      .agg(countDistinct(col("slot")).as("n_slots"))
+      .filter(col("n_slots") === k)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("base")).cast("int").as("first_pos"))
+  }
+
 }

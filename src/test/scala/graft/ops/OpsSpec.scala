@@ -3744,4 +3744,57 @@ class OpsSpec extends AnyFunSuite {
     assert(none.columns.toSeq == Seq("doc_id", "phrase", "n_matches", "first_pos"))
     assert(none.count() == 0L)
   }
+
+  test("phraseDocs: token boundaries, overlap counting, whitespace fold, guards") {
+    val docs = Seq(
+      (1L, "batch batch batch stream"),   // overlap: 2 matches at 0,1
+      (2L, "prebatch batching"),          // substring but never a token
+      (3L, "  Batch\t\nBATCH  "),         // case fold + any-whitespace split
+      (4L, "batch"),                      // shorter than the phrase
+      (5L, ""), (6L, null.asInstanceOf[String]),
+      (7L, "a batch batch")               // match NOT at position 0
+    ).toDF("doc_id", "text")
+    val out = TextOps.phraseDocs(docs, "batch batch").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_matches"), r.getAs[Int]("first_pos")))).toMap
+    assert(out == Map(1L -> ((2L, 0)), 3L -> ((1L, 0)), 7L -> ((1L, 1))),
+      s"got $out")
+    // single-token phrase counts every occurrence
+    val single = TextOps.phraseDocs(docs, "batch").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_matches")).toMap
+    assert(single == Map(1L -> 3L, 3L -> 2L, 4L -> 1L, 7L -> 2L))
+    // empty/NULL phrase -> empty frame with the contract schema
+    for (p <- Seq("", "   ", null.asInstanceOf[String])) {
+      val e = TextOps.phraseDocs(docs, p)
+      assert(e.columns.toSeq == Seq("doc_id", "n_matches", "first_pos"))
+      assert(e.count() == 0L)
+    }
+  }
+
+  test("phraseDocsIndexed: value-identical to the scan path, repeated-term slots") {
+    val docs = Seq(
+      (1L, "batch batch batch stream"),
+      (2L, "stream batch stream batch"),
+      (3L, "the data the data the"),      // repeated-term phrase fixture
+      (4L, ""), (5L, null.asInstanceOf[String]),
+      (6L, "data the data")
+    ).toDF("doc_id", "text")
+    val idx = TextOps.buildPositionalIndex(docs)
+    // positional index carries every occurrence, 0-based
+    val pos1 = idx.filter(col("doc_id") === 1L && col("term") === "batch")
+      .select(col("pos")).collect().map(_.getInt(0)).sorted.toSeq
+    assert(pos1 == Seq(0, 1, 2))
+    for (phrase <- Seq("batch batch", "the data the", "data", "stream batch",
+        "absent phrase", "the the")) {
+      val scan = TextOps.phraseDocs(docs, phrase).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val served = TextOps.phraseDocsIndexed(idx, phrase).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(served == scan, s"phrase '$phrase': index $served vs scan $scan")
+    }
+    // the repeated-term phrase really exercises multi-slot fan-out
+    val rep = TextOps.phraseDocsIndexed(idx, "the data the").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rep == Set((3L, 2L, 0)), s"got $rep")
+  }
 }
