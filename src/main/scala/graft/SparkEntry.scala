@@ -534,6 +534,27 @@ object SparkEntry {
       // overlap algebra), per-query cost O(term postings) not O(corpus)
       TextOps.phraseDocsIndexed(
         TextOps.buildPositionalIndex(docs(s, dir)), "batch batch")),
+    "q111_template_pages" -> ((s, dir) => {
+      // template/soft-404 detection over a synthesized (url, text) frame:
+      // every 6th doc serves one shared "expired" body under DISTINCT
+      // paths (the template signature -> flagged), every 6th+1 shares a
+      // login body under ONE path (n_paths=1 -> not a template), every
+      // 13th is hostless junk (dropped), the rest keep their own text
+      val d = docs(s, dir)
+      val pages = d.select(col("doc_id"),
+        when(col("doc_id") % 13 === 0,
+          concat(lit("not a url "), col("doc_id").cast("string")))
+          .when(col("doc_id") % 6 === 1,
+            concat(lit("https://"), col("source"), lit(".example.com/login")))
+          .otherwise(concat(lit("https://"), col("source"),
+            lit(".example.com/page/"), col("doc_id").cast("string")))
+          .as("url"),
+        when(col("doc_id") % 6 === 0,
+          lit("listing expired - please check back"))
+          .when(col("doc_id") % 6 === 1, lit("please log in to continue"))
+          .otherwise(col("text")).as("text"))
+      CorpusOps.templatePages(pages, minPaths = 5)
+    }),
     "q94_url_patterns" -> ((s, dir) => {
       // crawl-trap template mining over a synthesized URL frame: every
       // 7th doc sits in a calendar archive (one template, many distinct
@@ -1418,6 +1439,35 @@ object SparkEntry {
         |  cast(min(i) - 1 AS int) AS first_pos
         |FROM occ WHERE t[i] = 'batch' AND t[i+1] = 'batch'
         |GROUP BY doc_id""".stripMargin,
+    "q111_template_pages" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'not a url ' || doc_id
+        |         WHEN doc_id % 6 = 1 THEN 'https://' || source || '.example.com/login'
+        |         ELSE 'https://' || source || '.example.com/page/' || doc_id END AS url,
+        |    CASE WHEN doc_id % 6 = 0 THEN 'listing expired - please check back'
+        |         WHEN doc_id % 6 = 1 THEN 'please log in to continue'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |e AS (
+        |  SELECT coalesce(url, '') AS url,
+        |    lower(coalesce(regexp_extract(coalesce(url, ''),
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1), '')) AS host,
+        |    coalesce(regexp_extract(coalesce(url, ''),
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1), '') AS rawpath,
+        |    md5(coalesce(text, '')) AS text_hash,
+        |    cast(length(coalesce(text, '')) AS bigint) AS text_len
+        |  FROM p)
+        |SELECT host, text_hash,
+        |  cast(count(*) AS bigint) AS n_docs,
+        |  cast(count(DISTINCT CASE WHEN rawpath = '' THEN '/' ELSE rawpath END)
+        |    AS bigint) AS n_paths,
+        |  min(text_len) AS text_len,
+        |  min(url) AS sample_url,
+        |  count(DISTINCT CASE WHEN rawpath = '' THEN '/' ELSE rawpath END) >= 5
+        |    AS is_template
+        |FROM e WHERE host <> ''
+        |GROUP BY host, text_hash""".stripMargin,
     "q110_phrase_index" ->
       """WITH toks AS (
         |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []

@@ -1359,6 +1359,49 @@ object CorpusOps {
           .as("drop_pct"))
   }
 
+  /** template-page / soft-404 detection: within one host, groups of
+    * byte-identical bodies served under MANY distinct paths — the
+    * signature of error pages returned with status 200, login walls,
+    * "this listing has expired" fillers and other template responses a
+    * crawler can't distinguish by status code. The complementary signal
+    * to [[urlPatternStats]] (there: one URL TEMPLATE with many paths —
+    * a trap shape regardless of content; here: one BODY under many
+    * paths — template content regardless of URL shape). No reference
+    * analog (pdf_extractor.h:6); north_rule surface (crawl-hygiene
+    * audit before the corpus-wide dedup spends budget on these).
+    *
+    * Output one row per (host, text_hash) group: n_docs, n_paths
+    * (distinct paths serving that body), text_len, sample_url (min —
+    * deterministic), is_template = n_paths >= minPaths. Hostless /
+    * unparseable URLs are DROPPED: without a host there is no "within
+    * host" identity (the q86 singleton discipline), and cross-host
+    * identical bodies are q05 exact dedup's job, not a template signal.
+    *
+    * Scale shape: one projection computing (host, path, md5) — all
+    * codegen'd column math, the 16-byte hash replaces the document in
+    * every later stage exactly like q05 — then ONE partial-combined
+    * aggregate keyed by (host, text_hash). Document text never
+    * shuffles; countDistinct(path) expands the group rows 2x before the
+    * exchange, bounded by URL count, not text size. */
+  def templatePages(pages: DataFrame, minPaths: Long = 5L): DataFrame = {
+    require(minPaths >= 1, s"minPaths must be >= 1, got $minPaths")
+    val u = coalesce(col("url").cast("string"), lit(""))
+    val host = lower(regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+    val rawPath = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val path = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val txt = coalesce(col("text").cast("string"), lit(""))
+    pages
+      .select(u.as("url"), host.as("host"), path.as("path"),
+        md5(txt).as("text_hash"), length(txt).cast("long").as("text_len"))
+      .filter(col("host") =!= "")
+      .groupBy(col("host"), col("text_hash"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("path")).as("n_paths"),
+        min(col("text_len")).as("text_len"),
+        min(col("url")).as("sample_url"))
+      .withColumn("is_template", col("n_paths") >= minPaths)
+  }
+
   def lengthHistogram(documents: DataFrame, bucketWidth: Int = 100): DataFrame = {
     val bucketed = documents.select(col("source"),
       floor(col("n_chars").cast("double") / bucketWidth).cast("long").as("len_bucket"))

@@ -3797,4 +3797,45 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(rep == Set((3L, 2L, 0)), s"got $rep")
   }
+
+  test("templatePages: many-path bodies flag, single-path and hostless don't") {
+    val pages = Seq(
+      // soft-404 body under 5 distinct paths on h1 (query strings fold
+      // into the path? no — path excludes ?query, so /a?x=1 and /a?x=2
+      // are ONE path)
+      ("https://H1.example/a/1", "gone"), ("https://h1.example/a/2", "gone"),
+      ("https://h1.example/a/3", "gone"), ("https://h1.example/a/4", "gone"),
+      ("https://h1.example/a/5", "gone"),
+      // same body under ONE path, many query strings -> n_paths = 1
+      ("https://h2.example/login?next=1", "wall"),
+      ("https://h2.example/login?next=2", "wall"),
+      // same body on ANOTHER host: groups are per-host
+      ("https://h3.example/x", "gone"),
+      // hostless / junk / NULL url: dropped
+      ("not a url", "gone"), (null.asInstanceOf[String], "gone"),
+      // NULL text folds to '' and still groups
+      ("https://h2.example/e1", null.asInstanceOf[String]),
+      ("https://h2.example/e2", null.asInstanceOf[String]),
+      // bare-host URL folds to path "/"
+      ("https://h2.example", "root body")
+    ).toDF("url", "text")
+    val out = CorpusOps.templatePages(pages, minPaths = 5).collect()
+      .map(r => (r.getAs[String]("host"), r.getAs[Long]("text_len"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_paths"),
+        r.getAs[Boolean]("is_template"))).toSet
+    assert(out == Set(
+      ("h1.example", 4L, 5L, 5L, true),    // the template
+      ("h2.example", 4L, 2L, 1L, false),   // login wall: one path
+      ("h3.example", 4L, 1L, 1L, false),   // per-host isolation
+      ("h2.example", 0L, 2L, 2L, false),   // NULL text group
+      ("h2.example", 9L, 1L, 1L, false)    // bare host -> "/"
+    ), s"got $out")
+    // case-folded host joins the group; sample_url is the min
+    val h1 = CorpusOps.templatePages(pages, minPaths = 5)
+      .filter(col("host") === "h1.example").collect().head
+    assert(h1.getAs[String]("sample_url") == "https://H1.example/a/1")
+    intercept[IllegalArgumentException] {
+      CorpusOps.templatePages(pages, minPaths = 0)
+    }
+  }
 }
