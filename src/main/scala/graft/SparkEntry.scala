@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Bpe, CorpusOps, Dedup, LinkOps, RobotsOps, SimSearch, TextOps}
+import graft.ops.{Bpe, CorpusOps, Dedup, LinkOps, RobotsOps, SimSearch, SitemapOps, TextOps}
 import graft.pipeline.{Corpus, ExtractJob}
 
 /** Driver contract: one `queries` entry per implemented operator family
@@ -554,6 +554,44 @@ object SparkEntry {
           .when(col("doc_id") % 6 === 1, lit("please log in to continue"))
           .otherwise(col("text")).as("text"))
       CorpusOps.templatePages(pages, minPaths = 5)
+    }),
+    "q112_sitemap_coverage" -> ((s, dir) => {
+      // sitemap parse + crawl-coverage reconcile: per-host XML bodies are
+      // BUILT in-query (every 3rd doc declared, whitespace + entity-coded
+      // loc + loc-less entry + a sitemapindex decoy that must NOT count
+      // as a page), crawled side has every 2nd doc (every 13th junked);
+      // the oracle restates the declared/crawled sets closed-form (the
+      // q107 discipline: kernel parsing gated by the oracle stating its
+      // output)
+      val d = docs(s, dir).filter(col("source").isNotNull)
+      val hostStr = concat(col("source"), lit(".example.com"))
+      val urlEntry = concat(lit("<url>\n  <loc> https://"), hostStr,
+        lit("/page/"), col("doc_id").cast("string"),
+        lit(" </loc>\n  <lastmod>2026-01-01</lastmod>\n</url>"))
+      val bodies = d.groupBy(col("source"))
+        .agg(concat_ws("\n",
+          collect_list(when(col("doc_id") % 3 === 0, urlEntry))).as("entries"))
+        .select(concat(col("source"), lit(".example.com")).as("host"),
+          concat(
+            lit("<?xml version=\"1.0\"?>\n<urlset " +
+              "xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+            col("entries"),
+            lit("\n<url><lastmod>2026-02-02</lastmod></url>\n" +
+              "<sitemap><loc>https://"), col("source"),
+            lit(".example.com/sitemap2.xml</loc></sitemap>\n" +
+              "<url><loc>https://"), col("source"),
+            lit(".example.com/q?a=1&amp;b=2</loc></url>\n</urlset>"))
+            .as("body"))
+      val crawled = d.select(
+        when(col("doc_id") % 13 === 0,
+          concat(lit("not a url "), col("doc_id").cast("string")))
+          .when(col("doc_id") % 2 === 0,
+            concat(lit("https://"), hostStr, lit("/page/"),
+              col("doc_id").cast("string")))
+          .otherwise(lit(null)).as("url"))
+        .union(d.select(
+          concat(lit("https://"), hostStr, lit("/q?a=1&b=2")).as("url")))
+      SitemapOps.sitemapCoverage(SitemapOps.parseSitemaps(bodies), crawled)
     }),
     "q94_url_patterns" -> ((s, dir) => {
       // crawl-trap template mining over a synthesized URL frame: every
@@ -1439,6 +1477,36 @@ object SparkEntry {
         |  cast(min(i) - 1 AS int) AS first_pos
         |FROM occ WHERE t[i] = 'batch' AND t[i+1] = 'batch'
         |GROUP BY doc_id""".stripMargin,
+    "q112_sitemap_coverage" ->
+      """WITH d AS (SELECT doc_id, source FROM documents WHERE source IS NOT NULL),
+        |dec AS (
+        |  SELECT DISTINCT lower(source) || '.example.com' AS host,
+        |    'https://' || source || '.example.com/page/' || doc_id AS u
+        |  FROM d WHERE doc_id % 3 = 0
+        |  UNION
+        |  SELECT DISTINCT lower(source) || '.example.com' AS host,
+        |    'https://' || source || '.example.com/q?a=1&b=2' AS u FROM d),
+        |cr AS (
+        |  SELECT DISTINCT lower(source) || '.example.com' AS host,
+        |    'https://' || source || '.example.com/page/' || doc_id AS u
+        |  FROM d WHERE doc_id % 2 = 0 AND doc_id % 13 <> 0
+        |  UNION
+        |  SELECT DISTINCT lower(source) || '.example.com' AS host,
+        |    'https://' || source || '.example.com/q?a=1&b=2' AS u FROM d),
+        |j AS (SELECT coalesce(dec.host, cr.host) AS host, dec.u AS du, cr.u AS cu
+        |      FROM dec FULL OUTER JOIN cr ON dec.host = cr.host AND dec.u = cr.u)
+        |SELECT host,
+        |  cast(sum(CASE WHEN du IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+        |    AS n_sitemap,
+        |  cast(sum(CASE WHEN cu IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+        |    AS n_crawled,
+        |  cast(sum(CASE WHEN du IS NOT NULL AND cu IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS bigint) AS n_both,
+        |  cast(sum(CASE WHEN du IS NOT NULL AND cu IS NULL THEN 1 ELSE 0 END)
+        |    AS bigint) AS n_sitemap_only,
+        |  cast(sum(CASE WHEN du IS NULL AND cu IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS bigint) AS n_crawled_only
+        |FROM j GROUP BY host""".stripMargin,
     "q111_template_pages" ->
       """WITH p AS (
         |  SELECT doc_id,

@@ -3838,4 +3838,52 @@ class OpsSpec extends AnyFunSuite {
       CorpusOps.templatePages(pages, minPaths = 0)
     }
   }
+
+  test("sitemap parseEntries: tags, entities, index entries, malformed tails") {
+    val body =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <URL><LOC> https://h.example/a </LOC><lastmod>2026-01-02</lastmod></URL>
+        |  <url><loc>https://h.example/q?a=1&amp;b=2</loc></url>
+        |  <url><lastmod>2026-01-03</lastmod></url>
+        |  <sitemap><loc>https://h.example/s2.xml</loc></sitemap>
+        |  <url><loc>https://h.example/tail""".stripMargin
+    val got = SitemapOps.parseEntries(body).toSet
+    assert(got == Set(
+      ("url", "https://h.example/a", "2026-01-02"),      // case + trim
+      ("url", "https://h.example/q?a=1&b=2", ""),        // entity decode
+      ("sitemap", "https://h.example/s2.xml", "")),      // index entry
+      s"got $got")
+    // loc-less entry and the unclosed tail dropped; "<urlset" never
+    // matched as a "<url" entry (the whole set would otherwise collapse
+    // into one giant bogus entry swallowing everything)
+    assert(SitemapOps.parseEntries(null).isEmpty)
+    assert(SitemapOps.parseEntries("<urlset></urlset>").isEmpty)
+  }
+
+  test("sitemapCoverage: both/only splits, dedup, index rows and hostless drop") {
+    val sitemaps = Seq(
+      ("H1.example",
+        "<urlset><url><loc>https://h1.example/a</loc></url>" +
+          "<url><loc>https://h1.example/a</loc></url>" + // declared twice = once
+          "<url><loc>https://h1.example/b</loc></url>" +
+          "<sitemap><loc>https://h1.example/more.xml</loc></sitemap></urlset>"),
+      ("h3.example", // sitemap-bearing host with zero crawled pages
+        "<urlset><url><loc>https://h3.example/only</loc></url></urlset>")
+    ).toDF("host", "body")
+    val urls = Seq("https://h1.example/a", "https://h1.example/a", // crawled twice
+      "https://h1.example/c", "https://h2.example/x", "junk", null)
+      .toDF("url")
+    val out = SitemapOps.sitemapCoverage(
+      SitemapOps.parseSitemaps(sitemaps), urls).collect()
+      .map(r => r.getAs[String]("host") ->
+        ((r.getAs[Long]("n_sitemap"), r.getAs[Long]("n_crawled"),
+          r.getAs[Long]("n_both"), r.getAs[Long]("n_sitemap_only"),
+          r.getAs[Long]("n_crawled_only")))).toMap
+    assert(out == Map(
+      "h1.example" -> ((2L, 2L, 1L, 1L, 1L)), // a=both, b=declared, c=crawled
+      "h2.example" -> ((0L, 1L, 0L, 0L, 1L)), // crawl-only host appears
+      "h3.example" -> ((1L, 0L, 0L, 1L, 0L))  // declared-only host appears
+    ), s"got $out")
+  }
 }
