@@ -555,6 +555,18 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       CorpusOps.templatePages(pages, minPaths = 5)
     }),
+    "q113_top_terms" -> ((s, dir) =>
+      // corpus-wide vocabulary head, exact: one explode + one
+      // partial-combined aggregate + distributed top-K, total-ordered
+      // (n desc, term asc) so the K boundary is engine-independent
+      TextOps.topTerms(docs(s, dir), topK = 40)),
+    "q114_top_terms_sketch" -> ((s, dir) =>
+      // the two-scan heavy-hitter shape: per-partition Misra-Gries
+      // summaries nominate candidates (guarantee: every term with count
+      // > N/(capacity+1) survives), an exact verify pass recounts ONLY
+      // candidates — value-identical to q113 at this capacity, which is
+      // exactly what the shared oracle checks
+      TextOps.topTermsSketch(docs(s, dir), topK = 40, capacity = 4096)),
     "q112_sitemap_coverage" -> ((s, dir) => {
       // sitemap parse + crawl-coverage reconcile: per-host XML bodies are
       // BUILT in-query (every 3rd doc declared, whitespace + entity-coded
@@ -1477,6 +1489,26 @@ object SparkEntry {
         |  cast(min(i) - 1 AS int) AS first_pos
         |FROM occ WHERE t[i] = 'batch' AND t[i+1] = 'batch'
         |GROUP BY doc_id""".stripMargin,
+    "q113_top_terms" ->
+      """WITH toks AS (
+        |  SELECT CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+        |  FROM documents),
+        |terms AS (SELECT unnest(t) AS term FROM toks),
+        |c AS (SELECT term, cast(count(*) AS bigint) AS n FROM terms GROUP BY term),
+        |top AS (SELECT term, n,
+        |          row_number() OVER (ORDER BY n DESC, term ASC) AS rnk FROM c)
+        |SELECT term, n, cast(rnk AS bigint) AS rnk FROM top WHERE rnk <= 40""".stripMargin,
+    "q114_top_terms_sketch" ->
+      """WITH toks AS (
+        |  SELECT CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+        |  FROM documents),
+        |terms AS (SELECT unnest(t) AS term FROM toks),
+        |c AS (SELECT term, cast(count(*) AS bigint) AS n FROM terms GROUP BY term),
+        |top AS (SELECT term, n,
+        |          row_number() OVER (ORDER BY n DESC, term ASC) AS rnk FROM c)
+        |SELECT term, n, cast(rnk AS bigint) AS rnk FROM top WHERE rnk <= 40""".stripMargin,
     "q112_sitemap_coverage" ->
       """WITH d AS (SELECT doc_id, source FROM documents WHERE source IS NOT NULL),
         |dec AS (

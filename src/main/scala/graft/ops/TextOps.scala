@@ -1488,6 +1488,96 @@ object TextOps {
       .select(col("doc_id"), col("n_terms_matched"), col("score_e6"), col("rnk"))
   }
 
+  /** corpus-wide top-K terms, exact — the vocabulary head every
+    * tokenizer-training / stopword / boilerplate-phrase pass starts
+    * from. Total order (n desc, term asc) so the K boundary is
+    * engine-independent. Output (term, n, rnk).
+    *
+    * Scale shape: one explode + ONE partial-combined aggregate shuffled
+    * by term (map-side combine collapses each partition to its local
+    * vocabulary before the exchange — the shuffle carries distinct
+    * terms, not token occurrences), then a distributed top-K. The
+    * vocabulary-sized shuffle is this exact pass's cost at 100 TB;
+    * [[topTermsSketch]] is the two-scan shape that bounds it. */
+  def topTerms(documents: DataFrame, topK: Int = 100): DataFrame = {
+    require(topK > 0, s"topK must be > 0, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    documents.select(bm25Toks.as("toks"))
+      .select(explode(col("toks")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc).limit(topK)
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("n").desc, col("term").asc)).cast("long"))
+  }
+
+  /** per-partition Misra-Gries summary terms: every term whose partition
+    * frequency exceeds n_p/(capacity+1) survives its partition's summary
+    * (the classic frequent-items guarantee), so every GLOBAL heavy
+    * hitter — count > N/(capacity+1) — survives in at least one
+    * partition (pigeonhole over the partition split of its count). */
+  private def mgCandidates(toks: org.apache.spark.sql.Dataset[Seq[String]],
+      capacity: Int): DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    toks.mapPartitions { it =>
+      import scala.jdk.CollectionConverters._
+      val m = new java.util.HashMap[String, java.lang.Long](capacity * 2)
+      it.foreach { ts =>
+        if (ts != null) ts.foreach { t =>
+          val c = m.get(t)
+          // stored counts are always >= 1, so null means absent
+          if (c != null) m.put(t, c + 1L)
+          else if (m.size < capacity) m.put(t, 1L)
+          else {
+            // decrement round: new term + every counter lose 1 (the new
+            // term dies at 0); entries hitting 0 evict. O(capacity) per
+            // round, but a round only fires on a NEW term with the map
+            // full — on Zipfian text the head hits existing counters and
+            // only the tail pays
+            val em = m.entrySet().iterator()
+            while (em.hasNext) {
+              val e = em.next()
+              if (e.getValue <= 1L) em.remove() else e.setValue(e.getValue - 1L)
+            }
+          }
+        }
+      }
+      m.keySet().iterator().asScala
+    }.toDF("term").distinct()
+  }
+
+  /** corpus-wide top-K terms via the two-scan sketch shape — the 100 TB
+    * variant of [[topTerms]]: scan 1 builds capacity-bounded per-partition
+    * Misra-Gries summaries (no shuffle; each partition emits <= capacity
+    * candidate terms), scan 2 counts ONLY the candidate set exactly (a
+    * broadcast semi-join prunes the explode before any aggregation) and
+    * takes the top-K of those exact counts.
+    *
+    * Guarantee: any term with true count > N/(capacity+1) is in the
+    * candidate set, and every reported count is EXACT (the verify pass
+    * recounts; sketch estimates are never emitted). With capacity sized
+    * so the true K-th count exceeds N/(capacity+1), the result is
+    * value-identical to [[topTerms]] — the shipped surface is oracled on
+    * exactly that equality. The shuffle never carries the corpus
+    * vocabulary: at most (partitions x capacity) candidate terms. */
+  def topTermsSketch(documents: DataFrame, topK: Int = 100,
+      capacity: Int = 4096): DataFrame = {
+    require(topK > 0, s"topK must be > 0, got $topK")
+    require(capacity > 0, s"capacity must be > 0, got $capacity")
+    import org.apache.spark.sql.expressions.Window
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val toks = documents.select(bm25Toks.as("toks")).as[Seq[String]]
+    val candidates = mgCandidates(toks, capacity)
+    documents.select(bm25Toks.as("toks"))
+      .select(explode(col("toks")).as("term"))
+      .join(broadcast(candidates), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc).limit(topK)
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("n").desc, col("term").asc)).cast("long"))
+  }
+
   /** phrase tokens: the q33/BM25 tokenization contract WITHOUT the
     * distinct/dedup step — a phrase is an ordered sequence, repeats
     * matter ("batch batch" is a 2-token phrase). */

@@ -3886,4 +3886,40 @@ class OpsSpec extends AnyFunSuite {
       "h3.example" -> ((1L, 0L, 0L, 1L, 0L))  // declared-only host appears
     ), s"got $out")
   }
+
+  test("topTerms / topTermsSketch: exact counts, heavy-hitter guarantee, K ties") {
+    // Zipf-ish frame: "alpha" dominates, then "beta", then a long tail
+    val docs = (1L to 30L).map { i =>
+      (i, ("alpha " * 8 + "beta " * 4 + s"tail$i tail$i other$i").trim)
+    }.toDF("doc_id", "text")
+    val exact = TextOps.topTerms(docs, topK = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // tails tie at 60 each... no: tail_i appears 2x in ONE doc -> 2 total;
+    // alpha 240, beta 120, then 30 terms at 2 and 30 at 1: rank 3 is the
+    // asc-first tail term "tail1"? no — "other1".."other9" sort before
+    // "tail1"? 'o' < 't', and 2 > 1 so tail terms (n=2) outrank other
+    // terms (n=1): rank 3 = tail1 (ties broken term asc: tail1 < tail10)
+    assert(exact == Seq(("alpha", 240L, 1L), ("beta", 120L, 2L),
+      ("tail1", 2L, 3L)), s"got $exact")
+    // adequate capacity: sketch == exact (the shipped-surface equality)
+    val sk = TextOps.topTermsSketch(docs, topK = 3, capacity = 512).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(sk == exact, s"sketch $sk vs exact $exact")
+    // starved capacity: the guarantee still holds — every term with
+    // count > N/(capacity+1) is found with EXACT counts. N = 30*15 = 450
+    // tokens; capacity 2 -> threshold 150: alpha must survive; and any
+    // reported count is exact
+    val tiny = TextOps.topTermsSketch(docs, topK = 3, capacity = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(tiny.get("alpha").contains(240L), s"got $tiny")
+    val exactAll = TextOps.topTerms(docs, topK = 1000).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    tiny.foreach { case (t, n) => assert(exactAll(t) == n, s"inexact $t=$n") }
+    // empty / NULL text contribute nothing; guards
+    val e = TextOps.topTerms(Seq((1L, ""), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"), topK = 5)
+    assert(e.count() == 0L)
+    intercept[IllegalArgumentException] { TextOps.topTerms(docs, 0) }
+    intercept[IllegalArgumentException] { TextOps.topTermsSketch(docs, 5, 0) }
+  }
 }
