@@ -555,6 +555,11 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       CorpusOps.templatePages(pages, minPaths = 5)
     }),
+    "q115_host_communities" -> ((s, dir) =>
+      // deterministic synchronous label propagation (min-label tie-break,
+      // 2 rounds) over the q83 host graph — the dense-cluster complement
+      // of q95's reachability components; the oracle unrolls both rounds
+      LinkOps.labelPropagation(hostGraphEdges(s, dir), iterations = 2)),
     "q113_top_terms" -> ((s, dir) =>
       // corpus-wide vocabulary head, exact: one explode + one
       // partial-combined aggregate + distributed top-K, total-ordered
@@ -1489,6 +1494,45 @@ object SparkEntry {
         |  cast(min(i) - 1 AS int) AS first_pos
         |FROM occ WHERE t[i] = 'batch' AND t[i+1] = 'batch'
         |GROUP BY doc_id""".stripMargin,
+    "q115_host_communities" ->
+      """WITH d AS (
+        |  SELECT doc_id, coalesce(source, 'unknown') AS source FROM documents),
+        |h AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS hid
+        |      FROM (SELECT DISTINCT source FROM d)),
+        |c AS (SELECT count(*) AS nh FROM h),
+        |l AS (SELECT d.source, h.hid,
+        |        ((((d.doc_id % 2147483648) * 2654435761) % 4294967296) // 65536) % nh AS t1,
+        |        ((((d.doc_id % 2147483648) * 2246822519) % 4294967296) // 65536) % nh AS t2
+        |      FROM d JOIN h ON d.source = h.source CROSS JOIN c
+        |      WHERE h.hid <> 0),
+        |e0 AS (SELECT source AS src, t1 AS thid FROM l
+        |       UNION ALL
+        |       SELECT source AS src, t2 AS thid FROM l),
+        |e AS (SELECT e0.src, h.source AS dst, cast(count(*) AS bigint) AS weight
+        |      FROM e0 JOIN h ON e0.thid = h.hid
+        |      WHERE e0.src <> h.source
+        |      GROUP BY 1, 2),
+        |und AS (SELECT a, b, cast(sum(w) AS bigint) AS w FROM (
+        |    SELECT src AS a, dst AS b, weight AS w FROM e
+        |    UNION ALL SELECT dst AS a, src AS b, weight AS w FROM e)
+        |  GROUP BY a, b),
+        |n0 AS (SELECT DISTINCT a AS host FROM und),
+        |l0 AS (SELECT host, host AS label FROM n0),
+        |v1 AS (SELECT und.a, lb.label, cast(sum(und.w) AS bigint) AS vw
+        |       FROM und JOIN l0 lb ON und.b = lb.host GROUP BY 1, 2),
+        |w1 AS (SELECT a, label, row_number() OVER (PARTITION BY a
+        |         ORDER BY vw DESC, label ASC) AS rk FROM v1),
+        |l1 AS (SELECT n.host, coalesce(w.label, n.host) AS label
+        |       FROM n0 n LEFT JOIN (SELECT * FROM w1 WHERE rk = 1) w
+        |         ON n.host = w.a),
+        |v2 AS (SELECT und.a, lb.label, cast(sum(und.w) AS bigint) AS vw
+        |       FROM und JOIN l1 lb ON und.b = lb.host GROUP BY 1, 2),
+        |w2 AS (SELECT a, label, row_number() OVER (PARTITION BY a
+        |         ORDER BY vw DESC, label ASC) AS rk FROM v2),
+        |l2 AS (SELECT n.host, coalesce(w.label, n.host) AS label
+        |       FROM n0 n LEFT JOIN (SELECT * FROM w2 WHERE rk = 1) w
+        |         ON n.host = w.a)
+        |SELECT host, label FROM l2""".stripMargin,
     "q113_top_terms" ->
       """WITH toks AS (
         |  SELECT CASE WHEN length(trim(text)) = 0 THEN []

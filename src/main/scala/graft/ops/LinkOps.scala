@@ -377,6 +377,67 @@ object LinkOps {
     * top-K window whose partitions are term-vocabulary-sized (bounded
     * by distinct anchor vocab per host, not by in-link count: the
     * distinct-host pre-agg collapses repeat anchors first). */
+  /** synchronous label-propagation communities over the host graph
+    * (Raghavan et al. 2007) — the density-based complement of
+    * [[hostComponents]]: WCC answers "which hosts are REACHABLE from
+    * each other" (one giant blob on any real web graph); LPA converges
+    * to groups that are densely INTERlinked — link farms, mirror
+    * networks, topical clusters — the structural unit seed-list
+    * curation and spam review actually want. No reference analog
+    * (pdf_extractor.h:6); north_rule surface.
+    *
+    * Deterministic variant (engines must agree): SYNCHRONOUS rounds
+    * (all updates from the previous round's labels), fixed `iterations`,
+    * and the argmax tie broken by MIN label — classic async LPA is
+    * run-order-dependent, useless under a value-exact oracle. Labels
+    * start as the host's own name; one round: each host adopts the
+    * label with the highest total incident edge weight among its
+    * neighbors (no self-vote). Edges are symmetrized (communities are
+    * about mutual density, not direction); self-loops, NULLs and
+    * weight<=0 drop ([[hostGraphStats]] guards); the universe is the
+    * endpoints of surviving edges.
+    *
+    * Output: (host, label) — hosts sharing a label after `iterations`
+    * rounds are one community.
+    *
+    * Scale shape: per round, ONE equi-join of the symmetrized edge
+    * table against the label table (host-cardinality rows — labels are
+    * short strings, never documents), one partial-combined vote
+    * aggregate keyed by (host, label), and a per-host top-1 window on
+    * the vote table (bounded by distinct neighbor labels, shrinking
+    * every round). [[Checkpoints.cut]] pins each round's label table —
+    * the q26/hostRank lineage discipline. */
+  def labelPropagation(edges: DataFrame, iterations: Int = 2): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst"),
+        col("weight").cast("long").as("weight"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst") && col("weight") > 0)
+    val und = Checkpoints.cut(
+      e.select(col("src").as("a"), col("dst").as("b"), col("weight"))
+        .union(e.select(col("dst").as("a"), col("src").as("b"), col("weight")))
+        .groupBy(col("a"), col("b")).agg(sum(col("weight")).as("w")))
+    // symmetric, so every node appears on the a side
+    val nodes = Checkpoints.cut(und.select(col("a").as("host")).distinct())
+    var labels = nodes.withColumn("label", col("host"))
+    for (_ <- 1 to iterations) {
+      val votes = und.join(labels, und("b") === labels("host"))
+        .groupBy(col("a"), col("label")).agg(sum(col("w")).as("vw"))
+      val w = Window.partitionBy(col("a"))
+        .orderBy(col("vw").desc, col("label").asc)
+      val winners = votes.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1).select(col("a"), col("label").as("new_label"))
+      labels = Checkpoints.cut(
+        labels.select(col("host"), col("label"))
+          .join(winners, col("host") === winners("a"), "left")
+          .select(col("host"),
+            coalesce(col("new_label"), col("label")).as("label")))
+    }
+    labels.select(col("host"), col("label"))
+  }
+
   def anchorTerms(links: DataFrame, topK: Int = 5): DataFrame = {
     require(topK > 0, s"topK must be > 0, got $topK")
     import org.apache.spark.sql.expressions.Window

@@ -3922,4 +3922,37 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { TextOps.topTerms(docs, 0) }
     intercept[IllegalArgumentException] { TextOps.topTermsSketch(docs, 5, 0) }
   }
+
+  test("labelPropagation: two dense triangles, weak bridge, sync min-tie rounds") {
+    val edges = Seq(
+      // triangle 1 (directed input: symmetrization is the operator's job)
+      ("a", "b", 10L), ("b", "c", 10L), ("a", "c", 10L),
+      // triangle 2
+      ("x", "y", 10L), ("y", "z", 10L), ("x", "z", 10L),
+      // weak bridge — must NOT merge the communities
+      ("c", "x", 1L),
+      // junk: self-loop, NULLs, non-positive weights
+      ("a", "a", 7L), (null.asInstanceOf[String], "b", 5L),
+      ("a", null.asInstanceOf[String], 5L), ("a", "b", 0L), ("a", "b", -3L)
+    ).toDF("src", "dst", "weight")
+    val out = LinkOps.labelPropagation(edges, iterations = 2).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // hand-unrolled synchronous rounds (min tie-break):
+    // r1: a->b (tie b,c), b->a, c->a (a,b tie + bridge 1), x->y, y->x, z->x
+    // r2: a->a (both nbrs labeled a), b->a (tie a,b), c->a, x->x, y->x, z->x
+    assert(out == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x", "z" -> "x"), s"got $out")
+    // iterations=0 is the identity labeling over the edge universe
+    val id = LinkOps.labelPropagation(edges, iterations = 0).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(id == Map("a" -> "a", "b" -> "b", "c" -> "c",
+      "x" -> "x", "y" -> "y", "z" -> "z"))
+    intercept[IllegalArgumentException] {
+      LinkOps.labelPropagation(edges, iterations = -1)
+    }
+    // empty graph -> empty frame, contract columns
+    val e = LinkOps.labelPropagation(
+      Seq.empty[(String, String, Long)].toDF("src", "dst", "weight"), 2)
+    assert(e.columns.toSeq == Seq("host", "label") && e.count() == 0L)
+  }
 }
