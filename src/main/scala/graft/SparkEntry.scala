@@ -555,6 +555,28 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       CorpusOps.templatePages(pages, minPaths = 5)
     }),
+    "q116_charset_sniff" -> ((s, dir) => {
+      // charset sniff + transcode over synthesized raw payloads: UTF-8
+      // BOM, UTF-16LE BOM, plain ASCII (valid UTF-8), a 0xE9 lead byte
+      // (invalid UTF-8 -> the browser's windows-1252 fallback) and an
+      // empty body; the oracle restates (charset, text, had_bom)
+      // closed-form by doc residue (the q107 discipline)
+      val d = docs(s, dir)
+      val idStr = col("doc_id").cast("string")
+      val payload = when(col("doc_id") % 5 === 0,
+          concat(unhex(lit("EFBBBF")),
+            encode(concat(lit("café "), idStr), "UTF-8")))
+        .when(col("doc_id") % 5 === 1,
+          concat(unhex(lit("FFFE")),
+            encode(concat(lit("wide € "), idStr), "UTF-16LE")))
+        .when(col("doc_id") % 5 === 2,
+          encode(concat(lit("plain ascii "), idStr), "UTF-8"))
+        .when(col("doc_id") % 5 === 3,
+          concat(unhex(lit("E9")),
+            encode(concat(lit(" legacy "), idStr), "UTF-8")))
+        .otherwise(unhex(lit("")))
+      TextOps.sniffCharset(d.select(col("doc_id"), payload.as("payload")))
+    }),
     "q115_host_communities" -> ((s, dir) =>
       // deterministic synchronous label propagation (min-label tie-break,
       // 2 rounds) over the q83 host graph — the dense-cluster complement
@@ -1494,6 +1516,19 @@ object SparkEntry {
         |  cast(min(i) - 1 AS int) AS first_pos
         |FROM occ WHERE t[i] = 'batch' AND t[i+1] = 'batch'
         |GROUP BY doc_id""".stripMargin,
+    "q116_charset_sniff" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS int)
+        |    WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le' WHEN 2 THEN 'utf-8'
+        |    WHEN 3 THEN 'windows-1252' ELSE 'empty' END AS charset,
+        |  CASE CAST(doc_id % 5 AS int)
+        |    WHEN 0 THEN 'café ' || doc_id
+        |    WHEN 1 THEN 'wide € ' || doc_id
+        |    WHEN 2 THEN 'plain ascii ' || doc_id
+        |    WHEN 3 THEN 'é legacy ' || doc_id
+        |    ELSE '' END AS text,
+        |  CAST(doc_id % 5 AS int) IN (0, 1) AS had_bom
+        |FROM documents""".stripMargin,
     "q115_host_communities" ->
       """WITH d AS (
         |  SELECT doc_id, coalesce(source, 'unknown') AS source FROM documents),

@@ -1488,6 +1488,98 @@ object TextOps {
       .select(col("doc_id"), col("n_terms_matched"), col("score_e6"), col("rnk"))
   }
 
+  /** strict RFC 3629 UTF-8 validation: rejects overlongs, surrogates,
+    * > U+10FFFF, truncated sequences and bare continuation bytes — the
+    * same set a REPORT-mode decoder rejects, without the allocation. */
+  private[graft] def isValidUtf8(b: Array[Byte]): Boolean = {
+    var i = 0
+    val n = b.length
+    while (i < n) {
+      val c = b(i) & 0xFF
+      if (c < 0x80) i += 1
+      else if (c < 0xC2) return false // continuation or overlong lead
+      else {
+        val need = if (c < 0xE0) 1 else if (c < 0xF0) 2
+          else if (c < 0xF5) 3 else return false
+        if (i + need > n - 1) return false // truncated sequence
+        // per-lead tightened second-byte window kills overlongs,
+        // surrogates (ED A0..BF) and > U+10FFFF (F4 90..)
+        val lo = c match {
+          case 0xE0 => 0xA0; case 0xED => 0x80; case 0xF0 => 0x90
+          case 0xF4 => 0x80; case _ => 0x80
+        }
+        val hi = c match {
+          case 0xED => 0x9F; case 0xF4 => 0x8F; case _ => 0xBF
+        }
+        val b1 = b(i + 1) & 0xFF
+        if (b1 < lo || b1 > hi) return false
+        var j = 2
+        while (j <= need) {
+          val bj = b(i + j) & 0xFF
+          if (bj < 0x80 || bj > 0xBF) return false
+          j += 1
+        }
+        i += need + 1
+      }
+    }
+    true
+  }
+
+  private val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+
+  /** (charset, text, had_bom) of one raw payload — the WARC/HTTP-body
+    * reality that `Content-Type` headers lie about: BOMs win (UTF-8 /
+    * UTF-16LE / UTF-16BE, stripped before decode), else strict UTF-8
+    * validation, else the windows-1252 fallback every browser applies
+    * (it decodes ALL 256 bytes, so the fallback never fails — Java maps
+    * cp1252's five undefined slots to their C1 controls, deterministic).
+    * Empty/NULL payloads report "empty". After a BOM, malformed tails
+    * decode with U+FFFD replacement (the BOM is the stated encoding;
+    * rejecting would drop the document a browser renders). */
+  private[graft] def sniffDecode(bytes: Array[Byte]): (String, String, Boolean) = {
+    if (bytes == null || bytes.length == 0) ("empty", "", false)
+    else {
+      val n = bytes.length
+      val b0 = bytes(0) & 0xFF
+      val b1 = if (n > 1) bytes(1) & 0xFF else -1
+      val b2 = if (n > 2) bytes(2) & 0xFF else -1
+      if (b0 == 0xEF && b1 == 0xBB && b2 == 0xBF)
+        ("utf-8", new String(bytes, 3, n - 3, java.nio.charset.StandardCharsets.UTF_8), true)
+      else if (b0 == 0xFF && b1 == 0xFE)
+        ("utf-16le", new String(bytes, 2, n - 2, java.nio.charset.StandardCharsets.UTF_16LE), true)
+      else if (b0 == 0xFE && b1 == 0xFF)
+        ("utf-16be", new String(bytes, 2, n - 2, java.nio.charset.StandardCharsets.UTF_16BE), true)
+      else if (isValidUtf8(bytes))
+        ("utf-8", new String(bytes, java.nio.charset.StandardCharsets.UTF_8), false)
+      else ("windows-1252", new String(bytes, cp1252), false)
+    }
+  }
+
+  /** charset sniff + transcode over raw payloads — the decode step
+    * between a WARC/HTTP fetch table and every text operator in this
+    * library (they all assume a UTF-8-clean `text` column; a corpus
+    * ingested without this step silently mojibakes its non-UTF-8 tail
+    * — the failure mode q79 then has to HUNT for; this op prevents it).
+    * Input: (doc_id, payload binary). Output: (doc_id, charset, text,
+    * had_bom). No reference analog (pdf_extractor.h:6 — the reference
+    * consumes bytes, never charset-decodes pages); north_rule surface.
+    *
+    * Scale shape: one typed map fused with the scan (the ExtractKernel
+    * discipline — pure-JVM sniffer inside the partition iterator), zero
+    * shuffle, zero driver traffic; the validator is a single branchy
+    * pass over the bytes, no allocation until the one decode. */
+  def sniffCharset(pages: DataFrame): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val (cs, text, bom) = sniffDecode(bytes)
+        (id, cs, text, bom)
+      }
+      .toDF("doc_id", "charset", "text", "had_bom")
+  }
+
   /** corpus-wide top-K terms, exact — the vocabulary head every
     * tokenizer-training / stopword / boilerplate-phrase pass starts
     * from. Total order (n desc, term asc) so the K boundary is

@@ -3955,4 +3955,45 @@ class OpsSpec extends AnyFunSuite {
       Seq.empty[(String, String, Long)].toDF("src", "dst", "weight"), 2)
     assert(e.columns.toSeq == Seq("host", "label") && e.count() == 0L)
   }
+
+  test("sniffDecode: BOMs, strict UTF-8 edges, cp1252 fallback, empties") {
+    import java.nio.charset.StandardCharsets.{UTF_8, UTF_16LE, UTF_16BE}
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // BOMs win and strip
+    assert(TextOps.sniffDecode(b(0xEF, 0xBB, 0xBF) ++ "hé".getBytes(UTF_8))
+      == (("utf-8", "hé", true)))
+    assert(TextOps.sniffDecode(b(0xFF, 0xFE) ++ "€".getBytes(UTF_16LE))
+      == (("utf-16le", "€", true)))
+    assert(TextOps.sniffDecode(b(0xFE, 0xFF) ++ "€".getBytes(UTF_16BE))
+      == (("utf-16be", "€", true)))
+    // BOM with a malformed tail: BOM is the stated encoding, tail replaces
+    assert(TextOps.sniffDecode(b(0xEF, 0xBB, 0xBF, 0xC0))
+      == (("utf-8", "�", true)))
+    // valid UTF-8 without BOM, incl. a 4-byte astral char
+    assert(TextOps.sniffDecode("a é € 😀".getBytes(UTF_8))
+      == (("utf-8", "a é € 😀", false)))
+    // strict rejections -> cp1252: overlong, surrogate, >U+10FFFF,
+    // truncated tail, bare continuation, C0/C1 leads
+    for (bad <- Seq(b(0xC0, 0xAF), b(0xED, 0xA0, 0x80), b(0xF4, 0x90, 0x80, 0x80),
+        b('o', 'k', 0xE2, 0x82), b(0x80), b(0xC1, 0x80), b(0xF5, 0x80))) {
+      val (cs, _, bom) = TextOps.sniffDecode(bad)
+      assert(cs == "windows-1252" && !bom, s"${bad.toSeq} -> $cs")
+    }
+    // cp1252 decode: 0xE9 -> é, 0x80 -> € (the cp1252/latin1 split)
+    assert(TextOps.sniffDecode(b(0xE9, ' ', 0x80))._2 == "é €")
+    // boundary VALID sequences must NOT fall back: U+0800 (E0 A0 80),
+    // U+FFFF, U+10000 (F0 90 80 80), U+10FFFF (F4 8F BF BF)
+    for (good <- Seq(b(0xE0, 0xA0, 0x80), b(0xEF, 0xBF, 0xBF),
+        b(0xF0, 0x90, 0x80, 0x80), b(0xF4, 0x8F, 0xBF, 0xBF))) {
+      assert(TextOps.sniffDecode(good)._1 == "utf-8", s"${good.toSeq}")
+    }
+    assert(TextOps.sniffDecode(Array.empty[Byte]) == (("empty", "", false)))
+    assert(TextOps.sniffDecode(null) == (("empty", "", false)))
+    // frame surface: NULL payload rows survive as "empty"
+    val df = Seq((1L, "plain".getBytes(UTF_8)), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "payload")
+    val out = TextOps.sniffCharset(df).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(out == Map(1L -> (("utf-8", "plain")), 2L -> (("empty", ""))))
+  }
 }
