@@ -555,6 +555,34 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       CorpusOps.templatePages(pages, minPaths = 5)
     }),
+    "q117_robots_directives" -> ((s, dir) => {
+      // crawl-delay + sitemap discovery through the REAL parser: an
+      // exact-agent decoy group, the * group carrying three valid delays
+      // (max wins -> 2.5s) plus junk/negative ones (dropped), duplicate
+      // and relative sitemap lines (deduped/dropped); oracle restates
+      // the two surviving (host, sitemap) rows closed-form
+      val d = docs(s, dir).select(
+        lower(coalesce(col("source"), lit("unknown"))).as("src"))
+      val body =
+        "User-agent: FastBot\n" +
+        "Crawl-delay: 0.5\n" +
+        "\n" +
+        "User-agent: *\n" +
+        "Crawl-delay: 2.5\n" +
+        "Disallow: /tmp\n" +
+        "Crawl-delay: nonsense\n" +
+        "Crawl-delay: -3\n" +
+        "Crawl-delay: 1\n" +
+        "Sitemap: https://HOST/sitemap.xml\n" +
+        "Sitemap: /relative.xml\n" +
+        "Sitemap: https://HOST/sitemap.xml\n" +
+        "Sitemap: https://HOST/s2.xml\n"
+      val robots = d.distinct()
+        .select(concat(col("src"), lit(".example.com")).as("host"),
+          regexp_replace(lit(body), lit("HOST"),
+            concat(col("src"), lit(".example.com"))).as("body"))
+      RobotsOps.robotsDirectives(robots)
+    }),
     "q116_charset_sniff" -> ((s, dir) => {
       // charset sniff + transcode over synthesized raw payloads: UTF-8
       // BOM, UTF-16LE BOM, plain ASCII (valid UTF-8), a 0xE9 lead byte
@@ -1516,6 +1544,16 @@ object SparkEntry {
         |  cast(min(i) - 1 AS int) AS first_pos
         |FROM occ WHERE t[i] = 'batch' AND t[i+1] = 'batch'
         |GROUP BY doc_id""".stripMargin,
+    "q117_robots_directives" ->
+      """WITH s AS (SELECT DISTINCT lower(coalesce(source, 'unknown')) AS src
+        |           FROM documents)
+        |SELECT src || '.example.com' AS host,
+        |  cast(2500 AS bigint) AS crawl_delay_ms,
+        |  'https://' || src || '.example.com/sitemap.xml' AS sitemap FROM s
+        |UNION ALL
+        |SELECT src || '.example.com' AS host,
+        |  cast(2500 AS bigint) AS crawl_delay_ms,
+        |  'https://' || src || '.example.com/s2.xml' AS sitemap FROM s""".stripMargin,
     "q116_charset_sniff" ->
       """SELECT doc_id,
         |  CASE CAST(doc_id % 5 AS int)

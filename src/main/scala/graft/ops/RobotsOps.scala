@@ -39,10 +39,26 @@ object RobotsOps {
     * preempts `*`: falling back would hand the whitelisted agent the
     * wildcard group's restrictions, the exact inversion of the file.
     * Returned paths are matched byte-literally (no case folding). */
-  private[graft] def parseRules(body: String, agent: String): Seq[(String, String)] = {
+  private[graft] def parseRules(body: String, agent: String): Seq[(String, String)] =
+    parseAll(body, agent)._1
+
+  /** full parse: (rules, crawl-delays, sitemaps) of `body` for `agent`.
+    * Rules and Crawl-delay are GROUP-scoped with the exact-preempts-`*`
+    * precedence documented above (Crawl-delay is pre-RFC de facto, but
+    * every consumer scopes it like a rule); Sitemap is file-GLOBAL (the
+    * sitemaps.org extension explicitly divorces it from groups). Delay
+    * values keep their decimal form ("0.5" is common) and unparseable /
+    * negative ones drop; sitemap values must look absolute (contain
+    * "://") or drop — a relative sitemap line has no host to resolve
+    * against here. */
+  private[graft] def parseAll(body: String, agent: String)
+      : (Seq[(String, String)], Seq[BigDecimal], Seq[String]) = {
     val want = agent.toLowerCase(java.util.Locale.ROOT)
     val exact = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val wild = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val exactDelay = scala.collection.mutable.ArrayBuffer.empty[BigDecimal]
+    val wildDelay = scala.collection.mutable.ArrayBuffer.empty[BigDecimal]
+    val sitemaps = scala.collection.mutable.ArrayBuffer.empty[String]
     var groupAgents = Set.empty[String]
     var sawExactGroup = false
     var inRules = false
@@ -71,13 +87,27 @@ object RobotsOps {
               if (groupAgents.contains(want)) exact += ((key, value))
               else if (groupAgents.contains("*")) wild += ((key, value))
             }
-          case _ => // Crawl-delay, Sitemap, Host, unknown keys: ignored
-            // (they neither open a group nor end one, RFC 9309 §2.2.4)
+          case "crawl-delay" =>
+            // a directive line also "enters rules" for group-boundary
+            // purposes: a User-agent line after it starts a NEW group
+            inRules = true
+            try {
+              val d = BigDecimal(value)
+              if (d >= 0) {
+                if (groupAgents.contains(want)) exactDelay += d
+                else if (groupAgents.contains("*")) wildDelay += d
+              }
+            } catch { case _: NumberFormatException => }
+          case "sitemap" =>
+            if (value.contains("://")) sitemaps += value
+          case _ => // Host, unknown keys: ignored (RFC 9309 §2.2.4)
         }
       }
       i += 1
     }
-    (if (sawExactGroup) exact else wild).distinct.toSeq
+    ((if (sawExactGroup) exact else wild).distinct.toSeq,
+      (if (sawExactGroup) exactDelay else wildDelay).toSeq,
+      sitemaps.distinct.toSeq)
   }
 
   /** parse a (host, body) robots.txt table into the rule table
@@ -101,6 +131,42 @@ object RobotsOps {
         }
       }
       .toDF("host", "rule", "path")
+  }
+
+  /** crawl-delay + sitemap discovery per host — the two robots.txt
+    * signals a crawl SCHEDULER consumes (rate limits) and the sitemap
+    * pipeline starts from ([[SitemapOps]] parses what this finds; real
+    * sitemap URLs are discovered via robots.txt far more often than by
+    * convention-probing /sitemap.xml). Output one row per (host,
+    * sitemap): crawl_delay_ms repeats per row (NULL when no applicable
+    * group declares one); a host with no sitemap lines keeps one
+    * NULL-sitemap row so its delay still surfaces. The delay is the
+    * MOST CONSERVATIVE (max) among the applicable group's valid values
+    * — merged groups can carry several, and a polite crawler honors the
+    * slowest — in exact milliseconds (BigDecimal, half-up; "0.5" is
+    * common and must not truncate to zero).
+    *
+    * Scale shape: same as [[parseRobots]] — scan-fused typed flatMap,
+    * zero shuffle, host-cardinality output. */
+  def robotsDirectives(robots: DataFrame, agent: String = "*"): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col("host").cast("string"), col("body").cast("string"))
+      .as[(String, String)]
+      .flatMap { case (host, body) =>
+        if (host == null) Iterator.empty
+        else {
+          val h = host.toLowerCase(java.util.Locale.ROOT)
+          val (_, delays, maps) = parseAll(body, agent)
+          val ms: Option[Long] =
+            if (delays.isEmpty) None
+            else Some((delays.max * 1000)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+          if (maps.isEmpty) Iterator.single((h, ms, Option.empty[String]))
+          else maps.iterator.map(m => (h, ms, Some(m)))
+        }
+      }
+      .toDF("host", "crawl_delay_ms", "sitemap")
   }
 
   /** (lowercased host, path+query) of an absolute URL in ONE parse —

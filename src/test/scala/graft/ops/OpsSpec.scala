@@ -3996,4 +3996,37 @@ class OpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
     assert(out == Map(1L -> (("utf-8", "plain")), 2L -> (("empty", ""))))
   }
+
+  test("robotsDirectives: agent precedence, max delay, sitemap dedup, boundaries") {
+    val body =
+      "User-agent: Special\nCrawl-delay: 9\n\n" +
+        "User-agent: *\nCrawl-delay: 2.5\nDisallow: /tmp\n" +
+        "Crawl-delay: junk\nCrawl-delay: -1\nCrawl-delay: 1\n" +
+        "Sitemap: https://h.example/a.xml\nSitemap: /rel.xml\n" +
+        "Sitemap: https://h.example/a.xml\nSitemap: https://h.example/b.xml\n"
+    val robots = Seq(("H.example", body),
+      ("nod.example", "User-agent: *\nDisallow: /x\n")).toDF("host", "body")
+    val out = RobotsOps.robotsDirectives(robots).collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        Option(r.getString(2)).getOrElse(""))).toSet
+    assert(out == Set(
+      ("h.example", 2500L, "https://h.example/a.xml"),
+      ("h.example", 2500L, "https://h.example/b.xml"),
+      ("nod.example", -1L, "")), s"got $out")
+    // exact agent preempts *: Special gets 9s even though * also matches
+    val sp = RobotsOps.robotsDirectives(robots, agent = "special")
+      .filter(col("host") === "h.example").collect()
+    assert(sp.forall(_.getLong(1) == 9000L))
+    // a Crawl-delay line closes a group like a rule does: the User-agent
+    // AFTER it starts a NEW group (the de facto consumer behavior)
+    val grouped = "User-agent: a\nCrawl-delay: 1\nUser-agent: b\nDisallow: /y\n"
+    assert(RobotsOps.parseRules(grouped, "a").isEmpty)
+    assert(RobotsOps.parseRules(grouped, "b") == Seq(("disallow", "/y")))
+    // "0.5" must survive as 500 ms, not truncate to zero
+    val half = RobotsOps.robotsDirectives(
+      Seq(("h", "User-agent: *\nCrawl-delay: 0.5\n")).toDF("host", "body"))
+      .collect().head
+    assert(half.getLong(1) == 500L && half.isNullAt(2))
+  }
 }
