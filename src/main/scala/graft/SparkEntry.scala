@@ -555,6 +555,33 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       CorpusOps.templatePages(pages, minPaths = 5)
     }),
+    "q119_para_lang_consistency" -> ((s, dir) => {
+      // CCNet-shape per-paragraph langid consistency: each doc is two
+      // en sample paragraphs sandwiching one paragraph in a residue
+      // language (en/fr/de/zh/ru), every 11th doc empty; the oracle
+      // states majority=en with 2/3 (3/3 when the residue IS en) —
+      // value-exact only if the detector labels every inserted
+      // paragraph correctly (the q47 golden discipline, per-paragraph)
+      import s.implicits._
+      val sm = TextOps.langSamples.toMap
+      val d = docs(s, dir)
+      val residue = when(col("doc_id") % 5 === 1, lit(sm("fr")))
+        .when(col("doc_id") % 5 === 2, lit(sm("de")))
+        .when(col("doc_id") % 5 === 3, lit(sm("zh")))
+        .when(col("doc_id") % 5 === 4, lit(sm("ru")))
+        .otherwise(lit(sm("en")))
+      val text = when(col("doc_id") % 11 === 0, lit(""))
+        .otherwise(concat(lit(sm("en")), lit("\n\n"), residue,
+          lit("\n\n"), lit(sm("en"))))
+      TextOps.paragraphLangConsistency(
+        d.select(col("doc_id"), text.as("text")))
+    }),
+    "q118_compression_ratio" -> ((s, dir) =>
+      // deflate redundancy signal (RefinedWeb-family quality gate): no
+      // SQL engine can restate zlib, so this surface is rows-only for
+      // the driver and value-gated in OpsSpec (independent Deflater
+      // recompute + redundancy-ordering fixtures)
+      TextOps.compressionSignals(docs(s, dir))),
     "q117_robots_directives" -> ((s, dir) => {
       // crawl-delay + sitemap discovery through the REAL parser: an
       // exact-agent decoy group, the * group carrying three valid delays
@@ -1544,6 +1571,16 @@ object SparkEntry {
         |  cast(min(i) - 1 AS int) AS first_pos
         |FROM occ WHERE t[i] = 'batch' AND t[i+1] = 'batch'
         |GROUP BY doc_id""".stripMargin,
+    "q119_para_lang_consistency" ->
+      """SELECT doc_id,
+        |  cast(CASE WHEN doc_id % 11 = 0 THEN 0 ELSE 3 END AS bigint) AS n_paras,
+        |  CASE WHEN doc_id % 11 = 0 THEN 'und' ELSE 'en' END AS majority_lang,
+        |  cast(CASE WHEN doc_id % 11 = 0 THEN 0
+        |       WHEN doc_id % 5 = 0 THEN 3 ELSE 2 END AS bigint) AS n_majority,
+        |  cast(CASE WHEN doc_id % 11 = 0 THEN 0
+        |       WHEN doc_id % 5 = 0 THEN 1000000 ELSE 666666 END AS bigint)
+        |    AS consistency_e6
+        |FROM documents""".stripMargin,
     "q117_robots_directives" ->
       """WITH s AS (SELECT DISTINCT lower(coalesce(source, 'unknown')) AS src
         |           FROM documents)

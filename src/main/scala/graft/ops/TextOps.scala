@@ -1488,6 +1488,100 @@ object TextOps {
       .select(col("doc_id"), col("n_terms_matched"), col("score_e6"), col("rnk"))
   }
 
+  /** paragraph-level language consistency — the CCNet shape (CCNet runs
+    * langid per PARAGRAPH, not per document, precisely because crawled
+    * pages mix boilerplate/nav in one language with content in another):
+    * split on blank-line runs (the q56 paragraph contract: `\n{2,}`,
+    * trimmed-empty paragraphs dropped), run [[detectLang]] per
+    * paragraph, report the majority label and how much of the document
+    * agrees with it. LOW consistency = mixed-language page — route to
+    * per-paragraph filtering instead of trusting one doc-level label
+    * (the q11/q12 failure mode this op exposes).
+    *
+    * Output (doc_id, n_paras, majority_lang, n_majority,
+    * consistency_e6): majority by count, ties broken by MIN label;
+    * consistency_e6 = floor(n_majority * 1e6 / n_paras) exact integer
+    * micro-units; paragraph-less docs report (0, "und", 0, 0).
+    *
+    * Scale shape: one typed map fused with the scan — the per-paragraph
+    * detector is the same bounded pure-JVM kernel q12 runs per doc;
+    * zero shuffle, zero driver traffic. */
+  def paragraphLangConsistency(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val paras = (if (text == null) "" else text)
+          .split("\n{2,}").map(_.trim).filter(_.nonEmpty)
+        if (paras.isEmpty) (id, 0L, "und", 0L, 0L)
+        else {
+          val counts = new java.util.HashMap[String, Int]()
+          paras.foreach { p => counts.merge(detectLang(p), 1, Integer.sum _) }
+          var mLang: String = null
+          var mN = 0
+          counts.forEach { (l, n) =>
+            if (n > mN || (n == mN && (mLang == null || l < mLang))) {
+              mLang = l; mN = n
+            }
+          }
+          (id, paras.length.toLong, mLang, mN.toLong,
+            mN.toLong * 1000000L / paras.length)
+        }
+      }
+      .toDF("doc_id", "n_paras", "majority_lang", "n_majority",
+        "consistency_e6")
+  }
+
+  /** deflate redundancy signal — the compression-ratio quality gate
+    * (RefinedWeb-family): templated/repetitive bodies deflate far below
+    * natural prose, catching machine-generated filler that per-line and
+    * per-n-gram repetition rules (q20/q55) miss because the repetition
+    * unit is irregular. Output (doc_id, n_bytes, n_deflate, ratio_e6)
+    * with ratio_e6 = floor(n_deflate * 1e6 / n_bytes) — exact integer
+    * micro-units (0 for empty docs). LOW ratio = redundant.
+    *
+    * Determinism: fixed level, default strategy, one-shot deflate of
+    * the UTF-8 bytes; zlib's output is a pure function of (input,
+    * settings, zlib build), so values are stable within a JVM — which
+    * is why this surface is spec-gated (independent Deflater recompute
+    * + redundancy-ordering fixtures), NOT DuckDB-oracled: no SQL engine
+    * can restate deflate. Thresholding belongs to the caller;
+    * calibrate cutoffs per zlib build the way CCNet calibrates
+    * perplexity buckets per LM.
+    *
+    * Scale shape: one mapPartitions fused with the scan — ONE Deflater
+    * per partition, reset per row (the native zlib handle is the
+    * expensive part); zero shuffle, zero driver traffic. */
+  def compressionSignals(documents: DataFrame, level: Int = 6): DataFrame = {
+    require(level >= 1 && level <= 9, s"level must be in [1,9], got $level")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val defl = new java.util.zip.Deflater(level)
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, text) =>
+          val bytes = (if (text == null) "" else text)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          defl.reset()
+          defl.setInput(bytes)
+          defl.finish()
+          var out = 0L
+          while (!defl.finished()) out += defl.deflate(buf)
+          val ratio = if (bytes.length == 0) 0L
+            else out * 1000000L / bytes.length
+          (id, bytes.length.toLong, out, ratio)
+        }
+        // NOTE: the Deflater is deliberately NOT end()ed — the iterator
+        // is lazy and rows outlive this call frame; the finalizer frees
+        // the native handle when the partition completes (one handle
+        // per partition, bounded)
+      }
+      .toDF("doc_id", "n_bytes", "n_deflate", "ratio_e6")
+  }
+
   /** strict RFC 3629 UTF-8 validation: rejects overlongs, surrogates,
     * > U+10FFFF, truncated sequences and bare continuation bytes — the
     * same set a REPORT-mode decoder rejects, without the allocation. */

@@ -4029,4 +4029,54 @@ class OpsSpec extends AnyFunSuite {
       .collect().head
     assert(half.getLong(1) == 500L && half.isNullAt(2))
   }
+
+  test("compressionSignals: independent recompute parity, redundancy ordering") {
+    val repetitive = "lorem ipsum " * 200
+    val varied = (1 to 200).map(i => s"w${i * 2654435761L % 9973}").mkString(" ")
+    val docs = Seq((1L, repetitive), (2L, varied), (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextOps.compressionSignals(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // independent one-shot recompute (different code path: fresh Deflater
+    // per string, single full-buffer call)
+    def ref(s: String): (Long, Long, Long) = {
+      val b = s.getBytes("UTF-8")
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(b); d.finish()
+      val buf = new Array[Byte](b.length * 2 + 64)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      d.end()
+      (b.length.toLong, n, if (b.isEmpty) 0L else n * 1000000L / b.length)
+    }
+    assert(out(1L) == ref(repetitive), s"got ${out(1L)} vs ${ref(repetitive)}")
+    assert(out(2L) == ref(varied))
+    assert(out(3L) == ref("") && out(4L) == ref(""))
+    assert(out(3L)._3 == 0L) // empty: ratio pinned to 0, not divide-by-zero
+    // the signal itself: repetition deflates far below varied text
+    assert(out(1L)._3 < out(2L)._3 / 3,
+      s"repetitive ${out(1L)._3} should be far below varied ${out(2L)._3}")
+    intercept[IllegalArgumentException] { TextOps.compressionSignals(docs, 0) }
+  }
+
+  test("paragraphLangConsistency: majority, min-label ties, empty paragraphs") {
+    val sm = TextOps.langSamples.toMap
+    val docs = Seq(
+      (1L, sm("en") + "\n\n" + sm("fr") + "\n\n" + sm("en")), // 2/3 en
+      (2L, sm("fr") + "\n\n" + sm("en")),                     // 1-1 tie -> en
+      (3L, sm("zh") + "\n\n\n" + sm("zh")),                   // uniform, \n{3}
+      (4L, ""), (5L, null.asInstanceOf[String]),
+      (6L, "   \n\n  \n\n" + sm("de"))                        // blank paras drop
+    ).toDF("doc_id", "text")
+    val out = TextOps.paragraphLangConsistency(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(
+      1L -> ((3L, "en", 2L, 666666L)),
+      2L -> ((2L, "en", 1L, 500000L)),
+      3L -> ((2L, "zh", 2L, 1000000L)),
+      4L -> ((0L, "und", 0L, 0L)),
+      5L -> ((0L, "und", 0L, 0L)),
+      6L -> ((1L, "de", 1L, 1000000L))), s"got $out")
+  }
 }
