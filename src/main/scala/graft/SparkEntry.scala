@@ -555,6 +555,46 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       CorpusOps.templatePages(pages, minPaths = 5)
     }),
+    "q120_url_features" -> ((s, dir) => {
+      // zero-fetch URL shape features over a synthesized frame: hostless
+      // junk (zeroed rows kept), digit-heavy calendar paths, an
+      // uppercase media extension (case-folds, flags is_media), and a
+      // tracking-tagged query (ref + utm_source among ordinary params)
+      val d = docs(s, dir)
+      val idStr = col("doc_id").cast("string")
+      val urls = d.select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(lit("not a url "), idStr))
+          .when(col("doc_id") % 7 === 0,
+            concat(lit("https://"), col("source"), lit(".example.com/cal/2024/"),
+              (col("doc_id") % 12).cast("string"), lit("/"), idStr))
+          .when(col("doc_id") % 7 === 1,
+            concat(lit("https://"), col("source"), lit(".example.com/img/photo-"),
+              idStr, lit(".JPG")))
+          .otherwise(concat(lit("https://"), col("source"),
+            lit(".example.com/post/"), (col("doc_id") % 10).cast("string"),
+            lit("?ref="), idStr, lit("&utm_source=x&page=2")))
+          .as("url"))
+      CorpusOps.urlFeatures(urls)
+    }),
+    "q121_fetch_schedule" -> ((s, dir) => {
+      // politeness fetch plan composing q117's delay table shape: half
+      // the hosts declare a delay (500/1000/1500 by name length), the
+      // rest take the 1000ms default; per-host ordinals are the total
+      // (url, doc_id) order and junk URLs drop
+      val d = docs(s, dir)
+      val idStr = col("doc_id").cast("string")
+      val urls = d.select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(lit("not a url "), idStr))
+          .otherwise(concat(lit("https://"), col("source"),
+            lit(".example.com/p/"), idStr))
+          .as("url"))
+      val delays = d.select(
+          lower(coalesce(col("source"), lit("unknown"))).as("src")).distinct()
+        .filter(length(col("src")) % 2 === 0)
+        .select(concat(col("src"), lit(".example.com")).as("host"),
+          ((length(col("src")) % 3 + 1) * 500).cast("long").as("crawl_delay_ms"))
+      CorpusOps.fetchSchedule(urls, delays, defaultDelayMs = 1000L)
+    }),
     "q119_para_lang_consistency" -> ((s, dir) => {
       // CCNet-shape per-paragraph langid consistency: each doc is two
       // en sample paragraphs sandwiching one paragraph in a residue
@@ -1571,6 +1611,71 @@ object SparkEntry {
         |  cast(min(i) - 1 AS int) AS first_pos
         |FROM occ WHERE t[i] = 'batch' AND t[i+1] = 'batch'
         |GROUP BY doc_id""".stripMargin,
+    "q120_url_features" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'not a url ' || doc_id
+        |         WHEN doc_id % 7 = 0 THEN 'https://' || source
+        |              || '.example.com/cal/2024/' || (doc_id % 12) || '/' || doc_id
+        |         WHEN doc_id % 7 = 1 THEN 'https://' || source
+        |              || '.example.com/img/photo-' || doc_id || '.JPG'
+        |         ELSE 'https://' || source || '.example.com/post/' || (doc_id % 10)
+        |              || '?ref=' || doc_id || '&utm_source=x&page=2' END AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, url,
+        |    lower(coalesce(regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1), '')) AS host,
+        |    coalesce(regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1), '') AS rawpath
+        |  FROM u),
+        |pp AS (
+        |  SELECT doc_id, url, host,
+        |    CASE WHEN host = '' THEN ''
+        |         WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+        |    CASE WHEN host = '' THEN ''
+        |         ELSE coalesce(regexp_extract(url, '\?([^#]*)', 1), '') END AS query
+        |  FROM p),
+        |f AS (SELECT *, coalesce(regexp_extract(path, '([^/]*)$', 1), '') AS lastseg,
+        |        lower(coalesce(regexp_extract(
+        |          coalesce(regexp_extract(path, '([^/]*)$', 1), ''),
+        |          '\.([A-Za-z0-9]{1,5})$', 1), '')) AS ext
+        |      FROM pp)
+        |SELECT doc_id, url, host,
+        |  cast(len(list_filter(string_split(path, '/'), s -> s <> '')) AS bigint)
+        |    AS path_depth,
+        |  cast(length(path) AS bigint) AS path_len,
+        |  cast(CASE WHEN query = '' THEN 0
+        |       ELSE len(string_split(query, '&')) END AS bigint) AS n_params,
+        |  regexp_matches(query, '(^|&)(utm_[^=&]*|ref|fbclid|gclid)(=|&|$)')
+        |    AS has_tracking,
+        |  ext,
+        |  ext IN ('jpg','jpeg','png','gif','webp','svg','ico','mp4','webm',
+        |          'mp3','wav','css','js','woff','woff2','ttf') AS is_media,
+        |  cast(CASE WHEN length(path) = 0 THEN 0
+        |       ELSE (length(regexp_replace(path, '[^0-9]', '', 'g')) * 1000000)
+        |            // length(path) END AS bigint) AS digit_frac_e6
+        |FROM f""".stripMargin,
+    "q121_fetch_schedule" ->
+      """WITH d AS (SELECT doc_id, source FROM documents),
+        |u AS (SELECT doc_id,
+        |   CASE WHEN doc_id % 13 = 0 THEN 'not a url ' || doc_id
+        |        ELSE 'https://' || source || '.example.com/p/' || doc_id END AS url,
+        |   CASE WHEN doc_id % 13 = 0 THEN ''
+        |        ELSE lower(source) || '.example.com' END AS host
+        |   FROM d),
+        |del AS (SELECT src || '.example.com' AS host,
+        |          (length(src) % 3 + 1) * 500 AS delay_ms
+        |        FROM (SELECT DISTINCT lower(coalesce(source, 'unknown')) AS src
+        |              FROM d)
+        |        WHERE length(src) % 2 = 0),
+        |f AS (SELECT u.doc_id, u.url, u.host,
+        |        cast(coalesce(del.delay_ms, 1000) AS bigint) AS delay_ms,
+        |        row_number() OVER (PARTITION BY u.host
+        |          ORDER BY u.url ASC, u.doc_id ASC) - 1 AS seq
+        |      FROM u LEFT JOIN del ON u.host = del.host WHERE u.host <> '')
+        |SELECT doc_id, url, host, delay_ms, cast(seq AS bigint) AS fetch_seq,
+        |  cast(seq * delay_ms AS bigint) AS fetch_at_ms FROM f""".stripMargin,
     "q119_para_lang_consistency" ->
       """SELECT doc_id,
         |  cast(CASE WHEN doc_id % 11 = 0 THEN 0 ELSE 3 END AS bigint) AS n_paras,

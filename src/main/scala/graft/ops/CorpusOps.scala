@@ -1359,6 +1359,94 @@ object CorpusOps {
           .as("drop_pct"))
   }
 
+  /** URL shape features — the zero-fetch quality/scheduling prior every
+    * crawl pipeline computes BEFORE spending a request (RefinedWeb-style
+    * URL filtering, frontier prioritization, media-asset skipping): all
+    * codegen'd column math over the URL string, no kernel, no shuffle.
+    * Output per row: host ('' when hostless/unparseable — such rows keep
+    * flowing, zeroed, so corpus accounting holds), path_depth (non-empty
+    * segments), path_len, n_params, has_tracking (the q39 TRACKING_PARAM
+    * contract), digit_frac_e6 of the path (floor micro-units — calendar
+    * traps and session-id paths run digit-heavy), ext (trailing
+    * 1-5-alnum extension of the last segment, lowercased, '' when none)
+    * and is_media (fetch-skippable asset extensions). */
+  def urlFeatures(urls: DataFrame): DataFrame = {
+    val u = coalesce(col("url").cast("string"), lit(""))
+    val host = lower(regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+    val rawPath = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val path = when(host === "", lit(""))
+      .otherwise(when(rawPath === "", lit("/")).otherwise(rawPath))
+    val query = when(host === "", lit(""))
+      .otherwise(regexp_extract(u, "[?]([^#]*)", 1))
+    val lastSeg = regexp_extract(path, "([^/]*)$", 1)
+    val ext = lower(regexp_extract(lastSeg, "[.]([A-Za-z0-9]{1,5})$", 1))
+    val digits = length(regexp_replace(path, "[^0-9]", ""))
+    val mediaExts = Seq("jpg", "jpeg", "png", "gif", "webp", "svg", "ico",
+      "mp4", "webm", "mp3", "wav", "css", "js", "woff", "woff2", "ttf")
+    urls.select(col("doc_id").cast("long").as("doc_id"), u.as("url"),
+        host.as("host"),
+        size(filter(split(path, "/"), s => s =!= "")).cast("long").as("path_depth"),
+        length(path).cast("long").as("path_len"),
+        when(query === "", lit(0L))
+          .otherwise(size(split(query, "&")).cast("long")).as("n_params"),
+        // param-boundary anchored twin of the q39 TRACKING_PARAM contract
+        query.rlike("(^|&)(utm_[^=&]*|ref|fbclid|gclid)(=|&|$)").as("has_tracking"),
+        digits.cast("long").as("path_digits"),
+        ext.as("ext"),
+        ext.isin(mediaExts: _*).as("is_media"))
+      // exact integer division (div, not double /): the e6 fraction must
+      // floor identically in any engine, and a double quotient can round
+      // across the integer boundary before truncation
+      .withColumn("digit_frac_e6", when(col("path_len") === 0L, lit(0L))
+        .otherwise(expr("(path_digits * 1000000) div path_len")))
+      .drop("path_digits")
+  }
+
+  /** politeness-aware fetch schedule — the crawl-side consumer of
+    * [[RobotsOps.robotsDirectives]]: given a frontier (doc_id, url) and
+    * a per-host delay table (host, crawl_delay_ms), assign every URL a
+    * per-host fetch ordinal and earliest fetch time (ordinal x delay,
+    * exact integer ms). This is the plan a fetch fleet executes: one
+    * queue per host, spaced by that host's declared (or default) delay;
+    * the max(fetch_at_ms) per host is the host's crawl makespan — the
+    * quantity frontier balancing actually optimizes.
+    *
+    * Determinism: per-host order is the TOTAL order (url asc, doc_id
+    * asc) — equal URLs (snapshot duplicates) cannot flip ordinals
+    * between engines (the ducktest window rule). Hostless/unparseable
+    * URLs DROP (nothing to fetch); a host absent from the delay table
+    * (or carrying a NULL delay) takes `defaultDelayMs`.
+    *
+    * Scale shape: ONE hash shuffle of (doc_id, url, host) by host for
+    * the ranking window — rows are two short strings, never documents;
+    * the delay join is host-cardinality-sized (AQE broadcasts it). The
+    * per-host sort is the shuffle sort (hot hosts spill, not OOM). */
+  def fetchSchedule(urls: DataFrame, delays: DataFrame,
+      defaultDelayMs: Long = 1000L): DataFrame = {
+    require(defaultDelayMs >= 0, s"defaultDelayMs must be >= 0, got $defaultDelayMs")
+    import org.apache.spark.sql.expressions.Window
+    val u = coalesce(col("url").cast("string"), lit(""))
+    val host = lower(regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+    val frontier = urls
+      .select(col("doc_id").cast("long").as("doc_id"), u.as("url"), host.as("host"))
+      .filter(col("host") =!= "")
+    val d = delays
+      .select(lower(col("host").cast("string")).as("host"),
+        col("crawl_delay_ms").cast("long").as("crawl_delay_ms"))
+      .filter(col("host").isNotNull)
+      // one delay per host even if the directive table carries several
+      // rows (robotsDirectives repeats the delay per sitemap): max = the
+      // most conservative, consistent with that op's own merge rule
+      .groupBy(col("host")).agg(max(col("crawl_delay_ms")).as("crawl_delay_ms"))
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("url").asc, col("doc_id").asc)
+    frontier.join(d, Seq("host"), "left_outer")
+      .select(col("doc_id"), col("url"), col("host"),
+        coalesce(col("crawl_delay_ms"), lit(defaultDelayMs)).as("delay_ms"))
+      .withColumn("fetch_seq", row_number().over(w).cast("long") - 1L)
+      .withColumn("fetch_at_ms", col("fetch_seq") * col("delay_ms"))
+  }
+
   /** template-page / soft-404 detection: within one host, groups of
     * byte-identical bodies served under MANY distinct paths — the
     * signature of error pages returned with status 200, login walls,

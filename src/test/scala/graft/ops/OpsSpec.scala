@@ -4079,4 +4079,56 @@ class OpsSpec extends AnyFunSuite {
       5L -> ((0L, "und", 0L, 0L)),
       6L -> ((1L, "de", 1L, 1000000L))), s"got $out")
   }
+
+  test("urlFeatures: depth, params, tracking, extensions, digit fraction") {
+    val urls = Seq(
+      (1L, "https://H.example/a/b2/c.HTML?x=1&ref=z#frag"),
+      (2L, "https://h.example"),                       // bare host -> "/"
+      (3L, "https://h.example/img/photo.JPG"),
+      (4L, "junk url"), (5L, null.asInstanceOf[String]),
+      (6L, "https://h.example/2024/12/31?utm_source=a"),
+      (7L, "https://h.example/x?page=2&prefix=1")      // no tracking: "prefix"
+    ).toDF("doc_id", "url")
+    val out = CorpusOps.urlFeatures(urls).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[String]("host"),
+        r.getAs[Long]("path_depth"), r.getAs[Long]("path_len"),
+        r.getAs[Long]("n_params"), r.getAs[Boolean]("has_tracking"),
+        r.getAs[String]("ext"), r.getAs[Boolean]("is_media"),
+        r.getAs[Long]("digit_frac_e6")))).toMap
+    // /a/b2/c.HTML: depth 3, len 12, digits 1/12, ext html (not media)
+    assert(out(1L) == (("h.example", 3L, 12L, 2L, true, "html", false,
+      1000000L / 12L)), s"got ${out(1L)}")
+    assert(out(2L) == (("h.example", 0L, 1L, 0L, false, "", false, 0L)))
+    assert(out(3L)._6 == "jpg" && out(3L)._7, s"got ${out(3L)}")
+    // hostless rows survive, zeroed
+    assert(out(4L) == (("", 0L, 0L, 0L, false, "", false, 0L)))
+    assert(out(5L) == (("", 0L, 0L, 0L, false, "", false, 0L)))
+    // /2024/12/31 -> 8 digits / 11 chars; utm_source is tracking
+    assert(out(6L)._5 && out(6L)._8 == 8000000L / 11L, s"got ${out(6L)}")
+    // "prefix=1" must NOT match the ref rule (param-boundary anchor)
+    assert(!out(7L)._5, s"got ${out(7L)}")
+  }
+
+  test("fetchSchedule: per-host spacing, default delay, conservative merge") {
+    val urls = Seq(
+      (1L, "https://A.example/p/1"), (2L, "https://a.example/p/2"),
+      (3L, "https://a.example/p/2"),               // duplicate url: doc_id tiebreak
+      (4L, "https://b.example/only"),
+      (5L, "junk"), (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "url")
+    val delays = Seq(("a.example", 2000L), ("a.example", 300L), // max wins
+      ("c.example", 50L)).toDF("host", "crawl_delay_ms")
+    val out = CorpusOps.fetchSchedule(urls, delays, defaultDelayMs = 1000L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("host"), r.getAs[Long]("delay_ms"),
+          r.getAs[Long]("fetch_seq"), r.getAs[Long]("fetch_at_ms")))).toMap
+    assert(out == Map(
+      1L -> (("a.example", 2000L, 0L, 0L)),
+      2L -> (("a.example", 2000L, 1L, 2000L)),
+      3L -> (("a.example", 2000L, 2L, 4000L)),
+      4L -> (("b.example", 1000L, 0L, 0L))), s"got $out")
+    intercept[IllegalArgumentException] {
+      CorpusOps.fetchSchedule(urls, delays, defaultDelayMs = -1L)
+    }
+  }
 }
