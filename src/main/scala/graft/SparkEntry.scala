@@ -1634,14 +1634,16 @@ object SparkEntry {
         |    CASE WHEN host = '' THEN ''
         |         WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
         |    CASE WHEN host = '' THEN ''
-        |         ELSE coalesce(regexp_extract(url, '\?([^#]*)', 1), '') END AS query
+        |         ELSE coalesce(regexp_extract(
+        |           coalesce(regexp_extract(url, '^([^#]*)', 1), ''),
+        |           '\?(.*)$', 1), '') END AS query
         |  FROM p),
         |f AS (SELECT *, coalesce(regexp_extract(path, '([^/]*)$', 1), '') AS lastseg,
         |        lower(coalesce(regexp_extract(
         |          coalesce(regexp_extract(path, '([^/]*)$', 1), ''),
         |          '\.([A-Za-z0-9]{1,5})$', 1), '')) AS ext
         |      FROM pp)
-        |SELECT doc_id, url, host,
+        |SELECT doc_id, coalesce(url, '') AS url, host,
         |  cast(len(list_filter(string_split(path, '/'), s -> s <> '')) AS bigint)
         |    AS path_depth,
         |  cast(length(path) AS bigint) AS path_len,

@@ -1136,10 +1136,8 @@ object CorpusOps {
     * template-cardinality-sized output, documents never move again. */
   def urlPatternStats(urls: DataFrame, trapMinPaths: Long = 100): DataFrame = {
     val u = coalesce(col("url").cast("string"), lit(""))
-    val host = lower(regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
-    val rawPath = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
-    val path = when(host === "", lit("")) // hostless: no path identity
-      .otherwise(when(rawPath === "", lit("/")).otherwise(rawPath))
+    val host = urlHostCol(u)
+    val path = urlPathCol(u, host)
     urls.select(u.as("url"), host.as("host"),
         regexp_replace(path, "[0-9]+", "N").as("path_template"), path.as("path"))
       .groupBy(col("host"), col("path_template"))
@@ -1359,6 +1357,24 @@ object CorpusOps {
           .as("drop_pct"))
   }
 
+  /** the ONE scheme://host extraction every URL-shaped op shares
+    * (urlPatternStats, urlFeatures, fetchSchedule, templatePages,
+    * SitemapOps.sitemapCoverage — and each op's DuckDB oracle restates
+    * it literally): lowercased authority of an absolute URL, '' when
+    * hostless/unparseable. Fixing URL parsing means fixing it HERE, or
+    * the ops silently diverge on which hosts they group by. */
+  private[ops] def urlHostCol(u: Column): Column =
+    lower(regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+
+  /** the shared path extraction: '' for hostless rows (no path
+    * identity), '/' for a bare host, else the raw path (query/fragment
+    * excluded). */
+  private[ops] def urlPathCol(u: Column, host: Column): Column = {
+    val rawPath = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    when(host === "", lit(""))
+      .otherwise(when(rawPath === "", lit("/")).otherwise(rawPath))
+  }
+
   /** URL shape features — the zero-fetch quality/scheduling prior every
     * crawl pipeline computes BEFORE spending a request (RefinedWeb-style
     * URL filtering, frontier prioritization, media-asset skipping): all
@@ -1372,12 +1388,13 @@ object CorpusOps {
     * and is_media (fetch-skippable asset extensions). */
   def urlFeatures(urls: DataFrame): DataFrame = {
     val u = coalesce(col("url").cast("string"), lit(""))
-    val host = lower(regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
-    val rawPath = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
-    val path = when(host === "", lit(""))
-      .otherwise(when(rawPath === "", lit("/")).otherwise(rawPath))
+    val host = urlHostCol(u)
+    val path = urlPathCol(u, host)
+    // fragment stripped BEFORE locating '?' (RFC 3986: a '?' inside the
+    // fragment is not a query — the q39 canonicalizeUrls order)
     val query = when(host === "", lit(""))
-      .otherwise(regexp_extract(u, "[?]([^#]*)", 1))
+      .otherwise(regexp_extract(regexp_extract(u, "^([^#]*)", 1),
+        "[?](.*)$", 1))
     val lastSeg = regexp_extract(path, "([^/]*)$", 1)
     val ext = lower(regexp_extract(lastSeg, "[.]([A-Za-z0-9]{1,5})$", 1))
     val digits = length(regexp_replace(path, "[^0-9]", ""))
@@ -1426,9 +1443,9 @@ object CorpusOps {
     require(defaultDelayMs >= 0, s"defaultDelayMs must be >= 0, got $defaultDelayMs")
     import org.apache.spark.sql.expressions.Window
     val u = coalesce(col("url").cast("string"), lit(""))
-    val host = lower(regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
     val frontier = urls
-      .select(col("doc_id").cast("long").as("doc_id"), u.as("url"), host.as("host"))
+      .select(col("doc_id").cast("long").as("doc_id"), u.as("url"),
+        urlHostCol(u).as("host"))
       .filter(col("host") =!= "")
     val d = delays
       .select(lower(col("host").cast("string")).as("host"),
@@ -1474,9 +1491,8 @@ object CorpusOps {
   def templatePages(pages: DataFrame, minPaths: Long = 5L): DataFrame = {
     require(minPaths >= 1, s"minPaths must be >= 1, got $minPaths")
     val u = coalesce(col("url").cast("string"), lit(""))
-    val host = lower(regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
-    val rawPath = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
-    val path = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val host = urlHostCol(u)
+    val path = urlPathCol(u, host)
     val txt = coalesce(col("text").cast("string"), lit(""))
     pages
       .select(u.as("url"), host.as("host"), path.as("path"),

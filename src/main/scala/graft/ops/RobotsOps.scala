@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   * pre-wildcard REP core. `*`/`$` pattern rules are DROPPED by the
   * parser (a conservative consumer must treat unsupported patterns
   * separately; mixing a partial wildcard implementation into
-  * longest-match would silently mis-rank rules). Directives beyond
-  * Allow/Disallow (Crawl-delay, Sitemap, Host) are ignored.
+  * longest-match would silently mis-rank rules). Crawl-delay and
+  * Sitemap parse via [[robotsDirectives]] (delay group-scoped like a
+  * rule, sitemap file-global); Host and unknown keys are ignored.
   */
 object RobotsOps {
 

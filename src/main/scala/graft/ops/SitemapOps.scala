@@ -25,9 +25,10 @@ object SitemapOps {
   /** (kind, loc, lastmod) entries of one sitemap body: kind is "url"
     * for `<url>` entries, "sitemap" for `<sitemap>` index entries;
     * lastmod is "" when absent. Tolerant scan: case-insensitive tags,
-    * whitespace inside tags ignored, unclosed trailing entries dropped,
-    * entries without a `<loc>` dropped (a loc-less entry has no URL —
-    * sitemaps.org makes `<loc>` the one required field). */
+    * whitespace inside tags ignored, unclosed entries dropped — trailing
+    * OR mid-file (an unclosed entry never borrows the next entry's close
+    * tag) — and entries without a `<loc>` dropped (a loc-less entry has
+    * no URL — sitemaps.org makes `<loc>` the one required field). */
   private[graft] def parseEntries(body: String): Seq[(String, String, String)] = {
     val s = if (body == null) "" else body
     val low = s.toLowerCase(java.util.Locale.ROOT)
@@ -44,23 +45,31 @@ object SitemapOps {
       HtmlExtract.decodeEntities(s.substring(gt + 1, close)).trim
     }
     for (kind <- Seq("url", "sitemap")) {
-      var i = 0
-      while (i >= 0 && i < low.length) {
-        // "<url" must not match "<urlset": require the next char to
-        // close the tag name
-        val open = low.indexOf("<" + kind, i)
-        if (open < 0) i = -1
-        else {
-          val after = open + 1 + kind.length
-          val nameEnds = after < low.length &&
-            (low.charAt(after) == '>' || Character.isWhitespace(low.charAt(after)))
-          val close = low.indexOf("</" + kind + ">", open)
-          if (nameEnds && close > open) {
-            val loc = inner("loc", open, close)
-            if (loc.nonEmpty) out += ((kind, loc, inner("lastmod", open, close)))
-            i = close + 1
-          } else i = open + 1
-        }
+      // "<url" must not match "<urlset": require the next char to close
+      // the tag name
+      def isTrueOpen(pos: Int): Boolean = {
+        val after = pos + 1 + kind.length
+        after < low.length &&
+          (low.charAt(after) == '>' || Character.isWhitespace(low.charAt(after)))
+      }
+      def nextOpen(from: Int): Int = {
+        var p = low.indexOf("<" + kind, from)
+        while (p >= 0 && !isTrueOpen(p)) p = low.indexOf("<" + kind, p + 1)
+        p
+      }
+      var open = nextOpen(0)
+      while (open >= 0) {
+        val close = low.indexOf("</" + kind + ">", open)
+        val next = nextOpen(open + 1)
+        // an UNCLOSED entry (another open before any close) must not
+        // borrow the NEXT entry's close tag — that would emit a chimera
+        // (this loc + the next entry's lastmod) and swallow the next
+        // entry whole; drop the unclosed one and resume at the next
+        if (close > open && (next < 0 || close < next)) {
+          val loc = inner("loc", open, close)
+          if (loc.nonEmpty) out += ((kind, loc, inner("lastmod", open, close)))
+          open = nextOpen(close + 1)
+        } else open = next
       }
     }
     out.toSeq
@@ -111,8 +120,7 @@ object SitemapOps {
       .withColumn("in_sitemap", lit(1))
     val uu = coalesce(col("url").cast("string"), lit(""))
     val crawled = urls
-      .select(lower(regexp_extract(uu, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
-        .as("host"), uu.as("u"))
+      .select(CorpusOps.urlHostCol(uu).as("host"), uu.as("u"))
       .filter(col("host") =!= "")
       .distinct()
       .withColumn("in_crawl", lit(1))

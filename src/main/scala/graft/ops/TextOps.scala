@@ -1561,6 +1561,13 @@ object TextOps {
       .as[(Long, String)]
       .mapPartitions { it =>
         val defl = new java.util.zip.Deflater(level)
+        // the iterator is lazy, so end() can't run in this call frame;
+        // the task-completion listener frees the native zlib state even
+        // when a downstream limit() stops consuming early (a GC-time
+        // cleaner would hold ~256KB native per task invisibly to the
+        // heap until some later collection)
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => defl.end())
         val buf = new Array[Byte](64 * 1024)
         it.map { case (id, text) =>
           val bytes = (if (text == null) "" else text)
@@ -1574,10 +1581,6 @@ object TextOps {
             else out * 1000000L / bytes.length
           (id, bytes.length.toLong, out, ratio)
         }
-        // NOTE: the Deflater is deliberately NOT end()ed — the iterator
-        // is lazy and rows outlive this call frame; the finalizer frees
-        // the native handle when the partition completes (one handle
-        // per partition, bounded)
       }
       .toDF("doc_id", "n_bytes", "n_deflate", "ratio_e6")
   }

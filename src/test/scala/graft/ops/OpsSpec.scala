@@ -3859,6 +3859,13 @@ class OpsSpec extends AnyFunSuite {
     // into one giant bogus entry swallowing everything)
     assert(SitemapOps.parseEntries(null).isEmpty)
     assert(SitemapOps.parseEntries("<urlset></urlset>").isEmpty)
+    // a MID-FILE unclosed entry must not borrow the next entry's close
+    // tag: no chimera (loc A + B's lastmod), and B itself survives
+    val midUnclosed = SitemapOps.parseEntries(
+      "<url><loc>https://h/a</loc>" + // unclosed
+        "<url><loc>https://h/b</loc><lastmod>2026-01-05</lastmod></url>").toSet
+    assert(midUnclosed == Set(("url", "https://h/b", "2026-01-05")),
+      s"got $midUnclosed")
   }
 
   test("sitemapCoverage: both/only splits, dedup, index rows and hostless drop") {
@@ -4107,6 +4114,13 @@ class OpsSpec extends AnyFunSuite {
     assert(out(6L)._5 && out(6L)._8 == 8000000L / 11L, s"got ${out(6L)}")
     // "prefix=1" must NOT match the ref rule (param-boundary anchor)
     assert(!out(7L)._5, s"got ${out(7L)}")
+    // a '?' INSIDE the fragment is not a query (RFC 3986): no params,
+    // no tracking
+    val frag = CorpusOps.urlFeatures(
+      Seq((8L, "https://h.example/p#sec?ref=1")).toDF("doc_id", "url"))
+      .collect().head
+    assert(frag.getAs[Long]("n_params") == 0L &&
+      !frag.getAs[Boolean]("has_tracking"), s"got $frag")
   }
 
   test("fetchSchedule: per-host spacing, default delay, conservative merge") {
