@@ -555,6 +555,27 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       CorpusOps.templatePages(pages, minPaths = 5)
     }),
+    "q122_winnow_fingerprints" -> ((s, dir) =>
+      // winnowing (MOSS) fingerprints: robust span-level selection with
+      // the w+k-1 detection guarantee; rows-only for the driver — the
+      // OpsSpec gates are an independent non-rolling recompute of the
+      // selection, the paper's window-coverage property, and the
+      // shared-substring guarantee under case/whitespace edits. k=24
+      // here because the synthetic corpus is word salad over a ~30-word
+      // vocabulary: 8-char grams collide across unrelated docs by
+      // construction, while 24-char fingerprints witness 4-5 shared
+      // words — the discriminating scale for THIS corpus (the k=8
+      // default suits natural text, where char-gram entropy is high)
+      Dedup.winnowFingerprints(docs(s, dir), k = 24, w = 4)),
+    "q123_fingerprint_matches" -> ((s, dir) =>
+      // cross-doc fingerprint matching (q21's inverted-index discipline
+      // on the 8-byte fp key, maxDf viral cap): pairs sharing >= 3
+      // distinct 24-char-witness fingerprints — the corpus's recurring
+      // passages yield a stable pair set at every sf (28 of the 38
+      // sf0.001 pairs persist even at k=32)
+      Dedup.fingerprintMatches(
+        Dedup.winnowFingerprints(docs(s, dir), k = 24, w = 4),
+        minShared = 3L)),
     "q120_url_features" -> ((s, dir) => {
       // zero-fetch URL shape features over a synthesized frame: hostless
       // junk (zeroed rows kept), digit-heavy calendar paths, an

@@ -1972,4 +1972,121 @@ object Dedup {
       }
       .toDF("doc_id", "phrase", "n_matches", "first_pos")
   }
+
+  /** winnowing fingerprint selection over one normalized text (Schleimer/
+    * Wilkerson/Aiken, SIGMOD 2003 — the MOSS algorithm): k-gram rolling
+    * hashes, then per window of `w` consecutive hashes keep the MINIMUM,
+    * breaking ties by the RIGHTMOST position (the paper's robust
+    * winnowing rule — it minimizes selections on runs of equal hashes,
+    * i.e. repetitive text). Output (hash, pos) pairs, deduplicated on
+    * selection identity (adjacent windows usually re-select the same
+    * minimum).
+    *
+    * Guarantees (the paper's, pinned by OpsSpec): every window of w
+    * consecutive k-grams contributes at least one selected position
+    * (local coverage), so any shared substring of length >= w + k - 1
+    * between two documents yields at least one shared fingerprint;
+    * expected density is 2/(w+1).
+    *
+    * Normalization: lowercase + whitespace runs collapsed to one space +
+    * trim — formatting/casing edits must not break span matching (the
+    * MOSS discipline); texts shorter than k emit nothing. The rolling
+    * hash is poly-31 over chars in plain wrapping 64-bit arithmetic with
+    * the leading term removed per step — byte-deterministic everywhere. */
+  private[graft] def winnowOne(text: String, k: Int, w: Int): Array[(Long, Int)] = {
+    val s = (if (text == null) "" else text)
+      .toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ").trim
+    val n = s.length
+    if (n < k) return Array.empty
+    val m = n - k + 1 // number of k-grams
+    val hashes = new Array[Long](m)
+    var h = 0L
+    var pow = 1L // 31^(k-1)
+    var i = 0
+    while (i < k) { h = h * 31 + s.charAt(i); if (i < k - 1) pow *= 31; i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < m) {
+      h = (h - s.charAt(i - 1) * pow) * 31 + s.charAt(i + k - 1)
+      hashes(i) = h
+      i += 1
+    }
+    if (m <= w) {
+      // fewer grams than one window: select the single global min
+      // (rightmost tie) so even short texts carry one fingerprint
+      var best = 0
+      i = 1
+      while (i < m) { if (hashes(i) <= hashes(best)) best = i; i += 1 }
+      return Array((hashes(best), best))
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    var lastPos = -1
+    var start = 0
+    while (start + w <= m) {
+      var best = start
+      i = start + 1
+      while (i < start + w) { if (hashes(i) <= hashes(best)) best = i; i += 1 }
+      if (best != lastPos) { out += ((hashes(best), best)); lastPos = best }
+      start += 1
+    }
+    out.toArray
+  }
+
+  /** per-document winnowing fingerprints — the span-level ROBUST analog
+    * of the exact families (q61 catches byte-exact substrings; this
+    * catches them after case/whitespace edits, with a provable
+    * length->detection guarantee instead of MinHash's probabilistic
+    * one). Output (doc_id, fp, pos): pos is the k-gram start in the
+    * normalized text. DISTINCT (doc_id, fp) is the match currency;
+    * positions kept for span triage.
+    *
+    * Scale shape: one scan-fused typed flatMap — the selection is a
+    * per-row O(n*w) kernel (w is small; the paper's density argument is
+    * about OUTPUT size: ~2/(w+1) of grams survive, so the table this
+    * emits is 5-10x smaller than a full shingle table at w=8). */
+  def winnowFingerprints(documents: DataFrame, k: Int = 8,
+      w: Int = 4): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(w >= 1, s"w must be >= 1, got $w")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        winnowOne(text, k, w).iterator.map { case (fp, pos) => (id, fp, pos) }
+      }
+      .toDF("doc_id", "fp", "pos")
+  }
+
+  /** cross-document fingerprint matching over [[winnowFingerprints]]
+    * output: pairs (doc_a < doc_b) sharing at least `minShared` DISTINCT
+    * fingerprints, with the shared count — the plagiarism/syndication
+    * span detector (each shared fingerprint witnesses a shared
+    * normalized substring of length >= k; `minShared` trades recall for
+    * viral-boilerplate noise exactly like q21's threshold).
+    *
+    * Scale shape: the q21 inverted-index discipline — distinct (fp,
+    * doc) postings self-join on the 8-byte fp key, maxDf cap drops
+    * corpus-viral fingerprints WHOLE before the join (boilerplate would
+    * otherwise quadratically explode the hottest keys), one
+    * partial-combined pair aggregate. Documents never move. */
+  def fingerprintMatches(fps: DataFrame, minShared: Long = 2L,
+      maxDf: Int = 1000): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val postings0 = fps.select(col("doc_id").cast("long").as("doc_id"),
+      col("fp").cast("long").as("fp")).distinct()
+    val postings =
+      if (maxDf <= 0) postings0
+      else {
+        val hot = postings0.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select(col("fp"))
+        postings0.join(hot, Seq("fp"), "left_anti")
+      }
+    postings.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(postings.select(col("doc_id").as("doc_b"), col("fp")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

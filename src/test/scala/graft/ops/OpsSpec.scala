@@ -4123,6 +4123,78 @@ class OpsSpec extends AnyFunSuite {
       !frag.getAs[Boolean]("has_tracking"), s"got $frag")
   }
 
+  test("winnowOne: independent recompute, window coverage, rightmost ties") {
+    val k = 4; val w = 3
+    val text = "the quick brown fox jumps over the lazy dog the quick"
+    // independent NON-rolling recompute: poly-31 per substring, brute
+    // window minima with rightmost (<=) ties, adjacent-dup collapse
+    def refWinnow(raw: String): Seq[(Long, Int)] = {
+      val s = raw.toLowerCase.replaceAll("\\s+", " ").trim
+      if (s.length < k) return Seq.empty
+      val hs = (0 to s.length - k)
+        .map(i => s.substring(i, i + k).foldLeft(0L)(_ * 31 + _)).toArray
+      if (hs.length <= w) {
+        val best = hs.indices.reduceLeft((a, b) => if (hs(b) <= hs(a)) b else a)
+        return Seq((hs(best), best))
+      }
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+      for (st <- 0 to hs.length - w) {
+        val best = (st until st + w).reduceLeft((a, b) => if (hs(b) <= hs(a)) b else a)
+        if (sel.isEmpty || sel.last._2 != best) sel += ((hs(best), best))
+      }
+      sel.toSeq
+    }
+    assert(Dedup.winnowOne(text, k, w).toSeq == refWinnow(text))
+    // repetitive text (the robust-winnowing motivation: equal hashes)
+    val rep = "ab " * 40
+    assert(Dedup.winnowOne(rep, k, w).toSeq == refWinnow(rep))
+    // coverage: every window of w gram positions holds >= 1 selection
+    val posSet = Dedup.winnowOne(text, k, w).map(_._2).toSet
+    val m = text.toLowerCase.replaceAll("\\s+", " ").trim.length - k + 1
+    for (st <- 0 to m - w)
+      assert((st until st + w).exists(posSet.contains), s"window $st uncovered")
+    // short texts: below k -> nothing; below one window -> one global min
+    assert(Dedup.winnowOne("ab", k, w).isEmpty)
+    assert(Dedup.winnowOne("abcde", k, w).length == 1)
+    assert(Dedup.winnowOne(null, k, w).isEmpty)
+  }
+
+  test("winnowFingerprints + fingerprintMatches: guarantee, viral cap, threshold") {
+    val shared = "The Quick   Brown Fox Jumped Over The LAZY Dog Near The River Bank"
+    val docs = Seq(
+      (1L, "alpha beta gamma " + shared + " delta epsilon"),
+      // same passage, different case/whitespace — must still match
+      (2L, "unrelated opening text " + shared.toLowerCase.replaceAll(" +", " ")
+        + " and a different tail entirely"),
+      (3L, "zebra quartz vortex glyph jinxed womb crwth zyzzyva plinko"),
+      // three docs sharing ONE viral boilerplate phrase for the cap test
+      (4L, "footer: all rights reserved worldwide xx1"),
+      (5L, "footer: all rights reserved worldwide xx2"),
+      (6L, "footer: all rights reserved worldwide xx3")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, k = 8, w = 4)
+    // the w+k-1 guarantee: docs 1 and 2 share a normalized substring far
+    // longer than 11 chars -> at least one shared fingerprint
+    val m = Dedup.fingerprintMatches(fps, minShared = 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m.contains((1L, 2L)) && m((1L, 2L)) >= 1L, s"got $m")
+    assert(!m.keys.exists(p => p._1 == 3L || p._2 == 3L), s"got $m")
+    // minShared thresholds: the footer trio share many fps pairwise
+    val strict = Dedup.fingerprintMatches(fps, minShared = 3L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict.contains((4L, 5L)) && strict.contains((5L, 6L)))
+    // maxDf=2 drops fingerprints shared by all THREE footer docs whole;
+    // their pairwise matches then rest only on the distinct xxN tails,
+    // which share nothing -> the trio vanishes, the planted pair stays
+    val capped = Dedup.fingerprintMatches(fps, minShared = 1L, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists(p => p._1 >= 4L),
+      s"viral fps must drop whole: $capped")
+    assert(capped.contains((1L, 2L)))
+    intercept[IllegalArgumentException] { Dedup.winnowFingerprints(docs, 1, 4) }
+    intercept[IllegalArgumentException] { Dedup.fingerprintMatches(fps, 0L) }
+  }
+
   test("fetchSchedule: per-host spacing, default delay, conservative merge") {
     val urls = Seq(
       (1L, "https://A.example/p/1"), (2L, "https://a.example/p/2"),
