@@ -101,6 +101,33 @@ object SparkEntry {
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("weight"))
   }
 
+  /** shared q124/q125 synthetic doc-level graph: a chain over all doc ids
+    * ((i, i+1) when both exist), a spoke from every non-decade doc to its
+    * decade base ((i − i%10, i)), and a clique over ids 0..18 — rich
+    * triangle structure (each decade's fan closes via chain edges:
+    * (base, i, i+1)) plus a dense core with a periphery that k=3 peels
+    * in residue WAVES (residue-1 nodes share their spoke with a chain
+    * edge, so they sit at degree 2 and fall first, exposing residue-2,
+    * then residue-3 — one wave per synchronous round), so the
+    * bounded-round k-core contract is actually exercised. Every edge is
+    * endpoint-verified against the id set (no contiguity assumption);
+    * the oracle rebuilds the identical edge list closed-form. */
+  private def docGraphEdges(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"))
+    val chain = d.select(col("doc_id").as("ea"), (col("doc_id") + 1).as("eb"))
+    val spokes = d.filter(col("doc_id") % 10 =!= 0)
+      .select((col("doc_id") - col("doc_id") % 10).as("ea"),
+        col("doc_id").as("eb"))
+    val clique = d.filter(col("doc_id") < 18)
+      .select(col("doc_id").as("ea"),
+        explode(sequence(col("doc_id") + 1, lit(18L))).as("eb"))
+    chain.union(spokes).union(clique)
+      .join(d.select(col("doc_id").as("ea")), Seq("ea"))
+      .join(d.select(col("doc_id").as("eb")), Seq("eb"))
+      .select(col("ea").cast("string").as("src"),
+        col("eb").cast("string").as("dst"))
+  }
+
   /** Flagship: extraction pipeline over a synthesized 300-row corpus,
     * joined against golden. Driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -555,6 +582,23 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       CorpusOps.templatePages(pages, minPaths = 5)
     }),
+    "q124_triangles" -> ((s, dir) =>
+      // per-node triangle count + clustering coefficient (degree-ordered
+      // node-iterator) over the synthesized chain+spokes+clique doc
+      // graph: decade fans close via chain edges, the clique region is
+      // near-coefficient-1, chain interiors are 0 — the oracle rebuilds
+      // the edge list and enumerates canonical a<b<c triples
+      LinkOps.triangleStats(docGraphEdges(s, dir))),
+    "q125_kcore" -> ((s, dir) =>
+      // bounded-round k-core peel (k=3, 3 synchronous rounds, the q115
+      // unrollable-fixpoint discipline) over the same graph: residue-1
+      // nodes sit at degree 2 (their spoke coincides with a chain edge)
+      // and die in round 1 together with the chain tail, which exposes
+      // residue-2 as the next wave, then residue-3 — one residue WAVE
+      // per round, far from the fixpoint at round 3, so the output
+      // keeps BELOW-k survivors: the bounded-round contract made
+      // visible; the oracle unrolls all three induce+filter rounds
+      LinkOps.kCorePeel(docGraphEdges(s, dir), k = 3, maxRounds = 3)),
     "q122_winnow_fingerprints" -> ((s, dir) =>
       // winnowing (MOSS) fingerprints: robust span-level selection with
       // the w+k-1 detection guarantee; rows-only for the driver — the
@@ -1389,6 +1433,72 @@ object SparkEntry {
       |FROM rk WHERE rnk <= 20""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q124_triangles" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |raw AS (
+        |  SELECT doc_id AS ea, doc_id + 1 AS eb FROM ids
+        |  UNION ALL
+        |  SELECT doc_id - doc_id % 10 AS ea, doc_id AS eb FROM ids
+        |  WHERE doc_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT doc_id AS ea, unnest(range(doc_id + 1, 19)) AS eb FROM ids
+        |  WHERE doc_id < 18),
+        |e AS (SELECT cast(r.ea AS varchar) AS s, cast(r.eb AS varchar) AS t
+        |      FROM raw r JOIN ids ia ON r.ea = ia.doc_id
+        |                 JOIN ids ib ON r.eb = ib.doc_id),
+        |und AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+        |        FROM e WHERE s <> t),
+        |deg AS (SELECT v, cast(count(*) AS bigint) AS degree FROM (
+        |    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+        |  GROUP BY v),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM und e1 JOIN und e2 ON e1.b = e2.a
+        |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |pern AS (SELECT v, cast(count(*) AS bigint) AS triangles FROM (
+        |    SELECT x AS v FROM tri UNION ALL SELECT y AS v FROM tri
+        |    UNION ALL SELECT z AS v FROM tri)
+        |  GROUP BY v)
+        |SELECT deg.v AS node, deg.degree,
+        |  cast(coalesce(pern.triangles, 0) AS bigint) AS triangles,
+        |  cast(CASE WHEN deg.degree >= 2
+        |    THEN (2 * coalesce(pern.triangles, 0) * 1000000)
+        |         // (deg.degree * (deg.degree - 1))
+        |    ELSE 0 END AS bigint) AS clustering_e6
+        |FROM deg LEFT JOIN pern ON deg.v = pern.v""".stripMargin,
+    "q125_kcore" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |raw AS (
+        |  SELECT doc_id AS ea, doc_id + 1 AS eb FROM ids
+        |  UNION ALL
+        |  SELECT doc_id - doc_id % 10 AS ea, doc_id AS eb FROM ids
+        |  WHERE doc_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT doc_id AS ea, unnest(range(doc_id + 1, 19)) AS eb FROM ids
+        |  WHERE doc_id < 18),
+        |e AS (SELECT cast(r.ea AS varchar) AS s, cast(r.eb AS varchar) AS t
+        |      FROM raw r JOIN ids ia ON r.ea = ia.doc_id
+        |                 JOIN ids ib ON r.eb = ib.doc_id),
+        |e1 AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+        |       FROM e WHERE s <> t),
+        |d1 AS (SELECT v, count(*) AS dg FROM (
+        |    SELECT a AS v FROM e1 UNION ALL SELECT b AS v FROM e1) GROUP BY v),
+        |a1 AS (SELECT v FROM d1 WHERE dg >= 3),
+        |e2 AS (SELECT e1.a, e1.b FROM e1
+        |       JOIN a1 x ON e1.a = x.v JOIN a1 y ON e1.b = y.v),
+        |d2 AS (SELECT v, count(*) AS dg FROM (
+        |    SELECT a AS v FROM e2 UNION ALL SELECT b AS v FROM e2) GROUP BY v),
+        |a2 AS (SELECT v FROM d2 WHERE dg >= 3),
+        |e3 AS (SELECT e2.a, e2.b FROM e2
+        |       JOIN a2 x ON e2.a = x.v JOIN a2 y ON e2.b = y.v),
+        |d3 AS (SELECT v, count(*) AS dg FROM (
+        |    SELECT a AS v FROM e3 UNION ALL SELECT b AS v FROM e3) GROUP BY v),
+        |a3 AS (SELECT v FROM d3 WHERE dg >= 3),
+        |ef AS (SELECT e3.a, e3.b FROM e3
+        |       JOIN a3 x ON e3.a = x.v JOIN a3 y ON e3.b = y.v),
+        |df AS (SELECT v, cast(count(*) AS bigint) AS core_deg FROM (
+        |    SELECT a AS v FROM ef UNION ALL SELECT b AS v FROM ef) GROUP BY v)
+        |SELECT a3.v AS node, cast(coalesce(df.core_deg, 0) AS bigint) AS core_deg
+        |FROM a3 LEFT JOIN df ON a3.v = df.v""".stripMargin,
     "q01_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  cast(sum(cast(l_quantity AS bigint)) AS bigint) AS sum_qty,

@@ -438,6 +438,147 @@ object LinkOps {
     labels.select(col("host"), col("label"))
   }
 
+  /** per-node triangle count + local clustering coefficient over an
+    * undirected simple graph — the classic link-farm density signal
+    * (Watts/Strogatz clustering; Becchetti et al. WebSpam 2008 use
+    * exactly this per-host feature): organically linked hosts have
+    * moderate clustering, interlinked spam rings are near-cliques
+    * (coefficient → 1), directories are stars (coefficient → 0). The
+    * reciprocity/degree complement lives in [[hostGraphStats]]; this is
+    * the second-order structure those first-order stats can't see. No
+    * reference analog (pdf_extractor.h:6); north_rule surface.
+    *
+    * Input: (src, dst) edges, any direction/multiplicity (symmetrized +
+    * deduped here; NULLs, empties and self-loops drop). Output one row
+    * per node: (node, degree long, triangles long, clustering_e6 long)
+    * where clustering_e6 = floor(2·T·10^6 / (d·(d−1))) — exact integer
+    * micro-units (the q120 div discipline: never a rounded double), 0
+    * when degree < 2.
+    *
+    * Scale shape: the degree-ordered node-iterator join (Schank/Wagner
+    * 2005; the MapReduce formulation is Suri/Vassilvitskii WWW 2011):
+    * every edge is ORIENTED from its (degree, name)-smaller endpoint to
+    * the larger, so each triangle is enumerated exactly once at its
+    * minimum vertex and — the point at web scale — per-node out-degree
+    * in the oriented DAG is O(sqrt(|E|)): a 10^6-in-link hub generates
+    * wedges only from the few neighbors BELOW it in degree order, never
+    * C(10^6, 2). One self-equi-join of the oriented table on the apex
+    * builds wedges, one equi-join against the canonical edge set closes
+    * them; both are hash joins on node keys — never cartesian, nothing
+    * document-sized moves. The edge/degree/oriented tables each feed
+    * multiple consumers and are lineage-cut once (the q26 discipline). */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("string").as("s"),
+        col("dst").cast("string").as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull &&
+        col("s") =!= "" && col("d") =!= "" && col("s") =!= col("d"))
+    val und = Checkpoints.cut(
+      e.select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b")).distinct())
+    val deg = Checkpoints.cut(
+      und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("degree")))
+    val oriented = Checkpoints.cut(und
+      .join(deg.select(col("v").as("a"), col("degree").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("degree").as("db")), Seq("b"))
+      .select(when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("x")))
+        .otherwise(struct(col("b").as("u"), col("a").as("x"))).as("e"))
+      .select(col("e.u").as("u"), col("e.x").as("x")))
+    // wedges at the apex u (x1 < x2 so each unordered wedge appears once,
+    // matching the canonical closing-edge orientation below)
+    val tri = oriented.select(col("u"), col("x").as("x1"))
+      .join(oriented.select(col("u"), col("x").as("x2")), Seq("u"))
+      .filter(col("x1") < col("x2"))
+      .join(und, col("x1") === col("a") && col("x2") === col("b"))
+      .select(col("u"), col("x1"), col("x2"))
+    val perNode = tri
+      .select(explode(array(col("u"), col("x1"), col("x2"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("v"), "left")
+      .select(col("v").as("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("clustering_e6",
+        when(col("degree") >= 2,
+          expr("(2 * triangles * 1000000) div (degree * (degree - 1))"))
+          .otherwise(lit(0L)))
+  }
+
+  /** bounded-round k-core peeling over an undirected simple graph —
+    * the standard dense-subgraph extractor (Seidman 1983; Batagelj/
+    * Zaveršnik's peeling): repeatedly delete every node whose degree in
+    * the SURVIVING subgraph is below k. On a host graph the stable
+    * k-core isolates interlinked rings too dense to be organic (the
+    * complement of [[triangleStats]]' per-node view); on a near-dup
+    * pair graph it isolates template farms that pairwise thresholds
+    * see only as scattered edges. No reference analog
+    * (pdf_extractor.h:6); north_rule surface.
+    *
+    * Deterministic bounded-round contract (the q115 discipline — a
+    * value-exact oracle must be able to unroll it): exactly SYNCHRONOUS
+    * peel rounds — round i computes every degree over the round-(i−1)
+    * survivor-induced subgraph, then drops all sub-k nodes at once — up
+    * to `maxRounds`, stopping early at the fixpoint (set-stable round;
+    * every later round is then a no-op, so early exit is
+    * unroll-equivalent). Output: one row per SURVIVING node,
+    * (node, core_deg long) where core_deg is its degree in the final
+    * survivor-induced subgraph — below k (even 0) only when `maxRounds`
+    * stopped before the fixpoint; at the fixpoint this is the k-core
+    * with internal degrees. Peeling a chain unravels one layer per
+    * round, so full convergence on a path of length L needs ~L rounds:
+    * production callers pass a generous maxRounds (the loop exits at
+    * the fixpoint anyway); oracle-gated surfaces pin it small.
+    *
+    * Scale shape: per round, TWO semi-joins induce the surviving edge
+    * table (node-keyed hash joins), one partial-combined degree
+    * aggregate, one filter — edges shrink monotonically, nodes move as
+    * strings, documents never move. Each round's survivor set and the
+    * shrinking edge table are lineage-cut ([[Checkpoints.cut]], the
+    * q26 loop discipline) so the plan never compounds across rounds;
+    * the fixpoint test is one count on the node table. */
+  def kCorePeel(edges: DataFrame, k: Int = 3, maxRounds: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 0, s"maxRounds must be >= 0, got $maxRounds")
+    val e = edges.select(col("src").cast("string").as("s"),
+        col("dst").cast("string").as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull &&
+        col("s") =!= "" && col("d") =!= "" && col("s") =!= col("d"))
+    var und = Checkpoints.cut(
+      e.select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b")).distinct())
+    var alive = Checkpoints.cut(
+      und.select(col("a").as("v")).union(und.select(col("b").as("v"))).distinct())
+    var aliveN = alive.count()
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val induced = und.join(alive.select(col("v").as("a")), Seq("a"))
+        .join(alive.select(col("v").as("b")), Seq("b"))
+      val deg = induced.select(col("a").as("v"))
+        .union(induced.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val next = Checkpoints.cut(deg.filter(col("deg") >= k).select(col("v")))
+      val n = next.count()
+      // A_{i+1} ⊆ A_i (an excluded node has no induced edges, hence no
+      // degree row), so count equality IS set equality — fixpoint
+      if (n == aliveN) converged = true
+      else {
+        alive = next
+        aliveN = n
+        und = Checkpoints.cut(induced.select(col("a"), col("b")))
+      }
+      round += 1
+    }
+    val finalInduced = und.join(alive.select(col("v").as("a")), Seq("a"))
+      .join(alive.select(col("v").as("b")), Seq("b"))
+    val fdeg = finalInduced.select(col("a").as("v"))
+      .union(finalInduced.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    alive.join(fdeg, Seq("v"), "left")
+      .select(col("v").as("node"), coalesce(col("deg"), lit(0L)).as("core_deg"))
+  }
+
   def anchorTerms(links: DataFrame, topK: Int = 5): DataFrame = {
     require(topK > 0, s"topK must be > 0, got $topK")
     import org.apache.spark.sql.expressions.Window

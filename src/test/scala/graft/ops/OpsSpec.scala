@@ -935,6 +935,92 @@ class OpsSpec extends AnyFunSuite {
     assert(local(22L) == 10L && local(40L) == 10L && local(31L) == 30L)
   }
 
+  test("triangleStats: fixture counts, clustering micro-units, noise dropped") {
+    // triangle a-b-c, pendant d on a, isolated pair e-f; plus noise the
+    // op must drop/merge: reversed duplicate, exact duplicate, self-loop,
+    // NULL and empty endpoints
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("e", "f"),
+      ("b", "a"), ("a", "b"), ("c", "c"), (null, "a"), ("", "b"))
+      .toDF("src", "dst")
+    val r = LinkOps.triangleStats(edges).collect().map(x =>
+      x.getAs[String]("node") ->
+        ((x.getAs[Long]("degree"), x.getAs[Long]("triangles"),
+          x.getAs[Long]("clustering_e6")))).toMap
+    assert(r.keySet == Set("a", "b", "c", "d", "e", "f"))
+    assert(r("a") == ((3L, 1L, 333333L))) // 2*1e6/(3*2), floored
+    assert(r("b") == ((2L, 1L, 1000000L)))
+    assert(r("c") == ((2L, 1L, 1000000L)))
+    assert(r("d") == ((1L, 0L, 0L)))
+    assert(r("e") == ((1L, 0L, 0L)) && r("f") == ((1L, 0L, 0L)))
+  }
+
+  test("triangleStats: degree-ordered enumeration agrees with brute force") {
+    // deterministic pseudo-random graph, dense enough for many triangles
+    val rnd = new scala.util.Random(7)
+    val n = 24
+    val raw = (0 until 120).map { _ =>
+      (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}")
+    }
+    val out = LinkOps.triangleStats(raw.toDF("src", "dst")).collect()
+    // brute-force oracle over the canonical simple graph
+    val und = raw.collect { case (x, y) if x != y =>
+      if (x < y) (x, y) else (y, x)
+    }.toSet
+    val nodes = und.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    val adj = nodes.map(v => v ->
+      und.collect { case (a, b) if a == v => b
+                    case (a, b) if b == v => a }).toMap
+    val triPer = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      k <- (j + 1) until nodes.length
+      a = nodes(i); b = nodes(j); c = nodes(k)
+      if adj(a).contains(b) && adj(b).contains(c) && adj(a).contains(c)
+    } { triPer(a) += 1; triPer(b) += 1; triPer(c) += 1 }
+    assert(triPer.values.sum > 0, "fixture must contain triangles")
+    val got = out.map(x =>
+      x.getAs[String]("node") -> x.getAs[Long]("triangles")).toMap
+    assert(got == nodes.map(v => v -> triPer(v)).toMap)
+    out.foreach { x =>
+      val d = x.getAs[Long]("degree")
+      assert(d == adj(x.getAs[String]("node")).size)
+      assert(x.getAs[Long]("clustering_e6") <= 1000000L)
+    }
+  }
+
+  test("kCorePeel: clique core survives, chain tail unravels one node per round") {
+    // K4 clique (the stable 3-core) + a chain tail k4-t1-t2-t3 whose
+    // interior nodes get one spoke each into the clique (deg 3), so the
+    // peel unravels EXACTLY one tail node per round: t3 (deg 1) round 1,
+    // t2 round 2, t1 round 3, fixpoint detected round 4
+    val edges = Seq(
+      ("k1", "k2"), ("k1", "k3"), ("k1", "k4"), ("k2", "k3"),
+      ("k2", "k4"), ("k3", "k4"),
+      ("k4", "t1"), ("t1", "t2"), ("t2", "t3"),
+      ("t1", "k1"), ("t2", "k2"),
+      ("t3", "t3"), (null, "k1") // noise: self-loop + NULL drop
+    ).toDF("src", "dst")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect().map(x =>
+      x.getAs[String]("node") -> x.getAs[Long]("core_deg")).toMap
+    // full convergence: exactly the clique, all internal degree 3
+    val full = asMap(LinkOps.kCorePeel(edges, k = 3, maxRounds = 10))
+    assert(full == Map("k1" -> 3L, "k2" -> 3L, "k3" -> 3L, "k4" -> 3L))
+    // bounded-round honesty: after ONE round only t3 (deg 1) is gone;
+    // t2 survives with a sub-k induced degree — the documented contract
+    val one = asMap(LinkOps.kCorePeel(edges, k = 3, maxRounds = 1))
+    assert(one.keySet == Set("k1", "k2", "k3", "k4", "t1", "t2"))
+    assert(one("t2") == 2L && one("t1") == 3L && one("k4") == 4L)
+    // maxRounds = 0: no peeling — every node with its full simple degree
+    val zero = asMap(LinkOps.kCorePeel(edges, k = 3, maxRounds = 0))
+    assert(zero("t3") == 1L && zero("k4") == 4L && zero.size == 7)
+    // fixpoint early-exit is unroll-equivalent: converged(4) == converged(10)
+    assert(asMap(LinkOps.kCorePeel(edges, k = 3, maxRounds = 4)) == full)
+    // empty edge table: empty result, no crash
+    assert(LinkOps.kCorePeel(Seq.empty[(String, String)].toDF("src", "dst"),
+      k = 3, maxRounds = 3).count() == 0L)
+  }
+
   test("pii scrub: emails, phones, IPs redacted; counts right; clean text untouched") {
     val df = docsDf(
       (1L, "mail a.b@x.org or call +1-555-123-4567 from 192.168.0.1 end"),
