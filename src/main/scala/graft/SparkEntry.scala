@@ -582,6 +582,14 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       CorpusOps.templatePages(pages, minPaths = 5)
     }),
+    "q126_jaccard_prefix" -> ((s, dir) =>
+      // prefix-filtered all-pairs similarity self-join (SSJoin/PPJoin):
+      // VALUE-IDENTICAL to q21 by the lossless prefix-filter theorem —
+      // the shared oracle is the equality gate; what changes is the
+      // plan (candidate join over rarest-first prefixes only, exact
+      // candidate-bounded verify) — the q113/q114 exact-vs-sketch
+      // discipline applied to the similarity join
+      Dedup.ngramJaccardPrefix(docs(s, dir), 0.5)),
     "q124_triangles" -> ((s, dir) =>
       // per-node triangle count + clustering coefficient (degree-ordered
       // node-iterator) over the synthesized chain+spokes+clique doc
@@ -1585,6 +1593,27 @@ object SparkEntry {
         |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS double), 1.0)) * 4.0,
         |      1.0) * 0.3, 6) AS quality
         |FROM documents""".stripMargin,
+    // q126 is value-identical to q21 by the lossless prefix-filter
+    // theorem — the SAME oracle text gates both (the q113/q114 pattern)
+    "q126_jaccard_prefix" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |gsets AS (
+        |  SELECT doc_id, list_distinct([array_to_string(t[i+1:i+3], ' ')
+        |          for i in range(0, greatest(len(t)-3, 0) + 1)]) AS gs
+        |  FROM toks),
+        |grams AS (SELECT doc_id, unnest(gs) AS g FROM gsets),
+        |sizes AS (SELECT doc_id, len(gs) AS sz FROM gsets),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(common / (sa.sz + sb.sz - common), 6) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE common / (sa.sz + sb.sz - common) >= 0.5""".stripMargin,
     "q21_jaccard_all_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),

@@ -491,10 +491,13 @@ object Dedup {
     * perturb `common` by 1 — probability ~(grams^2)/2^64, negligible at
     * any realistic vocabulary; the LSH+verify path (ngramJaccardDups)
     * stays fully string-exact. */
-  private def gramPairCore(documents: DataFrame, maxDf: Int): (DataFrame, DataFrame) = {
+  /** PERSISTED hashed distinct-gram postings (doc_id, g) — the shared
+    * base of the exact set-similarity self-joins; the caller owns the
+    * unpersist (the Checkpoints.eager release discipline). */
+  private def gramPostings(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val postings0 = documents.select(col("doc_id").cast("long"), col("text"))
+    documents.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         gramSet(text).iterator.map { g =>
@@ -506,6 +509,10 @@ object Dedup {
       }
       .toDF("doc_id", "g")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  private def gramPairCore(documents: DataFrame, maxDf: Int): (DataFrame, DataFrame) = {
+    val postings0 = gramPostings(documents)
     val sizes = postings0.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val postings =
       if (maxDf <= 0) postings0
@@ -538,6 +545,99 @@ object Dedup {
       // only in the projected column — filtering on the rounded value kept/
       // dropped pairs within 5e-7 of the threshold differently than the
       // oracle did
+      .withColumn("jaccard_raw",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 6).as("jaccard"))
+    (out, postings0)
+  }
+
+  /** PREFIX-FILTERED exact all-pairs word-3-gram Jaccard — value-
+    * identical to [[ngramJaccardAllPairs]] (same output, same oracle),
+    * built the way an all-pairs similarity self-join must be built at
+    * 100 TB: the candidate join indexes only each document's PREFIX
+    * under a global rarest-first gram order (Chaudhuri et al.'s SSJoin
+    * prefix filter, ICDE 2006; Xiao et al. PPJoin, WWW 2008). For
+    * threshold t, a document with s distinct grams indexes only its
+    * s − ⌈t·s⌉ + 1 rarest grams: two documents can reach Jaccard ≥ t
+    * only if their prefixes share a gram (if both prefixes are avoided,
+    * common ≤ min(⌈t·sa⌉, ⌈t·sb⌉) − 1 < t·(sa+sb)/(1+t), the required
+    * overlap), so the filter is LOSSLESS — including under `maxDf`,
+    * where prefixes are computed on the capped postings and the capped
+    * overlap can only shrink further.
+    *
+    * Why this is the scale path: the full postings self-join
+    * ([[ngramJaccardAllPairs]]) shuffles and pairs the ENTIRE gram
+    * table; at t = 0.8 the prefix index is ~20% of it, and because the
+    * global order is rarest-FIRST, high-frequency grams (boilerplate,
+    * stopword runs — exactly the keys that go quadratic in a bucket
+    * join) land in prefixes only for documents short on rare grams.
+    * Candidates then verify with exact counts: one equi-join of the
+    * candidate pair list against the FULL postings on each side
+    * recomputes `common` precisely — all hash joins, never cartesian,
+    * never broadcast-of-corpus.
+    *
+    * Output/parameters: exactly [[ngramJaccardAllPairs]]'s —
+    * (doc_a < doc_b, jaccard = round(raw, 6)) at raw-ratio ≥ threshold.
+    *
+    * Scale shape: postings built once (typed flatMap, 8-byte gram
+    * hashes) and persisted; ONE doc-keyed window shuffle ranks each
+    * document's grams by (df asc, g asc) to cut prefixes; the candidate
+    * self-join runs over the prefix table only; the verify join is
+    * candidate-bounded. The persisted postings feed five consumers and
+    * are released after materialization (Checkpoints.eager). */
+  def ngramJaccardPrefix(
+      documents: DataFrame,
+      threshold: Double = 0.8,
+      maxDf: Int = 0): DataFrame = {
+    val (out, postings) = ngramJaccardPrefixLazy(documents, threshold, maxDf)
+    Checkpoints.eager(out) { postings.unpersist() }
+  }
+
+  /** lazy plan behind [[ngramJaccardPrefix]]; returns (result,
+    * postings-to-unpersist). */
+  private[graft] def ngramJaccardPrefixLazy(
+      documents: DataFrame,
+      threshold: Double,
+      maxDf: Int): (DataFrame, DataFrame) = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val postings0 = gramPostings(documents)
+    // sizes from the UNCAPPED postings — the ngramJaccardAllPairs
+    // contract (a maxDf-dropped gram still counts toward set size)
+    val sizes = postings0.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val postings =
+      if (maxDf <= 0) postings0
+      else {
+        val hot = postings0.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select(col("g"))
+        postings0.join(hot, Seq("g"), "left_anti")
+      }
+    val dfCounts = postings.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("g").asc)
+    val perDoc = Window.partitionBy(col("doc_id"))
+    val prefix = postings.join(dfCounts, Seq("g"))
+      .withColumn("rk", row_number().over(byRarity))
+      .withColumn("szc", count(lit(1)).over(perDoc))
+      .filter(col("rk") <=
+        col("szc") - ceil(col("szc") * lit(threshold)) + lit(1L))
+      .select(col("doc_id"), col("g"))
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("g"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val common = cand
+      .join(postings.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
+      .join(postings.select(col("doc_id").as("doc_b"), col("g")),
+        Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+    val out = common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("sz", "sz_b"), "doc_b")
       .withColumn("jaccard_raw",
         col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard_raw") >= threshold)

@@ -857,6 +857,44 @@ class OpsSpec extends AnyFunSuite {
     assert(!capped.exists(r => r.getAs[Long]("doc_b") < 30L))
   }
 
+  test("prefix-filtered jaccard: value-identical to the full inverted index") {
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    // mixed fixture: planted near-dup families, overlapping halves, noise
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val rows = Seq(
+      (1L, base), (2L, base.replace("word7", "changed7")),
+      (3L, base.replace("word7 word8 word9", "x y z")),
+      (4L, (1 to 20).map(i => s"word$i").mkString(" ")),
+      (5L, (1 to 40).map(i => s"zzz$i").mkString(" ")),
+      (6L, (1 to 40).map(i => s"zzz$i").mkString(" ")), // exact dup of 5
+      (7L, ""), (8L, "one two"),
+      (9L, (21 to 60).map(i => s"word$i").mkString(" ")))
+    val df = rows.toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val full = asSet(Dedup.ngramJaccardAllPairs(df, threshold = t))
+      val pref = asSet(Dedup.ngramJaccardPrefix(df, threshold = t))
+      assert(pref == full, s"t=$t: prefix $pref vs full $full")
+      if (t <= 0.5) assert(full.nonEmpty)
+    }
+    // exact dup must survive at t = 1.0 (prefix length 1 — the minimum)
+    val t1 = asSet(Dedup.ngramJaccardPrefix(df, threshold = 1.0))
+    assert(t1 == Set((5L, 6L, 1.0)))
+    // maxDf parity: capped postings shrink prefixes but stay lossless
+    val boiler = "all rights reserved contact us for details"
+    val hot = (0L until 30L).map(i => (i, s"$boiler unique$i distinct$i marker$i"))
+    val near = (1 to 30).map(i => s"rare$i").mkString(" ")
+    val df2 = (hot ++ Seq((100L, near), (101L, near.replace("rare7", "changed7"))))
+      .toDF("doc_id", "text")
+    assert(asSet(Dedup.ngramJaccardPrefix(df2, threshold = 0.5, maxDf = 10)) ==
+      asSet(Dedup.ngramJaccardAllPairs(df2, threshold = 0.5, maxDf = 10)))
+    // plan gate on the lazy builder: hash joins only, never cartesian
+    val (lazyQ, lazyPostings) = Dedup.ngramJaccardPrefixLazy(df, 0.5, 0)
+    assertNoCartesian(lazyQ, "ngramJaccardPrefix")
+    lazyPostings.unpersist()
+  }
+
   test("repetition signals: dup lines and top-2-gram fraction, no shuffle") {
     val df = docsDf(
       (1L, "menu\nmenu\nmenu\nreal content line"),
