@@ -491,9 +491,10 @@ object SparkEntry {
         funnelStages)),
     "q107_robots_filter" -> ((s, dir) => {
       // robots.txt permission filter through the REAL parser (RFC 9309
-      // groups, comments, case-insensitive keys, pattern rules dropped
-      // per the documented literal-prefix subset) + longest-match URL
-      // filter; the oracle restates the expected parsed rules
+      // groups, comments, case-insensitive keys) + longest-match URL
+      // filter; the /tmp/* and /print$ pattern rules parse (q127 gates
+      // wildcard MATCHING) but match none of these URLs by construction;
+      // the oracle restates the expected parsed rules
       // closed-form (the q84 discipline: kernel parsing gated by the
       // oracle stating its output). URL mix: hostless junk (allowed,
       // no identity), /cal/ trap pages (disallowed), /cal/public
@@ -581,6 +582,44 @@ object SparkEntry {
           .when(col("doc_id") % 6 === 1, lit("please log in to continue"))
           .otherwise(col("text")).as("text"))
       CorpusOps.templatePages(pages, minPaths = 5)
+    }),
+    "q127_robots_wildcard" -> ((s, dir) => {
+      // RFC 9309 §2.2.3 wildcard rules through the REAL parser +
+      // LIKE-compiled matcher, one residue class per spec subtlety:
+      // $-anchored extension block (hits), the same path with a query
+      // string (anchor defeated — the RFC matches path+query), a longer
+      // wildcard allow beating a shorter disallow, a literal-% rule
+      // over a percent-encoded path, and a literal-_ rule that must NOT
+      // wildcard-match (the LIKE-metachar escape made visible); the
+      // oracle restates every class's verdict closed-form (q107
+      // discipline)
+      val d = docs(s, dir).select(col("doc_id"),
+        lower(coalesce(col("source"), lit("unknown"))).as("src"))
+      val body =
+        "User-agent: *\n" +
+        "Disallow: /*.php$\n" +
+        "Allow: /cgi/*/pub\n" +
+        "Disallow: /cgi/\n" +
+        "Disallow: /dl%25\n" +
+        "Disallow: /files/a_b\n"
+      val robots = d.select(col("src")).distinct()
+        .select(concat(col("src"), lit(".example.com")).as("host"),
+          lit(body).as("body"))
+      val idStr = col("doc_id").cast("string")
+      val host = concat(lit("https://"), col("src"), lit(".example.com"))
+      val urls = d.select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(lit("not a url "), idStr))
+          .when(col("doc_id") % 7 === 0,
+            concat(host, lit("/app/index"), idStr, lit(".php")))
+          .when(col("doc_id") % 7 === 1,
+            concat(host, lit("/app/index.php?x="), idStr))
+          .when(col("doc_id") % 7 === 2, concat(host, lit("/cgi/a/pub/"), idStr))
+          .when(col("doc_id") % 7 === 3, concat(host, lit("/cgi/bin/"), idStr))
+          .when(col("doc_id") % 7 === 4, concat(host, lit("/dl%25x"), idStr))
+          .when(col("doc_id") % 7 === 5, concat(host, lit("/files/aXb"), idStr))
+          .otherwise(concat(host, lit("/files/a_b"), idStr))
+          .as("url"))
+      RobotsOps.robotsFilter(urls, RobotsOps.parseRobots(robots))
     }),
     "q126_jaccard_prefix" -> ((s, dir) =>
       // prefix-filtered all-pairs similarity self-join (SSJoin/PPJoin):
@@ -1593,6 +1632,54 @@ object SparkEntry {
         |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS double), 1.0)) * 4.0,
         |      1.0) * 0.3, 6) AS quality
         |FROM documents""".stripMargin,
+    "q127_robots_wildcard" ->
+      """WITH d AS (
+        |  SELECT doc_id, lower(coalesce(source, 'unknown')) AS src
+        |  FROM documents),
+        |u AS (SELECT doc_id, src,
+        |  CASE WHEN doc_id % 13 = 0 THEN 'not a url ' || doc_id
+        |    WHEN doc_id % 7 = 0 THEN
+        |      'https://' || src || '.example.com/app/index' || doc_id || '.php'
+        |    WHEN doc_id % 7 = 1 THEN
+        |      'https://' || src || '.example.com/app/index.php?x=' || doc_id
+        |    WHEN doc_id % 7 = 2 THEN
+        |      'https://' || src || '.example.com/cgi/a/pub/' || doc_id
+        |    WHEN doc_id % 7 = 3 THEN
+        |      'https://' || src || '.example.com/cgi/bin/' || doc_id
+        |    WHEN doc_id % 7 = 4 THEN
+        |      'https://' || src || '.example.com/dl%25x' || doc_id
+        |    WHEN doc_id % 7 = 5 THEN
+        |      'https://' || src || '.example.com/files/aXb' || doc_id
+        |    ELSE 'https://' || src || '.example.com/files/a_b' || doc_id
+        |  END AS url FROM d)
+        |SELECT doc_id, url,
+        |  CASE WHEN doc_id % 13 = 0 THEN ''
+        |       ELSE src || '.example.com' END AS host,
+        |  CASE WHEN doc_id % 13 = 0 THEN true
+        |       WHEN doc_id % 7 = 0 THEN false
+        |       WHEN doc_id % 7 = 1 THEN true
+        |       WHEN doc_id % 7 = 2 THEN true
+        |       WHEN doc_id % 7 = 3 THEN false
+        |       WHEN doc_id % 7 = 4 THEN false
+        |       WHEN doc_id % 7 = 5 THEN true
+        |       ELSE false END AS allowed,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |       WHEN doc_id % 7 = 0 THEN 'disallow'
+        |       WHEN doc_id % 7 = 1 THEN NULL
+        |       WHEN doc_id % 7 = 2 THEN 'allow'
+        |       WHEN doc_id % 7 = 3 THEN 'disallow'
+        |       WHEN doc_id % 7 = 4 THEN 'disallow'
+        |       WHEN doc_id % 7 = 5 THEN NULL
+        |       ELSE 'disallow' END AS matched_rule,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |       WHEN doc_id % 7 = 0 THEN '/*.php$'
+        |       WHEN doc_id % 7 = 1 THEN NULL
+        |       WHEN doc_id % 7 = 2 THEN '/cgi/*/pub'
+        |       WHEN doc_id % 7 = 3 THEN '/cgi/'
+        |       WHEN doc_id % 7 = 4 THEN '/dl%25'
+        |       WHEN doc_id % 7 = 5 THEN NULL
+        |       ELSE '/files/a_b' END AS matched_path
+        |FROM u""".stripMargin,
     // q126 is value-identical to q21 by the lossless prefix-filter
     // theorem — the SAME oracle text gates both (the q113/q114 pattern)
     "q126_jaccard_prefix" ->

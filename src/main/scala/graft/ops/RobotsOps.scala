@@ -12,13 +12,15 @@ import org.apache.spark.sql.functions._
   * pages come from crawls that honor REP, and a curation pass re-checks
   * it when policies change after the fetch).
   *
-  * Scope (documented subset): literal path-prefix rules only — the
-  * pre-wildcard REP core. `*`/`$` pattern rules are DROPPED by the
-  * parser (a conservative consumer must treat unsupported patterns
-  * separately; mixing a partial wildcard implementation into
-  * longest-match would silently mis-rank rules). Crawl-delay and
-  * Sitemap parse via [[robotsDirectives]] (delay group-scoped like a
-  * rule, sitemap file-global); Host and unknown keys are ignored.
+  * Pattern scope: full RFC 9309 §2.2.3 special characters — `*` matches
+  * any character sequence (including `/`), a trailing `$` anchors the
+  * end of the path+query; both compile to SQL-LIKE patterns
+  * ([[likePatOf]]) so the match is engine-recomputable (`LIKE ...
+  * ESCAPE '\'` means the same thing in Spark and any SQL oracle), and
+  * rule specificity stays the RFC's most-octets rank on the ORIGINAL
+  * pattern. Crawl-delay and Sitemap parse via [[robotsDirectives]]
+  * (delay group-scoped like a rule, sitemap file-global); Host and
+  * unknown keys are ignored.
   */
 object RobotsOps {
 
@@ -32,9 +34,10 @@ object RobotsOps {
     * 9309 §2.2.1). Comments (#) strip; blank lines do NOT end a group
     * (the RFC dropped that pre-standard rule); empty-path rules drop
     * ("Disallow:" alone means no restriction); rules with interior
-    * whitespace or pattern metachars (*, $) drop per the documented
-    * subset (truncating them would enter a DIFFERENT rule into
-    * longest-match ranking). Group precedence is decided by whether any
+    * whitespace drop (truncating them would enter a DIFFERENT rule into
+    * longest-match ranking); `*`/`$` pattern rules are KEPT verbatim
+    * (RFC 9309 §2.2.3 — [[robotsFilter]] compiles them to LIKE
+    * patterns at match time). Group precedence is decided by whether any
     * group NAMES the agent — an exact group whose rules all drop (the
     * classic whitelist `User-agent: goodbot` + bare `Disallow:`) still
     * preempts `*`: falling back would hand the whitelisted agent the
@@ -83,8 +86,7 @@ object RobotsOps {
           case "allow" | "disallow" =>
             inRules = true
             if (value.nonEmpty &&
-                !value.exists(c => c == ' ' || c == '\t') &&
-                !value.contains('*') && !value.endsWith("$")) {
+                !value.exists(c => c == ' ' || c == '\t')) {
               if (groupAgents.contains(want)) exact += ((key, value))
               else if (groupAgents.contains("*")) wild += ((key, value))
             }
@@ -191,21 +193,50 @@ object RobotsOps {
 
   private[graft] def pathQueryOf(url: String): String = hostPathOf(url)._2
 
-  /** filter a URL table by robots rules, RFC 9309 longest-match: among
-    * a host's rules whose path is a literal prefix of the URL's
-    * path+query, the LONGEST path wins; on an allow/disallow tie at the
-    * same length, allow wins (§2.2.2); no matching rule (or no rules
-    * for the host, or an unparseable URL) means allowed.
+  /** compile an RFC 9309 rule pattern to a SQL-LIKE pattern (escape
+    * char `\`): `*` → `%`; a TRAILING `$` anchors (no `%` appended),
+    * otherwise the pattern is a prefix (`%` appended); LIKE metachars
+    * in the rule (`%`, `_`, `\`) are escaped so they match literally —
+    * robots.txt has no escape syntax of its own, and a literal `%` is
+    * common in rules over percent-encoded paths. A non-trailing `$` is
+    * an ordinary character (it is one in LIKE too). This is the whole
+    * reason to target LIKE instead of a bespoke matcher: `x LIKE p
+    * ESCAPE '\'` means the same thing in Spark, DuckDB, and every
+    * other SQL engine, so rule matching stays oracle-recomputable. */
+  private[graft] def likePatOf(pattern: String): String = {
+    val anchored = pattern.endsWith("$")
+    val body = if (anchored) pattern.dropRight(1) else pattern
+    val sb = new StringBuilder(body.length + 8)
+    body.foreach {
+      case '\\' => sb.append("\\\\")
+      case '%' => sb.append("\\%")
+      case '_' => sb.append("\\_")
+      case '*' => sb.append('%')
+      case c => sb.append(c)
+    }
+    if (!anchored) sb.append('%')
+    sb.toString
+  }
+
+  /** filter a URL table by robots rules, RFC 9309 most-specific-match:
+    * among a host's rules whose pattern matches the URL's path+query
+    * (`*` spans anything, trailing `$` anchors the end — §2.2.3), the
+    * rule with the MOST OCTETS in its original pattern wins; on an
+    * allow/disallow tie at the same length, allow wins (§2.2.2); no
+    * matching rule (or no rules for the host, or an unparseable URL)
+    * means allowed. Note the RFC matches against path+query, so a
+    * `$`-anchored rule does NOT hit the same path carrying a query
+    * string — that asymmetry is part of the spec.
     *
     * Input: urls (doc_id, url) + rules (host, rule, path) from
-    * [[parseRobots]]. Output one row per input url: (doc_id, url, host,
-    * allowed boolean, matched_rule, matched_path — NULL when no rule
-    * matched).
+    * [[parseRobots]] (path may carry `*`/`$`). Output one row per input
+    * url: (doc_id, url, host, allowed boolean, matched_rule,
+    * matched_path = the original pattern — NULL when no rule matched).
     *
     * Scale shape: rules are host-cardinality-sized, urls corpus-sized —
     * URLs are parsed ONCE (one typed map, one URI construction per
-    * row), then ONE LEFT equi-join on host (the prefix test rides the
-    * join condition as a post-join filter on the host-matched
+    * row), then ONE LEFT equi-join on host (the pattern test rides the
+    * join condition as a post-join LIKE filter on the host-matched
     * candidates, so it never degenerates to a cartesian; per-URL
     * candidates are bounded by that host's rule count, and non-matching
     * URLs survive as the null-rule row) + a per-doc_id top-1 window
@@ -229,13 +260,18 @@ object RobotsOps {
         col("r_path") =!= "" &&
         (col("r_rule") === "allow" || col("r_rule") === "disallow"))
       .distinct()
+      // rule-cardinality typed map: compile each pattern once, here,
+      // instead of per (url × candidate) row on the corpus side
+      .as[(String, String, String)]
+      .map { case (h, rule, p) => (h, rule, p, likePatOf(p)) }
+      .toDF("r_host", "r_rule", "r_path", "r_like")
     // desc = nulls-last in Spark, so the null-rule row of an unmatched
     // URL ranks below every real candidate and wins only when nothing
     // matched — exactly the "no rule -> allowed" row we want to keep
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(length(col("r_path")).desc, col("r_rule").asc, col("r_path").asc)
     u.join(r, col("host") === col("r_host") &&
-        col("pathq").startsWith(col("r_path")), "left_outer")
+        like(col("pathq"), col("r_like"), lit("\\")), "left_outer")
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
       .select(col("doc_id"), col("url"), col("host"),

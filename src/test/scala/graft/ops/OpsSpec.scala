@@ -3732,7 +3732,7 @@ class OpsSpec extends AnyFunSuite {
     assert(whole(2) == Seq(("s1", 2), ("s2", 2), ("unknown", 2)).map(out(_)._3).sum)
   }
 
-  test("robots parser: groups, agent precedence, comments, pattern subset") {
+  test("robots parser: groups, agent precedence, comments, pattern rules") {
     val body =
       """# global
         |User-agent: SpecialBot
@@ -3752,11 +3752,13 @@ class OpsSpec extends AnyFunSuite {
         |User-agent: *
         |Disallow: /merge/
         |""".stripMargin
-    // wildcard agent: pattern rules + empty-path drop, same-agent groups
-    // merge, unknown keys (Crawl-delay/Sitemap) neither end the group nor
-    // emit rules, case-insensitive directive names
+    // wildcard agent: pattern rules KEPT verbatim (RFC 9309 §2.2.3),
+    // empty-path drop, same-agent groups merge, unknown keys
+    // (Crawl-delay/Sitemap) neither end the group nor emit rules,
+    // case-insensitive directive names
     assert(RobotsOps.parseRules(body, "*").toSet ==
       Set(("disallow", "/cal/"), ("allow", "/cal/public"), ("allow", "/ok"),
+        ("disallow", "/tmp/*"), ("allow", "/print$"),
         ("disallow", "/merge/")))
     // exact agent (case-insensitive) wins: ONLY its groups apply
     assert(RobotsOps.parseRules(body, "specialbot").toSet ==
@@ -3827,6 +3829,42 @@ class OpsSpec extends AnyFunSuite {
       Seq(("h.example", "disallow", "/")).toDF("host", "rule", "path"))
       .collect().head
     assert(!rootOut.getAs[Boolean]("allowed"))
+  }
+
+  test("robotsFilter: RFC 9309 wildcards — * spans /, $ anchors, LIKE metachars literal") {
+    // likePatOf unit behavior first: escaping + anchor + star
+    assert(RobotsOps.likePatOf("/a/*.php$") == "/a/%.php")
+    assert(RobotsOps.likePatOf("/a") == "/a%")
+    assert(RobotsOps.likePatOf("/p%25_x\\y*") == "/p\\%25\\_x\\\\y%%")
+    assert(RobotsOps.likePatOf("/mid$dle") == "/mid$dle%") // non-trailing $ literal
+    val urls = Seq(
+      (1L, "https://h.example/app/index.php"),     // /*.php$ hits
+      (2L, "https://h.example/app/index.php?x=1"), // query defeats the $ anchor
+      (3L, "https://h.example/cgi/a/pub/7"),  // allow /cgi/*/pub (10) > /cgi/ (5)
+      (4L, "https://h.example/cgi/bin/7"),    // only /cgi/ matches
+      (5L, "https://h.example/dl%25x7"),      // literal % rule must match
+      (6L, "https://h.example/files/aXb7"),   // _ must NOT wildcard-match X
+      (7L, "https://h.example/files/a_b7"),   // literal _ matches
+      (8L, "https://h.example/phpx")          // *.php$ must not prefix-match
+    ).toDF("doc_id", "url")
+    val rules = Seq(
+      ("h.example", "disallow", "/*.php$"),
+      ("h.example", "allow", "/cgi/*/pub"),
+      ("h.example", "disallow", "/cgi/"),
+      ("h.example", "disallow", "/dl%25"),
+      ("h.example", "disallow", "/files/a_b")
+    ).toDF("host", "rule", "path")
+    val out = RobotsOps.robotsFilter(urls, rules).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("allowed"), Option(r.getAs[String]("matched_path"))))).toMap
+    assert(out(1L) == ((false, Some("/*.php$"))), s"got ${out(1L)}")
+    assert(out(2L) == ((true, None)))
+    assert(out(3L) == ((true, Some("/cgi/*/pub"))))
+    assert(out(4L) == ((false, Some("/cgi/"))))
+    assert(out(5L) == ((false, Some("/dl%25"))))
+    assert(out(6L) == ((true, None)))
+    assert(out(7L) == ((false, Some("/files/a_b"))))
+    assert(out(8L) == ((true, None)))
   }
 
   test("phraseScan: overlaps, suffix patterns via dict links, codepoint first_pos") {
