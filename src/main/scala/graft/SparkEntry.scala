@@ -583,6 +583,18 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       CorpusOps.templatePages(pages, minPaths = 5)
     }),
+    "q128_cdc_dedup" -> ((s, dir) =>
+      // content-defined chunking (gear hash) storage-dedup accounting:
+      // rows-only for the driver — no SQL engine can restate gear-hash
+      // cut points; the OpsSpec gates are reconstruction/tiling, size
+      // bounds, partition-invariant determinism, the shift-resistance
+      // property (the reason CDC exists: an inserted prefix preserves
+      // >=60% of chunk hashes where fixed blocking preserves none), and
+      // planted cross-doc/within-doc sharing with exact accounting.
+      // Small chunk params because the synthetic docs are short; the
+      // defaults target real web payloads
+      Dedup.cdcShareStats(docs(s, dir), minSize = 32, avgBits = 6,
+        maxSize = 1024)),
     "q127_robots_wildcard" -> ((s, dir) => {
       // RFC 9309 §2.2.3 wildcard rules through the REAL parser +
       // LIKE-compiled matcher, one residue class per spec subtlety:

@@ -2189,4 +2189,146 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  // ---- content-defined chunking (storage-level dedup) ---------------------
+
+  /** deterministic splitmix64 finalizer (Steele et al. 2014) — used only
+    * to derive the fixed gear table below; no runtime randomness. */
+  private def splitmix64(i0: Long): Long = {
+    var x = i0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** the 256-entry gear table (Xia et al.'s Ddelta/FastCDC gear hash):
+    * one fixed 64-bit value per byte, derived deterministically so every
+    * run of every engine chunks identically. */
+  private val GEAR: Array[Long] = Array.tabulate(256)(i => splitmix64(i.toLong))
+
+  /** gear-hash content-defined chunk boundaries over `bytes`: the gear
+    * hash h = (h << 1) + GEAR[b] rolls one byte at a time; a boundary
+    * cuts after position p when (h & mask) == 0 and the chunk has
+    * reached `minSize`; `maxSize` force-splits (low-entropy runs may
+    * never hit the mask). Returns chunk END offsets (exclusive),
+    * ascending, last == bytes.length. */
+  private[graft] def cdcBoundaries(bytes: Array[Byte], minSize: Int,
+      mask: Long, maxSize: Int): Array[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h << 1) + GEAR(bytes(i) & 0xFF)
+      val len = i - start + 1
+      if ((len >= minSize && (h & mask) == 0L) || len >= maxSize) {
+        out += i + 1
+        start = i + 1
+        h = 0L
+      }
+      i += 1
+    }
+    if (start < bytes.length) out += bytes.length
+    out.toArray
+  }
+
+  /** 64-bit FNV-1a over a byte range — the chunk identity hash. */
+  private def fnv64(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = from
+    while (i < until) {
+      h ^= (bytes(i) & 0xFFL)
+      h *= 0x100000001B3L
+      i += 1
+    }
+    h
+  }
+
+  /** content-defined chunking (Gear hash — Xia et al., Ddelta 2014 /
+    * FastCDC, USENIX ATC 2016) over each document's UTF-8 bytes: the
+    * STORAGE-dedup primitive. Fixed-size blocking breaks on the first
+    * inserted byte (every later block shifts); a content-defined cut
+    * point depends only on the surrounding bytes, so an edit disturbs
+    * only the chunk it lands in — near-identical documents (mirrors,
+    * CMS re-renders, quoted mails) share almost all chunk hashes. This
+    * is the byte-level complement of [[winnowFingerprints]] (which
+    * SAMPLES k-grams for matching); CDC PARTITIONS the byte stream, so
+    * refcounting chunk hashes measures exactly the storage a
+    * dedup-aware store would reclaim. No reference analog
+    * (pdf_extractor.h:6); north_rule surface.
+    *
+    * Boundaries: gear hash rolls one byte at a time, cut after `h &
+    * mask == 0` once `minSize` bytes accumulated (mask = 2^avgBits − 1,
+    * so chunks average ~2^avgBits bytes past the minimum), force-split
+    * at `maxSize`. Output one row per chunk: (doc_id, chunk_idx int,
+    * start int — byte offset, len int, chunk_hash long — FNV-1a of the
+    * chunk bytes). Empty/NULL texts emit no rows ([[cdcShareStats]]
+    * restores them for corpus accounting).
+    *
+    * Scale shape: scan-fused typed flatMap — per-row kernel work, zero
+    * shuffle, output ~bytes/2^avgBits rows per doc; chunk identity
+    * travels as an 8-byte hash, never as chunk bytes. */
+  def cdcChunks(documents: DataFrame, minSize: Int = 64,
+      avgBits: Int = 8, maxSize: Int = 4096): DataFrame = {
+    require(minSize >= 1, s"minSize must be >= 1, got $minSize")
+    require(avgBits >= 1 && avgBits <= 48, s"avgBits must be in [1,48], got $avgBits")
+    require(maxSize > minSize, s"maxSize ($maxSize) must exceed minSize ($minSize)")
+    val mask = (1L << avgBits) - 1
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null || text.isEmpty) Iterator.empty
+        else {
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val ends = cdcBoundaries(bytes, minSize, mask, maxSize)
+          var start = 0
+          ends.iterator.zipWithIndex.map { case (end, idx) =>
+            val r = (id, idx, start, end - start, fnv64(bytes, start, end))
+            start = end
+            r
+          }
+        }
+      }
+      .toDF("doc_id", "chunk_idx", "start", "len", "chunk_hash")
+  }
+
+  /** per-document storage-dedup accounting over [[cdcChunks]]: how many
+    * of each document's bytes live in chunks whose hash occurs MORE THAN
+    * ONCE in the corpus (within- or cross-document — a store refcounts
+    * both the same way). Output one row per INPUT document (empty/NULL
+    * texts keep a zero row — corpus accounting must not lose rows):
+    * (doc_id, n_chunks long, n_bytes long, shared_chunks long,
+    * shared_bytes long, shared_frac_e6 long = floor(shared_bytes·10^6 /
+    * n_bytes), 0 when empty).
+    *
+    * Scale shape: one partial-combined refcount groupBy on the 8-byte
+    * chunk hash, one equi-join of the chunk table against it, one
+    * per-doc aggregate, one LEFT join back to the id column — documents
+    * never move, chunk bytes never move, all keys are 8-byte hashes
+    * (the q05 discipline). */
+  def cdcShareStats(documents: DataFrame, minSize: Int = 64,
+      avgBits: Int = 8, maxSize: Int = 4096): DataFrame = {
+    val chunks = cdcChunks(documents, minSize, avgBits, maxSize)
+    val refs = chunks.groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("refcount"))
+    val perDoc = chunks.join(refs, Seq("chunk_hash"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("len").cast("long")).as("n_bytes"),
+        sum(when(col("refcount") > 1, 1L).otherwise(0L)).as("shared_chunks"),
+        sum(when(col("refcount") > 1, col("len").cast("long")).otherwise(0L))
+          .as("shared_bytes"))
+    documents.select(col("doc_id").cast("long"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_bytes"), lit(0L)).as("n_bytes"),
+        coalesce(col("shared_chunks"), lit(0L)).as("shared_chunks"),
+        coalesce(col("shared_bytes"), lit(0L)).as("shared_bytes"))
+      .withColumn("shared_frac_e6",
+        when(col("n_bytes") > 0,
+          expr("(shared_bytes * 1000000) div n_bytes")).otherwise(lit(0L)))
+  }
 }

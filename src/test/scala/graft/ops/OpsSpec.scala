@@ -895,6 +895,102 @@ class OpsSpec extends AnyFunSuite {
     lazyPostings.unpersist()
   }
 
+  test("cdcChunks: reconstruction, size bounds, determinism, force-split") {
+    // deterministic word-salad text (LCG — no runtime randomness)
+    def salad(seed: Long, words: Int): String = {
+      var s = seed
+      (0 until words).map { _ =>
+        s = s * 6364136223846793005L + 1442695040888963407L
+        s"w${(s >>> 33) % 5000}"
+      }.mkString(" ")
+    }
+    val text = salad(1L, 3000)
+    val df = Seq((1L, text), (2L, "a" * 3000), (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Dedup.cdcChunks(df, minSize = 32, avgBits = 6, maxSize = 512)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"),
+        r.getAs[Int]("start"), r.getAs[Int]("len"), r.getAs[Long]("chunk_hash")))
+    // empty/NULL docs emit no chunk rows
+    assert(!out.exists(c => c._1 == 3L || c._1 == 4L))
+    for (id <- Seq(1L, 2L)) {
+      val cs = out.filter(_._1 == id).sortBy(_._2)
+      val bytes = (if (id == 1L) text else "a" * 3000)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      // chunks tile the byte stream exactly
+      assert(cs.head._3 == 0 && cs.map(_._4).sum == bytes.length)
+      cs.sliding(2).foreach { case Array(p, n) =>
+        assert(p._3 + p._4 == n._3, s"doc $id gap at ${n._2}") }
+      // bounds: every chunk but the last within [minSize, maxSize]
+      cs.init.foreach(c => assert(c._4 >= 32 && c._4 <= 512, s"len ${c._4}"))
+      assert(cs.last._4 >= 1 && cs.last._4 <= 512)
+      assert(cs.length > 3, s"doc $id produced only ${cs.length} chunks")
+    }
+    // the constant-byte doc never fires the gear mask mid-run the same
+    // way twice randomly — whatever it does, it must be maxSize-driven
+    // deterministic: identical on a repartitioned rerun
+    val rerun = Dedup.cdcChunks(df.repartition(7), 32, 6, 512).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"),
+        r.getAs[Int]("start"), r.getAs[Int]("len"), r.getAs[Long]("chunk_hash")))
+    assert(rerun.toSet == out.toSet)
+  }
+
+  test("cdcChunks: shift resistance — an inserted prefix disturbs only early chunks") {
+    def salad(seed: Long, words: Int): String = {
+      var s = seed
+      (0 until words).map { _ =>
+        s = s * 6364136223846793005L + 1442695040888963407L
+        s"w${(s >>> 33) % 5000}"
+      }.mkString(" ")
+    }
+    val base = salad(9L, 4000)
+    val shifted = "INSERTED PREFIX " + base
+    val df = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(df, minSize = 32, avgBits = 6, maxSize = 1024)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("chunk_hash"))
+    val h1 = chunks.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = chunks.filter(_._1 == 2L).map(_._2).toSet
+    assert(h1.size > 20, s"only ${h1.size} chunks — fixture too small")
+    val sharedFrac = h1.intersect(h2).size.toDouble / h1.size
+    // fixed-size blocking would share ~0 here (every block offset shifts
+    // by 16); content-defined cuts resync right after the edit
+    assert(sharedFrac >= 0.6, s"shared only $sharedFrac of chunks")
+  }
+
+  test("cdcShareStats: cross-doc and within-doc sharing, zero rows kept") {
+    def salad(seed: Long, words: Int): String = {
+      var s = seed
+      (0 until words).map { _ =>
+        s = s * 6364136223846793005L + 1442695040888963407L
+        s"w${(s >>> 33) % 5000}"
+      }.mkString(" ")
+    }
+    val shared = salad(3L, 2000)
+    val df = Seq(
+      (1L, salad(5L, 300) + " " + shared + " " + salad(6L, 300)),
+      (2L, salad(7L, 300) + " " + shared + " " + salad(8L, 300)),
+      (3L, salad(11L, 800)),         // unique — nothing shared
+      (4L, shared + " " + shared),   // within-doc repetition counts
+      (5L, ""), (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val r = Dedup.cdcShareStats(df, minSize = 32, avgBits = 6, maxSize = 1024)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L)) // accounting keeps all rows
+    for (id <- Seq(5L, 6L)) {
+      assert(r(id).getAs[Long]("n_chunks") == 0L &&
+        r(id).getAs[Long]("shared_frac_e6") == 0L)
+    }
+    // the two documents sharing a 2000-word middle reclaim most of it
+    for (id <- Seq(1L, 2L)) {
+      val frac = r(id).getAs[Long]("shared_frac_e6")
+      assert(frac > 500000L, s"doc $id shared_frac_e6 $frac")
+      assert(r(id).getAs[Long]("shared_bytes") > 0L)
+      assert(r(id).getAs[Long]("shared_bytes") <= r(id).getAs[Long]("n_bytes"))
+    }
+    assert(r(3L).getAs[Long]("shared_chunks") == 0L)
+    assert(r(4L).getAs[Long]("shared_frac_e6") > 800000L) // self-dup
+  }
+
   test("repetition signals: dup lines and top-2-gram fraction, no shuffle") {
     val df = docsDf(
       (1L, "menu\nmenu\nmenu\nreal content line"),
