@@ -583,6 +583,30 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       CorpusOps.templatePages(pages, minPaths = 5)
     }),
+    "q129_countmin" -> ((s, dir) =>
+      // Count-Min sketch of corpus term frequencies: md5-derived buckets
+      // (the q36 engine-portable hash discipline) so the sketch itself
+      // is value-exact against the oracle — the estimate-side complement
+      // of q114's Misra-Gries certify-the-head pass
+      TextOps.countMinSketch(docs(s, dir), depth = 4, width = 1024)),
+    "q130_countmin_query" -> ((s, dir) => {
+      // point queries over the q129 sketch for the ENTIRE vocabulary
+      // plus two planted never-seen terms, each row carrying est vs
+      // exact — the one-sided guarantee (est >= exact, absent terms may
+      // read a collision count but never negative) oracled per term
+      import s.implicits._
+      val d = docs(s, dir)
+      val sketch = TextOps.countMinSketch(d, depth = 4, width = 1024)
+      val vocab = d.select(explode(TextOps.bm25Toks).as("term"))
+      val terms = vocab.distinct()
+        .union(Seq("absent#gram#1", "absent#gram#2").toDF("term"))
+      val exact = vocab.groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
+      TextOps.countMinQuery(sketch, terms, depth = 4, width = 1024)
+        .join(exact, Seq("term"), "left")
+        .select(col("term"), col("est"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          (col("est") - coalesce(col("n_exact"), lit(0L))).as("over_count"))
+    }),
     "q128_cdc_dedup" -> ((s, dir) =>
       // content-defined chunking (gear hash) storage-dedup accounting:
       // rows-only for the driver — no SQL engine can restate gear-hash
@@ -1644,6 +1668,48 @@ object SparkEntry {
         |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS double), 1.0)) * 4.0,
         |      1.0) * 0.3, 6) AS quality
         |FROM documents""".stripMargin,
+    "q129_countmin" ->
+      """WITH toks AS (
+        |  SELECT CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+        |  FROM documents),
+        |terms AS (SELECT unnest(t) AS term FROM toks),
+        |c AS (SELECT term, count(*) AS n FROM terms GROUP BY term),
+        |e AS (SELECT rr.r,
+        |        (('0x' || substr(md5(c.term || '#' || rr.r), 1, 15))::BIGINT)
+        |          % 1024 AS bucket,
+        |        c.n
+        |      FROM c CROSS JOIN (SELECT unnest(range(0, 4)) AS r) rr)
+        |SELECT cast(r AS bigint) AS r, cast(bucket AS bigint) AS bucket,
+        |  cast(sum(n) AS bigint) AS n
+        |FROM e GROUP BY 1, 2""".stripMargin,
+    "q130_countmin_query" ->
+      """WITH toks AS (
+        |  SELECT CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+        |  FROM documents),
+        |terms AS (SELECT unnest(t) AS term FROM toks),
+        |c AS (SELECT term, count(*) AS n FROM terms GROUP BY term),
+        |sk AS (SELECT rr.r,
+        |        (('0x' || substr(md5(c.term || '#' || rr.r), 1, 15))::BIGINT)
+        |          % 1024 AS bucket,
+        |        cast(sum(c.n) AS bigint) AS n
+        |      FROM c CROSS JOIN (SELECT unnest(range(0, 4)) AS r) rr
+        |      GROUP BY 1, 2),
+        |q0 AS (SELECT DISTINCT term FROM terms
+        |       UNION SELECT 'absent#gram#1' UNION SELECT 'absent#gram#2'),
+        |qb AS (SELECT q0.term, rr.r,
+        |        (('0x' || substr(md5(q0.term || '#' || rr.r), 1, 15))::BIGINT)
+        |          % 1024 AS bucket
+        |       FROM q0 CROSS JOIN (SELECT unnest(range(0, 4)) AS r) rr),
+        |est AS (SELECT qb.term, cast(min(coalesce(sk.n, 0)) AS bigint) AS est
+        |        FROM qb LEFT JOIN sk
+        |          ON qb.r = sk.r AND qb.bucket = sk.bucket
+        |        GROUP BY qb.term)
+        |SELECT est.term, est.est,
+        |  cast(coalesce(c.n, 0) AS bigint) AS n_exact,
+        |  cast(est.est - coalesce(c.n, 0) AS bigint) AS over_count
+        |FROM est LEFT JOIN c ON est.term = c.term""".stripMargin,
     "q127_robots_wildcard" ->
       """WITH d AS (
         |  SELECT doc_id, lower(coalesce(source, 'unknown')) AS src

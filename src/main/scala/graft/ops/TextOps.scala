@@ -1259,7 +1259,7 @@ object TextOps {
 
   /** the q33-contract tokenization both BM25 paths and the index build
     * share: lower, trim, split on whitespace; empty/NULL text -> []. */
-  private def bm25Toks: Column = {
+  private[graft] def bm25Toks: Column = {
     val txt = coalesce(col("text"), lit(""))
     when(length(trim(txt)) === 0, expr("array()"))
       .otherwise(split(trim(lower(txt)), "\\s+"))
@@ -1765,6 +1765,78 @@ object TextOps {
       .orderBy(col("n").desc, col("term").asc).limit(topK)
       .withColumn("rnk", row_number()
         .over(Window.orderBy(col("n").desc, col("term").asc)).cast("long"))
+  }
+
+  /** the Count-Min bucket of `term` in sketch row `r`: 60 bits of
+    * md5(term '#' r) mod `width` — md5 because it is the ONE keyed hash
+    * every engine computes identically (the q36 md5-bucket discipline),
+    * so the sketch and its point queries stay oracle-recomputable. */
+  private def cmBucket(term: Column, r: Column, width: Int): Column =
+    pmod(conv(substring(md5(concat(term, lit("#"), r.cast("string"))),
+      1, 15), 16, 10).cast("long"), lit(width.toLong))
+
+  /** Count-Min sketch of the corpus term frequencies (Cormode &
+    * Muthukrishnan 2005) — the ESTIMATE-side complement of
+    * [[topTermsSketch]]'s Misra-Gries pass: MG certifies the heavy-hitter
+    * HEAD exactly; the CM sketch answers point queries for EVERY term
+    * from O(depth × width) state with a one-sided guarantee (estimate ≥
+    * true count always; over by ≤ total/width in expectation per row,
+    * min over `depth` independent rows). At corpus scale this is the
+    * term-statistics table you can afford to KEEP — a 4×2^20 sketch
+    * summarizes any vocabulary in a few MB where exact counts are
+    * vocabulary-sized.
+    *
+    * Output: the sketch as sparse rows (r long in [0, depth), bucket
+    * long in [0, width), n long — zero buckets omitted). Deterministic:
+    * buckets are md5-derived ([[cmBucket]]), no seeds, no RNG.
+    *
+    * Scale shape: ONE vocabulary-sized exact aggregate (the q113 shape:
+    * explode + partial-combined groupBy), then `depth` sketch entries
+    * per DISTINCT term (never per occurrence) into a second
+    * partial-combined aggregate of depth×width output rows. Documents
+    * never move; the sketch is broadcast-sized by construction. */
+  def countMinSketch(documents: DataFrame, depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    val counts = documents.select(bm25Toks.as("toks"))
+      .select(explode(col("toks")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    counts
+      .select(col("term"), col("n"),
+        explode(sequence(lit(0L), lit(depth.toLong - 1))).as("r"))
+      .select(col("r"), cmBucket(col("term"), col("r"), width).as("bucket"),
+        col("n"))
+      .groupBy(col("r"), col("bucket")).agg(sum(col("n")).as("n"))
+  }
+
+  /** Count-Min point queries: the estimated corpus frequency of each
+    * term in `terms` from a [[countMinSketch]] built with the SAME
+    * (depth, width). Estimate = min over the `depth` rows of the term's
+    * bucket counts (an absent bucket reads 0 — a term whose every bucket
+    * is untouched provably never occurred). One row per DISTINCT
+    * non-null input term: (term, est long). The one-sided guarantee
+    * (est ≥ true count) is the caller's to exploit — e.g. pruning terms
+    * with est below a threshold NEVER prunes a frequent term.
+    *
+    * Scale shape: terms explode to `depth` rows each, ONE left
+    * equi-join on (r, bucket) against the sketch (sketch side is
+    * depth×width-bounded — broadcastable by construction), one per-term
+    * min aggregate. */
+  def countMinQuery(sketch: DataFrame, terms: DataFrame, depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    terms.select(col("term").cast("string").as("term"))
+      .filter(col("term").isNotNull).distinct()
+      .select(col("term"),
+        explode(sequence(lit(0L), lit(depth.toLong - 1))).as("r"))
+      .select(col("term"), col("r"),
+        cmBucket(col("term"), col("r"), width).as("bucket"))
+      .join(sketch.select(col("r"), col("bucket"), col("n")),
+        Seq("r", "bucket"), "left")
+      .groupBy(col("term"))
+      .agg(min(coalesce(col("n"), lit(0L))).as("est"))
   }
 
   /** phrase tokens: the q33/BM25 tokenization contract WITHOUT the

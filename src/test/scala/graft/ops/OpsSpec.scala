@@ -895,6 +895,50 @@ class OpsSpec extends AnyFunSuite {
     lazyPostings.unpersist()
   }
 
+  test("countMin: one-sided guarantee, exact at wide width, row mass, depth monotone") {
+    // skewed fixture: "alpha" dominates, long tail, forced collisions at width 16
+    val rows = (0L until 60L).map { i =>
+      (i, ("alpha " * 5) + s"tail$i beta " + (if (i % 3 == 0) "gamma" else "delta"))
+    }
+    val df = rows.toDF("doc_id", "text")
+    val exact = df.select(explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .groupBy("term").count().collect()
+      .map(r => r.getAs[String]("term") -> r.getAs[Long]("count")).toMap
+    val totalToks = exact.values.sum
+    val vocab = exact.keys.toSeq.toDF("term")
+    for (width <- Seq(16, 65536)) {
+      val sk = TextOps.countMinSketch(df, depth = 4, width = width)
+      // row-mass invariant: every sketch row contains every occurrence once
+      val mass = sk.groupBy(col("r")).agg(sum(col("n")).as("m")).collect()
+      assert(mass.length == 4 && mass.forall(_.getAs[Long]("m") == totalToks))
+      val est = TextOps.countMinQuery(sk, vocab, depth = 4, width = width)
+        .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("est")).toMap
+      // one-sided: never under the true count
+      exact.foreach { case (t, n) =>
+        assert(est(t) >= n, s"width $width term $t est ${est(t)} < exact $n") }
+      // wide sketch: no collisions on this vocabulary — exact recovery
+      if (width == 65536)
+        exact.foreach { case (t, n) => assert(est(t) == n, s"$t: ${est(t)} != $n") }
+      else
+        assert(exact.exists { case (t, n) => est(t) > n },
+          "width 16 over 60+ terms must collide somewhere")
+    }
+    // depth monotone: row 0 of a depth-4 sketch IS the depth-1 sketch,
+    // so min over 4 rows can only tighten the depth-1 estimate
+    val sk4 = TextOps.countMinSketch(df, depth = 4, width = 16)
+    val sk1 = TextOps.countMinSketch(df, depth = 1, width = 16)
+    val e4 = TextOps.countMinQuery(sk4, vocab, depth = 4, width = 16)
+      .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("est")).toMap
+    val e1 = TextOps.countMinQuery(sk1, vocab, depth = 1, width = 16)
+      .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("est")).toMap
+    exact.keys.foreach(t => assert(e4(t) <= e1(t), s"$t: depth4 ${e4(t)} > depth1 ${e1(t)}"))
+    // absent terms: estimates are collision mass, never negative; NULL
+    // and duplicate query terms fold away
+    val absents = Seq("nope1", "nope2", null, "nope1").toDF("term")
+    val ea = TextOps.countMinQuery(sk4, absents, depth = 4, width = 16).collect()
+    assert(ea.length == 2 && ea.forall(_.getAs[Long]("est") >= 0L))
+  }
+
   test("cdcChunks: reconstruction, size bounds, determinism, force-split") {
     // deterministic word-salad text (LCG — no runtime randomness)
     def salad(seed: Long, words: Int): String = {
