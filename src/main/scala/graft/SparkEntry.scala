@@ -583,6 +583,20 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       CorpusOps.templatePages(pages, minPaths = 5)
     }),
+    "q131_bbit_minhash" -> ((s, dir) => {
+      // b-bit minwise signature audit (k=16, b=2 — 4 BYTES of signature
+      // per doc) over the q21-confirmed pair set: every signature is
+      // md5-derived so the oracle recomputes sigs, b-bit matches, and
+      // the clamped integer-exact estimator bit-for-bit; exact jaccard
+      // rides along per pair so the record shows estimate vs truth
+      val d = docs(s, dir)
+      val exact = Dedup.ngramJaccardAllPairs(d, 0.5)
+      Dedup.bbitMinhashJaccard(d, exact.select(col("doc_a"), col("doc_b")),
+          k = 16, b = 2)
+        .join(exact, Seq("doc_a", "doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          col("n_matches"), col("j_est_e6"))
+    }),
     "q129_countmin" -> ((s, dir) =>
       // Count-Min sketch of corpus term frequencies: md5-derived buckets
       // (the q36 engine-portable hash discipline) so the sketch itself
@@ -1668,6 +1682,46 @@ object SparkEntry {
         |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS double), 1.0)) * 4.0,
         |      1.0) * 0.3, 6) AS quality
         |FROM documents""".stripMargin,
+    "q131_bbit_minhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |gsets AS (
+        |  SELECT doc_id, list_distinct([array_to_string(t[i+1:i+3], ' ')
+        |          for i in range(0, greatest(len(t)-3, 0) + 1)]) AS gs
+        |  FROM toks),
+        |grams AS (SELECT doc_id, unnest(gs) AS g FROM gsets),
+        |sizes AS (SELECT doc_id, len(gs) AS sz FROM gsets),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT doc_a, doc_b,
+        |    round(common / (sa.sz + sb2.sz - common), 6) AS jaccard
+        |  FROM pairs
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb2 ON doc_b = sb2.doc_id
+        |  WHERE common / (sa.sz + sb2.sz - common) >= 0.5),
+        |pids AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT doc_a AS doc_id FROM jac UNION ALL SELECT doc_b FROM jac)),
+        |sg AS (SELECT g2.doc_id, rr.i,
+        |        min(('0x' || substr(md5(g2.g || '#' || rr.i), 1, 15))::BIGINT)
+        |          AS sig
+        |      FROM grams g2 JOIN pids ON g2.doc_id = pids.doc_id
+        |      CROSS JOIN (SELECT unnest(range(0, 16)) AS i) rr
+        |      GROUP BY 1, 2),
+        |sb AS (SELECT doc_id, i, sig & 3 AS s FROM sg),
+        |m AS (SELECT jac.doc_a, jac.doc_b, jac.jaccard,
+        |        cast(sum(CASE WHEN a.s = b.s THEN 1 ELSE 0 END) AS bigint)
+        |          AS n_matches
+        |      FROM jac JOIN sb a ON jac.doc_a = a.doc_id
+        |               JOIN sb b ON jac.doc_b = b.doc_id AND a.i = b.i
+        |      GROUP BY 1, 2, 3)
+        |SELECT doc_a, doc_b, jaccard, n_matches,
+        |  cast(CASE WHEN n_matches * 4 <= 16 THEN 0
+        |       ELSE ((n_matches * 4 - 16) * 1000000) // (16 * 3) END AS bigint)
+        |    AS j_est_e6
+        |FROM m""".stripMargin,
     "q129_countmin" ->
       """WITH toks AS (
         |  SELECT CASE WHEN length(trim(text)) = 0 THEN []

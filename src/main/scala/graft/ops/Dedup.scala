@@ -2190,6 +2190,81 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  // ---- b-bit minwise signatures (Li & König, WWW 2010) --------------------
+
+  /** md5-keyed minhash signatures over the q21 word-3-gram sets: sig_i =
+    * min over the doc's distinct grams of 60 bits of md5(gram '#' i) —
+    * md5 (the q36/q129 engine-portable hash discipline) so a SQL oracle
+    * recomputes every signature exactly; the production-scale dedup path
+    * ([[minhashLsh]]) keeps its faster splittable Scala hashes, this
+    * family exists to AUDIT signature compression ([[bbitMinhashJaccard]]).
+    * Output one row per (doc_id, i in [0, k), sig long). Documents with
+    * an empty gram set emit no rows.
+    *
+    * Scale shape: grams explode ×k then partial-combined min-aggregate —
+    * the standard minhash cost (k hashes per gram); callers bound the
+    * input first (the q08 discipline: semi-join documents down to the
+    * ids under audit before shingling). */
+  def minhashMd5Sigs(documents: DataFrame, k: Int = 16): DataFrame = {
+    require(k >= 1 && k <= 256, s"k must be in [1,256], got $k")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) => gramSet(text).iterator.map(g => (id, g)) }
+      .toDF("doc_id", "g")
+      .select(col("doc_id"), col("g"),
+        explode(sequence(lit(0L), lit(k.toLong - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        conv(substring(md5(concat(col("g"), lit("#"), col("i").cast("string"))),
+          1, 15), 16, 10).cast("long").as("h"))
+      .groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("sig"))
+  }
+
+  /** b-bit minwise Jaccard estimation (Li & König, WWW 2010) for a given
+    * pair table — the storage side of minhash at 10^12 docs: keeping
+    * only the LOWEST b bits of each of k signatures stores k·b bits per
+    * doc (k=16, b=2: 4 bytes) instead of k·64, and the match fraction f
+    * of the b-bit signatures still estimates J because unequal minhashes
+    * collide on b bits with probability ~2^-b:
+    * Ĵ = (f − 2^-b) / (1 − 2^-b), clamped at 0. Emitted as exact
+    * integer micro-units (the q120 div discipline):
+    * j_est_e6 = ((matches·2^b − k)·10^6) div (k·(2^b − 1)) when
+    * positive — integer arithmetic end to end, so any engine recomputes
+    * it bit-exactly from the same signatures.
+    *
+    * Input: documents + pairs (doc_a, doc_b). Output one row per pair:
+    * (doc_a, doc_b, n_matches long, j_est_e6 long).
+    *
+    * Scale shape: documents are semi-joined down to the ids under audit
+    * BEFORE shingling (the q08 discipline — signatures are never built
+    * corpus-wide here), signatures travel as (id, i, 8-byte sig) rows,
+    * the pair estimate is two equi-joins on (id, i) + one
+    * partial-combined count — never cartesian. */
+  def bbitMinhashJaccard(documents: DataFrame, pairs: DataFrame,
+      k: Int = 16, b: Int = 2): DataFrame = {
+    require(b >= 1 && b <= 32, s"b must be in [1,32], got $b")
+    val p = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .distinct()
+    val ids = p.select(col("doc_a").as("doc_id"))
+      .union(p.select(col("doc_b").as("doc_id"))).distinct()
+    val docs = documents.join(broadcast(ids), Seq("doc_id"), "left_semi")
+    val mask = (1L << b) - 1
+    val sigs = minhashMd5Sigs(docs, k)
+      .select(col("doc_id"), col("i"), (col("sig").bitwiseAND(mask)).as("sb"))
+    val matches = p
+      .join(sigs.select(col("doc_id").as("doc_a"), col("i"), col("sb").as("sa")),
+        Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("i"), col("sb")),
+        Seq("doc_b", "i"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(when(col("sa") === col("sb"), 1L).otherwise(0L)).as("n_matches"))
+    val pow = 1L << b
+    matches.withColumn("j_est_e6",
+      when(col("n_matches") * pow <= k, 0L)
+        .otherwise(expr(s"((n_matches * $pow - $k) * 1000000) div ($k * ${pow - 1})")))
+  }
+
   // ---- content-defined chunking (storage-level dedup) ---------------------
 
   /** deterministic splitmix64 finalizer (Steele et al. 2014) — used only

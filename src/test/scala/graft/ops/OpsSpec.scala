@@ -895,6 +895,36 @@ class OpsSpec extends AnyFunSuite {
     lazyPostings.unpersist()
   }
 
+  test("bbitMinhash: identical pairs saturate, estimator clamps, sigs deterministic") {
+    val base = (1 to 50).map(i => s"word$i").mkString(" ")
+    val df = Seq(
+      (1L, base), (2L, base),                               // identical pair
+      (3L, base.replace("word7", "changed7")),              // near-dup of 1
+      (4L, (1 to 50).map(i => s"zzz$i").mkString(" "))      // disjoint
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val r = Dedup.bbitMinhashJaccard(df, pairs, k = 16, b = 2).collect()
+      .map(x => (x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b")) ->
+        ((x.getAs[Long]("n_matches"), x.getAs[Long]("j_est_e6")))).toMap
+    // identical gram sets: every signature matches exactly -> est = 1.0
+    assert(r((1L, 2L)) == ((16L, 1000000L)))
+    // disjoint sets: clamped never-negative estimate, bounded match count
+    val (mDisj, eDisj) = r((1L, 4L))
+    assert(eDisj >= 0L && eDisj <= 1000000L)
+    // near-dup beats disjoint, identical beats near-dup (weakly)
+    val (mNear, eNear) = r((1L, 3L))
+    assert(mNear <= 16L && mNear >= mDisj)
+    assert(eNear >= eDisj && eNear <= 1000000L)
+    // signatures are deterministic and partition-invariant
+    val s1 = Dedup.minhashMd5Sigs(df, 8).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("i")) -> x.getAs[Long]("sig")).toMap
+    val s2 = Dedup.minhashMd5Sigs(df.repartition(5), 8).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("i")) -> x.getAs[Long]("sig")).toMap
+    assert(s1 == s2 && s1.size == 4 * 8)
+    // identical docs share all full-width signatures
+    (0L until 8L).foreach(i => assert(s1((1L, i)) == s1((2L, i))))
+  }
+
   test("countMin: one-sided guarantee, exact at wide width, row mass, depth monotone") {
     // skewed fixture: "alpha" dominates, long tail, forced collisions at width 16
     val rows = (0L until 60L).map { i =>
