@@ -511,16 +511,25 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** the shared hot-key cap of the exact set-similarity families: drop
+    * key values whose document frequency exceeds `maxDf` WHOLE (left-anti
+    * against the over-cap key set — a partially kept viral key would
+    * bias every overlap count it touches); `maxDf <= 0` disables. One
+    * definition feeds gramPairCore, ngramJaccardPrefixLazy and
+    * fingerprintMatches so cap semantics can never silently diverge
+    * between the value-identity-contracted paths. */
+  private def cappedPostings(postings: DataFrame, key: String, maxDf: Int): DataFrame =
+    if (maxDf <= 0) postings
+    else {
+      val hot = postings.groupBy(col(key)).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select(col(key))
+      postings.join(hot, Seq(key), "left_anti")
+    }
+
   private def gramPairCore(documents: DataFrame, maxDf: Int): (DataFrame, DataFrame) = {
     val postings0 = gramPostings(documents)
     val sizes = postings0.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val postings =
-      if (maxDf <= 0) postings0
-      else {
-        val hot = postings0.groupBy(col("g")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf).select(col("g"))
-        postings0.join(hot, Seq("g"), "left_anti")
-      }
+    val postings = cappedPostings(postings0, "g", maxDf)
     val pairs = postings.select(col("doc_id").as("doc_a"), col("g"))
       .join(postings.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
@@ -581,25 +590,29 @@ object Dedup {
     * (doc_a < doc_b, jaccard = round(raw, 6)) at raw-ratio ≥ threshold.
     *
     * Scale shape: postings built once (typed flatMap, 8-byte gram
-    * hashes) and persisted; ONE doc-keyed window shuffle ranks each
-    * document's grams by (df asc, g asc) to cut prefixes; the candidate
-    * self-join runs over the prefix table only; the verify join is
-    * candidate-bounded. The persisted postings feed five consumers and
-    * are released after materialization (Checkpoints.eager). */
+    * hashes) and persisted; the CAPPED postings (when maxDf > 0) and the
+    * prefix table are persisted too — each feeds more than one consumer
+    * (df counts + prefix cut + both verify sides; both candidate sides)
+    * and would otherwise re-execute its whole upstream subtree per
+    * consumer. ONE doc-keyed window shuffle ranks each document's grams
+    * by (df asc, g asc) to cut prefixes; the candidate self-join runs
+    * over the prefix table only; the verify join is candidate-bounded.
+    * All three caches are released after materialization
+    * (Checkpoints.eager). */
   def ngramJaccardPrefix(
       documents: DataFrame,
       threshold: Double = 0.8,
       maxDf: Int = 0): DataFrame = {
-    val (out, postings) = ngramJaccardPrefixLazy(documents, threshold, maxDf)
-    Checkpoints.eager(out) { postings.unpersist() }
+    val (out, caches) = ngramJaccardPrefixLazy(documents, threshold, maxDf)
+    Checkpoints.eager(out) { caches.foreach(_.unpersist()) }
   }
 
   /** lazy plan behind [[ngramJaccardPrefix]]; returns (result,
-    * postings-to-unpersist). */
+    * caches-to-unpersist). */
   private[graft] def ngramJaccardPrefixLazy(
       documents: DataFrame,
       threshold: Double,
-      maxDf: Int): (DataFrame, DataFrame) = {
+      maxDf: Int): (DataFrame, Seq[DataFrame]) = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     import org.apache.spark.sql.expressions.Window
@@ -607,23 +620,26 @@ object Dedup {
     // sizes from the UNCAPPED postings — the ngramJaccardAllPairs
     // contract (a maxDf-dropped gram still counts toward set size)
     val sizes = postings0.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // the capped table feeds four consumers (df counts, the prefix cut,
+    // both verify-join sides): persist it, or the corpus-wide hot-gram
+    // aggregate re-executes per consumer
     val postings =
       if (maxDf <= 0) postings0
-      else {
-        val hot = postings0.groupBy(col("g")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf).select(col("g"))
-        postings0.join(hot, Seq("g"), "left_anti")
-      }
+      else cappedPostings(postings0, "g", maxDf)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfCounts = postings.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col("doc_id"))
       .orderBy(col("df").asc, col("g").asc)
     val perDoc = Window.partitionBy(col("doc_id"))
+    // persisted: both sides of the candidate self-join read it, and its
+    // subtree holds the join + two windows over the full postings
     val prefix = postings.join(dfCounts, Seq("g"))
       .withColumn("rk", row_number().over(byRarity))
       .withColumn("szc", count(lit(1)).over(perDoc))
       .filter(col("rk") <=
         col("szc") - ceil(col("szc") * lit(threshold)) + lit(1L))
       .select(col("doc_id"), col("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = prefix.select(col("doc_id").as("doc_a"), col("g"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
@@ -642,7 +658,10 @@ object Dedup {
         col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard_raw") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 6).as("jaccard"))
-    (out, postings0)
+    val caches =
+      if (postings eq postings0) Seq(postings0, prefix)
+      else Seq(postings0, postings, prefix)
+    (out, caches)
   }
 
   /** EXACT all-pairs word-3-gram CONTAINMENT — the asymmetric
@@ -2076,17 +2095,24 @@ object Dedup {
   /** winnowing fingerprint selection over one normalized text (Schleimer/
     * Wilkerson/Aiken, SIGMOD 2003 — the MOSS algorithm): k-gram rolling
     * hashes, then per window of `w` consecutive hashes keep the MINIMUM,
-    * breaking ties by the RIGHTMOST position (the paper's robust
-    * winnowing rule — it minimizes selections on runs of equal hashes,
-    * i.e. repetitive text). Output (hash, pos) pairs, deduplicated on
-    * selection identity (adjacent windows usually re-select the same
-    * minimum).
+    * under the paper's ROBUST winnowing tie rule: if the previous
+    * window's selection is still in-window and still minimal, KEEP it
+    * (no new selection); only otherwise select the rightmost minimal
+    * hash. On runs of equal hashes (repetitive text — 'aaaa…', spammy
+    * boilerplate) plain rightmost-tie winnowing would select a NEW
+    * position every slide (density 1); the robust rule re-selects only
+    * when the kept position falls out of the window, so density drops to
+    * ~1/w there — exactly the inputs whose fingerprint tables would
+    * otherwise blow up the [[fingerprintMatches]] self-join. Output
+    * (hash, pos) pairs in selection order.
     *
     * Guarantees (the paper's, pinned by OpsSpec): every window of w
-    * consecutive k-grams contributes at least one selected position
+    * consecutive k-grams contains at least one selected position
     * (local coverage), so any shared substring of length >= w + k - 1
-    * between two documents yields at least one shared fingerprint;
-    * expected density is 2/(w+1).
+    * between two documents yields at least one shared fingerprint
+    * HASH (robust tie-keeping can pick different positions of the same
+    * repeated gram in the two documents, but the hash — the match
+    * currency — is equal); expected density on random text is 2/(w+1).
     *
     * Normalization: lowercase + whitespace runs collapsed to one space +
     * trim — formatting/casing edits must not break span matching (the
@@ -2123,10 +2149,18 @@ object Dedup {
     var lastPos = -1
     var start = 0
     while (start + w <= m) {
-      var best = start
+      var minV = hashes(start)
       i = start + 1
-      while (i < start + w) { if (hashes(i) <= hashes(best)) best = i; i += 1 }
-      if (best != lastPos) { out += ((hashes(best), best)); lastPos = best }
+      while (i < start + w) { if (hashes(i) < minV) minV = hashes(i); i += 1 }
+      // robust rule: the previous selection survives while it stays
+      // in-window AND minimal; otherwise select the rightmost minimum
+      if (lastPos < start || hashes(lastPos) != minV) {
+        var best = start
+        i = start + 1
+        while (i < start + w) { if (hashes(i) <= hashes(best)) best = i; i += 1 }
+        out += ((hashes(best), best))
+        lastPos = best
+      }
       start += 1
     }
     out.toArray
@@ -2169,25 +2203,26 @@ object Dedup {
     * doc) postings self-join on the 8-byte fp key, maxDf cap drops
     * corpus-viral fingerprints WHOLE before the join (boilerplate would
     * otherwise quadratically explode the hottest keys), one
-    * partial-combined pair aggregate. Documents never move. */
+    * partial-combined pair aggregate. Documents never move. The distinct
+    * postings are persisted (three consumers: the cap aggregate and both
+    * self-join sides — `fps` is usually the winnowing kernel's lazy
+    * output, which would otherwise re-run per consumer) and released
+    * after materialization (Checkpoints.eager, the gramPairCore
+    * discipline). */
   def fingerprintMatches(fps: DataFrame, minShared: Long = 2L,
       maxDf: Int = 1000): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val postings0 = fps.select(col("doc_id").cast("long").as("doc_id"),
       col("fp").cast("long").as("fp")).distinct()
-    val postings =
-      if (maxDf <= 0) postings0
-      else {
-        val hot = postings0.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf).select(col("fp"))
-        postings0.join(hot, Seq("fp"), "left_anti")
-      }
-    postings.select(col("doc_id").as("doc_a"), col("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val postings = cappedPostings(postings0, "fp", maxDf)
+    val out = postings.select(col("doc_id").as("doc_a"), col("fp"))
       .join(postings.select(col("doc_id").as("doc_b"), col("fp")), Seq("fp"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+    Checkpoints.eager(out) { postings0.unpersist() }
   }
 
   // ---- b-bit minwise signatures (Li & König, WWW 2010) --------------------
@@ -2198,8 +2233,12 @@ object Dedup {
     * recomputes every signature exactly; the production-scale dedup path
     * ([[minhashLsh]]) keeps its faster splittable Scala hashes, this
     * family exists to AUDIT signature compression ([[bbitMinhashJaccard]]).
-    * Output one row per (doc_id, i in [0, k), sig long). Documents with
-    * an empty gram set emit no rows.
+    * Output one row per (doc_id, i in [0, k), sig long). Empty/NULL
+    * texts still carry the single empty-string gram (gramSet never
+    * returns an empty set — the q21 set semantics), so EVERY input
+    * document emits exactly k rows; two empty documents therefore
+    * estimate J = 1, consistent with ngramJaccardAllPairs on the same
+    * sets.
     *
     * Scale shape: grams explode ×k then partial-combined min-aggregate —
     * the standard minhash cost (k hashes per gram); callers bound the
@@ -2233,14 +2272,19 @@ object Dedup {
     * positive — integer arithmetic end to end, so any engine recomputes
     * it bit-exactly from the same signatures.
     *
-    * Input: documents + pairs (doc_a, doc_b). Output one row per pair:
-    * (doc_a, doc_b, n_matches long, j_est_e6 long).
+    * Input: documents + pairs (doc_a, doc_b). Output one row per
+    * DISTINCT pair — including pairs whose ids are ABSENT from
+    * `documents` (deleted between pair generation and audit): those
+    * have no signatures to compare, so they emit n_matches = 0,
+    * j_est_e6 = 0 rather than silently vanishing (an audit that
+    * returns fewer rows than it was asked about lies by omission).
     *
     * Scale shape: documents are semi-joined down to the ids under audit
     * BEFORE shingling (the q08 discipline — signatures are never built
     * corpus-wide here), signatures travel as (id, i, 8-byte sig) rows,
     * the pair estimate is two equi-joins on (id, i) + one
-    * partial-combined count — never cartesian. */
+    * partial-combined count + one pair-sized left join restoring
+    * absent-id rows — never cartesian. */
   def bbitMinhashJaccard(documents: DataFrame, pairs: DataFrame,
       k: Int = 16, b: Int = 2): DataFrame = {
     require(b >= 1 && b <= 32, s"b must be in [1,32], got $b")
@@ -2259,8 +2303,13 @@ object Dedup {
         Seq("doc_b", "i"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(sum(when(col("sa") === col("sb"), 1L).otherwise(0L)).as("n_matches"))
+    // pair-sized left join: a pair whose doc is absent from `documents`
+    // joined no signatures — keep its row at zero instead of dropping it
+    val full = p.join(matches, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"))
     val pow = 1L << b
-    matches.withColumn("j_est_e6",
+    full.withColumn("j_est_e6",
       when(col("n_matches") * pow <= k, 0L)
         .otherwise(expr(s"((n_matches * $pow - $k) * 1000000) div ($k * ${pow - 1})")))
   }
@@ -2378,14 +2427,18 @@ object Dedup {
     * shared_bytes long, shared_frac_e6 long = floor(shared_bytes·10^6 /
     * n_bytes), 0 when empty).
     *
-    * Scale shape: one partial-combined refcount groupBy on the 8-byte
-    * chunk hash, one equi-join of the chunk table against it, one
-    * per-doc aggregate, one LEFT join back to the id column — documents
-    * never move, chunk bytes never move, all keys are 8-byte hashes
-    * (the q05 discipline). */
+    * Scale shape: the chunk table is persisted (two consumers — the
+    * refcount aggregate and the join — would otherwise each re-run the
+    * gear+FNV kernel over every corpus byte) and released after
+    * materialization; one partial-combined refcount groupBy on the
+    * 8-byte chunk hash, one equi-join of the chunk table against it,
+    * one per-doc aggregate, one LEFT join back to the id column —
+    * documents never move, chunk bytes never move, all keys are 8-byte
+    * hashes (the q05 discipline). */
   def cdcShareStats(documents: DataFrame, minSize: Int = 64,
       avgBits: Int = 8, maxSize: Int = 4096): DataFrame = {
     val chunks = cdcChunks(documents, minSize, avgBits, maxSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val refs = chunks.groupBy(col("chunk_hash"))
       .agg(count(lit(1)).as("refcount"))
     val perDoc = chunks.join(refs, Seq("chunk_hash"))
@@ -2395,7 +2448,7 @@ object Dedup {
         sum(when(col("refcount") > 1, 1L).otherwise(0L)).as("shared_chunks"),
         sum(when(col("refcount") > 1, col("len").cast("long")).otherwise(0L))
           .as("shared_bytes"))
-    documents.select(col("doc_id").cast("long"))
+    val out = documents.select(col("doc_id").cast("long"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
@@ -2405,5 +2458,6 @@ object Dedup {
       .withColumn("shared_frac_e6",
         when(col("n_bytes") > 0,
           expr("(shared_bytes * 1000000) div n_bytes")).otherwise(lit(0L)))
+    Checkpoints.eager(out) { chunks.unpersist() }
   }
 }

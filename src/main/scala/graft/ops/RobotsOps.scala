@@ -221,8 +221,11 @@ object RobotsOps {
   /** filter a URL table by robots rules, RFC 9309 most-specific-match:
     * among a host's rules whose pattern matches the URL's path+query
     * (`*` spans anything, trailing `$` anchors the end — §2.2.3), the
-    * rule with the MOST OCTETS in its original pattern wins; on an
-    * allow/disallow tie at the same length, allow wins (§2.2.2); no
+    * rule with the MOST OCTETS in its original pattern wins (octets,
+    * not characters — a non-ASCII pattern is longer in UTF-8 bytes
+    * than in codepoints and the RFC ranks by bytes); on an
+    * allow/disallow tie at the same octet count, allow wins (§2.2.2);
+    * no
     * matching rule (or no rules for the host, or an unparseable URL)
     * means allowed. Note the RFC matches against path+query, so a
     * `$`-anchored rule does NOT hit the same path carrying a query
@@ -269,7 +272,8 @@ object RobotsOps {
     // URL ranks below every real candidate and wins only when nothing
     // matched — exactly the "no rule -> allowed" row we want to keep
     val w = Window.partitionBy(col("doc_id"))
-      .orderBy(length(col("r_path")).desc, col("r_rule").asc, col("r_path").asc)
+      .orderBy(octet_length(col("r_path")).desc, col("r_rule").asc,
+        col("r_path").asc)
     u.join(r, col("host") === col("r_host") &&
         like(col("pathq"), col("r_like"), lit("\\")), "left_outer")
       .withColumn("rnk", row_number().over(w))

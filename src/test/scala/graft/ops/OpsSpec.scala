@@ -890,9 +890,9 @@ class OpsSpec extends AnyFunSuite {
     assert(asSet(Dedup.ngramJaccardPrefix(df2, threshold = 0.5, maxDf = 10)) ==
       asSet(Dedup.ngramJaccardAllPairs(df2, threshold = 0.5, maxDf = 10)))
     // plan gate on the lazy builder: hash joins only, never cartesian
-    val (lazyQ, lazyPostings) = Dedup.ngramJaccardPrefixLazy(df, 0.5, 0)
+    val (lazyQ, lazyCaches) = Dedup.ngramJaccardPrefixLazy(df, 0.5, 0)
     assertNoCartesian(lazyQ, "ngramJaccardPrefix")
-    lazyPostings.unpersist()
+    lazyCaches.foreach(_.unpersist())
   }
 
   test("bbitMinhash: identical pairs saturate, estimator clamps, sigs deterministic") {
@@ -4035,6 +4035,18 @@ class OpsSpec extends AnyFunSuite {
     assert(out(6L) == ((true, None)))
     assert(out(7L) == ((false, Some("/files/a_b"))))
     assert(out(8L) == ((true, None)))
+    // RFC 9309 ranks specificity by OCTETS, not characters: '/café'
+    // (5 chars, 6 UTF-8 octets) ties '/caf*7' (6 chars, 6 octets) on
+    // the path '/café7' — octet tie -> allow wins; character ranking
+    // would put the disallow first (6 > 5) and wrongly block the URL
+    val octOut = RobotsOps.robotsFilter(
+      Seq((1L, "https://h.example/café7")).toDF("doc_id", "url"),
+      Seq(("h.example", "allow", "/café"),
+        ("h.example", "disallow", "/caf*7")).toDF("host", "rule", "path"))
+      .collect().head
+    assert(octOut.getAs[Boolean]("allowed"),
+      s"octet tie must resolve to allow, got $octOut")
+    assert(octOut.getAs[String]("matched_path") == "/café")
   }
 
   test("phraseScan: overlaps, suffix patterns via dict links, codepoint first_pos") {
