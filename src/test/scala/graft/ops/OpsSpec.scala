@@ -2284,13 +2284,18 @@ class OpsSpec extends AnyFunSuite {
     // no non-empty seed docs -> fail fast, not a degenerate all-0.5 model;
     // and the failure path must not leak the seed feature cache (the
     // unpersist is in a finally, not on the success path only)
-    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    // compare SETS of persisted-RDD ids, not counts: the ContextCleaner
+    // asynchronously unpersists GC'd RDDs from earlier tests, so the
+    // total can legitimately SHRINK between the two snapshots — the leak
+    // signal is a NEW id surviving the failed call, not a changed count
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     intercept[IllegalArgumentException] {
       CorpusOps.qualityClassifier(df, col("doc_id") === 999L, col("doc_id") === 998L)
         .collect()
     }
-    assert(spark.sparkContext.getPersistentRDDs.size == cachedBefore,
-      "failed qualityClassifier call leaked a persisted RDD")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
+    assert(leaked.isEmpty,
+      s"failed qualityClassifier call leaked persisted RDDs: $leaked")
   }
 
   test("gopherRules: per-rule observables and the conjunction, zero shuffle") {
