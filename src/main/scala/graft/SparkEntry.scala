@@ -268,6 +268,11 @@ object SparkEntry {
     "q21_jaccard_all_pairs" -> ((s, dir) => Dedup.ngramJaccardAllPairs(docs(s, dir), 0.5)),
     "q26_dup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(Dedup.ngramJaccardAllPairs(docs(s, dir), 0.5))),
+    // same edge set and same oracle as q26, solved by the SoCC'14
+    // large-star/small-star alternation — the edge-state engine whose
+    // rounds never self-join a per-node label table
+    "q132_dup_clusters_star" -> ((s, dir) =>
+      Dedup.connectedComponentsStar(Dedup.ngramJaccardAllPairs(docs(s, dir), 0.5))),
     // ---- text analysis ----
     "q10_text_stats" -> ((s, dir) => TextOps.stats(docs(s, dir))),
     "q20_repetition" -> ((s, dir) => TextOps.repetition(docs(s, dir))),
@@ -1529,6 +1534,37 @@ object SparkEntry {
       |SELECT doc_id, n_terms_matched, score_e6, cast(rnk AS bigint) AS rnk
       |FROM rk WHERE rnk <= 20""".stripMargin
 
+  /** duplicate-cluster oracle shared by q26 (label-propagation engine)
+    * and q132 (large-star/small-star engine): both compute cluster_id =
+    * min reachable id over the q21 jaccard-0.5 edge set, restated here as
+    * a recursive reachability walk. */
+  private val dupClustersSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+      |gsets AS (
+      |  SELECT doc_id, list_distinct([array_to_string(t[i+1:i+3], ' ')
+      |          for i in range(0, greatest(len(t)-3, 0) + 1)]) AS gs
+      |  FROM toks),
+      |grams AS (SELECT doc_id, unnest(gs) AS g FROM gsets),
+      |sizes AS (SELECT doc_id, len(gs) AS sz FROM gsets),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |edges AS (
+      |  SELECT doc_a, doc_b FROM cand
+      |  JOIN sizes sa ON doc_a = sa.doc_id
+      |  JOIN sizes sb ON doc_b = sb.doc_id
+      |  WHERE common / (sa.sz + sb.sz - common) >= 0.5),
+      |bidir AS (SELECT doc_a AS a, doc_b AS b FROM edges
+      |          UNION SELECT doc_b, doc_a FROM edges),
+      |walk AS (
+      |  SELECT a AS node, a AS reach FROM bidir
+      |  UNION
+      |  SELECT w.node, e.b AS reach FROM walk w JOIN bidir e ON w.reach = e.a)
+      |SELECT node AS doc_id, min(reach) AS cluster_id
+      |FROM walk GROUP BY node""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q124_triangles" ->
       """WITH ids AS (SELECT doc_id FROM documents),
@@ -2284,32 +2320,10 @@ object SparkEntry {
         |  round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
         |  round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
         |FROM documents GROUP BY lang""".stripMargin,
-    "q26_dup_clusters" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
-        |gsets AS (
-        |  SELECT doc_id, list_distinct([array_to_string(t[i+1:i+3], ' ')
-        |          for i in range(0, greatest(len(t)-3, 0) + 1)]) AS gs
-        |  FROM toks),
-        |grams AS (SELECT doc_id, unnest(gs) AS g FROM gsets),
-        |sizes AS (SELECT doc_id, len(gs) AS sz FROM gsets),
-        |cand AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |edges AS (
-        |  SELECT doc_a, doc_b FROM cand
-        |  JOIN sizes sa ON doc_a = sa.doc_id
-        |  JOIN sizes sb ON doc_b = sb.doc_id
-        |  WHERE common / (sa.sz + sb.sz - common) >= 0.5),
-        |bidir AS (SELECT doc_a AS a, doc_b AS b FROM edges
-        |          UNION SELECT doc_b, doc_a FROM edges),
-        |walk AS (
-        |  SELECT a AS node, a AS reach FROM bidir
-        |  UNION
-        |  SELECT w.node, e.b AS reach FROM walk w JOIN bidir e ON w.reach = e.a)
-        |SELECT node AS doc_id, min(reach) AS cluster_id
-        |FROM walk GROUP BY node""".stripMargin,
+    "q26_dup_clusters" -> dupClustersSql,
+    // q132 runs the large-star/small-star engine over the SAME edge set
+    // with the SAME min-reachable-id contract, so it shares q26's oracle
+    "q132_dup_clusters_star" -> dupClustersSql,
     "q75_fuzzy_dedup_keep_best" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),

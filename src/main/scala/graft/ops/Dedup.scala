@@ -911,6 +911,137 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("cluster_id"))
   }
 
+  /** connected components via alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris/Lattanzi/Mirrokni/Rastogi/Vassilvitskii, "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — the published
+    * web-scale CC algorithm and this library's scale alternative to
+    * [[connectedComponents]]'s label-table rounds: the state is the EDGE
+    * table itself, rewired toward smaller ids until the graph is a forest
+    * of min-rooted stars, so (a) no per-NODE label table is self-joined
+    * every round (the q26 watch item: that join binds when components are
+    * node-heavy), and (b) a high-degree hub is broken up by one
+    * large-star round instead of funneling its neighborhood through one
+    * reduce key — the properties that matter when the near-dup graph has
+    * viral components (boilerplate storms). Semantics are IDENTICAL to
+    * [[connectedComponents]]: one row per node of the pair graph,
+    * cluster_id = min reachable id (OpsSpec pins frame-equality on
+    * adversarial shapes).
+    *
+    * Round shape (every key a node id, every table edge-sized, shrinking):
+    * large-star = one partial-combined min per node over the
+    * bidirectional edges + one equi-join, emitting (v, min(N(u) ∪ u)) for
+    * each neighbor v > u; small-star = the same min+join pair over the
+    * larger-endpoint orientation plus the (u, min) parent edge; one dedup
+    * + lineage cut per phase (Checkpoints.cut — reliable checkpoint when
+    * a dir is configured).
+    *
+    * Termination: convergence is DETECTED by an edge-table checksum
+    * (count, sum(src), sum(dst), sum(xxhash64)) fused into the cut's
+    * materialization job via Observation, then VERIFIED structurally
+    * before returning — at the star fixpoint every src has exactly one
+    * out-edge and no dst ever appears as a src. A checksum collision on a
+    * non-fixpoint (astronomically unlikely) fails the verify and the
+    * rounds continue: a collision can cost one wasted round, never a
+    * wrong answer. Exhausting maxIter without a verified fixpoint throws
+    * — reading star output off a non-fixpoint edge table would be
+    * silently wrong, and SoCC'14 bounds the rounds at O(log² n), so the
+    * default covers any real graph. */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // ONE read of the (possibly expensive) pair input: the canonical cut
+    // keeps self-loops so the node universe — which [[connectedComponents]]
+    // includes even for self-loop-only nodes — derives from the same
+    // materialization; the rounds run on the loop-free view
+    val canon = Checkpoints.cut(
+      pairs.select(
+        greatest(col("doc_a").cast("long"), col("doc_b").cast("long")).as("src"),
+        least(col("doc_a").cast("long"), col("doc_b").cast("long")).as("dst"))
+        .distinct())
+    val allNodes = canon.select(col("src").as("id"))
+      .union(canon.select(col("dst").as("id"))).distinct()
+    var edges = canon.filter(col("src") =!= col("dst"))
+    // star-fixpoint structural verify: one parent per src AND no parent
+    // (dst) ever appears as a child (src) — two bounded jobs, run only on
+    // checksum-stable rounds (normally exactly once)
+    def isStarForest(e: DataFrame): Boolean = {
+      val a = e.agg(count(lit(1)).as("n"),
+        count_distinct(col("src")).as("nsrc")).collect()(0)
+      a.getLong(0) == a.getLong(1) &&
+        e.select(col("dst"))
+          .join(e.select(col("src").as("dst")), Seq("dst"), "left_semi")
+          .isEmpty
+    }
+    var prev: Option[(Long, BigDecimal, BigDecimal, BigDecimal)] = None
+    var done = edges.isEmpty
+    var iter = 0
+    while (!done && iter < maxIter) {
+      // ---- large-star: every neighbor v > u rewires to min(N(u) ∪ u) ----
+      val bidir = edges.select(col("src").as("a"), col("dst").as("b"))
+        .union(edges.select(col("dst").as("a"), col("src").as("b")))
+      val lsMin = bidir.groupBy(col("a")).agg(min(col("b")).as("mb"))
+        .select(col("a"), least(col("mb"), col("a")).as("m"))
+      // v > u >= m, so the emitted (v, m) is already canonically oriented
+      // and never a self-loop
+      val ls = Checkpoints.cut(
+        bidir.filter(col("b") > col("a")).join(lsMin, Seq("a"))
+          .select(col("b").as("src"), col("m").as("dst"))
+          .distinct())
+      // ---- small-star: children <= u (and u itself) rewire to the min ----
+      val ssMin = ls.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val obs = org.apache.spark.sql.Observation(s"ccstar_$iter")
+      val ss = Checkpoints.cut(
+        ls.join(ssMin, Seq("src"))
+          .select(col("dst").as("s2"), col("m"))
+          .union(ssMin.select(col("src").as("s2"), col("m")))
+          .filter(col("s2") =!= col("m")) // the min child's own row
+          .distinct()
+          .select(col("s2").as("src"), col("m").as("dst"))
+          .observe(obs, count(lit(1)).as("n"),
+            // cast BEFORE summing: xxhash64 values span the full long
+            // range, so a long-typed partial sum overflows under ANSI
+            sum(col("src").cast("decimal(38,0)")).as("ssrc"),
+            sum(col("dst").cast("decimal(38,0)")).as("sdst"),
+            sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")).as("h")))
+      val row: org.apache.spark.sql.Row = {
+        import scala.concurrent.Await
+        import scala.concurrent.duration._
+        // Observation.future is the no-thread timed wait (the q26
+        // discipline); the fallback aggregate keeps the round correct if
+        // metric delivery ever fails on some Spark version
+        try Await.result(obs.future, 30.seconds)
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            ss.agg(count(lit(1)).as("n"),
+              sum(col("src").cast("decimal(38,0)")).as("ssrc"),
+              sum(col("dst").cast("decimal(38,0)")).as("sdst"),
+              sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")).as("h"))
+              .collect()(0)
+        }
+      }
+      // empty edge table: the sums are NULL — fold to 0, the count
+      // disambiguates
+      def dec(k: String): BigDecimal = {
+        val d = row.getAs[java.math.BigDecimal](k)
+        if (d == null) BigDecimal(0) else BigDecimal(d)
+      }
+      val cur = (row.getAs[Long]("n"), dec("ssrc"), dec("sdst"), dec("h"))
+      edges = ss
+      if (cur._1 == 0L || (prev.contains(cur) && isStarForest(edges)))
+        done = true
+      prev = Some(cur)
+      iter += 1
+    }
+    if (!done && !isStarForest(edges))
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not reach the star fixpoint in $maxIter rounds")
+    // at the fixpoint every non-root points at its component min; roots
+    // and self-loop-only nodes never appear as src — both label themselves
+    val selfLabeled = allNodes
+      .join(edges.select(col("src").as("id")), Seq("id"), "left_anti")
+      .select(col("id").as("doc_id"), col("id").as("cluster_id"))
+    edges.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
+      .union(selfLabeled)
+  }
+
   // ---- embedding near-dup -------------------------------------------------------
   /** cosine >= threshold pairs. Dispatch: thresholds >= `lshCutoff` use the
     * LSH candidate+verify path (near-dup regime — tiny candidate sets, high

@@ -1143,6 +1143,41 @@ class OpsSpec extends AnyFunSuite {
     assert(local(22L) == 10L && local(40L) == 10L && local(31L) == 30L)
   }
 
+  test("connectedComponentsStar: frame-equal to the label engine on adversarial shapes") {
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    def check(edges: org.apache.spark.sql.DataFrame, label: String): Unit = {
+      val want = asMap(Dedup.connectedComponents(edges))
+      val got = asMap(Dedup.connectedComponentsStar(edges))
+      assert(got == want, s"$label: star $got vs label-engine $want")
+    }
+    // mixed fixture: chain + triangle + pair + hub (the union-find test's)
+    check((Seq((10L, 11L), (11L, 12L), (12L, 13L)) ++
+      Seq((20L, 21L), (21L, 22L), (22L, 20L)) ++
+      Seq((30L, 31L)) ++
+      Seq((40L, 10L), (40L, 20L))).toDF("doc_a", "doc_b"), "mixed")
+    // adversarial diameter: a 64-node chain must converge in the SoCC'14
+    // O(log^2 n) rounds, far under maxIter
+    check((0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b"), "chain")
+    // high-degree hub whose center is NOT the component min — the shape
+    // large-star exists to break up
+    check((1L to 50L).map(i => (100L, i * 2)).toDF("doc_a", "doc_b"), "hub")
+    // pseudo-random multigraph with duplicate and reversed edges
+    val rnd = new scala.util.Random(4242)
+    check((1 to 300).map { _ =>
+      val a = rnd.nextInt(80).toLong; val b = rnd.nextInt(80).toLong
+      if (rnd.nextBoolean()) (a, b) else (b, a)
+    }.toDF("doc_a", "doc_b").filter(col("doc_a") =!= col("doc_b")), "random")
+    // self-loop-only nodes stay in the output with their own label (the
+    // label engine keeps them; dropping them would change corpus
+    // accounting), empty input stays empty
+    val loops = Seq((5L, 5L), (1L, 2L)).toDF("doc_a", "doc_b")
+    assert(asMap(Dedup.connectedComponentsStar(loops)) ==
+      Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
+    assert(Dedup.connectedComponentsStar(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).collect().isEmpty)
+  }
+
   test("triangleStats: fixture counts, clustering micro-units, noise dropped") {
     // triangle a-b-c, pendant d on a, isolated pair e-f; plus noise the
     // op must drop/merge: reversed duplicate, exact duplicate, self-loop,
