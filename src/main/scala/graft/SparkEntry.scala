@@ -1310,6 +1310,18 @@ object SparkEntry {
         .map { case (id, t) => (id, TextOps.detectLang(t)) }
         .toDF("doc_id", "lang")
     }),
+    "q133_script_profile" -> ((s, dir) => {
+      // per-doc Unicode script histogram over the q47 frame (one fixed
+      // sample sentence per doc_id % n language class), so every script
+      // class is exercised; the oracle recounts the same classes with the
+      // identical \x{....} patterns in RE2
+      val samples = TextOps.langSamples
+      val textArr = array(samples.map(t => lit(t._2)): _*)
+      TextOps.scriptProfile(
+        docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+          element_at(textArr, (col("doc_id") % samples.length + 1).cast("int"))
+            .as("text")))
+    }),
     "q13_quality" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))),
     "q48_bpe_token_estimates" -> ((s, dir) => {
@@ -1565,7 +1577,42 @@ object SparkEntry {
       |SELECT node AS doc_id, min(reach) AS cluster_id
       |FROM walk GROUP BY node""".stripMargin
 
+  /** q133 oracle, BUILT from the same data as the surface — the sample
+    * sentences (TextOps.langSamples) and the script ranges
+    * (TextOps.scriptRanges) are interpolated into the SQL, so the two
+    * sides cannot drift; \x{HHHH} classes parse identically in Java regex
+    * and RE2. */
+  private val scriptProfileSql: String = {
+    val samples = graft.ops.TextOps.langSamples
+    val ranges = graft.ops.TextOps.scriptRanges
+    val textCase = samples.zipWithIndex.map { case ((_, t), i) =>
+      s"WHEN $i THEN '${t.replace("'", "''")}'"
+    }.mkString("\n    ")
+    val classCols = ranges.map { case (name, rs) =>
+      s"CAST(len(regexp_extract_all(text, '${graft.ops.TextOps.scriptClass(rs)}')) AS bigint) AS $name"
+    }.mkString(",\n    ")
+    val names = ranges.map(_._1)
+    val gr = s"greatest(${names.mkString(", ")})"
+    val domCase = names.map(n => s"WHEN $n = $gr THEN '$n'").mkString("\n    ")
+    s"""WITH framed AS (
+  SELECT doc_id, CASE CAST(doc_id % ${samples.length} AS int)
+    $textCase
+    END AS text
+  FROM documents),
+c AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '\\S')) AS bigint) AS n_chars,
+    $classCols
+  FROM framed)
+SELECT doc_id, n_chars, ${names.mkString(", ")},
+  CASE WHEN $gr = 0 THEN 'none'
+    $domCase
+    END AS dominant
+FROM c"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q133_script_profile" -> scriptProfileSql,
     "q124_triangles" ->
       """WITH ids AS (SELECT doc_id FROM documents),
         |raw AS (

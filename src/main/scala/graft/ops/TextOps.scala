@@ -203,6 +203,71 @@ object TextOps {
     h
   }
 
+  // ---- Unicode script profile (q133) ----------------------------------------
+  /** script name -> BMP codepoint ranges, in DOMINANCE-PRIORITY order (ties
+    * in [[scriptProfile]] resolve to the earlier entry — deterministic and
+    * SQL-expressible as an ordered CASE chain, the detectLang discipline).
+    * The non-Latin rows are detectLang's exact script blocks; latin adds
+    * ASCII letters + Latin-1/Extended-A/B letter ranges (multiplication and
+    * division signs excluded). ONE data table feeds the column builder, the
+    * q133 oracle SQL, and the OpsSpec sequential recompute, so the three
+    * cannot diverge. BMP-only by the same argument as detectLang: web-text
+    * corpus schema, and BMP classes count identically in UTF-16 engines and
+    * codepoint engines. */
+  private[graft] val scriptRanges: Seq[(String, Seq[(Int, Int)])] = Seq(
+    "latin" -> Seq((0x41, 0x5a), (0x61, 0x7a), (0xc0, 0xd6), (0xd8, 0xf6),
+      (0xf8, 0x24f)),
+    "han" -> Seq((0x4e00, 0x9fff)),
+    "kana" -> Seq((0x3040, 0x30ff)),
+    "hangul" -> Seq((0xac00, 0xd7af), (0x1100, 0x11ff)),
+    "cyrillic" -> Seq((0x400, 0x4ff)),
+    "arabic" -> Seq((0x600, 0x6ff)),
+    "hebrew" -> Seq((0x590, 0x5ff)),
+    "greek" -> Seq((0x370, 0x3ff)),
+    "devanagari" -> Seq((0x900, 0x97f)),
+    "thai" -> Seq((0xe00, 0xe7f)))
+
+  /** `[\x{lo}-\x{hi}...]` character class for one script — \x{HHHH} is the
+    * syntax BOTH Java regex and RE2 (DuckDB) accept, so the identical
+    * pattern string runs on both engines */
+  private[graft] def scriptClass(ranges: Seq[(Int, Int)]): String =
+    ranges.map { case (lo, hi) => f"\\x{$lo%04x}-\\x{$hi%04x}" }
+      .mkString("[", "", "]")
+
+  /** per-document Unicode script histogram — the zero-model routing signal
+    * a multilingual corpus splits on before any trigram/classifier langid
+    * runs (and the audit for detectLang's script stage): counts of
+    * codepoints per [[scriptRanges]] class, total non-whitespace
+    * codepoints, and the dominant script (max count, ties to the earlier
+    * class, "none" when nothing matches — incl. NULL/empty text).
+    *
+    * Scale shape: pure codegen'd column math over one corpus scan — one
+    * regexp_count per class, zero shuffles, documents never move; counting
+    * MATCHES (not length deltas) keeps the numbers codepoint-exact on any
+    * engine whatever its string length unit. */
+  def scriptProfile(documents: DataFrame): DataFrame = {
+    val counts = scriptRanges.map { case (name, rs) =>
+      coalesce(regexp_count(col("text"), lit(scriptClass(rs))).cast("long"),
+        lit(0L)).as(name)
+    }
+    val withCounts = documents.select(
+      col("doc_id").cast("long").as("doc_id") +:
+        coalesce(regexp_count(col("text"), lit("\\S")).cast("long"), lit(0L))
+          .as("n_chars") +:
+        counts: _*)
+    val maxc = greatest(scriptRanges.map { case (n, _) => col(n) }: _*)
+    // ordered tie-break: the FIRST class at the max wins (fold is built
+    // from the last class outward, so the first class is checked first)
+    val dominant = scriptRanges.reverse.foldLeft(lit("none")) {
+      case (acc, (name, _)) =>
+        when(col(name) === col("max_c") && col("max_c") > 0, lit(name))
+          .otherwise(acc)
+    }
+    withCounts.withColumn("max_c", maxc)
+      .withColumn("dominant", dominant)
+      .drop("max_c")
+  }
+
   // ---- repetition signals (Gopher-style quality filters) -------------------
 
   /** non-empty trimmed lines of a text column */

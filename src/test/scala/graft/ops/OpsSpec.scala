@@ -2333,6 +2333,50 @@ class OpsSpec extends AnyFunSuite {
       s"failed qualityClassifier call leaked persisted RDDs: $leaked")
   }
 
+  test("scriptProfile: per-class counts, ordered tie-break, NULL/empty none") {
+    val df = Seq(
+      (1L, "hello world"),   // 10 latin letters, 10 non-ws chars
+      (2L, "русский текст"), // 12 cyrillic
+      (3L, "中文かな"),       // han 2, kana 2 — tie resolves to han (earlier)
+      (4L, "abc 中文中文中"), // latin 3 < han 5
+      (5L, ""),
+      (6L, null.asInstanceOf[String]),
+      (7L, "a×b")            // multiplication sign is NOT a latin letter
+    ).toDF("doc_id", "text")
+    val got = TextOps.scriptProfile(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Long]("latin") == 10 &&
+      got(1L).getAs[Long]("n_chars") == 10 &&
+      got(1L).getAs[String]("dominant") == "latin")
+    assert(got(2L).getAs[Long]("cyrillic") == 12 &&
+      got(2L).getAs[String]("dominant") == "cyrillic")
+    assert(got(3L).getAs[Long]("han") == 2 && got(3L).getAs[Long]("kana") == 2 &&
+      got(3L).getAs[String]("dominant") == "han")
+    assert(got(4L).getAs[Long]("latin") == 3 && got(4L).getAs[Long]("han") == 5 &&
+      got(4L).getAs[String]("dominant") == "han")
+    assert(got(5L).getAs[String]("dominant") == "none" &&
+      got(5L).getAs[Long]("n_chars") == 0)
+    assert(got(6L).getAs[String]("dominant") == "none" &&
+      got(6L).getAs[Long]("latin") == 0)
+    assert(got(7L).getAs[Long]("latin") == 2 && got(7L).getAs[Long]("n_chars") == 3)
+    // independent sequential recompute over the golden language samples,
+    // driven by the SAME ranges table the operator compiles its classes
+    // from (regex-ASCII \s definition for n_chars, matching \S)
+    val samples = TextOps.langSamples.zipWithIndex
+      .map { case ((_, t), i) => (i.toLong, t) }
+    val out = TextOps.scriptProfile(samples.toDF("doc_id", "text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for ((id, t) <- samples) {
+      val asciiWs = " \t\n\f\r"
+      val wantChars = t.count(c => !asciiWs.contains(c)).toLong
+      assert(out(id).getAs[Long]("n_chars") == wantChars, s"sample $id n_chars")
+      for ((name, rs) <- TextOps.scriptRanges) {
+        val want = t.count(c => rs.exists { case (lo, hi) => c >= lo && c <= hi }).toLong
+        assert(out(id).getAs[Long](name) == want, s"sample $id script $name")
+      }
+    }
+  }
+
   test("gopherRules: per-rule observables and the conjunction, zero shuffle") {
     val good = "this text ought to be of help and that with " +
       (1 to 20).map(i => s"word$i").mkString(" ") // 30 words, 6 stops, all alpha
