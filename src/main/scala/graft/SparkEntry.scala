@@ -1322,6 +1322,18 @@ object SparkEntry {
           element_at(textArr, (col("doc_id") % samples.length + 1).cast("int"))
             .as("text")))
     }),
+    "q134_block_terms" -> ((s, dir) => {
+      // C4's word-boundary badwords rule over a planted frame: residues
+      // carry a hit, a repeated hit, a SUBSTRING decoy (must not match),
+      // a case variant, and a punctuation-glued hit
+      val tails = array(lit(""), lit(" zoggle"), lit(" zoggle fnarp zoggle"),
+        lit(" zoggleface"), lit(" ZOGGLE"), lit(" blortch."), lit(""))
+      TextOps.blockTermStats(
+        docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+          concat(coalesce(col("text"), lit("")),
+            element_at(tails, (col("doc_id") % 7 + 1).cast("int"))).as("text")),
+        Seq("zoggle", "fnarp", "blortch"))
+    }),
     "q13_quality" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))),
     "q48_bpe_token_estimates" -> ((s, dir) => {
@@ -1613,6 +1625,30 @@ FROM c"""
 
   def oracleSql: Map[String, String] = Map(
     "q133_script_profile" -> scriptProfileSql,
+    "q134_block_terms" ->
+      """WITH framed AS (
+        |  SELECT doc_id, coalesce(text, '') || CASE CAST(doc_id % 7 AS int)
+        |    WHEN 1 THEN ' zoggle'
+        |    WHEN 2 THEN ' zoggle fnarp zoggle'
+        |    WHEN 3 THEN ' zoggleface'
+        |    WHEN 4 THEN ' ZOGGLE'
+        |    WHEN 5 THEN ' blortch.'
+        |    ELSE '' END AS text
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+        |                t -> t <> '') AS tk
+        |  FROM framed)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(tk,
+        |    t -> list_contains(['zoggle','fnarp','blortch'], t))) AS bigint)
+        |    AS n_block_hits,
+        |  CAST(len(list_filter(['zoggle','fnarp','blortch'],
+        |    t -> list_contains(tk, t))) AS bigint) AS n_block_terms,
+        |  len(list_filter(tk,
+        |    t -> list_contains(['zoggle','fnarp','blortch'], t))) = 0 AS passes
+        |FROM toks""".stripMargin,
     "q124_triangles" ->
       """WITH ids AS (SELECT doc_id FROM documents),
         |raw AS (

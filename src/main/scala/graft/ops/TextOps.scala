@@ -913,6 +913,47 @@ object TextOps {
       (!hasLorem && !hasBrace && sentences >= minSentences).as("passes"))
   }
 
+  /** WORD-BOUNDARY blocklist page filter — the C4 step [[c4Filters]]
+    * deliberately leaves out (the paper's "List of Dirty, Naughty ..."
+    * rule: drop the PAGE on any hit): a term matches only as a whole
+    * lowercase letter-token, never as a substring (the classic
+    * false-positive class — a place name containing a slur substring —
+    * is structurally impossible). Multi-word/substring patterns are
+    * [[graft.ops.Dedup.phraseScan]]'s job (Aho-Corasick over raw bytes);
+    * this is the token-level complement.
+    *
+    * Output per doc: n_block_hits (total matching token occurrences),
+    * n_block_terms (DISTINCT terms present — counted by iterating the
+    * term list, so both engines agree without dedup-semantics questions),
+    * passes = zero hits. NULL text = no tokens = passes.
+    *
+    * Scale shape: pure codegen'd column math over one scan — the term
+    * list is a curated blocklist (hundreds to a few thousand entries) and
+    * becomes a constant-folded literal array; per-token membership is
+    * O(|terms|) which is fine at that size (`require`-gated). A
+    * million-entry list wants the broadcast-join-on-exploded-tokens shape
+    * instead — see the scaladoc trail on [[graft.ops.CorpusOps.blocklistFilter]]. */
+  def blockTermStats(documents: DataFrame, terms: Seq[String],
+      maxTerms: Int = 10000): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(terms.size <= maxTerms,
+      s"terms list has ${terms.size} entries (cap $maxTerms): a list this " +
+        "size should run as a broadcast join on exploded tokens, not a " +
+        "literal array scan")
+    val norm = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    val termArr = array(norm.map(lit): _*)
+    val toks = filter(
+      split(lower(coalesce(col("text"), lit(""))), "[^\\p{L}]+"),
+      t => t =!= "")
+    val hits = size(filter(toks, t => array_contains(termArr, t)))
+    documents.select(
+      col("doc_id").cast("long").as("doc_id"),
+      hits.cast("long").as("n_block_hits"),
+      size(filter(termArr, t => array_contains(toks, t)))
+        .cast("long").as("n_block_terms"),
+      (hits === 0).as("passes"))
+  }
+
   /** like `topRunCount` but also returns WHICH element had the longest
     * run: a strictly-greater update on a sorted array keeps the FIRST
     * (lexicographically smallest) maximal run — the deterministic

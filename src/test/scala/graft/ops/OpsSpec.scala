@@ -2377,6 +2377,45 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("blockTermStats: word boundaries, case fold, hit/term counts, guards") {
+    val df = Seq(
+      (1L, "a clean document"),
+      (2L, "contains zoggle here"),            // 1 hit, 1 term
+      (3L, "zoggle fnarp zoggle again"),       // 3 hits, 2 terms
+      (4L, "zoggleface is a place"),           // substring decoy: no match
+      (5L, "shouting ZOGGLE!"),                // case + punctuation glue
+      (6L, "hyphen-zoggle splits as a token"), // '-' is a letter-run break
+      (7L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextOps.blockTermStats(df, Seq("zoggle", "fnarp", "blortch"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_block_hits"), r.getAs[Long]("n_block_terms"),
+          r.getAs[Boolean]("passes")))).toMap
+    assert(got(1L) == ((0L, 0L, true)))
+    assert(got(2L) == ((1L, 1L, false)))
+    assert(got(3L) == ((3L, 2L, false)))
+    assert(got(4L) == ((0L, 0L, true)), s"substring decoy matched: ${got(4L)}")
+    assert(got(5L) == ((1L, 1L, false)))
+    assert(got(6L) == ((1L, 1L, false)))
+    assert(got(7L) == ((0L, 0L, true)))
+    // plan stays shuffle-free (pure row kernel)
+    assert(!physicalPlan(TextOps.blockTermStats(df, Seq("zoggle")))
+      .contains("Exchange"))
+    // guards: empty list rejected, oversize list rejected with the
+    // broadcast-join pointer
+    intercept[IllegalArgumentException] {
+      TextOps.blockTermStats(df, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.blockTermStats(df, (1 to 11).map(i => s"t$i"), maxTerms = 10)
+    }
+    // mixed-case and duplicate terms fold before matching
+    val folded = TextOps.blockTermStats(df, Seq("ZOGGLE", "zoggle"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_block_terms")).toMap
+    assert(folded(2L) == 1L)
+  }
+
   test("gopherRules: per-rule observables and the conjunction, zero shuffle") {
     val good = "this text ought to be of help and that with " +
       (1 to 20).map(i => s"word$i").mkString(" ") // 30 words, 6 stops, all alpha
