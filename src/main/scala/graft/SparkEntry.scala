@@ -478,6 +478,14 @@ object SparkEntry {
       // divisor-normalized rounds (authorities from old hubs, hubs from
       // new authorities) — the endorser/endorsed split PageRank can't see
       CorpusOps.hits(hostGraphEdges(s, dir), iterations = 2)),
+    "q135_host_dossier" -> ((s, dir) =>
+      // the seed-list export: per-host centrality + percentile tier +
+      // link-spam structure + corpus footprint, assembled from the q83
+      // rank, the q89 stats, and the docs table in one host-keyed frame
+      CorpusOps.hostDossier(
+        CorpusOps.hostRank(hostGraphEdges(s, dir), iterations = 3,
+          dampingPct = 85),
+        hostGraphEdges(s, dir), docs(s, dir))),
     "q104_ngram_containment" -> ((s, dir) =>
       // asymmetric shingle containment (syndication/wrapper detection):
       // same inverted-index self-join core as q21, thresholding
@@ -2949,6 +2957,96 @@ FROM c"""
         |  cast(coalesce(t.rnk, 0) AS bigint) AS rnk,
         |  cast(coalesce(t.tier, 0) AS int) AS tier
         |FROM d LEFT JOIN tiers t ON d.source = t.host""".stripMargin,
+    // q135: q102's unrolled rank+tier CTEs + q89's structural stats +
+    // per-host doc counts, assembled over the union host universe
+    "q135_host_dossier" ->
+      """WITH d AS (
+        |  SELECT doc_id, coalesce(source, 'unknown') AS source FROM documents),
+        |h AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS hid
+        |      FROM (SELECT DISTINCT source FROM d)),
+        |c AS (SELECT count(*) AS nh FROM h),
+        |l AS (SELECT d.source, h.hid,
+        |        ((((d.doc_id % 2147483648) * 2654435761) % 4294967296) // 65536) % nh AS t1,
+        |        ((((d.doc_id % 2147483648) * 2246822519) % 4294967296) // 65536) % nh AS t2
+        |      FROM d JOIN h ON d.source = h.source CROSS JOIN c
+        |      WHERE h.hid <> 0),
+        |e0 AS (SELECT source AS src, t1 AS thid FROM l
+        |       UNION ALL
+        |       SELECT source AS src, t2 AS thid FROM l),
+        |e AS (SELECT e0.src, h.source AS dst, cast(count(*) AS bigint) AS weight
+        |      FROM e0 JOIN h ON e0.thid = h.hid
+        |      WHERE e0.src <> h.source
+        |      GROUP BY 1, 2),
+        |u AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        |ow AS (SELECT u.host, coalesce(s.w, 0) AS outw
+        |       FROM u LEFT JOIN
+        |         (SELECT src, cast(sum(weight) AS bigint) AS w FROM e GROUP BY 1) s
+        |         ON u.host = s.src),
+        |n AS (SELECT count(*) AS n FROM u),
+        |r0 AS (SELECT host, outw, 1000000000000 // n AS r FROM ow CROSS JOIN n),
+        |i1 AS (SELECT e.dst AS host,
+        |         cast(sum(e.weight * (r.r // r.outw)
+        |           + ((r.r % r.outw) * e.weight) // r.outw) AS bigint) AS infl
+        |       FROM e JOIN r0 r ON e.src = r.host GROUP BY 1),
+        |g1 AS (SELECT cast(coalesce(sum(r), 0) AS bigint) AS dang FROM r0 WHERE outw = 0),
+        |r1 AS (SELECT p.host, p.outw,
+        |         (15 * (1000000000000 // n.n)) // 100
+        |         + (85 * (coalesce(i1.infl, 0) + g1.dang // n.n)) // 100 AS r
+        |       FROM r0 p LEFT JOIN i1 ON p.host = i1.host CROSS JOIN g1 CROSS JOIN n),
+        |i2 AS (SELECT e.dst AS host,
+        |         cast(sum(e.weight * (r.r // r.outw)
+        |           + ((r.r % r.outw) * e.weight) // r.outw) AS bigint) AS infl
+        |       FROM e JOIN r1 r ON e.src = r.host GROUP BY 1),
+        |g2 AS (SELECT cast(coalesce(sum(r), 0) AS bigint) AS dang FROM r1 WHERE outw = 0),
+        |r2 AS (SELECT p.host, p.outw,
+        |         (15 * (1000000000000 // n.n)) // 100
+        |         + (85 * (coalesce(i2.infl, 0) + g2.dang // n.n)) // 100 AS r
+        |       FROM r1 p LEFT JOIN i2 ON p.host = i2.host CROSS JOIN g2 CROSS JOIN n),
+        |i3 AS (SELECT e.dst AS host,
+        |         cast(sum(e.weight * (r.r // r.outw)
+        |           + ((r.r % r.outw) * e.weight) // r.outw) AS bigint) AS infl
+        |       FROM e JOIN r2 r ON e.src = r.host GROUP BY 1),
+        |g3 AS (SELECT cast(coalesce(sum(r), 0) AS bigint) AS dang FROM r2 WHERE outw = 0),
+        |r3 AS (SELECT p.host, p.outw,
+        |         (15 * (1000000000000 // n.n)) // 100
+        |         + (85 * (coalesce(i3.infl, 0) + g3.dang // n.n)) // 100 AS r
+        |       FROM r2 p LEFT JOIN i3 ON p.host = i3.host CROSS JOIN g3 CROSS JOIN n),
+        |rk AS (SELECT host, r AS rank_e12,
+        |         row_number() OVER (ORDER BY r DESC, host ASC) AS rnk,
+        |         count(*) OVER () AS nu
+        |       FROM r3),
+        |tiers AS (SELECT host, rank_e12, cast(rnk AS bigint) AS rnk,
+        |            CASE WHEN rnk * 100 <= 10 * nu THEN 1
+        |                 WHEN rnk * 100 <= 50 * nu THEN 2
+        |                 ELSE 3 END AS tier
+        |          FROM rk),
+        |o AS (SELECT src, cast(count(*) AS bigint) AS out_deg,
+        |        cast(sum(weight) AS bigint) AS out_weight FROM e GROUP BY 1),
+        |i AS (SELECT dst, cast(count(*) AS bigint) AS in_deg,
+        |        cast(sum(weight) AS bigint) AS in_weight FROM e GROUP BY 1),
+        |rc AS (SELECT a.src, cast(count(*) AS bigint) AS n_recip
+        |       FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src GROUP BY 1),
+        |dc AS (SELECT source AS host, cast(count(*) AS bigint) AS n_docs
+        |       FROM d GROUP BY 1),
+        |allh AS (SELECT host FROM u UNION SELECT host FROM dc)
+        |SELECT allh.host,
+        |  cast(coalesce(t.rank_e12, 0) AS bigint) AS rank_e12,
+        |  cast(coalesce(t.rnk, 0) AS bigint) AS rnk,
+        |  cast(coalesce(t.tier, 0) AS int) AS tier,
+        |  coalesce(o.out_deg, 0) AS out_deg,
+        |  coalesce(i.in_deg, 0) AS in_deg,
+        |  coalesce(o.out_weight, 0) AS out_weight,
+        |  coalesce(i.in_weight, 0) AS in_weight,
+        |  coalesce(rc.n_recip, 0) AS n_recip,
+        |  CASE WHEN coalesce(o.out_deg, 0) = 0 THEN 0.0
+        |       ELSE round(coalesce(rc.n_recip, 0) / cast(o.out_deg AS double), 6)
+        |  END AS reciprocity,
+        |  coalesce(dc.n_docs, 0) AS n_docs
+        |FROM allh LEFT JOIN tiers t ON allh.host = t.host
+        |LEFT JOIN o ON allh.host = o.src
+        |LEFT JOIN i ON allh.host = i.dst
+        |LEFT JOIN rc ON allh.host = rc.src
+        |LEFT JOIN dc ON allh.host = dc.host""".stripMargin,
     "q91_harmonic_centrality" ->
       """WITH d AS (
         |  SELECT doc_id, coalesce(source, 'unknown') AS source FROM documents),

@@ -759,6 +759,21 @@ object CorpusOps {
     * moves. */
   def hostTiers(hostRanks: DataFrame, documents: DataFrame,
       tierPctCuts: Seq[Int] = Seq(10, 50)): DataFrame = {
+    val hostTier = hostTierTable(hostRanks, tierPctCuts)
+    documents
+      .select(col("doc_id"), coalesce(col("source"), lit("unknown")).as("host"))
+      .join(hostTier, Seq("host"), "left_outer")
+      .select(col("doc_id"), col("host"),
+        coalesce(col("rank_e12"), lit(0L)).as("rank_e12"),
+        coalesce(col("rnk"), lit(0L)).as("rnk"),
+        coalesce(col("tier"), lit(0)).as("tier"))
+  }
+
+  /** the host-level (host, rank_e12, rnk, tier) table behind [[hostTiers]]
+    * and [[hostDossier]] — ONE ranking + tier-boundary implementation, so
+    * the per-document stamp and the per-host export cannot diverge */
+  private[graft] def hostTierTable(hostRanks: DataFrame,
+      tierPctCuts: Seq[Int]): DataFrame = {
     require(tierPctCuts.nonEmpty && tierPctCuts == tierPctCuts.sorted &&
       tierPctCuts.forall(p => p > 0 && p < 100),
       s"tierPctCuts must be ascending percents in (0,100), got $tierPctCuts")
@@ -777,14 +792,44 @@ object CorpusOps {
       case ((pct, i), acc) =>
         when(col("rnk") * 100 <= lit(pct.toLong) * n, lit(i + 1)).otherwise(acc)
     }
-    val hostTier = ranked.withColumn("tier", tier.cast("int"))
-    documents
-      .select(col("doc_id"), coalesce(col("source"), lit("unknown")).as("host"))
-      .join(hostTier, Seq("host"), "left_outer")
-      .select(col("doc_id"), col("host"),
+    ranked.withColumn("tier", tier.cast("int"))
+  }
+
+  /** the seed-list EXPORT of the tier-extraction pipeline — what a
+    * curation team actually hands the crawler and the mixture planner:
+    * ONE row per host of (rank universe ∪ link-graph universe ∪ corpus
+    * sources) carrying centrality (rank_e12 + ordinal rnk), the
+    * integer-percentile tier, the structural link-spam signals
+    * (degrees/weights/reciprocity from [[graft.ops.LinkOps.hostGraphStats]])
+    * and the corpus footprint (n_docs). Hosts missing from a side carry
+    * that side's explicit zero (tier 0 = unranked, 0 degrees = not in the
+    * graph, 0 docs = linked-to but never crawled — each absence is itself
+    * a curation signal).
+    *
+    * Scale shape: every input is host- or edge-cardinality (documents are
+    * folded to per-host counts in one partial-combined aggregate before
+    * any join; text never moves); two full-outer equi-joins on the host
+    * key assemble the dossier, AQE free to broadcast the small sides. */
+  def hostDossier(hostRanks: DataFrame, edges: DataFrame,
+      documents: DataFrame, tierPctCuts: Seq[Int] = Seq(10, 50)): DataFrame = {
+    val tiers = hostTierTable(hostRanks, tierPctCuts)
+    val stats = graft.ops.LinkOps.hostGraphStats(edges)
+    val docsPerHost = documents
+      .select(coalesce(col("source"), lit("unknown")).as("host"))
+      .groupBy(col("host")).agg(count(lit(1)).as("n_docs"))
+    tiers.join(stats, Seq("host"), "full_outer")
+      .join(docsPerHost, Seq("host"), "full_outer")
+      .select(col("host"),
         coalesce(col("rank_e12"), lit(0L)).as("rank_e12"),
         coalesce(col("rnk"), lit(0L)).as("rnk"),
-        coalesce(col("tier"), lit(0)).as("tier"))
+        coalesce(col("tier"), lit(0)).as("tier"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("out_weight"), lit(0L)).as("out_weight"),
+        coalesce(col("in_weight"), lit(0L)).as("in_weight"),
+        coalesce(col("n_recip"), lit(0L)).as("n_recip"),
+        coalesce(col("reciprocity"), lit(0.0)).as("reciprocity"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
   }
 
   /** Seeded PageRank — TrustRank (Gyöngyi/Garcia-Molina/Pedersen, VLDB

@@ -2377,6 +2377,44 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hostDossier: rank/tier/stats/footprint compose, absences zero-fill") {
+    // graph: a->b (w2), b->a (w1), a->c (w3); docs on a, c, a graph-absent
+    // source d, and a NULL source; b is linked but never crawled
+    val edges = Seq(("a", "b", 2L), ("b", "a", 1L), ("a", "c", 3L))
+      .toDF("src", "dst", "weight")
+    val ranks = CorpusOps.hostRank(edges, iterations = 2)
+    val dz = Seq((1L, "a"), (2L, "a"), (3L, "c"), (4L, "d"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "source")
+    val out = CorpusOps.hostDossier(ranks, edges, dz)
+      .collect().map(r => r.getAs[String]("host") -> r).toMap
+    assert(out.keySet == Set("a", "b", "c", "d", "unknown"))
+    assert(out("a").getAs[Long]("n_docs") == 2L)
+    assert(out("b").getAs[Long]("n_docs") == 0L) // linked, never crawled
+    assert(out("d").getAs[Long]("n_docs") == 1L)
+    assert(out("unknown").getAs[Long]("n_docs") == 1L)
+    // graph-absent host: tier 0 (unranked), zero structure
+    assert(out("d").getAs[Int]("tier") == 0 &&
+      out("d").getAs[Long]("rank_e12") == 0L &&
+      out("d").getAs[Long]("out_deg") == 0L)
+    // the dossier's columns agree with the operators it composes
+    val stats = LinkOps.hostGraphStats(edges).collect()
+      .map(r => r.getAs[String]("host") -> r).toMap
+    val tiers = CorpusOps.hostTierTable(ranks, Seq(10, 50)).collect()
+      .map(r => r.getAs[String]("host") -> r).toMap
+    for (h <- Seq("a", "b", "c")) {
+      assert(out(h).getAs[Long]("out_deg") == stats(h).getAs[Long]("out_deg"))
+      assert(out(h).getAs[Long]("in_weight") == stats(h).getAs[Long]("in_weight"))
+      assert(out(h).getAs[Long]("n_recip") == stats(h).getAs[Long]("n_recip"))
+      assert(out(h).getAs[Double]("reciprocity") ==
+        stats(h).getAs[Double]("reciprocity"))
+      assert(out(h).getAs[Long]("rank_e12") == tiers(h).getAs[Long]("rank_e12"))
+      assert(out(h).getAs[Int]("tier") == tiers(h).getAs[Int]("tier"))
+    }
+    // fixture reciprocity: a has 2 out-edges, 1 reciprocated
+    assert(out("a").getAs[Long]("n_recip") == 1L &&
+      out("a").getAs[Double]("reciprocity") == 0.5)
+  }
+
   test("blockTermStats: word boundaries, case fold, hit/term counts, guards") {
     val df = Seq(
       (1L, "a clean document"),
