@@ -478,14 +478,18 @@ object SparkEntry {
       // divisor-normalized rounds (authorities from old hubs, hubs from
       // new authorities) — the endorser/endorsed split PageRank can't see
       CorpusOps.hits(hostGraphEdges(s, dir), iterations = 2)),
-    "q135_host_dossier" -> ((s, dir) =>
+    "q135_host_dossier" -> ((s, dir) => {
       // the seed-list export: per-host centrality + percentile tier +
       // link-spam structure + corpus footprint, assembled from the q83
-      // rank, the q89 stats, and the docs table in one host-keyed frame
+      // rank, the q89 stats, and the docs table in one host-keyed frame.
+      // The edge table feeds BOTH hostRank and hostGraphStats — cut it
+      // once or the whole derivation subtree (documents scan + host-id
+      // window) executes twice
+      val e = graft.ops.Checkpoints.cut(hostGraphEdges(s, dir))
       CorpusOps.hostDossier(
-        CorpusOps.hostRank(hostGraphEdges(s, dir), iterations = 3,
-          dampingPct = 85),
-        hostGraphEdges(s, dir), docs(s, dir))),
+        CorpusOps.hostRank(e, iterations = 3, dampingPct = 85),
+        e, docs(s, dir))
+    }),
     "q104_ngram_containment" -> ((s, dir) =>
       // asymmetric shingle containment (syndication/wrapper detection):
       // same inverted-index self-join core as q21, thresholding

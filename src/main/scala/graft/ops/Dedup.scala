@@ -970,9 +970,25 @@ object Dedup {
           .join(e.select(col("src").as("dst")), Seq("dst"), "left_semi")
           .isEmpty
     }
+    // ONE metric-column list for the convergence checksum: the observe
+    // call and the timeout-fallback aggregate must compute the SAME
+    // checksum or the degraded metric-delivery path silently diverges
+    def checksumCols: Seq[org.apache.spark.sql.Column] = Seq(
+      count(lit(1)).as("n"),
+      // cast BEFORE summing: xxhash64 values span the full long range,
+      // so a long-typed partial sum overflows under ANSI
+      sum(col("src").cast("decimal(38,0)")).as("ssrc"),
+      sum(col("dst").cast("decimal(38,0)")).as("sdst"),
+      sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")).as("h"))
     var prev: Option[(Long, BigDecimal, BigDecimal, BigDecimal)] = None
     var done = edges.isEmpty
     var iter = 0
+    // per-round intermediates are released once superseded: `ls` is dead
+    // as soon as the round's `ss` is pinned, and round r's `ss` is dead
+    // once round r+1's is (the last `ss` backs the returned plan and the
+    // cut `canon` backs allNodes — both stay). Without this a long run
+    // accumulates two edge-table-sized block sets per round.
+    var prevSs: DataFrame = null
     while (!done && iter < maxIter) {
       // ---- large-star: every neighbor v > u rewires to min(N(u) ∪ u) ----
       val bidir = edges.select(col("src").as("a"), col("dst").as("b"))
@@ -988,33 +1004,30 @@ object Dedup {
       // ---- small-star: children <= u (and u itself) rewire to the min ----
       val ssMin = ls.groupBy(col("src")).agg(min(col("dst")).as("m"))
       val obs = org.apache.spark.sql.Observation(s"ccstar_$iter")
-      val ss = Checkpoints.cut(
-        ls.join(ssMin, Seq("src"))
-          .select(col("dst").as("s2"), col("m"))
-          .union(ssMin.select(col("src").as("s2"), col("m")))
-          .filter(col("s2") =!= col("m")) // the min child's own row
-          .distinct()
-          .select(col("s2").as("src"), col("m").as("dst"))
-          .observe(obs, count(lit(1)).as("n"),
-            // cast BEFORE summing: xxhash64 values span the full long
-            // range, so a long-typed partial sum overflows under ANSI
-            sum(col("src").cast("decimal(38,0)")).as("ssrc"),
-            sum(col("dst").cast("decimal(38,0)")).as("sdst"),
-            sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")).as("h")))
+      val cs = checksumCols
+      val ss =
+        try Checkpoints.cut(
+          ls.join(ssMin, Seq("src"))
+            .select(col("dst").as("s2"), col("m"))
+            .union(ssMin.select(col("src").as("s2"), col("m")))
+            .filter(col("s2") =!= col("m")) // the min child's own row
+            .distinct()
+            .select(col("s2").as("src"), col("m").as("dst"))
+            .observe(obs, cs.head, cs.tail: _*))
+        finally ls.unpersist() // also on failure: no leaked round cache
+      if (prevSs != null) prevSs.unpersist()
+      prevSs = ss
       val row: org.apache.spark.sql.Row = {
         import scala.concurrent.Await
         import scala.concurrent.duration._
         // Observation.future is the no-thread timed wait (the q26
-        // discipline); the fallback aggregate keeps the round correct if
-        // metric delivery ever fails on some Spark version
+        // discipline); the fallback aggregate reuses the SAME metric
+        // columns, so the degraded path cannot compute a different
+        // checksum than the primary one
         try Await.result(obs.future, 30.seconds)
         catch {
           case _: java.util.concurrent.TimeoutException =>
-            ss.agg(count(lit(1)).as("n"),
-              sum(col("src").cast("decimal(38,0)")).as("ssrc"),
-              sum(col("dst").cast("decimal(38,0)")).as("sdst"),
-              sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")).as("h"))
-              .collect()(0)
+            ss.agg(cs.head, cs.tail: _*).collect()(0)
         }
       }
       // empty edge table: the sums are NULL — fold to 0, the count

@@ -1144,8 +1144,16 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("connectedComponentsStar: frame-equal to the label engine on adversarial shapes") {
-    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    // collect rows AND build the map: toMap alone would silently fold a
+    // duplicate doc_id row, so the "one row per node" contract is pinned
+    // by asserting the row count equals the map size
+    def asMap(df: org.apache.spark.sql.DataFrame) = {
+      val rows = df.collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+      val m = rows.toMap
+      assert(rows.length == m.size, s"duplicate doc_id rows: ${rows.toSeq}")
+      m
+    }
     def check(edges: org.apache.spark.sql.DataFrame, label: String): Unit = {
       val want = asMap(Dedup.connectedComponents(edges))
       val got = asMap(Dedup.connectedComponentsStar(edges))
