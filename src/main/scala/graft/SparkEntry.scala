@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Bpe, CorpusOps, Dedup, LinkOps, RobotsOps, SimSearch, SitemapOps, TextOps}
+import graft.ops.{Bpe, CorpusOps, Dedup, HtmlOps, LinkOps, RobotsOps, SimSearch, SitemapOps, TextOps}
 import graft.pipeline.{Corpus, ExtractJob}
 
 /** Driver contract: one `queries` entry per implemented operator family
@@ -1346,6 +1346,58 @@ object SparkEntry {
             element_at(tails, (col("doc_id") % 7 + 1).cast("int"))).as("text")),
         Seq("zoggle", "fnarp", "blortch"))
     }),
+    "q136_html_tables" -> ((s, dir) => {
+      // structured DATA-table extraction over planted pages: six variants
+      // cycle by doc_id%6 — (0) th-header + caption data table, (1) layout
+      // table of long prose cells, (2) link-farm grid, (3) a data table
+      // NESTED inside a one-cell layout table (inner emits as table_idx 1),
+      // (4) div-wrapped cells without a header, (5) a data-shaped table
+      // inside <nav>. Only 0/3/4 emit rows; the oracle enumerates the
+      // expected structured rows closed-form from doc_id
+      val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"))
+      val k = (col("doc_id") % 97).cast("string")
+      val v = col("doc_id") % 6
+      val lprose = lit("lorem ipsum dolor sit amet consectetur adipiscing " +
+        "elit sed do eiusmod tempor incididunt ut labore et dolore magna")
+      val h0 = concat(lit("<table><caption>stats "), k,
+        lit("</caption><tr><th>name</th><th>value</th><th>unit</th></tr>" +
+          "<tr><td>r1c1-"), k, lit("</td><td>r1c2-"), k, lit("</td><td>r1c3-"), k,
+        lit("</td></tr><tr><td>r2c1-"), k, lit("</td><td>r2c2-"), k,
+        lit("</td><td>r2c3-"), k, lit("</td></tr></table>"))
+      val h1 = concat(lit("<table><tr><td>"), lprose, lit("</td><td>"), lprose,
+        lit("</td></tr><tr><td>"), lprose, lit("</td><td>"), lprose,
+        lit("</td></tr></table>"))
+      val h2 = lit("<table>" + (1 to 3).map(r =>
+        s"""<tr><td><a href="/a$r">pg${r}a</a></td>""" +
+          s"""<td><a href="/b$r">pg${r}b</a></td></tr>""").mkString + "</table>")
+      val h3 = concat(
+        lit("<table><tr><td>wrapper prose around the data island " +
+          "wrapper prose around the data island <table><tr><td>n1a-"), k,
+        lit("</td><td>n1b-"), k, lit("</td></tr><tr><td>n2a-"), k,
+        lit("</td><td>n2b-"), k,
+        lit("</td></tr></table> trailing wrapper prose</td></tr></table>"))
+      val h4 = concat(lit("<table><tr><td><div>w1a-"), k,
+        lit("</div></td><td><div>w1b-"), k,
+        lit("</div></td></tr><tr><td><div>w2a-"), k,
+        lit("</div></td><td><div>w2b-"), k, lit("</div></td></tr></table>"))
+      val h5 = lit("<nav><table><tr><th>k</th><th>v</th></tr>" +
+        "<tr><td>a</td><td>1</td></tr><tr><td>b</td><td>2</td></tr></table></nav>")
+      val tbl = when(v === 0, h0).when(v === 1, h1).when(v === 2, h2)
+        .when(v === 3, h3).when(v === 4, h4).otherwise(h5)
+      HtmlOps.structuredTables(d.select(col("doc_id"),
+        concat(lit("<html><body>"), tbl, lit("</body></html>")).as("html")))
+    }),
+    "q137_length_quantiles" -> ((s, dir) =>
+      // exact per-source length percentiles over the compact (source, len)
+      // histogram — integer nearest-rank, value-exact vs the oracle
+      CorpusOps.lengthQuantiles(docs(s, dir))),
+    "q138_length_quantiles_sketch" -> ((s, dir) =>
+      // the mergeable-sketch twin (percentile_approx): at accuracy 10000
+      // >> any per-source n in the testdata the GK summary is lossless,
+      // so the surface shares q137's EXACT oracle — the sketch path is
+      // value-gated here and error-bound-gated at starved accuracy in
+      // OpsSpec
+      CorpusOps.lengthQuantilesSketch(docs(s, dir))),
     "q13_quality" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))),
     "q48_bpe_token_estimates" -> ((s, dir) => {
@@ -1635,6 +1687,24 @@ SELECT doc_id, n_chars, ${names.mkString(", ")},
 FROM c"""
   }
 
+  /** q137/q138 oracle: exact nearest-rank percentiles over the compact
+    * (source, len) histogram — pure integer arithmetic (target rank =
+    * (q*n + 99) div 100), restating CorpusOps.lengthQuantiles exactly. */
+  private val lengthQuantilesSql: String =
+    """WITH d AS (SELECT coalesce(source, '') AS source,
+      |                  CAST(length(coalesce(text, '')) AS BIGINT) AS len
+      |           FROM documents),
+      |c AS (SELECT source, len, CAST(count(*) AS BIGINT) AS cnt
+      |      FROM d GROUP BY 1, 2),
+      |w AS (SELECT source, len,
+      |             sum(cnt) OVER (PARTITION BY source ORDER BY len) AS cum,
+      |             sum(cnt) OVER (PARTITION BY source) AS n FROM c)
+      |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+      |  CAST(min(CASE WHEN cum >= (50*n + 99) // 100 THEN len END) AS BIGINT) AS p50,
+      |  CAST(min(CASE WHEN cum >= (90*n + 99) // 100 THEN len END) AS BIGINT) AS p90,
+      |  CAST(min(CASE WHEN cum >= (99*n + 99) // 100 THEN len END) AS BIGINT) AS p99
+      |FROM w GROUP BY source""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q133_script_profile" -> scriptProfileSql,
     "q134_block_terms" ->
@@ -1661,6 +1731,38 @@ FROM c"""
         |  len(list_filter(tk,
         |    t -> list_contains(['zoggle','fnarp','blortch'], t))) = 0 AS passes
         |FROM toks""".stripMargin,
+    // q136: the oracle enumerates the expected structured rows closed-form
+    // from doc_id — variants 1/2/5 (layout, link farm, nav) contribute NO
+    // rows, so value-exactness proves both the extraction AND the gate
+    "q136_html_tables" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |                  CAST(CAST(doc_id AS BIGINT) % 97 AS VARCHAR) AS k,
+        |                  CAST(doc_id AS BIGINT) % 6 AS v
+        |           FROM documents)
+        |SELECT d.doc_id, CAST(0 AS BIGINT) AS table_idx,
+        |       CAST(r.ri AS BIGINT) AS row_idx,
+        |       CAST(CASE WHEN r.ri = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_header,
+        |       CAST(3 AS BIGINT) AS n_cells,
+        |       CASE WHEN r.ri = 0 THEN 'name | value | unit'
+        |            ELSE 'r'||r.ri||'c1-'||k||' | r'||r.ri||'c2-'||k
+        |                 ||' | r'||r.ri||'c3-'||k END AS cells,
+        |       'stats '||k AS caption
+        |FROM d, (VALUES (0),(1),(2)) r(ri) WHERE v = 0
+        |UNION ALL
+        |SELECT d.doc_id, CAST(1 AS BIGINT), CAST(r.ri AS BIGINT),
+        |       CAST(0 AS BIGINT), CAST(2 AS BIGINT),
+        |       'n'||(r.ri+1)||'a-'||k||' | n'||(r.ri+1)||'b-'||k, ''
+        |FROM d, (VALUES (0),(1)) r(ri) WHERE v = 3
+        |UNION ALL
+        |SELECT d.doc_id, CAST(0 AS BIGINT), CAST(r.ri AS BIGINT),
+        |       CAST(0 AS BIGINT), CAST(2 AS BIGINT),
+        |       'w'||(r.ri+1)||'a-'||k||' | w'||(r.ri+1)||'b-'||k, ''
+        |FROM d, (VALUES (0),(1)) r(ri) WHERE v = 4""".stripMargin,
+    "q137_length_quantiles" -> lengthQuantilesSql,
+    // q138 shares the EXACT oracle: at accuracy 10000 >> per-source n the
+    // GK summary holds every sample, so the sketch answers nearest-rank
+    // exactly (OpsSpec additionally gates the error bound when starved)
+    "q138_length_quantiles_sketch" -> lengthQuantilesSql,
     "q124_triangles" ->
       """WITH ids AS (SELECT doc_id FROM documents),
         |raw AS (

@@ -758,4 +758,144 @@ object HtmlExtract {
     }
     sb.toString
   }
+
+  // ---- structured table extraction ----------------------------------------
+
+  /** one table row: `cells` keeps empty cells IN PLACE (column alignment is
+    * the point of structured extraction — the prose render drops them),
+    * but a row whose every cell is empty is not emitted */
+  final case class TableRowCells(rowIdx: Int, isHeader: Boolean, cells: Vector[String])
+
+  /** one extracted DATA table (layout/link-farm/penalized tables are not
+    * emitted); `tableIdx` is the document-order index of the table's OPEN
+    * tag over ALL table elements (so a page whose first table is layout
+    * still numbers its second table 1 — indices are stable whether or not
+    * neighbours pass the gate) */
+  final case class ExtractedTable(
+      tableIdx: Int, caption: String, rows: Vector[TableRowCells])
+
+  /** Structured extraction of DATA tables: the table-corpus side of the
+    * pipeline (table-QA / table-pretraining sets are built from exactly
+    * this shape), complementing [[extract]]'s prose render.
+    *
+    * Reuses [[tokenize]] and applies the SAME data-vs-layout gate as the
+    * prose path ([[MIN_DATA_CELLS]] non-empty cells in >= 2 rows, average
+    * non-empty cell <= [[MAX_AVG_CELL_CHARS]] chars) plus the same two
+    * rejections the prose path resolves via priors: majority-link tables
+    * (link density > 0.5 over cell+caption content chars — navigation
+    * grids) and tables inside structurally penalized containers
+    * (nav/header/footer/aside/form) emit nothing. Divergences from the
+    * prose path, deliberate for the structured shape: cell text is the
+    * cell's whole subtree (a <td><div>42</div></td> keeps its value);
+    * nested tables BOTH flow their text into the enclosing cell (the
+    * prose behaviour) AND are extracted independently if they pass the
+    * gate on their own; stray text directly inside <tr> is dropped rather
+    * than pseudo-celled (a pseudo-cell has no column position); class/id
+    * hint penalties are not applied (hints gate prose scoring — structure
+    * is decided by the structural container only). A row is a header row
+    * when every cell of the row is a <th>. colspan/rowspan are not
+    * expanded (cells emit at their source positions). */
+  def extractTables(html: String): Vector[ExtractedTable] = {
+    final class TCap(val idx: Int, val penalized: Boolean) {
+      val caption = new StringBuilder
+      val rows = ArrayBuffer(ArrayBuffer.empty[(Boolean, String)])
+      var cell: StringBuilder = null
+      var cellIsTh = false
+      var linkChars = 0 // over cell + caption content (subtree, nested incl.)
+      def newRow(): Unit = if (rows.last.nonEmpty) rows += ArrayBuffer.empty[(Boolean, String)]
+      def closeCell(): Unit = if (cell != null) {
+        rows.last += ((cellIsTh, normalizeWs(cell.toString)))
+        cell = null
+      }
+    }
+    val out = ArrayBuffer.empty[ExtractedTable]
+    val tstack = ArrayBuffer.empty[TCap]
+    var nextIdx = 0
+    var dropDepth = 0
+    var linkDepth = 0
+    var penaltyDepth = 0
+    var captionDepth = 0
+
+    def closeTable(): Unit = {
+      val t = tstack.remove(tstack.length - 1)
+      t.closeCell()
+      val rows = t.rows.filter(_.exists(_._2.nonEmpty))
+      val nonEmpty = rows.flatten.filter(_._2.nonEmpty)
+      val cellChars = nonEmpty.iterator.map(_._2.length).sum
+      val cap = normalizeWs(t.caption.toString)
+      val contentChars = cellChars + cap.length
+      val linkDensity =
+        if (contentChars == 0) 0f else math.min(1f, t.linkChars.toFloat / contentChars)
+      val isData = nonEmpty.length >= MIN_DATA_CELLS && rows.length >= 2 &&
+        cellChars.toFloat / nonEmpty.length <= MAX_AVG_CELL_CHARS
+      if (isData && !t.penalized && linkDensity <= 0.5f)
+        out += ExtractedTable(t.idx, cap,
+          rows.iterator.zipWithIndex.map { case (r, ri) =>
+            TableRowCells(ri, r.nonEmpty && r.forall(_._1), r.map(_._2).toVector)
+          }.toVector)
+      // nested table: text + link mass flow into the enclosing open cell
+      // (space-joined, like the prose path's flowFull), independent of
+      // whether the inner table was itself emitted
+      if (tstack.nonEmpty) {
+        val outer = tstack.last
+        if (outer.cell != null) {
+          val flat = (t.rows.iterator.flatMap(_.iterator.map(_._2)) ++ Iterator(cap))
+            .filter(_.nonEmpty).mkString(" ")
+          if (flat.nonEmpty) { outer.cell.append(' '); outer.cell.append(flat) }
+        }
+        outer.linkChars += t.linkChars
+      }
+    }
+
+    tokenize(html).foreach {
+      case TText(t) =>
+        if (dropDepth == 0 && tstack.nonEmpty) {
+          val top = tstack.last
+          val decoded = decodeEntities(t)
+          if (captionDepth > 0) top.caption.append(decoded)
+          else if (top.cell != null) top.cell.append(decoded)
+          if (linkDepth > 0 && (captionDepth > 0 || top.cell != null))
+            top.linkChars += normalizeWs(decoded).length
+        }
+      case TOpen(name, selfClosing, _) =>
+        if (dropTags.contains(name) && !selfClosing && !voidTags.contains(name)) dropDepth += 1
+        else if (dropDepth == 0) {
+          if (name == "a" && !selfClosing) linkDepth += 1
+          else if (penaltyTags.contains(name) && !selfClosing) penaltyDepth += 1
+          else if (name == "table") {
+            tstack += new TCap(nextIdx, penaltyDepth > 0)
+            nextIdx += 1
+          } else if (tstack.nonEmpty) {
+            val top = tstack.last
+            name match {
+              case "caption" => captionDepth += 1
+              case "tr" => top.closeCell(); top.newRow()
+              case "td" | "th" =>
+                top.closeCell()
+                top.cell = new StringBuilder
+                top.cellIsTh = name == "th"
+              case "br" =>
+                if (captionDepth > 0) top.caption.append('\n')
+                else if (top.cell != null) top.cell.append('\n')
+              case _ => ()
+            }
+          }
+        }
+      case TClose(name) =>
+        if (dropTags.contains(name)) { if (dropDepth > 0) dropDepth -= 1 }
+        else if (dropDepth == 0) {
+          if (name == "a") { if (linkDepth > 0) linkDepth -= 1 }
+          else if (penaltyTags.contains(name)) { if (penaltyDepth > 0) penaltyDepth -= 1 }
+          else if (name == "table") { if (tstack.nonEmpty) closeTable() }
+          else if (tstack.nonEmpty) name match {
+            case "caption" => if (captionDepth > 0) captionDepth -= 1
+            case "td" | "th" => tstack.last.closeCell()
+            case "tr" => tstack.last.closeCell(); tstack.last.newRow()
+            case _ => ()
+          }
+        }
+    }
+    while (tstack.nonEmpty) closeTable() // unclosed tables at EOF
+    out.sortBy(_.tableIdx).toVector
+  }
 }

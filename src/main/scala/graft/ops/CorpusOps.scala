@@ -1561,4 +1561,63 @@ object CorpusOps {
       .select(col("source"), col("len_bucket"), col("n_docs"),
         round(col("n_docs").cast("double") / col("n_total"), 6).as("share"))
   }
+
+  /** EXACT per-source document-length percentiles by nearest-rank
+    * (sorted ascending, percentile q = the value at 1-based index
+    * ceil(q*n/100)) — the distribution report a curation run publishes
+    * next to [[lengthHistogram]]'s buckets.
+    *
+    * Scale shape: the corpus collapses to (source, len, count) FIRST —
+    * lengths are bounded-cardinality (a few thousand distinct values per
+    * source at any corpus size), so the window scan runs over the compact
+    * histogram, never the documents; docs contribute one count each and
+    * nothing else shuffles. This is the exact-percentile plan that
+    * survives 100 TB wherever the value domain is bounded;
+    * [[lengthQuantilesSketch]] is the unbounded-domain fallback. All
+    * arithmetic is integer (target rank = (q*n + 99) div 100), so any
+    * SQL engine restates it value-exactly. */
+  def lengthQuantiles(documents: DataFrame, qs: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100), s"bad percentiles $qs")
+    import org.apache.spark.sql.expressions.Window
+    val hist = documents
+      .select(coalesce(col("source"), lit("")).as("source"),
+        length(coalesce(col("text"), lit(""))).cast("long").as("len"))
+      .groupBy(col("source"), col("len")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("source").orderBy("len")
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("source")))
+    val pcols = qs.map(q =>
+      min(when(col("cum") >= expr(s"($q * n + 99) div 100"), col("len")))
+        .as(s"p$q"))
+    val aggs = max(col("n")).as("n_docs") +: pcols
+    cum.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** the sketch twin of [[lengthQuantiles]]: per-source approximate
+    * percentiles via Spark's built-in `percentile_approx` (a mergeable
+    * Greenwald-Khanna-family summary — partial-combined map-side, fixed
+    * size per group regardless of corpus size). This is the 100 TB path
+    * when the value domain is NOT bounded (floating scores, byte sizes):
+    * state is O(accuracy) per group vs the exact plan's O(distinct
+    * values). Published guarantee: the returned value's rank is within
+    * n/accuracy of the target rank — OpsSpec gates exactly that against
+    * [[lengthQuantiles]]. Output mirrors the exact twin (p50/p90/p99
+    * columns as longs) so the two frames diff directly. */
+  def lengthQuantilesSketch(
+      documents: DataFrame,
+      qs: Seq[Int] = Seq(50, 90, 99),
+      accuracy: Int = 10000): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100), s"bad percentiles $qs")
+    val probs = qs.map(q => q / 100.0).mkString(", ")
+    val approx = documents
+      .select(coalesce(col("source"), lit("")).as("source"),
+        length(coalesce(col("text"), lit(""))).cast("long").as("len"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr(s"percentile_approx(len, array($probs), $accuracy)").as("ps"))
+    qs.zipWithIndex.foldLeft(approx) { case (df, (q, i)) =>
+      df.withColumn(s"p$q", element_at(col("ps"), i + 1).cast("long"))
+    }.drop("ps")
+  }
 }

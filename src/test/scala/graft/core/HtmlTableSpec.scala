@@ -1,0 +1,129 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.html.HtmlExtract
+import graft.core.html.HtmlExtract.{ExtractedTable, TableRowCells}
+
+/** Structured table extraction (q136): data-vs-layout gate parity with the
+  * prose path, header detection, nesting, index stability, link-farm and
+  * penalized-container rejection, and the tag-soup survival property. */
+class HtmlTableSpec extends AnyFunSuite {
+
+  private def t(html: String): Vector[ExtractedTable] = HtmlExtract.extractTables(html)
+
+  test("data table with th header row and caption extracts structurally") {
+    val ts = t("""<body><table><caption>City stats</caption>
+      |<tr><th>city</th><th>pop</th></tr>
+      |<tr><td>Ulm</td><td>126</td></tr>
+      |<tr><td>Bonn</td><td>330</td></tr>
+      |</table></body>""".stripMargin)
+    assert(ts.length == 1)
+    val tb = ts.head
+    assert(tb.tableIdx == 0)
+    assert(tb.caption == "City stats")
+    assert(tb.rows == Vector(
+      TableRowCells(0, isHeader = true, Vector("city", "pop")),
+      TableRowCells(1, isHeader = false, Vector("Ulm", "126")),
+      TableRowCells(2, isHeader = false, Vector("Bonn", "330"))))
+  }
+
+  test("layout table (long prose cells) emits nothing") {
+    val prose = "this cell is a long paragraph of layout prose " * 4 // > 80 avg chars
+    val ts = t(s"<table><tr><td>$prose</td><td>$prose</td></tr>" +
+      s"<tr><td>$prose</td><td>$prose</td></tr></table>")
+    assert(ts.isEmpty)
+  }
+
+  test("single-row and under-4-cell tables emit nothing (prose-path gate parity)") {
+    assert(t("<table><tr><td>a</td><td>b</td><td>c</td><td>d</td></tr></table>").isEmpty)
+    assert(t("<table><tr><td>a</td></tr><tr><td>b</td></tr></table>").isEmpty)
+  }
+
+  test("majority-link table (nav grid) emits nothing; minority-link survives") {
+    val farm = "<table>" + (1 to 3).map(r =>
+      s"""<tr><td><a href="/$r">pg$r</a></td><td><a href="/x$r">nx$r</a></td></tr>""")
+      .mkString + "</table>"
+    assert(t(farm).isEmpty)
+    // same shape, links a minority of content chars
+    val ok = "<table>" + (1 to 3).map(r =>
+      s"""<tr><td><a href="/$r">p$r</a></td><td>value number $r common</td></tr>""")
+      .mkString + "</table>"
+    assert(t(ok).length == 1)
+  }
+
+  test("table inside nav/footer/aside is rejected; same table outside is kept") {
+    val core = "<table><tr><th>k</th><th>v</th></tr><tr><td>a</td><td>1</td></tr>" +
+      "<tr><td>b</td><td>2</td></tr></table>"
+    assert(t(s"<nav>$core</nav>").isEmpty)
+    assert(t(s"<footer>$core</footer>").isEmpty)
+    assert(t(s"<main>$core</main>").length == 1)
+    // penalty container closed before the table: no residual penalty
+    assert(t(s"<nav>menu</nav>$core").length == 1)
+  }
+
+  test("cell text is the whole subtree; empty cells keep their positions") {
+    val ts = t("""<table>
+      |<tr><td><div><b>42</b></div></td><td></td><td>x</td></tr>
+      |<tr><td>7</td><td>y</td><td></td></tr>
+      |</table>""".stripMargin)
+    assert(ts.length == 1)
+    assert(ts.head.rows == Vector(
+      TableRowCells(0, isHeader = false, Vector("42", "", "x")),
+      TableRowCells(1, isHeader = false, Vector("7", "y", ""))))
+  }
+
+  test("nested data table extracts on its own; outer layout table does not") {
+    val inner = "<table><tr><td>i1</td><td>i2</td></tr><tr><td>i3</td><td>i4</td></tr></table>"
+    val prose = "wrapping layout prose around the data island " * 5
+    val ts = t(s"<table><tr><td>$prose $inner $prose</td></tr></table>")
+    assert(ts.length == 1)
+    assert(ts.head.tableIdx == 1) // outer table opened first and owns index 0
+    assert(ts.head.rows.map(_.cells) == Vector(Vector("i1", "i2"), Vector("i3", "i4")))
+  }
+
+  test("tableIdx is document-order of OPEN over all tables, kept or not") {
+    val layout = "<table><tr><td>only one cell</td></tr></table>"
+    val data = "<table><tr><td>a</td><td>b</td></tr><tr><td>c</td><td>d</td></tr></table>"
+    val ts = t(layout + data + layout + data)
+    assert(ts.map(_.tableIdx) == Vector(1, 3))
+  }
+
+  test("unclosed table/cells at EOF still extract; entities decode in cells") {
+    val ts = t("<table><tr><td>a &amp; b</td><td>c</td><tr><td>d</td><td>e")
+    assert(ts.length == 1)
+    assert(ts.head.rows.map(_.cells) == Vector(Vector("a & b", "c"), Vector("d", "e")))
+  }
+
+  test("mixed th/td row is NOT a header row; all-th row is") {
+    val ts = t("<table><tr><th>h1</th><td>v1</td></tr>" +
+      "<tr><th>h2</th><td>v2</td></tr><tr><td>a</td><td>b</td></tr></table>")
+    assert(ts.length == 1)
+    assert(ts.head.rows.map(_.isHeader) == Vector(false, false, false))
+    val ts2 = t("<table><tr><th>h1</th><th>h2</th></tr>" +
+      "<tr><td>a</td><td>b</td></tr><tr><td>c</td><td>d</td></tr></table>")
+    assert(ts2.head.rows.map(_.isHeader) == Vector(true, false, false))
+  }
+
+  test("script/style content inside cells is dropped; stray tr text is not a cell") {
+    val ts = t("<table><tr>stray<td>a<script>var x=1;</script></td><td>b</td></tr>" +
+      "<tr><td>c</td><td>d</td></tr></table>")
+    assert(ts.length == 1)
+    assert(ts.head.rows.map(_.cells) == Vector(Vector("a", "b"), Vector("c", "d")))
+  }
+
+  test("random tag soup never crashes and is deterministic (300 docs)") {
+    val rnd = new scala.util.Random(20260820L)
+    val atoms = Seq("<table>", "</table>", "<tr>", "</tr>", "<td>", "</td>", "<th>",
+      "</th>", "<caption>", "</caption>", "<div>", "</div>", "<a href='x'>", "</a>",
+      "<nav>", "</nav>", "&amp;", "<br/>", "<!-- c -->", "<script>", "</script>", "<", ">")
+    (0 until 300).foreach { _ =>
+      val soup = (0 to 5 + rnd.nextInt(40)).map { _ =>
+        if (rnd.nextBoolean()) atoms(rnd.nextInt(atoms.length))
+        else (0 to rnd.nextInt(4)).map(_ => ('a' + rnd.nextInt(26)).toChar.toString * (1 + rnd.nextInt(4))).mkString(" ")
+      }.mkString(" ")
+      val r1 = HtmlExtract.extractTables(soup) // must not throw
+      val r2 = HtmlExtract.extractTables(soup)
+      assert(r1 == r2)
+    }
+  }
+}

@@ -4730,4 +4730,58 @@ class OpsSpec extends AnyFunSuite {
       CorpusOps.fetchSchedule(urls, delays, defaultDelayMs = -1L)
     }
   }
+
+  test("lengthQuantiles: exact nearest-rank vs sequential recompute (ties, skew, NULLs)") {
+    // skewed frame: source A has 37 docs with heavy ties, B has 3, plus a
+    // NULL-source + NULL-text row (len 0 under source "")
+    val rows =
+      (1 to 37).map(i => (i.toLong, "x" * (if (i % 5 == 0) 100 else i), "A")) ++
+        Seq((101L, "yy", "B"), (102L, "yyyy", "B"), (103L, "y" * 9, "B"),
+          (104L, null.asInstanceOf[String], null.asInstanceOf[String]))
+    val df = rows.toDF("doc_id", "text", "source")
+    val qs = Seq(25, 50, 90, 99, 100)
+    val got = CorpusOps.lengthQuantiles(df, qs).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), qs.map(q => r.getAs[Long](s"p$q")))))
+      .toMap
+    // sequential oracle: sort, index ceil(q*n/100) 1-based
+    val bySrc = rows.groupBy(r => if (r._3 == null) "" else r._3)
+    val want = bySrc.map { case (src, rs) =>
+      val lens = rs.map(r => if (r._2 == null) 0L else r._2.length.toLong).sorted
+      src -> ((lens.length.toLong,
+        qs.map(q => lens(((q * lens.length + 99) / 100) - 1))))
+    }
+    assert(got == want, s"got $got\nwant $want")
+    intercept[IllegalArgumentException] { CorpusOps.lengthQuantiles(df, Seq(0)) }
+    intercept[IllegalArgumentException] { CorpusOps.lengthQuantiles(df, Seq()) }
+  }
+
+  test("lengthQuantilesSketch: GK rank-error bound holds; high accuracy is exact") {
+    val rows = (1 to 500).map(i =>
+      (i.toLong, "z" * ((i * 7919) % 400 + 1), if (i % 3 == 0) "A" else "B"))
+    val df = rows.toDF("doc_id", "text", "source").repartition(7)
+    val qs = Seq(50, 90, 99)
+    def collectPs(out: org.apache.spark.sql.DataFrame) = out.collect()
+      .map(r => r.getAs[String]("source") -> qs.map(q => r.getAs[Long](s"p$q"))).toMap
+    // accuracy >> n: GK summary holds every value -> exact equality
+    val exact = collectPs(CorpusOps.lengthQuantiles(df, qs))
+    assert(collectPs(CorpusOps.lengthQuantilesSketch(df, qs, accuracy = 10000)) == exact)
+    // starved accuracy: published bound |rank(v) - target| <= n/accuracy.
+    // rank(v) is an interval [count(<v)+1, count(<=v)] under ties.
+    val acc = 20
+    val sketch = collectPs(CorpusOps.lengthQuantilesSketch(df, qs, accuracy = acc))
+    val bySrc = rows.groupBy(_._3)
+    bySrc.foreach { case (src, rs) =>
+      val lens = rs.map(_._2.length.toLong).sorted
+      val n = lens.length
+      val eps = n.toDouble / acc
+      qs.zip(sketch(src)).foreach { case (q, v) =>
+        val target = (q * n + 99) / 100
+        val lo = lens.count(_ < v) + 1
+        val hi = lens.count(_ <= v)
+        assert(lo - eps <= target && target <= hi + eps,
+          s"$src p$q: value $v rank [$lo,$hi] vs target $target ± $eps")
+      }
+    }
+  }
 }
