@@ -16,6 +16,17 @@ object SparkEntry {
   private def t(sfDir: String, name: String) = s"$sfDir/$name.parquet"
 
   private def docs(s: SparkSession, dir: String): DataFrame = s.read.parquet(t(dir, "documents"))
+
+  /** shared q139/q140 frame: a synthesized fetch log with per-host URL
+    * duplication (paths cycle mod 37) and an unparseable-URL class (every
+    * 19th doc) that must group under host '' */
+  private def cardinalityUrls(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      when(col("doc_id") % 19 === 0,
+        concat(lit("not a url "), col("doc_id").cast("string")))
+        .otherwise(concat(lit("https://"), coalesce(col("source"), lit("unknown")),
+          lit(".example/p"), (col("doc_id") % 37).cast("string")))
+        .as("url"))
   private def emb(s: SparkSession, dir: String): DataFrame = s.read.parquet(t(dir, "embeddings"))
 
   /** distinct sources of the documents table indexed by alphabetical
@@ -1398,6 +1409,44 @@ object SparkEntry {
       // value-gated here and error-bound-gated at starved accuracy in
       // OpsSpec
       CorpusOps.lengthQuantilesSketch(docs(s, dir))),
+    "q139_host_cardinality" -> ((s, dir) =>
+      // exact per-host URL cardinality over a synthesized fetch log:
+      // every doc fetches its source-host page p(doc_id%37) — so hosts
+      // see DUPLICATE urls — and every 19th doc is an unparseable URL
+      // (groups under host '', the accounting bucket)
+      CorpusOps.hostCardinality(cardinalityUrls(s, dir))),
+    "q140_host_cardinality_sketch" -> ((s, dir) =>
+      // the HLL++ twin over the same frame: fixed sketch state per host
+      // (the 10^12-row plan); rsd-bound gated vs exact in OpsSpec
+      CorpusOps.hostCardinalitySketch(cardinalityUrls(s, dir))),
+    "q141_recrawl_schedule" -> ((s, dir) => {
+      // change-rate recrawl scheduling over a synthesized fetch history:
+      // doc_id%4+1 fetches an hour apart; content version bumps at every
+      // step j>0 with (doc_id+j)%3==0, so urls cycle through zero, one
+      // and two observed changes — exercising both the estimated-interval
+      // and the default-revisit branches
+      val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+        coalesce(col("source"), lit("unknown")).as("src"))
+      val f = d
+        .select(col("doc_id"), col("src"),
+          explode(sequence(lit(0L), col("doc_id") % 4)).as("i"))
+        .select(
+          concat(lit("https://"), col("src"), lit(".example/u"),
+            col("doc_id").cast("string")).as("url"),
+          (col("doc_id") * 1000 + col("i") * 3600000L).as("fetch_ms"),
+          concat(lit("h"), size(filter(sequence(lit(0L), col("i")),
+            j => j > 0 && (col("doc_id") + j) % 3 === 0)).cast("string"))
+            .as("content_hash"))
+      CorpusOps.recrawlSchedule(f)
+    }),
+    "q142_balanced_shards" -> ((s, dir) =>
+      // serpentine size-balanced sharding of the corpus by n_chars into 7
+      // shards — exact distributed rank (sort + zipWithIndex, no global
+      // window), snake-draft assignment
+      CorpusOps.balancedShards(
+        docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+          coalesce(col("n_chars"), lit(0L)).cast("long").as("weight")),
+        nShards = 7)),
     "q13_quality" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))),
     "q48_bpe_token_estimates" -> ((s, dir) => {
@@ -1763,6 +1812,59 @@ FROM c"""
     // GK summary holds every sample, so the sketch answers nearest-rank
     // exactly (OpsSpec additionally gates the error bound when starved)
     "q138_length_quantiles_sketch" -> lengthQuantilesSql,
+    // q139: the oracle rebuilds the same synthetic fetch log and restates
+    // urlHostCol's regex literally (the shared-extraction contract)
+    "q139_host_cardinality" ->
+      """WITH u AS (
+        |  SELECT CASE WHEN doc_id % 19 = 0 THEN 'not a url ' || doc_id
+        |              ELSE 'https://' || coalesce(source, 'unknown')
+        |                   || '.example/p' || (doc_id % 37) END AS url
+        |  FROM documents),
+        |h AS (SELECT lower(regexp_extract(url,
+        |        '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host, url
+        |      FROM u)
+        |SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+        |       CAST(count(DISTINCT url) AS BIGINT) AS n_distinct
+        |FROM h GROUP BY host""".stripMargin,
+    "q141_recrawl_schedule" ->
+      """WITH f AS (
+        |  SELECT 'https://' || coalesce(source, 'unknown') || '.example/u'
+        |           || doc_id AS url,
+        |         doc_id * 1000 + i * 3600000 AS fetch_ms,
+        |         'h' || len(list_filter(range(0, i + 1),
+        |                    j -> j > 0 AND (doc_id + j) % 3 = 0)) AS content_hash
+        |  FROM (SELECT doc_id, source,
+        |               unnest(range(0, doc_id % 4 + 1)) AS i FROM documents)),
+        |lagd AS (
+        |  SELECT url, fetch_ms, content_hash,
+        |         lag(content_hash) OVER (PARTITION BY url
+        |           ORDER BY fetch_ms, content_hash) AS ph
+        |  FROM f),
+        |a AS (
+        |  SELECT url, CAST(count(*) AS BIGINT) AS n_fetches,
+        |         CAST(sum(CASE WHEN ph IS NOT NULL AND ph <> content_hash
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+        |         CAST(max(fetch_ms) - min(fetch_ms) AS BIGINT) AS span_ms,
+        |         CAST(max(fetch_ms) AS BIGINT) AS last_ms
+        |  FROM lagd GROUP BY url)
+        |SELECT url, n_fetches, n_changes, span_ms, last_ms,
+        |  CAST(CASE WHEN n_changes > 0 THEN span_ms // n_changes
+        |            ELSE 0 END AS BIGINT) AS est_change_interval_ms,
+        |  CAST(CASE WHEN n_changes > 0
+        |            THEN last_ms + greatest(span_ms // n_changes, 1)
+        |            ELSE last_ms + 86400000 END AS BIGINT) AS next_fetch_ms
+        |FROM a""".stripMargin,
+    "q142_balanced_shards" ->
+      """WITH r AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |         CAST(coalesce(n_chars, 0) AS BIGINT) AS weight,
+        |         row_number() OVER (ORDER BY coalesce(n_chars, 0) DESC,
+        |                            doc_id) AS rnk
+        |  FROM documents)
+        |SELECT doc_id, weight, CAST(rnk AS BIGINT) AS rnk,
+        |  CAST(CASE WHEN ((rnk - 1) // 7) % 2 = 0 THEN (rnk - 1) % 7
+        |            ELSE 6 - (rnk - 1) % 7 END AS BIGINT) AS shard
+        |FROM r""".stripMargin,
     "q124_triangles" ->
       """WITH ids AS (SELECT doc_id FROM documents),
         |raw AS (

@@ -1620,4 +1620,113 @@ object CorpusOps {
       df.withColumn(s"p$q", element_at(col("ps"), i + 1).cast("long"))
     }.drop("ps")
   }
+
+  /** EXACT per-host URL cardinality — the crawl-coverage report (how many
+    * fetches, how many distinct pages) every snapshot publishes per host.
+    * Unparseable/hostless URLs group under host "" (they are a curation
+    * signal, not a row to silently drop).
+    *
+    * Scale shape: one hash-shuffle on host with map-side partial
+    * aggregation; `count(DISTINCT url)` expands to the standard two-phase
+    * (host, url) pre-distinct, so duplicate URLs collapse before the host
+    * aggregate and the shuffle carries distinct pairs, not fetch logs.
+    * At 10^12 rows the (host, url) distinct IS the dominant shuffle —
+    * [[hostCardinalitySketch]] is the fixed-state path when distinct
+    * counts per host are all a report needs. */
+  def hostCardinality(urls: DataFrame): DataFrame =
+    urls
+      .select(coalesce(col("url").cast("string"), lit("")).as("url"))
+      .select(urlHostCol(col("url")).as("host"), col("url"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("url")).as("n_distinct"))
+
+  /** the sketch twin of [[hostCardinality]]: distinct URLs per host via
+    * Spark's built-in HyperLogLog++ (`approx_count_distinct`) — fixed
+    * O(1/rsd^2) state per host, partial-combined map-side, so the shuffle
+    * carries one sketch per (partition, host) regardless of URL count.
+    * This is the 100 TB cardinality plan; the published guarantee is
+    * relative standard deviation `rsd`, and OpsSpec gates observed error
+    * against it (3*rsd) next to an exact recompute. */
+  def hostCardinalitySketch(urls: DataFrame, rsd: Double = 0.02): DataFrame = {
+    require(rsd > 0 && rsd < 1, s"rsd must be in (0,1), got $rsd")
+    urls
+      .select(coalesce(col("url").cast("string"), lit("")).as("url"))
+      .select(urlHostCol(col("url")).as("host"), col("url"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"),
+        approx_count_distinct(col("url"), rsd).as("n_distinct_approx"))
+  }
+
+  /** recrawl scheduling from fetch history — the Cho/Garcia-Molina-shape
+    * change-rate estimate a crawler runs to decide WHEN to refetch each
+    * URL. Input: one row per observed fetch (url, fetch_ms long,
+    * content_hash string). Per URL, in exact integer math:
+    *  - n_fetches, n_changes (consecutive-fetch pairs, ordered by
+    *    (fetch_ms, content_hash) for a deterministic total order, whose
+    *    hash differs), span_ms = last - first fetch;
+    *  - est_change_interval_ms = span_ms div n_changes when changes were
+    *    observed, else 0 ("no observed change" is a value, not a guess);
+    *  - next_fetch_ms = last_ms + max(est_change_interval_ms, 1) when
+    *    changes were observed, else last_ms + defaultIntervalMs (the
+    *    no-signal revisit policy).
+    *
+    * Scale shape: ONE exchange on url feeds both the lag window and the
+    * final per-url aggregate (same partitioning key, no second shuffle);
+    * only (url, ms, hash) rows move, never page content. */
+  def recrawlSchedule(fetches: DataFrame, defaultIntervalMs: Long = 86400000L): DataFrame = {
+    require(defaultIntervalMs > 0, s"defaultIntervalMs must be > 0, got $defaultIntervalMs")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("url").orderBy(col("fetch_ms"), col("content_hash"))
+    fetches
+      .select(col("url").cast("string").as("url"),
+        col("fetch_ms").cast("long").as("fetch_ms"),
+        coalesce(col("content_hash").cast("string"), lit("")).as("content_hash"))
+      .withColumn("chg",
+        when(lag(col("content_hash"), 1).over(w).isNotNull &&
+          lag(col("content_hash"), 1).over(w) =!= col("content_hash"), 1L)
+          .otherwise(0L))
+      .groupBy(col("url"))
+      .agg(count(lit(1)).as("n_fetches"),
+        sum(col("chg")).as("n_changes"),
+        (max(col("fetch_ms")) - min(col("fetch_ms"))).as("span_ms"),
+        max(col("fetch_ms")).as("last_ms"))
+      .withColumn("est_change_interval_ms",
+        when(col("n_changes") > 0, expr("span_ms div n_changes")).otherwise(lit(0L)))
+      .withColumn("next_fetch_ms",
+        when(col("n_changes") > 0,
+          col("last_ms") + greatest(col("est_change_interval_ms"), lit(1L)))
+          .otherwise(col("last_ms") + lit(defaultIntervalMs)))
+  }
+
+  /** size-balanced output sharding — the writer-side packing that keeps
+    * every training shard near-equal in bytes even under heavy document
+    * skew (naive `hash(doc) % K` leaves whale shards; round-robin over an
+    * UNsorted corpus does too). Items are totally ordered by (weight
+    * desc, doc_id asc) and dealt serpentine ("snake draft"): block b =
+    * rank0 div K takes shards left-to-right when b is even, right-to-left
+    * when odd — each double-block gives every shard one heavy + one light
+    * item, so shard totals stay within ~one max item of each other.
+    * Deterministic, no RNG.
+    *
+    * Scale shape: the rank is a distributed sort + zipWithIndex over
+    * (doc_id, weight) pairs — the [[hostTierTable]] discipline, never a
+    * single-partition window; document text never moves. Output:
+    * (doc_id, weight, rnk 1-based, shard 0-based). */
+  def balancedShards(items: DataFrame, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be > 0, got $nShards")
+    val spark = items.sparkSession
+    import spark.implicits._
+    items
+      .select(col("doc_id").cast("long"), col("weight").cast("long"))
+      .as[(Long, Long)].rdd
+      .sortBy({ case (id, wt) => (-wt, id) })
+      .zipWithIndex()
+      .map { case ((id, wt), i) =>
+        val pos = (i % nShards).toInt
+        val shard = if ((i / nShards) % 2 == 0) pos else nShards - 1 - pos
+        (id, wt, i + 1L, shard.toLong)
+      }
+      .toDF("doc_id", "weight", "rnk", "shard")
+  }
 }

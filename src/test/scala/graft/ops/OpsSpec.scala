@@ -4784,4 +4784,94 @@ class OpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("hostCardinality: exact dedup per host, case fold, hostless + NULL bucket") {
+    val urls = Seq(
+      "https://A.example/p1", "https://a.example/p1", // same host+url after fold? no: url differs
+      "https://a.example/p1", "https://a.example/p2",
+      "http://b.example/x", "not a url", "",
+      null.asInstanceOf[String]).toDF("url")
+    val got = CorpusOps.hostCardinality(urls).collect()
+      .map(r => r.getAs[String]("host") ->
+        ((r.getAs[Long]("n_urls"), r.getAs[Long]("n_distinct")))).toMap
+    // host folds case; URLs themselves stay case-sensitive (distinct 3 for
+    // a.example: "https://A.example/p1", "https://a.example/p1", ".../p2")
+    assert(got == Map(
+      "a.example" -> ((4L, 3L)),
+      "b.example" -> ((1L, 1L)),
+      "" -> ((3L, 2L))), s"got $got") // "not a url", "" (x2 via NULL fold)
+  }
+
+  test("hostCardinalitySketch: HLL++ within published rsd bound vs exact") {
+    val rows = (1 to 6000).map { i =>
+      val host = s"h${i % 3}.example"
+      // ~1000 distinct paths per host (dups via %1000)
+      s"https://$host/p${(i / 3) % 1000}"
+    }
+    val df = rows.toDF("url").repartition(9)
+    val exact = CorpusOps.hostCardinality(df).collect()
+      .map(r => r.getAs[String]("host") -> r.getAs[Long]("n_distinct")).toMap
+    val rsd = 0.02
+    val sk = CorpusOps.hostCardinalitySketch(df, rsd).collect()
+      .map(r => r.getAs[String]("host") ->
+        ((r.getAs[Long]("n_urls"), r.getAs[Long]("n_distinct_approx")))).toMap
+    assert(sk.keySet == exact.keySet)
+    sk.foreach { case (host, (nUrls, approx)) =>
+      assert(nUrls == 2000L)
+      val ex = exact(host).toDouble
+      assert(math.abs(approx - ex) <= 3 * rsd * ex + 1,
+        s"$host: approx $approx vs exact $ex beyond 3*rsd")
+    }
+    intercept[IllegalArgumentException] { CorpusOps.hostCardinalitySketch(df, 0.0) }
+  }
+
+  test("recrawlSchedule: change-rate estimate, default revisit, tie-ms determinism") {
+    val fetches = Seq(
+      ("u/a", 0L, "x"), ("u/a", 100L, "x"), ("u/a", 200L, "y"),
+      ("u/b", 5L, "z"),
+      ("u/c", 10L, "b"), ("u/c", 10L, "a"), // tie ms: hash tiebreak -> a,b -> 1 change
+      ("u/d", 0L, null.asInstanceOf[String]), ("u/d", 50L, "w")
+    ).toDF("url", "fetch_ms", "content_hash")
+    val got = CorpusOps.recrawlSchedule(fetches, defaultIntervalMs = 1000L).collect()
+      .map(r => r.getAs[String]("url") -> ((r.getAs[Long]("n_fetches"),
+        r.getAs[Long]("n_changes"), r.getAs[Long]("span_ms"),
+        r.getAs[Long]("est_change_interval_ms"), r.getAs[Long]("next_fetch_ms"))))
+      .toMap
+    assert(got == Map(
+      "u/a" -> ((3L, 1L, 200L, 200L, 400L)),
+      "u/b" -> ((1L, 0L, 0L, 0L, 1005L)),
+      "u/c" -> ((2L, 1L, 0L, 0L, 11L)), // est 0 clamps to 1 for next fetch
+      "u/d" -> ((2L, 1L, 50L, 50L, 100L))), s"got $got") // NULL hash folds to ''
+    intercept[IllegalArgumentException] {
+      CorpusOps.recrawlSchedule(fetches, defaultIntervalMs = 0L)
+    }
+  }
+
+  test("balancedShards: serpentine matches sequential recompute, imbalance <= max item") {
+    val weights = Seq(1000L, 900L, 400L, 395L, 390L, 100L, 90L, 80L, 5L, 4L, 3L, 2L, 1L)
+    val items = weights.zipWithIndex.map { case (w, i) => (i.toLong + 1, w) }
+    val df = items.toDF("doc_id", "weight").repartition(5)
+    val k = 3
+    val got = CorpusOps.balancedShards(df, k).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("weight"), r.getAs[Long]("rnk"), r.getAs[Long]("shard"))))
+      .toMap
+    // sequential oracle
+    val want = items.sortBy { case (id, w) => (-w, id) }.zipWithIndex.map {
+      case ((id, w), i) =>
+        val pos = i % k
+        val shard = if ((i / k) % 2 == 0) pos else k - 1 - pos
+        id -> ((w, i + 1L, shard.toLong))
+    }.toMap
+    assert(got == want, s"got $got\nwant $want")
+    val totals = got.values.groupBy(_._3).view.mapValues(_.map(_._1).sum).toMap
+    assert(totals.values.max - totals.values.min <= weights.max,
+      s"imbalance ${totals.values.max - totals.values.min} over $totals")
+    // deterministic under ties: equal weights order by doc_id
+    val tied = Seq((7L, 10L), (3L, 10L), (5L, 10L)).toDF("doc_id", "weight")
+    val order = CorpusOps.balancedShards(tied, 2).collect()
+      .sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("doc_id")).toSeq
+    assert(order == Seq(3L, 5L, 7L))
+    intercept[IllegalArgumentException] { CorpusOps.balancedShards(df, 0) }
+  }
 }
