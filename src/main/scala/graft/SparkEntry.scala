@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Bpe, CorpusOps, Dedup, HtmlOps, LinkOps, RobotsOps, SimSearch, SitemapOps, TextOps}
+import graft.ops.{Bpe, CorpusOps, Dedup, HtmlOps, LinkOps, Multimodal, RobotsOps, SimSearch, SitemapOps, TextOps}
 import graft.pipeline.{Corpus, ExtractJob}
 
 /** Driver contract: one `queries` entry per implemented operator family
@@ -16,6 +16,22 @@ object SparkEntry {
   private def t(sfDir: String, name: String) = s"$sfDir/$name.parquet"
 
   private def docs(s: SparkSession, dir: String): DataFrame = s.read.parquet(t(dir, "documents"))
+
+  /** shared q145/q146 frame: the synthetic media table's images plus a
+    * perturbed PNG mirror of every second image (media_id + 100000) —
+    * the planted near-dup population for the perceptual-hash family */
+  private def dedupMedia(s: SparkSession): org.apache.spark.sql.Dataset[graft.ops.Multimodal.MediaRow] = {
+    import s.implicits._
+    val base = graft.ops.Multimodal.synthetic(s, 120)
+    val mirrors = s.range(120).as[Long]
+      // every 2nd image (images are i%3==0), restricted to the PNG
+      // originals (i%6==3): mirroring a JPEG original would stack codec
+      // noise on top of the controlled perturbation
+      .filter(i => i % 6 == 3)
+      .map(i => graft.ops.Multimodal.MediaRow(i + 100000L, "image",
+        graft.ops.Multimodal.syntheticImageBytesPerturbed(42L, i), 64, 64, 0, 1))
+    base.union(mirrors)
+  }
 
   /** shared q139/q140 frame: a synthesized fetch log with per-host URL
     * duplication (paths cycle mod 37) and an unparseable-URL class (every
@@ -1447,6 +1463,39 @@ object SparkEntry {
         docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
           coalesce(col("n_chars"), lit(0L)).cast("long").as("weight")),
         nShards = 7)),
+    "q143_hashed_doc_vectors" -> ((s, dir) =>
+      // hashing-trick doc vectors: md5-keyed signed bucket counts, every
+      // coordinate integer and oracle-recomputable (vec emitted as CSV —
+      // the compare hashes strings, not nested arrays)
+      TextOps.hashedDocVectors(docs(s, dir), 64)
+        .select(col("doc_id"), col("n_tokens"),
+          concat_ws(",", col("vec")).as("vec_csv"))),
+    "q144_semantic_neardups_text" -> ((s, dir) => {
+      // semantic near-dup END-TO-END from raw text: hashed vectors (q143)
+      // feed the q09 block-pair exact cosine join — the full
+      // text -> vector -> pair pipeline in one oracle-checked surface;
+      // zero vectors (empty docs, sign-cancelled) are excluded on BOTH
+      // sides (cosine is undefined, and Spark's NaN ordering would
+      // otherwise pass the threshold filter)
+      val vecs = TextOps.hashedDocVectors(docs(s, dir), 64)
+      val emb = vecs
+        .filter(expr("exists(vec, x -> x != 0)"))
+        .select(col("doc_id").as("vec_id"),
+          expr("transform(vec, x -> cast(x as float))").as("embedding"))
+      Dedup.embeddingNearDupsExact(emb, 0.95)
+    }),
+    "q145_image_hashes" -> ((s, dir) =>
+      // perceptual image hashes (aHash + the new dHash) through the REAL
+      // PNG/JPEG decoders, over synthetic images + perturbed mirror
+      // copies; no SQL engine can restate a codec -> spec-gated (goldens,
+      // brightness invariance, brute-force parity) with a rows-only
+      // driver check
+      Multimodal.imageHashes(dedupMedia(s))),
+    "q146_image_neardups" -> ((s, dir) =>
+      // image near-dup pairs by dHash hamming <= 6: one decode+hash
+      // kernel pass, then the simhash family's exact banded join — 64-bit
+      // hashes shuffle, payloads never do
+      Multimodal.imageNearDups(dedupMedia(s), maxHamming = 6, nBlocks = 8)),
     "q13_quality" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))),
     "q48_bpe_token_estimates" -> ((s, dir) => {
@@ -1754,6 +1803,28 @@ FROM c"""
       |  CAST(min(CASE WHEN cum >= (99*n + 99) // 100 THEN len END) AS BIGINT) AS p99
       |FROM w GROUP BY source""".stripMargin
 
+  /** shared q143/q144 oracle prefix: rebuilds TextOps.hashedDocVectors
+    * coordinate-exactly (md5 bucket + md5 sign per token, 64 dims) —
+    * callers append their projection/join tail */
+  private def hashedVecSql(tail: String): String =
+    """WITH toks AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |         CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []
+      |              ELSE regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+')
+      |              END AS tk
+      |  FROM documents),
+      |vecs AS (
+      |  SELECT doc_id, len(tk) AS n_tokens,
+      |    list_transform(range(0, 64),
+      |      i -> len(list_filter(tk,
+      |             t -> ((('0x' || substr(md5(t || '#b'), 1, 15))::BIGINT) % 64 = i)
+      |              AND ((('0x' || substr(md5(t || '#s'), 1, 15))::BIGINT) % 2 = 0)))
+      |         - len(list_filter(tk,
+      |             t -> ((('0x' || substr(md5(t || '#b'), 1, 15))::BIGINT) % 64 = i)
+      |              AND ((('0x' || substr(md5(t || '#s'), 1, 15))::BIGINT) % 2 = 1)))) AS vec
+      |  FROM toks)
+      |""".stripMargin + tail
+
   def oracleSql: Map[String, String] = Map(
     "q133_script_profile" -> scriptProfileSql,
     "q134_block_terms" ->
@@ -1854,6 +1925,22 @@ FROM c"""
         |            THEN last_ms + greatest(span_ms // n_changes, 1)
         |            ELSE last_ms + 86400000 END AS BIGINT) AS next_fetch_ms
         |FROM a""".stripMargin,
+    "q143_hashed_doc_vectors" -> hashedVecSql(
+      """SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  array_to_string(vec, ',') AS vec_csv
+        |FROM vecs""".stripMargin),
+    // q144: the oracle rebuilds the hashed vectors and brute-forces the
+    // cosine join (the q09 shape) over nonzero vectors; the raw-cosine
+    // threshold filter is identical on both sides, 6-dp rounding after
+    "q144_semantic_neardups_text" -> hashedVecSql(
+      """, nz AS (SELECT doc_id, vec::DOUBLE[] AS v FROM vecs
+        |         WHERE list_inner_product(vec::DOUBLE[], vec::DOUBLE[]) > 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(list_inner_product(a.v, b.v) /
+        |    sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)), 6) AS cosine
+        |FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+        |WHERE list_inner_product(a.v, b.v) /
+        |    sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)) >= 0.95""".stripMargin),
     "q142_balanced_shards" ->
       """WITH r AS (
         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -101,6 +101,46 @@ object Multimodal {
       }
       hash
     }
+
+    /** 9x8-grid difference hash (dHash): block-average luma to 8 rows of
+      * 9 cells, set bit (gy*8+gx) when the right neighbour cell's mean is
+      * STRICTLY greater — the standard row-gradient hash. More robust
+      * than [[aHash]] to global brightness/contrast shifts (a uniform
+      * luma offset preserves every gradient, so the hash is invariant),
+      * which is exactly the mutation space web image mirrors live in. */
+    def dHash(w: Int, h: Int, luma: Array[Int]): Long = {
+      val grid = new Array[Double](8 * 9)
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 9) {
+          val y0 = gy * h / 8; val y1 = math.max((gy + 1) * h / 8, y0 + 1)
+          val x0 = gx * w / 9; val x1 = math.max((gx + 1) * w / 9, x0 + 1)
+          var s = 0L; var n = 0
+          var y = y0
+          while (y < y1 && y < h) {
+            var x = x0
+            while (x < x1 && x < w) { s += luma(y * w + x); n += 1; x += 1 }
+            y += 1
+          }
+          grid(gy * 9 + gx) = if (n == 0) 0.0 else s.toDouble / n
+          gx += 1
+        }
+        gy += 1
+      }
+      var hash = 0L
+      var gy2 = 0
+      while (gy2 < 8) {
+        var gx2 = 0
+        while (gx2 < 8) {
+          if (grid(gy2 * 9 + gx2 + 1) > grid(gy2 * 9 + gx2))
+            hash |= (1L << (gy2 * 8 + gx2))
+          gx2 += 1
+        }
+        gy2 += 1
+      }
+      hash
+    }
   }
 
   // ---- audio codec (javax.sound.sampled: WAV/PCM16, real decode) ------------
@@ -310,5 +350,70 @@ object Multimodal {
           MediaRow(i, kind, payload, 64, 64, 0, 24 + (i % 100).toInt)
       }
     }
+  }
+
+  /** the mirror-site mutation of [[syntheticImageBytes]]: the SAME pixel
+    * plan re-encoded with one 8x8 block's blue channel dimmed (b/2 + 10)
+    * — a localized edit (watermark/badge-sized) whose luma impact is
+    * small (blue carries 114/1000 of Rec.601), so perceptual hashes land
+    * within a few bits of the original. Always PNG (lossless): the
+    * perturbation, not codec noise, is the controlled variable. */
+  def syntheticImageBytesPerturbed(seed: Long, i: Long): Array[Byte] = {
+    val img = ImageIO.read(new ByteArrayInputStream(syntheticImageBytes(seed, i, "png")))
+    val bx = (mix(seed ^ (i + 13)) & 7).toInt * 8
+    val by = ((mix(seed ^ (i + 17)) >> 3) & 7).toInt * 8
+    var y = by
+    while (y < by + 8) {
+      var x = bx
+      while (x < bx + 8) {
+        val rgb = img.getRGB(x, y)
+        val b = rgb & 0xff
+        img.setRGB(x, y, (rgb & 0xffff00) | ((b / 2 + 10) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** perceptual hashes of every IMAGE row: real decode, aHash + dHash per
+    * image. Non-image rows are ignored (they have their own fingerprint
+    * families). Output: (media_id, decoded_w, decoded_h, ahash, dhash).
+    *
+    * Scale shape: per-row kernel work fused with the scan (the
+    * extractFeatures discipline — decoder init amortizes per partition);
+    * nothing shuffles. */
+  def imageHashes(media: Dataset[MediaRow]): org.apache.spark.sql.DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, luma) = ImageCodec.decodeLuma(r.payload)
+        (r.media_id, w, h, ImageCodec.aHash(w, h, luma), ImageCodec.dHash(w, h, luma))
+      }
+    }.toDF("media_id", "decoded_w", "decoded_h", "ahash", "dhash")
+  }
+
+  /** image near-duplicates by dHash hamming distance — the image-side
+    * member of the near-dup family (mirrors/re-encodes/brightness
+    * variants of one image collapse). Decode + hash is one kernel pass;
+    * pair generation reuses [[Dedup.simhashNearDupsFromHashes]]'s banded
+    * join verbatim (nBlocks > maxHamming makes the banding EXACT by
+    * pigeonhole — every pair within the radius shares one clean band),
+    * so the 64-bit hashes shuffle, never the payloads.
+    *
+    * Output: (media_a, media_b, hamming), media_a < media_b. */
+  def imageNearDups(
+      media: Dataset[MediaRow],
+      maxHamming: Int = 3,
+      nBlocks: Int = 6): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Dedup.simhashNearDupsFromHashes(
+      imageHashes(media)
+        .select(col("media_id").as("doc_id"), col("dhash").as("simhash")),
+      maxHamming, nBlocks)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
   }
 }

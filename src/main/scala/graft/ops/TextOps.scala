@@ -2063,4 +2063,39 @@ object TextOps {
         min(col("base")).cast("int").as("first_pos"))
   }
 
+  /** hashing-trick document vectors (Weinberger et al., ICML 2009) — the
+    * model-free text -> vector bridge: every token hashes to a bucket in
+    * [0, dim) with a ±1 sign, and the doc's vector is the signed bucket
+    * count sum. Deterministic (md5-keyed — the q36/q129 engine-portable
+    * hash discipline, so a SQL oracle recomputes every coordinate
+    * exactly), integer-valued, and unbiased as an inner-product sketch:
+    * E[<h(a), h(b)>] = <tf_a, tf_b>. This is what makes the embedding-
+    * space op families (near-dup, SemDeDup, ANN) runnable on corpora that
+    * have no model embeddings yet.
+    *
+    * Output: (doc_id, n_tokens, vec array<long> of length `dim`).
+    *
+    * Scale shape: pure per-row column math — one md5 pair per token, then
+    * dim in-row sums; no shuffle, no UDF, nothing leaves the scan
+    * partition. Cost is O(tokens + dim*tokens) per doc; for dim beyond a
+    * few hundred, switch to the exploded (doc, bucket) groupBy shape
+    * instead of widening the in-row transform. */
+  def hashedDocVectors(documents: DataFrame, dim: Int = 64): DataFrame = {
+    require(dim > 0 && dim <= 4096, s"dim must be in [1, 4096], got $dim")
+    val txt = coalesce(col("text"), lit(""))
+    val tk = when(length(trim(txt)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(lower(txt)), "\\s+"))
+    documents
+      .select(col("doc_id").cast("long").as("doc_id"), tk.as("tk"))
+      .withColumn("tkh", expr(
+        s"""transform(tk, t -> named_struct(
+           |  'b', pmod(cast(conv(substring(md5(concat(t, '#b')), 1, 15), 16, 10) as bigint), $dim),
+           |  's', CASE WHEN pmod(cast(conv(substring(md5(concat(t, '#s')), 1, 15), 16, 10) as bigint), 2) = 0
+           |       THEN cast(1 as bigint) ELSE cast(-1 as bigint) END))""".stripMargin))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+        expr(s"transform(sequence(0, ${dim - 1}), i -> " +
+          "aggregate(tkh, cast(0 as bigint), (acc, p) -> " +
+          "acc + CASE WHEN p.b = i THEN p.s ELSE cast(0 as bigint) END))")
+          .as("vec"))
+  }
 }

@@ -4874,4 +4874,77 @@ class OpsSpec extends AnyFunSuite {
     assert(order == Seq(3L, 5L, 7L))
     intercept[IllegalArgumentException] { CorpusOps.balancedShards(df, 0) }
   }
+
+  test("hashedDocVectors: deterministic, case/ws-folded, mass-conserving, zero for empty") {
+    val df = Seq(
+      (1L, "alpha alpha beta"),
+      (2L, "alpha alpha beta"), // identical text -> identical vector
+      (3L, "gamma delta epsilon zeta"),
+      (4L, ""), (5L, null.asInstanceOf[String]),
+      (6L, "  Alpha   ALPHA beta ") // folds to doc 1's tokens
+    ).toDF("doc_id", "text")
+    val out = TextOps.hashedDocVectors(df, 16).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getSeq[Long](2)))).toMap
+    assert(out.values.forall(_._2.length == 16))
+    assert(out(1L) == out(2L) && out(1L) == out(6L))
+    assert(out(1L)._1 == 3L)
+    // signed mass conservation: bucket sums add up to the per-token sign sum,
+    // and |vec|_1 is bounded by token count
+    assert(math.abs(out(1L)._2.sum) <= 3 && out(1L)._2.map(math.abs).sum <= 3)
+    assert(out(3L)._2.map(math.abs).sum <= 4 && out(3L)._2.exists(_ != 0))
+    assert(out(4L) == ((0L, Seq.fill(16)(0L))) && out(5L) == ((0L, Seq.fill(16)(0L))))
+    intercept[IllegalArgumentException] { TextOps.hashedDocVectors(df, 0) }
+    intercept[IllegalArgumentException] { TextOps.hashedDocVectors(df, 5000) }
+  }
+
+  test("dHash golden: left-black/right-white edge sets exactly the two transition bits per row") {
+    val img = new java.awt.image.BufferedImage(64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64)
+      img.setRGB(x, y, if (x < 32) 0x000000 else 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val (w, h, luma) = Multimodal.ImageCodec.decodeLuma(out.toByteArray)
+    // 9-col grid: cells 0-3 all black, cell 4 mixed (x 28..35 straddles the
+    // 32 edge), cells 5-8 all white -> per row, gradients rise at gx=3
+    // (cell4 > cell3) and gx=4 (cell5 > cell4): bits 3 and 4 -> 0x18
+    assert(Multimodal.ImageCodec.dHash(w, h, luma) == 0x1818181818181818L)
+  }
+
+  test("dHash/aHash are invariant to an exact uniform luma shift") {
+    val (w, h, luma) = Multimodal.ImageCodec.decodeLuma(
+      Multimodal.syntheticImageBytes(42L, 3L, "png"))
+    val shifted = luma.map(v => v + 10)
+    assert(Multimodal.ImageCodec.dHash(w, h, shifted) ==
+      Multimodal.ImageCodec.dHash(w, h, luma))
+    assert(Multimodal.ImageCodec.aHash(w, h, shifted) ==
+      Multimodal.ImageCodec.aHash(w, h, luma))
+  }
+
+  test("imageNearDups: banded join equals brute-force hamming pairs; mirrors found") {
+    import spark.implicits._
+    val base = Multimodal.synthetic(spark, 60)
+    val mirrors = spark.range(60).as[Long].filter(i => i % 6 == 3)
+      .map(i => Multimodal.MediaRow(i + 100000L, "image",
+        Multimodal.syntheticImageBytesPerturbed(42L, i), 64, 64, 0, 1))
+    val media = base.union(mirrors)
+    val k = 6
+    val got = Multimodal.imageNearDups(media, maxHamming = k, nBlocks = 8).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    // brute-force oracle over the same hashes
+    val hashes = Multimodal.imageHashes(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("dhash"))
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= k
+    } yield (ia, ib) -> d.toLong).toMap
+    assert(got == brute, s"banded ${got.size} vs brute ${brute.size}")
+    // every planted mirror lands within the radius of its original
+    val planted = (0 until 60).filter(i => i % 6 == 3)
+      .map(i => (i.toLong, i + 100000L))
+    planted.foreach { p =>
+      assert(got.contains(p), s"planted mirror pair $p not found: ${got.keys}")
+    }
+  }
 }
