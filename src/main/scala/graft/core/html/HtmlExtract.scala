@@ -794,7 +794,12 @@ object HtmlExtract {
     * hint penalties are not applied (hints gate prose scoring — structure
     * is decided by the structural container only). A row is a header row
     * when every cell of the row is a <th>. colspan/rowspan are not
-    * expanded (cells emit at their source positions). */
+    * expanded (cells emit at their source positions). Tag-soup hygiene:
+    * <caption> closes implicitly on <tr>/<td>/<th> (HTML5 omittable end
+    * tag) and its nesting state is per-table; dangling <a>s close
+    * implicitly at cell, row and table boundaries (matching how browsers
+    * break anchors at table structure) so soup from one region cannot
+    * tip a later cell or table over the link-density gate. */
   def extractTables(html: String): Vector[ExtractedTable] = {
     final class TCap(val idx: Int, val penalized: Boolean) {
       val caption = new StringBuilder
@@ -802,6 +807,11 @@ object HtmlExtract {
       var cell: StringBuilder = null
       var cellIsTh = false
       var linkChars = 0 // over cell + caption content (subtree, nested incl.)
+      // per-TABLE caption nesting: a page-global counter would let one
+      // omitted </caption> (legal HTML5 — caption's end tag is omittable)
+      // route every later cell's text into captions for the rest of the
+      // document; scoping it here means the leak dies with the table
+      var captionDepth = 0
       def newRow(): Unit = if (rows.last.nonEmpty) rows += ArrayBuffer.empty[(Boolean, String)]
       def closeCell(): Unit = if (cell != null) {
         rows.last += ((cellIsTh, normalizeWs(cell.toString)))
@@ -814,7 +824,6 @@ object HtmlExtract {
     var dropDepth = 0
     var linkDepth = 0
     var penaltyDepth = 0
-    var captionDepth = 0
 
     def closeTable(): Unit = {
       val t = tstack.remove(tstack.length - 1)
@@ -835,15 +844,18 @@ object HtmlExtract {
           }.toVector)
       // nested table: text + link mass flow into the enclosing open cell
       // (space-joined, like the prose path's flowFull), independent of
-      // whether the inner table was itself emitted
+      // whether the inner table was itself emitted. Both flow TOGETHER or
+      // not at all: link mass without its content mass (nested table
+      // directly under <tr>, no open cell) would inflate the outer's link
+      // density with links it never renders
       if (tstack.nonEmpty) {
         val outer = tstack.last
         if (outer.cell != null) {
           val flat = (t.rows.iterator.flatMap(_.iterator.map(_._2)) ++ Iterator(cap))
             .filter(_.nonEmpty).mkString(" ")
           if (flat.nonEmpty) { outer.cell.append(' '); outer.cell.append(flat) }
+          outer.linkChars += t.linkChars
         }
-        outer.linkChars += t.linkChars
       }
     }
 
@@ -852,9 +864,9 @@ object HtmlExtract {
         if (dropDepth == 0 && tstack.nonEmpty) {
           val top = tstack.last
           val decoded = decodeEntities(t)
-          if (captionDepth > 0) top.caption.append(decoded)
+          if (top.captionDepth > 0) top.caption.append(decoded)
           else if (top.cell != null) top.cell.append(decoded)
-          if (linkDepth > 0 && (captionDepth > 0 || top.cell != null))
+          if (linkDepth > 0 && (top.captionDepth > 0 || top.cell != null))
             top.linkChars += normalizeWs(decoded).length
         }
       case TOpen(name, selfClosing, _) =>
@@ -863,19 +875,31 @@ object HtmlExtract {
           if (name == "a" && !selfClosing) linkDepth += 1
           else if (penaltyTags.contains(name) && !selfClosing) penaltyDepth += 1
           else if (name == "table") {
+            // an unclosed <a> from earlier tag soup must not taint this
+            // table's link density wholesale (the gate hard-rejects at
+            // > 0.5 where the prose path merely down-weights) — row and
+            // table boundaries implicitly close dangling anchors; the
+            // cost is losing the "whole table wrapped in one <a>" signal,
+            // which the per-cell links still carry
+            linkDepth = 0
             tstack += new TCap(nextIdx, penaltyDepth > 0)
             nextIdx += 1
           } else if (tstack.nonEmpty) {
             val top = tstack.last
             name match {
-              case "caption" => captionDepth += 1
-              case "tr" => top.closeCell(); top.newRow()
+              case "caption" => top.captionDepth += 1
+              case "tr" =>
+                linkDepth = 0 // implied close of a row-spanning soup <a>
+                top.captionDepth = 0 // HTML5 implied </caption>
+                top.closeCell(); top.newRow()
               case "td" | "th" =>
+                linkDepth = 0 // implied close of a cell-spanning soup <a>
+                top.captionDepth = 0 // HTML5 implied </caption>
                 top.closeCell()
                 top.cell = new StringBuilder
                 top.cellIsTh = name == "th"
               case "br" =>
-                if (captionDepth > 0) top.caption.append('\n')
+                if (top.captionDepth > 0) top.caption.append('\n')
                 else if (top.cell != null) top.cell.append('\n')
               case _ => ()
             }
@@ -886,11 +910,13 @@ object HtmlExtract {
         else if (dropDepth == 0) {
           if (name == "a") { if (linkDepth > 0) linkDepth -= 1 }
           else if (penaltyTags.contains(name)) { if (penaltyDepth > 0) penaltyDepth -= 1 }
-          else if (name == "table") { if (tstack.nonEmpty) closeTable() }
-          else if (tstack.nonEmpty) name match {
-            case "caption" => if (captionDepth > 0) captionDepth -= 1
+          else if (name == "table") {
+            if (tstack.nonEmpty) { linkDepth = 0; closeTable() }
+          } else if (tstack.nonEmpty) name match {
+            case "caption" =>
+              if (tstack.last.captionDepth > 0) tstack.last.captionDepth -= 1
             case "td" | "th" => tstack.last.closeCell()
-            case "tr" => tstack.last.closeCell(); tstack.last.newRow()
+            case "tr" => linkDepth = 0; tstack.last.closeCell(); tstack.last.newRow()
             case _ => ()
           }
         }

@@ -1576,12 +1576,18 @@ object CorpusOps {
     * [[lengthQuantilesSketch]] is the unbounded-domain fallback. All
     * arithmetic is integer (target rank = (q*n + 99) div 100), so any
     * SQL engine restates it value-exactly. */
+  /** the ONE (source, len) projection behind both quantile ops — NULL
+    * source folds to '', NULL text to len 0 — so the exact op and its
+    * sketch twin (which OpsSpec diffs against each other) cannot diverge
+    * on the value being summarized */
+  private def sourceLenFrame(documents: DataFrame): DataFrame =
+    documents.select(coalesce(col("source"), lit("")).as("source"),
+      length(coalesce(col("text"), lit(""))).cast("long").as("len"))
+
   def lengthQuantiles(documents: DataFrame, qs: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100), s"bad percentiles $qs")
     import org.apache.spark.sql.expressions.Window
-    val hist = documents
-      .select(coalesce(col("source"), lit("")).as("source"),
-        length(coalesce(col("text"), lit(""))).cast("long").as("len"))
+    val hist = sourceLenFrame(documents)
       .groupBy(col("source"), col("len")).agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("source").orderBy("len")
     val cum = hist
@@ -1610,9 +1616,7 @@ object CorpusOps {
       accuracy: Int = 10000): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100), s"bad percentiles $qs")
     val probs = qs.map(q => q / 100.0).mkString(", ")
-    val approx = documents
-      .select(coalesce(col("source"), lit("")).as("source"),
-        length(coalesce(col("text"), lit(""))).cast("long").as("len"))
+    val approx = sourceLenFrame(documents)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         expr(s"percentile_approx(len, array($probs), $accuracy)").as("ps"))
@@ -1633,10 +1637,17 @@ object CorpusOps {
     * At 10^12 rows the (host, url) distinct IS the dominant shuffle —
     * [[hostCardinalitySketch]] is the fixed-state path when distinct
     * counts per host are all a report needs. */
-  def hostCardinality(urls: DataFrame): DataFrame =
+  /** the ONE (host, url) projection behind both cardinality ops: NULL
+    * urls fold to '' (the unparseable-accounting bucket) BEFORE host
+    * extraction, so the exact op and its sketch twin cannot diverge on
+    * which bucket a row lands in */
+  private def hostUrlFrame(urls: DataFrame): DataFrame =
     urls
       .select(coalesce(col("url").cast("string"), lit("")).as("url"))
       .select(urlHostCol(col("url")).as("host"), col("url"))
+
+  def hostCardinality(urls: DataFrame): DataFrame =
+    hostUrlFrame(urls)
       .groupBy(col("host"))
       .agg(count(lit(1)).as("n_urls"),
         countDistinct(col("url")).as("n_distinct"))
@@ -1650,9 +1661,7 @@ object CorpusOps {
     * against it (3*rsd) next to an exact recompute. */
   def hostCardinalitySketch(urls: DataFrame, rsd: Double = 0.02): DataFrame = {
     require(rsd > 0 && rsd < 1, s"rsd must be in (0,1), got $rsd")
-    urls
-      .select(coalesce(col("url").cast("string"), lit("")).as("url"))
-      .select(urlHostCol(col("url")).as("host"), col("url"))
+    hostUrlFrame(urls)
       .groupBy(col("host"))
       .agg(count(lit(1)).as("n_urls"),
         approx_count_distinct(col("url"), rsd).as("n_distinct_approx"))
@@ -1679,7 +1688,9 @@ object CorpusOps {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("url").orderBy(col("fetch_ms"), col("content_hash"))
     fetches
-      .select(col("url").cast("string").as("url"),
+      // NULL url folds to '' — the family's unparseable-accounting bucket
+      // (hostCardinality's convention), not a null-keyed schedule row
+      .select(coalesce(col("url").cast("string"), lit("")).as("url"),
         col("fetch_ms").cast("long").as("fetch_ms"),
         coalesce(col("content_hash").cast("string"), lit("")).as("content_hash"))
       .withColumn("chg",

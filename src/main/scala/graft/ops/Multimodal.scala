@@ -395,6 +395,19 @@ object Multimodal {
     }.toDF("media_id", "decoded_w", "decoded_h", "ahash", "dhash")
   }
 
+  /** dHash-only kernel pass for the near-dup join — skips the aHash
+    * block-average work [[imageHashes]] spends on a column the join
+    * immediately drops */
+  private def dHashes(media: Dataset[MediaRow]): org.apache.spark.sql.DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, luma) = ImageCodec.decodeLuma(r.payload)
+        (r.media_id, ImageCodec.dHash(w, h, luma))
+      }
+    }.toDF("doc_id", "simhash")
+  }
+
   /** image near-duplicates by dHash hamming distance — the image-side
     * member of the near-dup family (mirrors/re-encodes/brightness
     * variants of one image collapse). Decode + hash is one kernel pass;
@@ -409,10 +422,7 @@ object Multimodal {
       maxHamming: Int = 3,
       nBlocks: Int = 6): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
-    Dedup.simhashNearDupsFromHashes(
-      imageHashes(media)
-        .select(col("media_id").as("doc_id"), col("dhash").as("simhash")),
-      maxHamming, nBlocks)
+    Dedup.simhashNearDupsFromHashes(dHashes(media), maxHamming, nBlocks)
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
         col("hamming"))
   }

@@ -111,6 +111,52 @@ class HtmlTableSpec extends AnyFunSuite {
     assert(ts.head.rows.map(_.cells) == Vector(Vector("a", "b"), Vector("c", "d")))
   }
 
+  test("omitted </caption> (HTML5) closes implicitly; caption state is per-table") {
+    // review finding: a page-global captionDepth leaked an unclosed
+    // caption into every later cell and table on the page
+    val ts = t("""<table><caption>Stats<tr><th>a</th><th>b</th></tr>
+      |<tr><td>1</td><td>2</td></tr><tr><td>3</td><td>4</td></tr></table>""".stripMargin)
+    assert(ts.length == 1)
+    assert(ts.head.caption == "Stats")
+    assert(ts.head.rows.map(_.cells) ==
+      Vector(Vector("a", "b"), Vector("1", "2"), Vector("3", "4")))
+    // a later table on the same page is unaffected by the first's soup
+    val ts2 = t("<table><caption>Oops<tr><td>x</td></tr></table>" +
+      "<table><tr><td>a</td><td>b</td></tr><tr><td>c</td><td>d</td></tr></table>")
+    assert(ts2.map(_.tableIdx) == Vector(1))
+    assert(ts2.head.rows.map(_.cells) == Vector(Vector("a", "b"), Vector("c", "d")))
+  }
+
+  test("dangling <a> closes at row/table boundaries; later tables not link-tainted") {
+    // review finding: a global linkDepth never reset meant one unclosed
+    // anchor marked every later cell on the page as link text, and the
+    // > 0.5 link-density gate then hard-rejected genuine data tables
+    val soup = "<table><tr><td><a href=\"/x\">see</td><td>1</td></tr>" +
+      "<tr><td>2</td><td>3</td></tr></table>"
+    val clean = "<table><tr><td>10</td><td>20</td></tr><tr><td>30</td><td>40</td></tr></table>"
+    val ts = t(soup + clean)
+    assert(ts.map(_.tableIdx) == Vector(0, 1), s"got ${ts.map(_.tableIdx)}")
+    // and an unclosed <a> in PROSE before a table doesn't taint it either
+    val ts2 = t("<p><a href=\"/y\">dangling</p>" + clean)
+    assert(ts2.length == 1)
+  }
+
+  test("nested table directly under <tr> flows neither text nor link mass") {
+    // review finding: link mass flowed to the outer table even when the
+    // text did not (no open cell), inflating outer link density
+    val farm = "<table><tr><td><a href=\"/1\">l1</a></td><td><a href=\"/2\">l2</a></td></tr>" +
+      "<tr><td><a href=\"/3\">l3</a></td><td><a href=\"/4\">l4</a></td></tr></table>"
+    val ts = t("<table><tr>" + farm + "<td>alpha</td><td>beta</td></tr>" +
+      "<tr><td>gamma</td><td>delta</td></tr></table>")
+    // outer is a clean 2x2 data table; the link-farm island under <tr>
+    // must not push it over the link-density gate
+    val outer = ts.find(_.tableIdx == 0)
+    assert(outer.isDefined, s"outer table rejected: ${ts.map(_.tableIdx)}")
+    assert(outer.get.rows.map(_.cells) ==
+      Vector(Vector("alpha", "beta"), Vector("gamma", "delta")))
+    assert(!ts.exists(_.tableIdx == 1)) // the farm itself stays rejected
+  }
+
   test("random tag soup never crashes and is deterministic (300 docs)") {
     val rnd = new scala.util.Random(20260820L)
     val atoms = Seq("<table>", "</table>", "<tr>", "</tr>", "<td>", "</td>", "<th>",

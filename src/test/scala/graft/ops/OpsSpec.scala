@@ -4830,7 +4830,8 @@ class OpsSpec extends AnyFunSuite {
       ("u/a", 0L, "x"), ("u/a", 100L, "x"), ("u/a", 200L, "y"),
       ("u/b", 5L, "z"),
       ("u/c", 10L, "b"), ("u/c", 10L, "a"), // tie ms: hash tiebreak -> a,b -> 1 change
-      ("u/d", 0L, null.asInstanceOf[String]), ("u/d", 50L, "w")
+      ("u/d", 0L, null.asInstanceOf[String]), ("u/d", 50L, "w"),
+      (null.asInstanceOf[String], 7L, "q") // NULL url -> '' accounting bucket
     ).toDF("url", "fetch_ms", "content_hash")
     val got = CorpusOps.recrawlSchedule(fetches, defaultIntervalMs = 1000L).collect()
       .map(r => r.getAs[String]("url") -> ((r.getAs[Long]("n_fetches"),
@@ -4841,7 +4842,8 @@ class OpsSpec extends AnyFunSuite {
       "u/a" -> ((3L, 1L, 200L, 200L, 400L)),
       "u/b" -> ((1L, 0L, 0L, 0L, 1005L)),
       "u/c" -> ((2L, 1L, 0L, 0L, 11L)), // est 0 clamps to 1 for next fetch
-      "u/d" -> ((2L, 1L, 50L, 50L, 100L))), s"got $got") // NULL hash folds to ''
+      "u/d" -> ((2L, 1L, 50L, 50L, 100L)), // NULL hash folds to ''
+      "" -> ((1L, 0L, 0L, 0L, 1007L))), s"got $got") // NULL url folds to ''
     intercept[IllegalArgumentException] {
       CorpusOps.recrawlSchedule(fetches, defaultIntervalMs = 0L)
     }
