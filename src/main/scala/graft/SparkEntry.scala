@@ -1496,6 +1496,45 @@ object SparkEntry {
       // kernel pass, then the simhash family's exact banded join — 64-bit
       // hashes shuffle, payloads never do
       Multimodal.imageNearDups(dedupMedia(s), maxHamming = 6, nBlocks = 8)),
+    "q147_luhn_cards" -> ((s, dir) => {
+      // payment-card PII with Luhn validation over planted residue tails:
+      // valid plain/formatted/Amex/Discover cards, a checksum-failing
+      // decoy, a short digit run and a too-long run (both non-candidates),
+      // and a two-card doc — the oracle restates token rule + checksum
+      val tails = array(lit(""),
+        lit(" pay 4539578763621486 now"),
+        lit(" card 4539-5787-6362-1486 ok"),
+        lit(" num 4539578763621487"),
+        lit(" amex 378282246310005"),
+        lit(" phone 123-4567"),
+        lit(" id 12345678901234567890"),
+        lit(" disc 6011111111111117 and 4539578763621486"))
+      TextOps.luhnCardStats(
+        docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+          concat(coalesce(col("text"), lit("")),
+            element_at(tails, (col("doc_id") % 8 + 1).cast("int"))).as("text")))
+    }),
+    "q148_payload_sniff" -> ((s, dir) => {
+      // magic-byte payload routing over ten planted classes (real magic
+      // prefixes, an HTML opener, a JSON opener, plain text, and a
+      // RIFF-but-not-WAVE decoy); the oracle states the expected kind per
+      // residue closed-form — value-exactness proves the router
+      val v = col("doc_id") % 10
+      val payload =
+        when(v === 0, unhex(lit("255044462D312E34"))) // %PDF-1.4
+          .when(v === 1, unhex(lit("1F8B0800000000000003"))) // gzip member
+          .when(v === 2, unhex(lit("89504E470D0A1A0A0000000D"))) // PNG
+          .when(v === 3, unhex(lit("FFD8FFE000104A464946"))) // JPEG/JFIF
+          .when(v === 4, unhex(lit("474946383961"))) // GIF89a
+          .when(v === 5, unhex(lit("524946460400000057415645"))) // RIFF+WAVE
+          .when(v === 6, lit("  <!DOCTYPE html><html><body>x").cast("binary"))
+          .when(v === 7, lit("{\"a\": 1}").cast("binary"))
+          .when(v === 8, lit("plain text payload").cast("binary"))
+          .otherwise(unhex(lit("52494646040000004C495354"))) // RIFF+LIST decoy
+      docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), payload.as("payload"))
+        .select(col("doc_id"), graft.sources.Warc.sniffKind(col("payload")).as("kind"))
+    }),
     "q13_quality" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))),
     "q48_bpe_token_estimates" -> ((s, dir) => {
@@ -1941,6 +1980,56 @@ FROM c"""
         |FROM nz a JOIN nz b ON a.doc_id < b.doc_id
         |WHERE list_inner_product(a.v, b.v) /
         |    sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)) >= 0.95""".stripMargin),
+    "q147_luhn_cards" ->
+      """WITH framed AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    coalesce(text, '') || CASE CAST(doc_id % 8 AS int)
+        |      WHEN 1 THEN ' pay 4539578763621486 now'
+        |      WHEN 2 THEN ' card 4539-5787-6362-1486 ok'
+        |      WHEN 3 THEN ' num 4539578763621487'
+        |      WHEN 4 THEN ' amex 378282246310005'
+        |      WHEN 5 THEN ' phone 123-4567'
+        |      WHEN 6 THEN ' id 12345678901234567890'
+        |      WHEN 7 THEN ' disc 6011111111111117 and 4539578763621486'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+        |  FROM framed),
+        |c AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(
+        |      list_filter(tk, t -> regexp_matches(t, '^[0-9-]+$')),
+        |      t -> replace(t, '-', '')),
+        |      d -> regexp_matches(d, '^[0-9]{13,19}$')) AS cands
+        |  FROM toks),
+        |v AS (
+        |  SELECT doc_id, cands,
+        |    list_filter(cands, d -> list_sum(list_transform(
+        |      range(1, length(d) + 1), i ->
+        |        CASE WHEN i % 2 = 1 THEN ascii(substr(reverse(d), i, 1)) - 48
+        |             ELSE CASE WHEN (ascii(substr(reverse(d), i, 1)) - 48) * 2 > 9
+        |                  THEN (ascii(substr(reverse(d), i, 1)) - 48) * 2 - 9
+        |                  ELSE (ascii(substr(reverse(d), i, 1)) - 48) * 2 END
+        |             END)) % 10 = 0) AS valid
+        |  FROM c)
+        |SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_card_candidates,
+        |  CAST(len(valid) AS BIGINT) AS n_luhn_valid,
+        |  len(valid) = 0 AS passes_card_gate
+        |FROM v""".stripMargin,
+    // q148: closed-form expected kind per residue class (the q107/q116
+    // discipline — DuckDB cannot sniff binary prefixes the same way, so
+    // the oracle states what the router MUST answer per planted class)
+    "q148_payload_sniff" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CASE CAST(doc_id % 10 AS int)
+        |    WHEN 0 THEN 'pdf'    WHEN 1 THEN 'gzip'
+        |    WHEN 2 THEN 'png'    WHEN 3 THEN 'jpeg'
+        |    WHEN 4 THEN 'gif'    WHEN 5 THEN 'wav'
+        |    WHEN 6 THEN 'html'   WHEN 7 THEN 'json'
+        |    ELSE 'unknown' END AS kind
+        |FROM documents""".stripMargin,
     "q142_balanced_shards" ->
       """WITH r AS (
         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -415,6 +415,48 @@ object TextOps {
       .withColumn("n_redactions",
         (size(split(col("scrubbed_text"), "<EMAIL>|<PHONE>|<IP>")) - 1).cast("long"))
 
+  /** payment-card PII detection with Luhn validation — the checksum is
+    * what separates a real card number from phone numbers, order ids and
+    * timestamps that share the digit shape (the false-positive class a
+    * bare \d{13,19} scrub redacts wholesale). Candidates are whitespace
+    * TOKENS of digits and hyphens carrying 13-19 digits (the token rule
+    * sidesteps regex-engine lookbehind differences — DuckDB's RE2 has
+    * none); a candidate is a card hit when the Luhn checksum over its
+    * digits passes. Output per doc: n_card_candidates, n_luhn_valid,
+    * passes_card_gate (no valid card present).
+    *
+    * Scale shape: pure per-row column math (token filter + in-row
+    * checksum aggregate), no shuffle, no UDF — and every step is integer
+    * arithmetic a SQL oracle restates exactly. */
+  def luhnCardStats(documents: DataFrame): DataFrame = {
+    val txt = coalesce(col("text"), lit(""))
+    val tk = when(length(trim(txt)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(txt), "\\s+"))
+    // digit strings of candidate tokens (strip hyphens, keep 13-19 digits)
+    val cands = expr(
+      """filter(transform(filter(tk, t -> t rlike '^[0-9-]+$'),
+        |              t -> replace(t, '-', '')),
+        |       d -> d rlike '^[0-9]{13,19}$')""".stripMargin)
+    // Luhn: 1-based position i over the REVERSED digits; odd i adds the
+    // digit, even i adds its doubled value minus 9 when > 9
+    val nValid = expr(
+      """size(filter(cands, d ->
+        |  aggregate(sequence(1, length(d)), cast(0 as int), (acc, i) ->
+        |    acc + CASE WHEN i % 2 = 1
+        |          THEN ascii(substring(reverse(d), i, 1)) - 48
+        |          ELSE CASE WHEN (ascii(substring(reverse(d), i, 1)) - 48) * 2 > 9
+        |               THEN (ascii(substring(reverse(d), i, 1)) - 48) * 2 - 9
+        |               ELSE (ascii(substring(reverse(d), i, 1)) - 48) * 2 END
+        |          END) % 10 = 0))""".stripMargin)
+    documents
+      .select(col("doc_id"), tk.as("tk"))
+      .withColumn("cands", cands)
+      .select(col("doc_id"),
+        size(col("cands")).cast("long").as("n_card_candidates"),
+        nValid.cast("long").as("n_luhn_valid"))
+      .withColumn("passes_card_gate", col("n_luhn_valid") === 0)
+  }
+
   /** per-language length distribution: count, mean, EXACT interpolated
     * p50/p90 (Spark `percentile`, the exact aggregate — percentile_approx
     * would not be oracle-comparable). One shuffle on lang; at 10^12 rows

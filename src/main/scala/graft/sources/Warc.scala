@@ -195,6 +195,39 @@ object Warc {
     java.nio.file.Files.write(java.nio.file.Paths.get(path), raw.toByteArray)
   }
 
+  /** magic-byte payload router — the first decision every extraction
+    * pipeline makes per fetched document (a Content-Type header lies
+    * often enough that production routers sniff bytes; this is the
+    * file(1)/WARC-identified-payload-type rule set for the formats this
+    * engine handles). Pure codegen column math over a hex prefix — no
+    * kernel, no UDF, no shuffle: magic tests compare `hex(substring())`
+    * literals; the HTML test lowercases the first 256 decoded bytes and
+    * looks for a doctype/html/head/body tag opener.
+    *
+    * Kinds: pdf, gzip, png, jpeg, gif, wav (RIFF+WAVE), zip, html, json
+    * (object/array opener), unknown. NULL/empty payloads -> unknown. */
+  def sniffKind(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val hx = hex(substring(payload, 1, 8)) // uppercase hex, 16 chars max
+    val head = lower(substring(payload.cast("string"), 1, 256))
+    // regex trim: Spark's ltrim strips only ' ', but HTML preambles open
+    // with newlines/tabs as often as spaces
+    val trimmed = regexp_replace(head, "^\\s+", "")
+    when(payload.isNull || length(payload) === 0, "unknown")
+      .when(hx.startsWith("255044462D"), "pdf") // %PDF-
+      .when(hx.startsWith("1F8B"), "gzip")
+      .when(hx.startsWith("89504E470D0A1A0A"), "png")
+      .when(hx.startsWith("FFD8FF"), "jpeg")
+      .when(hx.startsWith("47494638"), "gif") // GIF8
+      .when(hx.startsWith("52494646") && // RIFF....WAVE
+        hex(substring(payload, 9, 4)) === "57415645", "wav")
+      .when(hx.startsWith("504B0304"), "zip")
+      .when(trimmed.startsWith("<!doctype") || trimmed.startsWith("<html") ||
+        trimmed.startsWith("<head") || trimmed.startsWith("<body"), "html")
+      .when(trimmed.startsWith("{") || trimmed.startsWith("["), "json")
+      .otherwise("unknown")
+  }
+
   def httpWrap(body: Array[Byte]): Array[Byte] = {
     val head = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: ${body.length}\r\n\r\n"
     head.getBytes(ISO_8859_1) ++ body

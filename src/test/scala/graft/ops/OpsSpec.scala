@@ -4900,6 +4900,25 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { TextOps.hashedDocVectors(df, 5000) }
   }
 
+  test("luhnCardStats: checksum separates real cards from digit-shaped decoys") {
+    val df = Seq(
+      (1L, "pay 4539578763621486 now"), // valid 16-digit
+      (2L, "card 4539-5787-6362-1486"), // formatted valid
+      (3L, "num 4539578763621487"), // checksum fails
+      (4L, "378282246310005 6011111111111117"), // Amex + Discover, both valid
+      (5L, "order 12345678901234567890 phone 123-4567"), // too long / too short
+      (6L, null.asInstanceOf[String]),
+      (7L, "x 0000000000000") // 13 zeros: Luhn sum 0 -> technically valid
+    ).toDF("doc_id", "text")
+    val got = TextOps.luhnCardStats(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_card_candidates"),
+        r.getAs[Long]("n_luhn_valid"), r.getAs[Boolean]("passes_card_gate")))).toMap
+    assert(got == Map(
+      1L -> ((1L, 1L, false)), 2L -> ((1L, 1L, false)), 3L -> ((1L, 0L, true)),
+      4L -> ((2L, 2L, false)), 5L -> ((0L, 0L, true)), 6L -> ((0L, 0L, true)),
+      7L -> ((1L, 1L, false))), s"got $got")
+  }
+
   test("dHash golden: left-black/right-white edge sets exactly the two transition bits per row") {
     val img = new java.awt.image.BufferedImage(64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
     for (y <- 0 until 64; x <- 0 until 64)

@@ -71,4 +71,31 @@ class WarcSpec extends AnyFunSuite {
       .map(_.getAs[String]("source")).sorted.toSeq
     assert(src == Seq("example.com", "example.com", "host.net"), src)
   }
+
+  test("sniffKind routes real magic bytes; decoys and truncations fall to unknown") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      1L -> "%PDF-1.7 junk".getBytes("ISO-8859-1"),
+      2L -> Array(0x1f, 0x8b, 0x08).map(_.toByte),
+      3L -> Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, 1, 2).map(_.toByte),
+      4L -> Array(0xff, 0xd8, 0xff, 0xe1).map(_.toByte),
+      5L -> "GIF87a....".getBytes("ISO-8859-1"),
+      6L -> ("RIFF\u0004\u0000\u0000\u0000WAVEfmt ").getBytes("ISO-8859-1"), // WAVE at bytes 9-12
+      7L -> ("RIFF\u0004\u0000\u0000\u0000LIST").getBytes("ISO-8859-1"), // RIFF, not WAVE
+      8L -> ("PK\u0003\u0004zipdata").getBytes("ISO-8859-1"),
+      9L -> "\n\t  <!DOCTYPE HTML><html>".getBytes("ISO-8859-1"), // case + leading ws
+      10L -> "<body>no doctype".getBytes("ISO-8859-1"),
+      11L -> "  [1, 2, 3]".getBytes("ISO-8859-1"),
+      12L -> "%P".getBytes("ISO-8859-1"), // truncated magic
+      13L -> Array.empty[Byte],
+      14L -> null.asInstanceOf[Array[Byte]])
+    val got = rows.toDF("id", "payload")
+      .select(col("id"), Warc.sniffKind(col("payload")).as("kind"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("kind")).toMap
+    assert(got == Map(1L -> "pdf", 2L -> "gzip", 3L -> "png", 4L -> "jpeg",
+      5L -> "gif", 6L -> "wav", 7L -> "unknown", 8L -> "zip", 9L -> "html",
+      10L -> "html", 11L -> "json", 12L -> "unknown", 13L -> "unknown",
+      14L -> "unknown"), s"got $got")
+  }
 }
