@@ -1477,7 +1477,14 @@ object SparkEntry {
       // zero vectors (empty docs, sign-cancelled) are excluded on BOTH
       // sides (cosine is undefined, and Spark's NaN ordering would
       // otherwise pass the threshold filter)
-      val vecs = TextOps.hashedDocVectors(docs(s, dir), 64)
+      // cut the RAW vector frame before anything references `vec` more
+      // than once: projection collapse inlines the O(tokens x dim) vec
+      // expression into every lambda reference (exists + per-element
+      // transform made construction ~64x the vector cost, measured
+      // 6.6 s; cutting first -> 0.3 s), and the pair join would re-run
+      // it per side besides
+      val vecs = graft.ops.Checkpoints.cut(
+        TextOps.hashedDocVectors(docs(s, dir), 64))
       val emb = vecs
         .filter(expr("exists(vec, x -> x != 0)"))
         .select(col("doc_id").as("vec_id"),
@@ -1514,6 +1521,50 @@ object SparkEntry {
           concat(coalesce(col("text"), lit("")),
             element_at(tails, (col("doc_id") % 8 + 1).cast("int"))).as("text")))
     }),
+    "q150_crawl_eligibility" -> ((s, dir) => {
+      // the composed per-URL crawl/index verdict over independent planted
+      // axes: robots path class (doc_id%2: public vs disallowed /private/)
+      // x meta class (doc_id%3: none / noindex / canonical-elsewhere);
+      // the oracle states every (r2, r3) cell's verdict closed-form
+      val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+        lower(coalesce(col("source"), lit("unknown"))).as("src"))
+      val idStr = col("doc_id").cast("string")
+      val host = concat(lit("https://"), col("src"), lit(".example.com"))
+      val url = when(col("doc_id") % 2 === 0,
+        concat(host, lit("/public/x"), idStr))
+        .otherwise(concat(host, lit("/private/x"), idStr))
+      val html = concat(lit("<html><head><title>t</title>"),
+        when(col("doc_id") % 3 === 1,
+          lit("<meta name=\"robots\" content=\"noindex\">"))
+          .when(col("doc_id") % 3 === 2,
+            concat(lit("<link rel=\"canonical\" href=\"https://"), col("src"),
+              lit(".example.com/public/canon\">")))
+          .otherwise(lit("")),
+        lit("</head><body><p>b</p></body></html>"))
+      val robots = d.select(col("src")).distinct()
+        .select(concat(col("src"), lit(".example.com")).as("host"),
+          lit("User-agent: *\nDisallow: /private/\n").as("body"))
+      LinkOps.crawlEligibility(
+        d.select(col("doc_id"), url.as("url"), html.as("html")),
+        RobotsOps.parseRobots(robots))
+    }),
+    "q151_host_clustered_shards" -> ((s, dir) =>
+      // locality-preserving shard assignment: every host's documents land
+      // in one shard, hosts dealt serpentine by character mass — the
+      // shape that makes per-host dedup and politeness batching
+      // shard-local while keeping shard bytes balanced
+      CorpusOps.hostClusteredShards(docs(s, dir), nShards = 5)),
+    "q149_tier_mixture" -> ((s, dir) =>
+      // the tier x language mixture crosstab — the table a mixture
+      // planner reads before setting per-tier sampling weights: doc
+      // counts, char/token mass and exact-integer corpus share per
+      // (tier, lang) cell, derived from the SAME q102 tier stamp
+      CorpusOps.tierMixture(
+        CorpusOps.hostTiers(
+          CorpusOps.hostRank(hostGraphEdges(s, dir), iterations = 3,
+            dampingPct = 85),
+          docs(s, dir)),
+        docs(s, dir))),
     "q148_payload_sniff" -> ((s, dir) => {
       // magic-byte payload routing over ten planted classes (real magic
       // prefixes, an HTML opener, a JSON opener, plain text, and a
@@ -1863,6 +1914,73 @@ FROM c"""
       |              AND ((('0x' || substr(md5(t || '#s'), 1, 15))::BIGINT) % 2 = 1)))) AS vec
       |  FROM toks)
       |""".stripMargin + tail
+
+  /** the q102 rank+tier CTE chain (synthetic host graph, 3 unrolled
+    * exact-integer PageRank iterations, percentile tiers) — shared
+    * verbatim by the q102 surface oracle and the q149 mixture crosstab
+    * so the tier derivation cannot drift between the per-doc stamp and
+    * the aggregate report */
+  private val hostTierCtesSql: String =
+    """WITH d AS (
+        |  SELECT doc_id, coalesce(source, 'unknown') AS source FROM documents),
+        |h AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS hid
+        |      FROM (SELECT DISTINCT source FROM d)),
+        |c AS (SELECT count(*) AS nh FROM h),
+        |l AS (SELECT d.source, h.hid,
+        |        ((((d.doc_id % 2147483648) * 2654435761) % 4294967296) // 65536) % nh AS t1,
+        |        ((((d.doc_id % 2147483648) * 2246822519) % 4294967296) // 65536) % nh AS t2
+        |      FROM d JOIN h ON d.source = h.source CROSS JOIN c
+        |      WHERE h.hid <> 0),
+        |e0 AS (SELECT source AS src, t1 AS thid FROM l
+        |       UNION ALL
+        |       SELECT source AS src, t2 AS thid FROM l),
+        |e AS (SELECT e0.src, h.source AS dst, cast(count(*) AS bigint) AS weight
+        |      FROM e0 JOIN h ON e0.thid = h.hid
+        |      WHERE e0.src <> h.source
+        |      GROUP BY 1, 2),
+        |u AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        |ow AS (SELECT u.host, coalesce(s.w, 0) AS outw
+        |       FROM u LEFT JOIN
+        |         (SELECT src, cast(sum(weight) AS bigint) AS w FROM e GROUP BY 1) s
+        |         ON u.host = s.src),
+        |n AS (SELECT count(*) AS n FROM u),
+        |r0 AS (SELECT host, outw, 1000000000000 // n AS r FROM ow CROSS JOIN n),
+        |i1 AS (SELECT e.dst AS host,
+        |         cast(sum(e.weight * (r.r // r.outw)
+        |           + ((r.r % r.outw) * e.weight) // r.outw) AS bigint) AS infl
+        |       FROM e JOIN r0 r ON e.src = r.host GROUP BY 1),
+        |g1 AS (SELECT cast(coalesce(sum(r), 0) AS bigint) AS dang FROM r0 WHERE outw = 0),
+        |r1 AS (SELECT p.host, p.outw,
+        |         (15 * (1000000000000 // n.n)) // 100
+        |         + (85 * (coalesce(i1.infl, 0) + g1.dang // n.n)) // 100 AS r
+        |       FROM r0 p LEFT JOIN i1 ON p.host = i1.host CROSS JOIN g1 CROSS JOIN n),
+        |i2 AS (SELECT e.dst AS host,
+        |         cast(sum(e.weight * (r.r // r.outw)
+        |           + ((r.r % r.outw) * e.weight) // r.outw) AS bigint) AS infl
+        |       FROM e JOIN r1 r ON e.src = r.host GROUP BY 1),
+        |g2 AS (SELECT cast(coalesce(sum(r), 0) AS bigint) AS dang FROM r1 WHERE outw = 0),
+        |r2 AS (SELECT p.host, p.outw,
+        |         (15 * (1000000000000 // n.n)) // 100
+        |         + (85 * (coalesce(i2.infl, 0) + g2.dang // n.n)) // 100 AS r
+        |       FROM r1 p LEFT JOIN i2 ON p.host = i2.host CROSS JOIN g2 CROSS JOIN n),
+        |i3 AS (SELECT e.dst AS host,
+        |         cast(sum(e.weight * (r.r // r.outw)
+        |           + ((r.r % r.outw) * e.weight) // r.outw) AS bigint) AS infl
+        |       FROM e JOIN r2 r ON e.src = r.host GROUP BY 1),
+        |g3 AS (SELECT cast(coalesce(sum(r), 0) AS bigint) AS dang FROM r2 WHERE outw = 0),
+        |r3 AS (SELECT p.host, p.outw,
+        |         (15 * (1000000000000 // n.n)) // 100
+        |         + (85 * (coalesce(i3.infl, 0) + g3.dang // n.n)) // 100 AS r
+        |       FROM r2 p LEFT JOIN i3 ON p.host = i3.host CROSS JOIN g3 CROSS JOIN n),
+        |rk AS (SELECT host, r AS rank_e12,
+        |         row_number() OVER (ORDER BY r DESC, host ASC) AS rnk,
+        |         count(*) OVER () AS nu
+        |       FROM r3),
+        |tiers AS (SELECT host, rank_e12, cast(rnk AS bigint) AS rnk,
+        |            CASE WHEN rnk * 100 <= 10 * nu THEN 1
+        |                 WHEN rnk * 100 <= 50 * nu THEN 2
+        |                 ELSE 3 END AS tier
+        |          FROM rk)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q133_script_profile" -> scriptProfileSql,
@@ -3275,72 +3393,69 @@ FROM c"""
         |SELECT host, hub AS hub_e12, auth AS auth_e12,
         |  hub / 1000000000000.0 AS hub, auth / 1000000000000.0 AS auth
         |FROM s2""".stripMargin,
-    "q102_host_tiers" ->
-      """WITH d AS (
-        |  SELECT doc_id, coalesce(source, 'unknown') AS source FROM documents),
-        |h AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS hid
-        |      FROM (SELECT DISTINCT source FROM d)),
-        |c AS (SELECT count(*) AS nh FROM h),
-        |l AS (SELECT d.source, h.hid,
-        |        ((((d.doc_id % 2147483648) * 2654435761) % 4294967296) // 65536) % nh AS t1,
-        |        ((((d.doc_id % 2147483648) * 2246822519) % 4294967296) // 65536) % nh AS t2
-        |      FROM d JOIN h ON d.source = h.source CROSS JOIN c
-        |      WHERE h.hid <> 0),
-        |e0 AS (SELECT source AS src, t1 AS thid FROM l
-        |       UNION ALL
-        |       SELECT source AS src, t2 AS thid FROM l),
-        |e AS (SELECT e0.src, h.source AS dst, cast(count(*) AS bigint) AS weight
-        |      FROM e0 JOIN h ON e0.thid = h.hid
-        |      WHERE e0.src <> h.source
-        |      GROUP BY 1, 2),
-        |u AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
-        |ow AS (SELECT u.host, coalesce(s.w, 0) AS outw
-        |       FROM u LEFT JOIN
-        |         (SELECT src, cast(sum(weight) AS bigint) AS w FROM e GROUP BY 1) s
-        |         ON u.host = s.src),
-        |n AS (SELECT count(*) AS n FROM u),
-        |r0 AS (SELECT host, outw, 1000000000000 // n AS r FROM ow CROSS JOIN n),
-        |i1 AS (SELECT e.dst AS host,
-        |         cast(sum(e.weight * (r.r // r.outw)
-        |           + ((r.r % r.outw) * e.weight) // r.outw) AS bigint) AS infl
-        |       FROM e JOIN r0 r ON e.src = r.host GROUP BY 1),
-        |g1 AS (SELECT cast(coalesce(sum(r), 0) AS bigint) AS dang FROM r0 WHERE outw = 0),
-        |r1 AS (SELECT p.host, p.outw,
-        |         (15 * (1000000000000 // n.n)) // 100
-        |         + (85 * (coalesce(i1.infl, 0) + g1.dang // n.n)) // 100 AS r
-        |       FROM r0 p LEFT JOIN i1 ON p.host = i1.host CROSS JOIN g1 CROSS JOIN n),
-        |i2 AS (SELECT e.dst AS host,
-        |         cast(sum(e.weight * (r.r // r.outw)
-        |           + ((r.r % r.outw) * e.weight) // r.outw) AS bigint) AS infl
-        |       FROM e JOIN r1 r ON e.src = r.host GROUP BY 1),
-        |g2 AS (SELECT cast(coalesce(sum(r), 0) AS bigint) AS dang FROM r1 WHERE outw = 0),
-        |r2 AS (SELECT p.host, p.outw,
-        |         (15 * (1000000000000 // n.n)) // 100
-        |         + (85 * (coalesce(i2.infl, 0) + g2.dang // n.n)) // 100 AS r
-        |       FROM r1 p LEFT JOIN i2 ON p.host = i2.host CROSS JOIN g2 CROSS JOIN n),
-        |i3 AS (SELECT e.dst AS host,
-        |         cast(sum(e.weight * (r.r // r.outw)
-        |           + ((r.r % r.outw) * e.weight) // r.outw) AS bigint) AS infl
-        |       FROM e JOIN r2 r ON e.src = r.host GROUP BY 1),
-        |g3 AS (SELECT cast(coalesce(sum(r), 0) AS bigint) AS dang FROM r2 WHERE outw = 0),
-        |r3 AS (SELECT p.host, p.outw,
-        |         (15 * (1000000000000 // n.n)) // 100
-        |         + (85 * (coalesce(i3.infl, 0) + g3.dang // n.n)) // 100 AS r
-        |       FROM r2 p LEFT JOIN i3 ON p.host = i3.host CROSS JOIN g3 CROSS JOIN n),
-        |rk AS (SELECT host, r AS rank_e12,
-        |         row_number() OVER (ORDER BY r DESC, host ASC) AS rnk,
-        |         count(*) OVER () AS nu
-        |       FROM r3),
-        |tiers AS (SELECT host, rank_e12, cast(rnk AS bigint) AS rnk,
-        |            CASE WHEN rnk * 100 <= 10 * nu THEN 1
-        |                 WHEN rnk * 100 <= 50 * nu THEN 2
-        |                 ELSE 3 END AS tier
-        |          FROM rk)
-        |SELECT d.doc_id, d.source AS host,
+    // q150: closed-form verdict per (robots-class, meta-class) cell —
+    // value-exactness proves the three exclusion channels compose right
+    "q150_crawl_eligibility" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |                  lower(coalesce(source, 'unknown')) AS src,
+        |                  CAST(doc_id AS BIGINT) % 2 AS r2,
+        |                  CAST(doc_id AS BIGINT) % 3 AS r3
+        |           FROM documents)
+        |SELECT doc_id,
+        |  'https://' || src || '.example.com'
+        |    || CASE WHEN r2 = 0 THEN '/public/x' ELSE '/private/x' END
+        |    || doc_id AS url,
+        |  src || '.example.com' AS host,
+        |  r2 = 0 AS allowed,
+        |  r3 = 1 AS noindex,
+        |  r3 <> 2 AS canonical_self,
+        |  (r2 = 0 AND r3 = 0) AS eligible,
+        |  CASE WHEN r2 = 1 THEN 'robots_disallow'
+        |       WHEN r3 = 1 THEN 'noindex'
+        |       WHEN r3 = 2 THEN 'canonical_elsewhere'
+        |       ELSE 'eligible' END AS reason
+        |FROM d""".stripMargin,
+    "q151_host_clustered_shards" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |                  coalesce(source, 'unknown') AS host,
+        |                  CAST(coalesce(n_chars, 0) AS BIGINT) AS n_chars
+        |           FROM documents),
+        |hw AS (SELECT host, CAST(sum(n_chars) AS BIGINT) AS host_weight
+        |       FROM d GROUP BY host),
+        |r AS (SELECT host, host_weight,
+        |        row_number() OVER (ORDER BY host_weight DESC, host) - 1 AS i
+        |      FROM hw),
+        |sh AS (SELECT host, host_weight,
+        |         CAST(CASE WHEN (i // 5) % 2 = 0 THEN i % 5
+        |              ELSE 4 - i % 5 END AS BIGINT) AS shard
+        |       FROM r)
+        |SELECT d.doc_id, d.host, sh.host_weight, sh.shard
+        |FROM d JOIN sh ON d.host = sh.host""".stripMargin,
+    // q149: the SAME tier CTEs, aggregated to the mixture crosstab
+    "q149_tier_mixture" -> (hostTierCtesSql + ",\n" +
+      """dt AS (SELECT d.doc_id, cast(coalesce(t.tier, 0) AS int) AS tier
+        |        FROM d LEFT JOIN tiers t ON d.source = t.host),
+        |doc2 AS (SELECT doc_id, coalesce(lang, '') AS lang,
+        |        CAST(coalesce(n_chars, 0) AS BIGINT) AS n_chars,
+        |        CAST(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+        |             ELSE len(regexp_split_to_array(trim(coalesce(text, '')),
+        |                      '\s+')) END AS BIGINT) AS n_tokens
+        |      FROM documents),
+        |grid AS (SELECT dt.tier, doc2.lang,
+        |           CAST(count(*) AS BIGINT) AS n_docs,
+        |           CAST(sum(doc2.n_chars) AS BIGINT) AS sum_chars,
+        |           CAST(sum(doc2.n_tokens) AS BIGINT) AS sum_tokens
+        |         FROM dt JOIN doc2 ON dt.doc_id = doc2.doc_id GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs FROM grid)
+        |SELECT tier, lang, n_docs, sum_chars, sum_tokens,
+        |  CAST((n_docs * 1000000) // total_docs AS BIGINT) AS share_e6
+        |FROM grid CROSS JOIN tot""".stripMargin),
+    "q102_host_tiers" -> (hostTierCtesSql + "\n" +
+      """SELECT d.doc_id, d.source AS host,
         |  cast(coalesce(t.rank_e12, 0) AS bigint) AS rank_e12,
         |  cast(coalesce(t.rnk, 0) AS bigint) AS rnk,
         |  cast(coalesce(t.tier, 0) AS int) AS tier
-        |FROM d LEFT JOIN tiers t ON d.source = t.host""".stripMargin,
+        |FROM d LEFT JOIN tiers t ON d.source = t.host""".stripMargin),
     // q135: q102's unrolled rank+tier CTEs + q89's structural stats +
     // per-host doc counts, assembled over the union host universe
     "q135_host_dossier" ->

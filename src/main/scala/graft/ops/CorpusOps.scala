@@ -1710,6 +1710,45 @@ object CorpusOps {
           .otherwise(col("last_ms") + lit(defaultIntervalMs)))
   }
 
+  /** tier × language mixture crosstab — the analysis table the
+    * tier-extraction pipeline exists to produce: for every (tier, lang)
+    * cell, document count, character and whitespace-token mass, and the
+    * cell's exact-integer share of the corpus (micro-units, floor — the
+    * q77 cross-engine discipline). This is what a mixture planner reads
+    * before setting per-tier sampling weights.
+    *
+    * Input: `docTiers` = [[hostTiers]] output (doc_id, tier, ...);
+    * `documents` for lang/chars/tokens. Unranked docs (tier 0) stay in
+    * the table — they are a mixture decision, not noise.
+    *
+    * Scale shape: one doc_id equi-join (both sides doc-keyed), one
+    * partial-combined groupBy to a tier×lang-sized grid, then the share
+    * divides against a broadcast 1-row total — no corpus-sized window,
+    * no second corpus pass. */
+  def tierMixture(docTiers: DataFrame, documents: DataFrame): DataFrame = {
+    val txt = coalesce(col("text"), lit(""))
+    val d = documents.select(col("doc_id"),
+      coalesce(col("lang"), lit("")).as("lang"),
+      coalesce(col("n_chars"), lit(0L)).cast("long").as("n_chars"),
+      when(length(trim(txt)) === 0, lit(0))
+        .otherwise(size(split(trim(txt), "\\s+"))).cast("long").as("n_tokens"))
+    val grid = Checkpoints.cut(docTiers.select(col("doc_id"), col("tier"))
+      .join(d, Seq("doc_id"))
+      .groupBy(col("tier"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_tokens")).as("sum_tokens")))
+    // total as a driver literal (grid is crosstab-sized and cut, so the
+    // extra action is one bounded scan — and the share column stays a
+    // codegen'd projection instead of a 1-row BNLJ crossJoin)
+    val totalRow = grid.agg(sum(col("n_docs"))).collect()(0)
+    val totalDocs = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+    // totalDocs == 0 only when the grid is empty (no rows to project)
+    val share = if (totalDocs == 0L) lit(0L)
+      else expr(s"(n_docs * 1000000) div ${totalDocs}L")
+    grid.withColumn("share_e6", share)
+  }
+
   /** size-balanced output sharding — the writer-side packing that keeps
     * every training shard near-equal in bytes even under heavy document
     * skew (naive `hash(doc) % K` leaves whale shards; round-robin over an
@@ -1739,5 +1778,40 @@ object CorpusOps {
         (id, wt, i + 1L, shard.toLong)
       }
       .toDF("doc_id", "weight", "rnk", "shard")
+  }
+
+  /** host-clustered size-balanced shards — [[balancedShards]]'s locality
+    * variant: every document of a host lands in ONE shard (the locality
+    * that makes per-host dedup, per-site boilerplate stats and politeness
+    * batching shard-local), hosts dealt serpentine by total character
+    * mass so shard byte totals stay near-equal despite host skew. The
+    * corpus collapses to host weights first (host-cardinality, the
+    * hostTierTable regime), hosts are exact-ranked (sort + zipWithIndex),
+    * and documents take their host's shard by one equi-join — docs never
+    * sort, text never moves. NULL source folds to 'unknown' (the
+    * hostRank surface convention).
+    *
+    * Output: (doc_id, host, host_weight, shard). */
+  def hostClusteredShards(documents: DataFrame, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be > 0, got $nShards")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val d = documents.select(col("doc_id").cast("long").as("doc_id"),
+      coalesce(col("source"), lit("unknown")).as("host"),
+      coalesce(col("n_chars"), lit(0L)).cast("long").as("n_chars"))
+    val hostShard = d.groupBy(col("host"))
+      .agg(sum(col("n_chars")).as("host_weight"))
+      .as[(String, Long)].rdd
+      .sortBy({ case (h, wt) => (-wt, h) })
+      .zipWithIndex()
+      .map { case ((h, wt), i) =>
+        val pos = (i % nShards).toInt
+        val shard = if ((i / nShards) % 2 == 0) pos else nShards - 1 - pos
+        (h, wt, shard.toLong)
+      }
+      .toDF("host", "host_weight", "shard")
+    d.select(col("doc_id"), col("host"))
+      .join(hostShard, Seq("host"))
+      .select(col("doc_id"), col("host"), col("host_weight"), col("shard"))
   }
 }

@@ -598,4 +598,42 @@ object LinkOps {
       .select(col("dst_host"), col("term"), col("n_links"), col("n_hosts"),
         col("rnk"))
   }
+
+  /** per-URL crawl/index eligibility — the composed verdict a crawler's
+    * indexing stage computes from the three independent exclusion
+    * channels: robots rules (RFC 9309 longest-match via
+    * [[RobotsOps.robotsFilter]]), the page's own robots META (noindex),
+    * and a canonical LINK declaring the content's identity to live
+    * elsewhere ([[CorpusOps.urlCanonical]]-folded comparison, the q86
+    * rule). `reason` reports the FIRST failing channel in crawl order
+    * (robots is checked before the page is even fetched, meta before
+    * canonical).
+    *
+    * Input: pages (doc_id, url, html) + parsed robots rules. Output:
+    * (doc_id, url, host, allowed, noindex, canonical_self, eligible,
+    * reason).
+    *
+    * Scale shape: one metadata kernel pass + the robots rule join (rule
+    * tables are host-cardinality — broadcastable, AQE decides), then a
+    * doc_id equi-join between the two; page content never shuffles. */
+  def crawlEligibility(pages: DataFrame, rules: DataFrame): DataFrame = {
+    val rf = RobotsOps.robotsFilter(
+        pages.select(col("doc_id"), col("url")), rules)
+      .select(col("doc_id"), col("url"), col("host"), col("allowed"))
+    val meta = pageMetadata(pages)
+      .select(col("doc_id"), col("canonical_url"), col("noindex"))
+    rf.join(meta, Seq("doc_id"))
+      .withColumn("canonical_self",
+        CorpusOps.urlCanonical(col("canonical_url")) ===
+          CorpusOps.urlCanonical(col("url")))
+      .withColumn("eligible",
+        col("allowed") && !col("noindex") && col("canonical_self"))
+      .withColumn("reason",
+        when(!col("allowed"), "robots_disallow")
+          .when(col("noindex"), "noindex")
+          .when(!col("canonical_self"), "canonical_elsewhere")
+          .otherwise("eligible"))
+      .select(col("doc_id"), col("url"), col("host"), col("allowed"),
+        col("noindex"), col("canonical_self"), col("eligible"), col("reason"))
+  }
 }

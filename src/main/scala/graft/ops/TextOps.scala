@@ -2121,7 +2121,15 @@ object TextOps {
     * dim in-row sums; no shuffle, no UDF, nothing leaves the scan
     * partition. Cost is O(tokens + dim*tokens) per doc; for dim beyond a
     * few hundred, switch to the exploded (doc, bucket) groupBy shape
-    * instead of widening the in-row transform. */
+    * instead of widening the in-row transform.
+    *
+    * CONSUMER WARNING: `vec` is expensive to inline — Catalyst's
+    * projection collapse substitutes the whole transform/aggregate
+    * expression into EVERY downstream reference, including per-element
+    * lambda accesses (a transform over `vec` re-derives it ~dim times;
+    * measured 64x in the q144 composition). A consumer that references
+    * `vec` more than once (or maps over it) must cut lineage first
+    * (Checkpoints.cut / persist) so the array materializes once. */
   def hashedDocVectors(documents: DataFrame, dim: Int = 64): DataFrame = {
     require(dim > 0 && dim <= 4096, s"dim must be in [1, 4096], got $dim")
     val txt = coalesce(col("text"), lit(""))
@@ -2135,9 +2143,14 @@ object TextOps {
            |  's', CASE WHEN pmod(cast(conv(substring(md5(concat(t, '#s')), 1, 15), 16, 10) as bigint), 2) = 0
            |       THEN cast(1 as bigint) ELSE cast(-1 as bigint) END))""".stripMargin))
       .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
-        expr(s"transform(sequence(0, ${dim - 1}), i -> " +
-          "aggregate(tkh, cast(0 as bigint), (acc, p) -> " +
-          "acc + CASE WHEN p.b = i THEN p.s ELSE cast(0 as bigint) END))")
+        // ONE fold over tkh, not a per-dimension lambda that references
+        // it: projection collapse inlines tkh's md5 map into every
+        // downstream lambda evaluation, so `transform(sequence(0,63),
+        // i -> aggregate(tkh, ...))` re-hashed every token 64 times
+        // (measured ~3 s for 500 docs; this shape is ~40 ms)
+        expr(s"aggregate(tkh, array_repeat(cast(0 as bigint), $dim), " +
+          "(acc, p) -> transform(acc, (x, i) -> " +
+          "x + CASE WHEN p.b = i THEN p.s ELSE cast(0 as bigint) END))")
           .as("vec"))
   }
 }

@@ -4900,6 +4900,81 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { TextOps.hashedDocVectors(df, 5000) }
   }
 
+  test("crawlEligibility: robots, noindex, canonical channels compose; first-fail reason") {
+    import graft.ops.{LinkOps, RobotsOps}
+    val pages = Seq(
+      (1L, "https://a.example/public/ok", "<html><head></head><body>x</body></html>"),
+      (2L, "https://a.example/private/no", "<html><head></head></html>"),
+      (3L, "https://a.example/public/ni",
+        "<html><head><meta name=\"robots\" content=\"noindex\"></head></html>"),
+      (4L, "https://a.example/public/canon-elsewhere",
+        "<html><head><link rel=\"canonical\" href=\"https://a.example/public/main\"></head></html>"),
+      // robots denies AND noindex: robots wins the reason (checked first)
+      (5L, "https://a.example/private/both",
+        "<html><head><meta name=\"robots\" content=\"noindex\"></head></html>"),
+      // self-canonical with spelling variant: urlCanonical folds -> self
+      (6L, "https://a.example/public/self/",
+        "<html><head><link rel=\"canonical\" href=\"https://A.EXAMPLE/public/self\"></head></html>"),
+      (7L, "junk url", "<html><head></head></html>") // hostless: no rules -> allowed
+    ).toDF("doc_id", "url", "html")
+    val rules = RobotsOps.parseRobots(Seq(
+      ("a.example", "User-agent: *\nDisallow: /private/\n")).toDF("host", "body"))
+    val got = LinkOps.crawlEligibility(pages, rules).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Boolean]("eligible"),
+        r.getAs[String]("reason")))).toMap
+    assert(got == Map(
+      1L -> ((true, "eligible")),
+      2L -> ((false, "robots_disallow")),
+      3L -> ((false, "noindex")),
+      4L -> ((false, "canonical_elsewhere")),
+      5L -> ((false, "robots_disallow")),
+      6L -> ((true, "eligible")),
+      7L -> ((true, "eligible"))), s"got $got")
+  }
+
+  test("hostClusteredShards: one shard per host, serpentine by mass, docs co-located") {
+    val docsDf = Seq(
+      (1L, "big.com", 500L), (2L, "big.com", 400L), // mass 900 -> rank 0
+      (3L, "mid.com", 600L), // 600 -> rank 1
+      (4L, "sml.com", 100L), (5L, "sml.com", 50L), // 150 -> rank 2
+      (6L, null.asInstanceOf[String], 80L), // 'unknown' 80 -> rank 3 (serpentine back)
+      (7L, "tiny.com", 10L) // 10 -> rank 4
+    ).toDF("doc_id", "source", "n_chars")
+    val got = CorpusOps.hostClusteredShards(docsDf, nShards = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("host"), r.getAs[Long]("host_weight"), r.getAs[Long]("shard"))))
+      .toMap
+    // serpentine over 3 shards: ranks 0,1,2 -> shards 0,1,2; ranks 3,4 -> 2,1
+    assert(got == Map(
+      1L -> (("big.com", 900L, 0L)), 2L -> (("big.com", 900L, 0L)),
+      3L -> (("mid.com", 600L, 1L)),
+      4L -> (("sml.com", 150L, 2L)), 5L -> (("sml.com", 150L, 2L)),
+      6L -> (("unknown", 80L, 2L)),
+      7L -> (("tiny.com", 10L, 1L))), s"got $got")
+    intercept[IllegalArgumentException] { CorpusOps.hostClusteredShards(docsDf, 0) }
+  }
+
+  test("tierMixture: crosstab counts, token/char mass, exact floor shares, tier-0 kept") {
+    val tiers = Seq((1L, 1), (2L, 1), (3L, 2), (4L, 0), (5L, 2), (6L, 1))
+      .toDF("doc_id", "tier")
+    val docsDf = Seq(
+      (1L, "en", 10L, "a b c"), (2L, "en", 20L, "d e"), (3L, "de", 5L, "f"),
+      (4L, "en", 7L, "  "), // blank text -> 0 tokens; tier 0 row kept
+      (5L, "de", 3L, null.asInstanceOf[String]),
+      (6L, null.asInstanceOf[String], 2L, "g h")
+    ).toDF("doc_id", "lang", "n_chars", "text")
+    val got = CorpusOps.tierMixture(tiers, docsDf).collect()
+      .map(r => (r.getAs[Int]("tier"), r.getAs[String]("lang")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_chars"),
+          r.getAs[Long]("sum_tokens"), r.getAs[Long]("share_e6")))).toMap
+    assert(got == Map(
+      (1, "en") -> ((2L, 30L, 5L, 333333L)),
+      (2, "de") -> ((2L, 8L, 1L, 333333L)),
+      (0, "en") -> ((1L, 7L, 0L, 166666L)),
+      (1, "") -> ((1L, 2L, 2L, 166666L))), s"got $got")
+    // shares are exact floors of n_docs/total: 2/6 and 1/6 in micro-units
+  }
+
   test("luhnCardStats: checksum separates real cards from digit-shaped decoys") {
     val df = Seq(
       (1L, "pay 4539578763621486 now"), // valid 16-digit
