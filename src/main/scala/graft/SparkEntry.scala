@@ -1521,6 +1521,15 @@ object SparkEntry {
           concat(coalesce(col("text"), lit("")),
             element_at(tails, (col("doc_id") % 8 + 1).cast("int"))).as("text")))
     }),
+    "q152_shard_manifest" -> ((s, dir) =>
+      // per-shard integrity manifest over the q142 assignment: doc count,
+      // weight mass, order-independent md5-derived membership checksum —
+      // what a resume/verify pass checks instead of re-reading documents
+      CorpusOps.shardManifest(
+        CorpusOps.balancedShards(
+          docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+            coalesce(col("n_chars"), lit(0L)).cast("long").as("weight")),
+          nShards = 7))),
     "q150_crawl_eligibility" -> ((s, dir) => {
       // the composed per-URL crawl/index verdict over independent planted
       // axes: robots path class (doc_id%2: public vs disallowed /private/)
@@ -3393,6 +3402,27 @@ FROM c"""
         |SELECT host, hub AS hub_e12, auth AS auth_e12,
         |  hub / 1000000000000.0 AS hub, auth / 1000000000000.0 AS auth
         |FROM s2""".stripMargin,
+    // q152: the q142 serpentine restated + the manifest aggregate (the
+    // checksum restates the op's md5-mod math term for term)
+    "q152_shard_manifest" ->
+      """WITH r AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |         CAST(coalesce(n_chars, 0) AS BIGINT) AS weight,
+        |         row_number() OVER (ORDER BY coalesce(n_chars, 0) DESC,
+        |                            doc_id) AS rnk
+        |  FROM documents),
+        |a AS (SELECT doc_id, weight,
+        |        CAST(CASE WHEN ((rnk - 1) // 7) % 2 = 0 THEN (rnk - 1) % 7
+        |             ELSE 6 - (rnk - 1) % 7 END AS BIGINT) AS shard
+        |      FROM r),
+        |h AS (SELECT shard, weight,
+        |        (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+        |          % 1000000000000 AS idh
+        |      FROM a)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(weight) AS BIGINT) AS sum_weight,
+        |  CAST(sum(idh) % 1000000000000 AS BIGINT) AS ids_checksum
+        |FROM h GROUP BY shard""".stripMargin,
     // q150: closed-form verdict per (robots-class, meta-class) cell —
     // value-exactness proves the three exclusion channels compose right
     "q150_crawl_eligibility" ->

@@ -1780,6 +1780,36 @@ object CorpusOps {
       .toDF("doc_id", "weight", "rnk", "shard")
   }
 
+  /** per-shard integrity manifest — the record a sharded writer commits
+    * next to its output so a resume/verify pass can prove each shard is
+    * complete without re-reading documents: doc count, weight mass, and
+    * an ORDER-INDEPENDENT membership checksum (sum of per-id md5-derived
+    * 60-bit values modulo 10^12 — the q36/q129 engine-portable hash
+    * discipline, so any SQL engine recomputes it; order-independence
+    * means the checksum is a plain partial-combined aggregate — no
+    * per-shard id collection, no sort). At extreme shard cardinalities
+    * the inner sum can exceed Long before the outer mod — keep shards
+    * under ~9M docs per partial or add a second mod level; documented,
+    * not hit at any test scale.
+    *
+    * Input: a shard assignment frame (doc_id, weight, shard) —
+    * [[balancedShards]] / [[hostClusteredShards]] output shapes. */
+  def shardManifest(assignments: DataFrame): DataFrame = {
+    val m = 1000000000000L // 10^12: 60-bit hash folded to 40 bits of slack
+    val idHash = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(m))
+    assignments
+      .select(col("shard").cast("long").as("shard"),
+        col("doc_id").cast("long").as("doc_id"),
+        coalesce(col("weight"), lit(0L)).cast("long").as("weight"))
+      .withColumn("idh", idHash)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("weight")).as("sum_weight"),
+        pmod(sum(col("idh")), lit(m)).as("ids_checksum"))
+  }
+
   /** host-clustered size-balanced shards — [[balancedShards]]'s locality
     * variant: every document of a host lands in ONE shard (the locality
     * that makes per-host dedup, per-site boilerplate stats and politeness

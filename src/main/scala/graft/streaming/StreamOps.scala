@@ -157,6 +157,60 @@ object StreamOps {
         })
   }
 
+  final case class FetchIn(url: String, fetch_ms: Long, content_hash: String)
+  final case class RecrawlState(
+      nFetches: Long, nChanges: Long, firstMs: Long, lastMs: Long, lastHash: String)
+  final case class RecrawlOut(
+      url: String, n_fetches: Long, n_changes: Long, span_ms: Long, last_ms: Long,
+      est_change_interval_ms: Long, next_fetch_ms: Long)
+
+  /** streaming twin of CorpusOps.recrawlSchedule: per-URL change-rate
+    * state folded incrementally across micro-batches — the shape a live
+    * crawler runs (the batch twin re-reads the whole fetch log). State is
+    * one small record per URL; each batch emits the URL's UPDATED
+    * schedule row (Append of the latest verdict — downstream keeps the
+    * newest per url).
+    *
+    * Ordering contract: within a batch, rows fold in (fetch_ms,
+    * content_hash) order (the batch twin's determinism rule); ACROSS
+    * batches, state folds in arrival order. Equality with the batch twin
+    * therefore holds when fetch history arrives time-ordered across
+    * batches — true of a crawler's own fetch log; a backfill that
+    * interleaves old fetches should use the batch op. */
+  def streamingRecrawl(
+      fetches: Dataset[FetchIn],
+      defaultIntervalMs: Long = 86400000L): Dataset[RecrawlOut] = {
+    require(defaultIntervalMs > 0, s"defaultIntervalMs must be > 0, got $defaultIntervalMs")
+    import fetches.sparkSession.implicits._
+    fetches
+      .groupByKey(_.url)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (url: String, rows: Iterator[FetchIn], state: GroupState[RecrawlState]) => {
+          val sorted = rows.toSeq.sortBy(f => (f.fetch_ms, Option(f.content_hash).getOrElse("")))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(
+              RecrawlState(0L, 0L, sorted.head.fetch_ms, sorted.head.fetch_ms, null))
+            sorted.foreach { f =>
+              val h = Option(f.content_hash).getOrElse("")
+              if (st.nFetches > 0L && st.lastHash != h)
+                st = st.copy(nChanges = st.nChanges + 1)
+              st = st.copy(nFetches = st.nFetches + 1,
+                firstMs = math.min(st.firstMs, f.fetch_ms),
+                lastMs = math.max(st.lastMs, f.fetch_ms), lastHash = h)
+            }
+            state.update(st)
+            val span = st.lastMs - st.firstMs
+            val est = if (st.nChanges > 0) span / st.nChanges else 0L
+            val next =
+              if (st.nChanges > 0) st.lastMs + math.max(est, 1L)
+              else st.lastMs + defaultIntervalMs
+            Iterator.single(RecrawlOut(url, st.nFetches, st.nChanges, span,
+              st.lastMs, est, next))
+          }
+        })
+  }
+
   /** file-source ingestion: stream a directory of parquet page files into
     * the extraction kernel and append results — the streaming twin of
     * ExtractJob.extract (same kernel, same output schema). */

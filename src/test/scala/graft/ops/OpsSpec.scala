@@ -4900,6 +4900,31 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { TextOps.hashedDocVectors(df, 5000) }
   }
 
+  test("shardManifest: order-independent checksum matches sequential md5 recompute") {
+    def h(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 1000000000000L
+    }
+    val asg = Seq((1L, 10L, 0L), (2L, 20L, 0L), (3L, 5L, 1L), (4L, 0L, 1L),
+      (5L, 7L, 1L)).toDF("doc_id", "weight", "shard")
+    def collectM(df: org.apache.spark.sql.DataFrame) =
+      CorpusOps.shardManifest(df).collect()
+        .map(r => r.getAs[Long]("shard") -> ((r.getAs[Long]("n_docs"),
+          r.getAs[Long]("sum_weight"), r.getAs[Long]("ids_checksum")))).toMap
+    val got = collectM(asg.repartition(7))
+    val want = Map(
+      0L -> ((2L, 30L, (h(1) + h(2)) % 1000000000000L)),
+      1L -> ((3L, 12L, (h(3) + h(4) + h(5)) % 1000000000000L)))
+    assert(got == want, s"got $got\nwant $want")
+    // partition-order invariance: same manifest from any layout
+    assert(collectM(asg.repartition(1)) == got)
+    // membership sensitivity: dropping one doc changes the checksum
+    val dropped = collectM(asg.filter(col("doc_id") =!= 5L).repartition(3))
+    assert(dropped(1L)._3 != got(1L)._3)
+  }
+
   test("crawlEligibility: robots, noindex, canonical channels compose; first-fail reason") {
     import graft.ops.{LinkOps, RobotsOps}
     val pages = Seq(

@@ -162,4 +162,40 @@ class StreamSpec extends AnyFunSuite {
       assert(rows.forall(_.getAs[String]("status") == "ok"))
     } finally q.stop()
   }
+
+  test("streaming recrawl: state folds across in-order batches; final row equals batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FetchIn]
+    val out = streamingRecrawl(input.toDS(), defaultIntervalMs = 1000L)
+    val q = out.writeStream.format("memory").queryName("stream_recrawl")
+      .outputMode("append").start()
+    try {
+      val b1 = Seq(FetchIn("u/a", 0L, "x"), FetchIn("u/a", 100L, "x"),
+        FetchIn("u/b", 5L, "z"),
+        FetchIn("u/c", 10L, null)) // NULL hash folds to '' like the batch twin
+      val b2 = Seq(FetchIn("u/a", 200L, "y"), FetchIn("u/b", 50L, "z"),
+        FetchIn("u/c", 60L, "w"))
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      // the memory sink appends one row per (url, batch): the LATEST row
+      // per url (max n_fetches) is the current schedule
+      val latest = spark.table("stream_recrawl").collect()
+        .map(r => (r.getAs[String]("url"), (r.getAs[Long]("n_fetches"),
+          r.getAs[Long]("n_changes"), r.getAs[Long]("span_ms"),
+          r.getAs[Long]("last_ms"), r.getAs[Long]("est_change_interval_ms"),
+          r.getAs[Long]("next_fetch_ms"))))
+        .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).maxBy(_._1) }
+      val batch = graft.ops.CorpusOps.recrawlSchedule(
+        (b1 ++ b2).map(f => (f.url, f.fetch_ms, f.content_hash))
+          .toDF("url", "fetch_ms", "content_hash"), defaultIntervalMs = 1000L)
+        .collect()
+        .map(r => r.getAs[String]("url") -> ((r.getAs[Long]("n_fetches"),
+          r.getAs[Long]("n_changes"), r.getAs[Long]("span_ms"),
+          r.getAs[Long]("last_ms"), r.getAs[Long]("est_change_interval_ms"),
+          r.getAs[Long]("next_fetch_ms")))).toMap
+      assert(latest == batch, s"stream $latest\nbatch $batch")
+      intercept[IllegalArgumentException] { streamingRecrawl(input.toDS(), 0L) }
+    } finally q.stop()
+  }
 }
