@@ -1730,8 +1730,7 @@ object CorpusOps {
     val d = documents.select(col("doc_id"),
       coalesce(col("lang"), lit("")).as("lang"),
       coalesce(col("n_chars"), lit(0L)).cast("long").as("n_chars"),
-      when(length(trim(txt)) === 0, lit(0))
-        .otherwise(size(split(trim(txt), "\\s+"))).cast("long").as("n_tokens"))
+      TextOps.tokenCount(txt).cast("long").as("n_tokens"))
     val grid = Checkpoints.cut(docTiers.select(col("doc_id"), col("tier"))
       .join(d, Seq("doc_id"))
       .groupBy(col("tier"), col("lang"))
@@ -1763,6 +1762,32 @@ object CorpusOps {
     * (doc_id, weight) pairs — the [[hostTierTable]] discipline, never a
     * single-partition window; document text never moves. Output:
     * (doc_id, weight, rnk 1-based, shard 0-based). */
+  /** the ONE serpentine ("snake draft") dealing rule behind
+    * [[balancedShards]] and [[hostClusteredShards]] — both ops' oracles
+    * restate exactly this: 0-based rank i, block i div K alternates
+    * direction */
+  private def serpentineShard(i: Long, nShards: Int): Long = {
+    val pos = (i % nShards).toInt
+    (if ((i / nShards) % 2 == 0) pos else nShards - 1 - pos).toLong
+  }
+
+  /** code-point string comparison — DuckDB/UTF-8 binary collation, NOT
+    * Java's UTF-16-unit compareTo (the two diverge between supplementary-
+    * plane chars and [U+E000, U+FFFF]): string tie-breaks in value-exact-
+    * oracled rankings must compare like the oracle's ORDER BY */
+  private[ops] def compareCodePoints(x: String, y: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < x.length && j < y.length) {
+      val cx = x.codePointAt(i)
+      val cy = y.codePointAt(j)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx)
+      j += Character.charCount(cy)
+    }
+    Integer.compare(x.length - i, y.length - j)
+  }
+
   def balancedShards(items: DataFrame, nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be > 0, got $nShards")
     val spark = items.sparkSession
@@ -1773,9 +1798,7 @@ object CorpusOps {
       .sortBy({ case (id, wt) => (-wt, id) })
       .zipWithIndex()
       .map { case ((id, wt), i) =>
-        val pos = (i % nShards).toInt
-        val shard = if ((i / nShards) % 2 == 0) pos else nShards - 1 - pos
-        (id, wt, i + 1L, shard.toLong)
+        (id, wt, i + 1L, serpentineShard(i, nShards))
       }
       .toDF("doc_id", "weight", "rnk", "shard")
   }
@@ -1829,15 +1852,22 @@ object CorpusOps {
     val d = documents.select(col("doc_id").cast("long").as("doc_id"),
       coalesce(col("source"), lit("unknown")).as("host"),
       coalesce(col("n_chars"), lit(0L)).cast("long").as("n_chars"))
+    // tie-break on the host STRING must compare like the oracle's ORDER
+    // BY (UTF-8 code points), not Java's UTF-16 compareTo — hence the
+    // explicit ordering
+    implicit val hostOrd: Ordering[(Long, String)] = new Ordering[(Long, String)] {
+      def compare(a: (Long, String), b: (Long, String)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c else compareCodePoints(a._2, b._2)
+      }
+    }
     val hostShard = d.groupBy(col("host"))
       .agg(sum(col("n_chars")).as("host_weight"))
       .as[(String, Long)].rdd
-      .sortBy({ case (h, wt) => (-wt, h) })
+      .sortBy({ case (h, wt) => (-wt, h) })(hostOrd, implicitly)
       .zipWithIndex()
       .map { case ((h, wt), i) =>
-        val pos = (i % nShards).toInt
-        val shard = if ((i / nShards) % 2 == 0) pos else nShards - 1 - pos
-        (h, wt, shard.toLong)
+        (h, wt, serpentineShard(i, nShards))
       }
       .toDF("host", "host_weight", "shard")
     d.select(col("doc_id"), col("host"))

@@ -617,10 +617,16 @@ object LinkOps {
     * tables are host-cardinality — broadcastable, AQE decides), then a
     * doc_id equi-join between the two; page content never shuffles. */
   def crawlEligibility(pages: DataFrame, rules: DataFrame): DataFrame = {
+    // NULL url folds to '' at entry (the family's unparseable-accounting
+    // convention) — left NULL, urlCanonical(NULL) is NULL and the
+    // three-valued eligible would vanish from BOTH eligible filters while
+    // reason still claimed 'eligible'
+    val p = pages.select(col("doc_id"),
+      coalesce(col("url").cast("string"), lit("")).as("url"), col("html"))
     val rf = RobotsOps.robotsFilter(
-        pages.select(col("doc_id"), col("url")), rules)
+        p.select(col("doc_id"), col("url")), rules)
       .select(col("doc_id"), col("url"), col("host"), col("allowed"))
-    val meta = pageMetadata(pages)
+    val meta = pageMetadata(p)
       .select(col("doc_id"), col("canonical_url"), col("noindex"))
     rf.join(meta, Seq("doc_id"))
       .withColumn("canonical_self",

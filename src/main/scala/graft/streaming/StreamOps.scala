@@ -183,7 +183,10 @@ object StreamOps {
     require(defaultIntervalMs > 0, s"defaultIntervalMs must be > 0, got $defaultIntervalMs")
     import fetches.sparkSession.implicits._
     fetches
-      .groupByKey(_.url)
+      // NULL url folds to '' like the batch twin — a raw key would give a
+      // null-keyed state group (and a second group beside any ''-url
+      // fetches), breaking the documented batch-twin equality
+      .groupByKey(f => Option(f.url).getOrElse(""))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (url: String, rows: Iterator[FetchIn], state: GroupState[RecrawlState]) => {
           val sorted = rows.toSeq.sortBy(f => (f.fetch_ms, Option(f.content_hash).getOrElse("")))

@@ -4940,7 +4940,10 @@ class OpsSpec extends AnyFunSuite {
       // self-canonical with spelling variant: urlCanonical folds -> self
       (6L, "https://a.example/public/self/",
         "<html><head><link rel=\"canonical\" href=\"https://A.EXAMPLE/public/self\"></head></html>"),
-      (7L, "junk url", "<html><head></head></html>") // hostless: no rules -> allowed
+      (7L, "junk url", "<html><head></head></html>"), // hostless: no rules -> allowed
+      // NULL url folds to '' — the verdict must stay two-valued (a raw
+      // NULL made eligible NULL while reason said 'eligible')
+      (8L, null.asInstanceOf[String], "<html><head></head></html>")
     ).toDF("doc_id", "url", "html")
     val rules = RobotsOps.parseRobots(Seq(
       ("a.example", "User-agent: *\nDisallow: /private/\n")).toDF("host", "body"))
@@ -4954,7 +4957,23 @@ class OpsSpec extends AnyFunSuite {
       4L -> ((false, "canonical_elsewhere")),
       5L -> ((false, "robots_disallow")),
       6L -> ((true, "eligible")),
-      7L -> ((true, "eligible"))), s"got $got")
+      7L -> ((true, "eligible")),
+      8L -> ((true, "eligible"))), s"got $got")
+  }
+
+  test("compareCodePoints orders like UTF-8 collation where UTF-16 compareTo diverges") {
+    val emoji = new String(Character.toChars(0x1F600)) // supplementary plane
+    val pua = "\uE000"
+    assert(emoji.compareTo(pua) < 0) // Java UTF-16 units: D83D < E000
+    assert(CorpusOps.compareCodePoints(emoji, pua) > 0) // code points: 1F600 > E000
+    assert(CorpusOps.compareCodePoints("a", "a") == 0)
+    assert(CorpusOps.compareCodePoints("a", "ab") < 0)
+    // end-to-end: equal-mass hosts tie-break in code-point order
+    val docsDf = Seq((1L, pua + ".com", 10L), (2L, emoji + ".com", 10L))
+      .toDF("doc_id", "source", "n_chars")
+    val order = CorpusOps.hostClusteredShards(docsDf, 2).collect()
+      .map(r => r.getAs[Long]("shard") -> r.getAs[String]("host")).toMap
+    assert(order(0L) == pua + ".com" && order(1L) == emoji + ".com", s"got $order")
   }
 
   test("hostClusteredShards: one shard per host, serpentine by mass, docs co-located") {

@@ -173,9 +173,11 @@ class StreamSpec extends AnyFunSuite {
     try {
       val b1 = Seq(FetchIn("u/a", 0L, "x"), FetchIn("u/a", 100L, "x"),
         FetchIn("u/b", 5L, "z"),
-        FetchIn("u/c", 10L, null)) // NULL hash folds to '' like the batch twin
+        FetchIn("u/c", 10L, null), // NULL hash folds to '' like the batch twin
+        FetchIn(null, 7L, "q")) // NULL url folds to the '' state group
       val b2 = Seq(FetchIn("u/a", 200L, "y"), FetchIn("u/b", 50L, "z"),
-        FetchIn("u/c", 60L, "w"))
+        FetchIn("u/c", 60L, "w"),
+        FetchIn(null, 90L, "q2")) // second batch joins the SAME '' group
       input.addData(b1: _*); q.processAllAvailable()
       input.addData(b2: _*); q.processAllAvailable()
       // the memory sink appends one row per (url, batch): the LATEST row
