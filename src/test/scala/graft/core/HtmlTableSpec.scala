@@ -157,6 +157,55 @@ class HtmlTableSpec extends AnyFunSuite {
     assert(!ts.exists(_.tableIdx == 1)) // the farm itself stays rejected
   }
 
+  test("property: generated simple tables extract to their by-construction structure (200 docs)") {
+    // generator: well-formed, non-nested tables with known structure —
+    // the extractor's output must equal the generation plan exactly,
+    // including the data-vs-layout gate verdict recomputed independently
+    val rnd = new scala.util.Random(20260820L)
+    (0 until 200).foreach { docIdx =>
+      val nTables = 1 + rnd.nextInt(3)
+      val plans = (0 until nTables).map { _ =>
+        val nRows = 1 + rnd.nextInt(4)
+        val nCols = 1 + rnd.nextInt(4)
+        val headerRow = rnd.nextBoolean()
+        val caption = if (rnd.nextBoolean()) s"cap${rnd.nextInt(100)}" else ""
+        val longCells = rnd.nextInt(4) == 0 // sometimes layout-prose cells
+        val cells = Vector.tabulate(nRows, nCols) { (r, c) =>
+          if (longCells) ("w" + rnd.nextInt(10) + " ") * 30 + "end"
+          else if (rnd.nextInt(8) == 0) "" // occasional empty cell
+          else s"v${r}_${c}_${rnd.nextInt(1000)}"
+        }
+        (nRows, nCols, headerRow, caption, cells.map(_.map(_.trim)))
+      }
+      val html = plans.map { case (nRows, nCols, headerRow, caption, cells) =>
+        val cap = if (caption.nonEmpty) s"<caption>$caption</caption>" else ""
+        val rows = (0 until nRows).map { r =>
+          val tag = if (headerRow && r == 0) "th" else "td"
+          "<tr>" + (0 until nCols).map(c => s"<$tag>${cells(r)(c)}</$tag>").mkString + "</tr>"
+        }.mkString
+        s"<table>$cap$rows</table>"
+      }.mkString("<p>between tables prose</p>")
+      val got = HtmlExtract.extractTables(s"<html><body>$html</body></html>")
+      // independent expectation: same gate arithmetic from the PLAN
+      val want = plans.zipWithIndex.flatMap { case ((nRows, nCols, headerRow, caption, cells), ti) =>
+        val keptRows = cells.filter(_.exists(_.nonEmpty))
+        val nonEmpty = keptRows.flatten.filter(_.nonEmpty)
+        val avgOk = nonEmpty.nonEmpty &&
+          nonEmpty.map(_.length).sum.toFloat / nonEmpty.length <= HtmlExtract.MAX_AVG_CELL_CHARS
+        val isData = nonEmpty.length >= HtmlExtract.MIN_DATA_CELLS &&
+          keptRows.length >= 2 && avgOk
+        if (!isData) None
+        else Some(HtmlExtract.ExtractedTable(ti, caption,
+          keptRows.zipWithIndex.map { case (r, ri) =>
+            HtmlExtract.TableRowCells(ri,
+              isHeader = headerRow && r == cells.head && cells.head.nonEmpty,
+              r)
+          }.toVector))
+      }
+      assert(got == want, s"doc $docIdx:\ngot  $got\nwant $want\nhtml $html")
+    }
+  }
+
   test("random tag soup never crashes and is deterministic (300 docs)") {
     val rnd = new scala.util.Random(20260820L)
     val atoms = Seq("<table>", "</table>", "<tr>", "</tr>", "<td>", "</td>", "<th>",
