@@ -1521,6 +1521,16 @@ object SparkEntry {
           concat(coalesce(col("text"), lit("")),
             element_at(tails, (col("doc_id") % 8 + 1).cast("int"))).as("text")))
     }),
+    "q153_tier_sample" -> ((s, dir) =>
+      // the tier pipeline's last action: keep tier 1 whole, thin tier 2
+      // to 128/256 and tier 3 to 26/256, drop unranked — the md5-bucket
+      // rule is engine-portable so the oracle restates the whole
+      // stamp+sample composition value-exactly
+      CorpusOps.tierSample(
+        CorpusOps.hostTiers(
+          CorpusOps.hostRank(hostGraphEdges(s, dir), iterations = 3,
+            dampingPct = 85),
+          docs(s, dir)))),
     "q152_shard_manifest" -> ((s, dir) =>
       // per-shard integrity manifest over the q142 assignment: doc count,
       // weight mass, order-independent md5-derived membership checksum —
@@ -3461,6 +3471,18 @@ FROM c"""
         |       FROM r)
         |SELECT d.doc_id, d.host, sh.host_weight, sh.shard
         |FROM d JOIN sh ON d.host = sh.host""".stripMargin,
+    // q153: the SAME tier CTEs + the q36 md5-bucket keep rule per tier
+    "q153_tier_sample" -> (hostTierCtesSql + ",\n" +
+      """dt AS (SELECT d.doc_id, d.source AS host,
+        |          cast(coalesce(t.tier, 0) AS int) AS tier
+        |        FROM d LEFT JOIN tiers t ON d.source = t.host)
+        |SELECT doc_id, host, tier
+        |FROM dt
+        |WHERE CASE tier
+        |  WHEN 1 THEN TRUE
+        |  WHEN 2 THEN substr(md5(doc_id || ':tier'), 1, 2) < '80'
+        |  WHEN 3 THEN substr(md5(doc_id || ':tier'), 1, 2) < '1a'
+        |  ELSE FALSE END""".stripMargin),
     // q149: the SAME tier CTEs, aggregated to the mixture crosstab
     "q149_tier_mixture" -> (hostTierCtesSql + ",\n" +
       """dt AS (SELECT d.doc_id, cast(coalesce(t.tier, 0) AS int) AS tier

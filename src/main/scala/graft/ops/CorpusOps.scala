@@ -1803,6 +1803,36 @@ object CorpusOps {
       .toDF("doc_id", "weight", "rnk", "shard")
   }
 
+  /** tier-stratified corpus extraction — the LAST action of the tier
+    * pipeline: keep every document of the top tier, thin the lower tiers
+    * by deterministic rate (the [[stratifiedSample]] md5-bucket rule —
+    * engine-portable, retry-stable, no RNG), producing the curated
+    * corpus a mixture planner actually trains on. Tier 0 (unranked
+    * hosts) gets its own explicit rate — unranked is a curation decision,
+    * not an accident.
+    *
+    * Input: `docTiers` = [[hostTiers]] output. `pct256ByTier` maps tier
+    * -> keep-rate in 256ths (256 = keep all, 0 = drop all); missing
+    * tiers use `defaultPct256`.
+    *
+    * Scale shape: one codegen'd predicate over the stamped frame — no
+    * shuffle, no join beyond what the tier stamp already did. */
+  def tierSample(
+      docTiers: DataFrame,
+      pct256ByTier: Map[Int, Int] = Map(1 -> 256, 2 -> 128, 3 -> 26, 0 -> 0),
+      defaultPct256: Int = 0,
+      salt: String = "tier"): DataFrame = {
+    require((defaultPct256 +: pct256ByTier.values.toSeq).forall(p => p >= 0 && p <= 256),
+      s"rates must be in [0, 256]: $pct256ByTier / $defaultPct256")
+    val hexByte = substring(md5(concat(col("doc_id").cast("string"), lit(":" + salt))), 1, 2)
+    def keepFor(p: Int) =
+      if (p >= 256) lit(true) else if (p <= 0) lit(false) else hexByte < lit(f"$p%02x")
+    val pred = pct256ByTier.toSeq.sortBy(_._1).foldLeft(keepFor(defaultPct256)) {
+      case (acc, (tier, p)) => when(col("tier") === tier, keepFor(p)).otherwise(acc)
+    }
+    docTiers.filter(pred).select(col("doc_id"), col("host"), col("tier"))
+  }
+
   /** per-shard integrity manifest — the record a sharded writer commits
     * next to its output so a resume/verify pass can prove each shard is
     * complete without re-reading documents: doc count, weight mass, and

@@ -4900,6 +4900,32 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { TextOps.hashedDocVectors(df, 5000) }
   }
 
+  test("tierSample: md5-bucket keep rule per tier matches sequential recompute; 256/0 semantics") {
+    def hexByte(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:tier".getBytes("UTF-8"))
+      "%02x".format(d(0) & 0xff)
+    }
+    val tiers = (1L to 400L).map(i => (i, s"h${i % 7}", (i % 4).toInt))
+      .toDF("doc_id", "host", "tier")
+    val rates = Map(1 -> 256, 2 -> 128, 3 -> 26, 0 -> 0)
+    val got = CorpusOps.tierSample(tiers, rates).collect()
+      .map(r => r.getAs[Long]("doc_id")).toSet
+    val want = (1L to 400L).filter { i =>
+      (i % 4).toInt match {
+        case 1 => true
+        case 2 => hexByte(i) < "80"
+        case 3 => hexByte(i) < "1a"
+        case _ => false
+      }
+    }.toSet
+    assert(got == want, s"diff ${(got -- want) ++ (want -- got)}")
+    // every tier-1 doc kept, no tier-0 doc kept, rates thin monotonically
+    assert((1L to 400L).filter(_ % 4 == 1).forall(got.contains))
+    assert(!(1L to 400L).filter(_ % 4 == 0).exists(got.contains))
+    intercept[IllegalArgumentException] { CorpusOps.tierSample(tiers, Map(1 -> 300)) }
+  }
+
   test("shardManifest: order-independent checksum matches sequential md5 recompute") {
     def h(id: Long): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
