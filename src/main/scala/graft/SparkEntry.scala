@@ -1521,6 +1521,11 @@ object SparkEntry {
           concat(coalesce(col("text"), lit("")),
             element_at(tails, (col("doc_id") % 8 + 1).cast("int"))).as("text")))
     }),
+    "q154_quality_deciles" -> ((s, dir) =>
+      // corpus-wide quality decile stamp: q13's heuristic in exact micro
+      // units, distributed exact rank, decile 1 = best 10% — the cut a
+      // mixture planner filters on
+      CorpusOps.qualityDeciles(docs(s, dir))),
     "q153_tier_sample" -> ((s, dir) =>
       // the tier pipeline's last action: keep tier 1 whole, thin tier 2
       // to 128/256 and tier 3 to 26/256, drop unranked — the md5-bucket
@@ -3471,6 +3476,35 @@ FROM c"""
         |       FROM r)
         |SELECT d.doc_id, d.host, sh.host_weight, sh.shard
         |FROM d JOIN sh ON d.host = sh.host""".stripMargin,
+    // q154: the q13 quality expression over coalesced text, micro-unit
+    // rounded, window-ranked with the same (quality desc, doc_id) order
+    "q154_quality_deciles" ->
+      """WITH ql AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CAST(round(round(
+        |      least(length(coalesce(text, '')) / 500.0, 1.0) * 0.4 +
+        |      (CASE WHEN (length(coalesce(text, '')) -
+        |                  length(regexp_replace(coalesce(text, ''), '[.,!?;:]', '', 'g')))
+        |                 / greatest(cast(length(coalesce(text, '')) AS double), 1.0) > 0.2
+        |            THEN 0.0
+        |            ELSE 1.0 - (length(coalesce(text, '')) -
+        |                  length(regexp_replace(coalesce(text, ''), '[.,!?;:]', '', 'g')))
+        |                 / greatest(cast(length(coalesce(text, '')) AS double), 1.0) * 2 END) * 0.3 +
+        |      least((len(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |          w -> w IN ('the','a','an','and','or','of','to','in','is','it',
+        |                     'that','on','for','with','as','at','by','this')))
+        |        / greatest(cast(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) END AS double),
+        |              1.0)) * 4.0,
+        |        1.0) * 0.3, 6) * 1000000) AS BIGINT) AS quality_e6
+        |  FROM documents),
+        |r AS (SELECT doc_id, quality_e6,
+        |        row_number() OVER (ORDER BY quality_e6 DESC, doc_id) AS rnk,
+        |        count(*) OVER () AS n
+        |      FROM ql)
+        |SELECT doc_id, quality_e6, CAST(rnk AS BIGINT) AS rnk,
+        |  CAST(((rnk - 1) * 10) // n + 1 AS BIGINT) AS decile
+        |FROM r""".stripMargin,
     // q153: the SAME tier CTEs + the q36 md5-bucket keep rule per tier
     "q153_tier_sample" -> (hostTierCtesSql + ",\n" +
       """dt AS (SELECT d.doc_id, d.source AS host,

@@ -1803,6 +1803,34 @@ object CorpusOps {
       .toDF("doc_id", "weight", "rnk", "shard")
   }
 
+  /** corpus-wide quality deciles — the "top-N% by quality" stamp a
+    * mixture planner cuts on: documents exact-ranked by the q13 heuristic
+    * quality in integer micro-units (ties by doc_id), decile 1 = best
+    * 10%. NULL text scores as empty text (quality 0.3 — an accounting
+    * choice: the row keeps flowing with a rank instead of vanishing into
+    * a NULL ordering).
+    *
+    * Scale shape: quality is per-row column math; the rank is the
+    * [[hostTierTable]] discipline (distributed sort + zipWithIndex, no
+    * single-partition window); the decile is a codegen'd projection with
+    * the corpus count taken once from the cut ranked table. */
+  def qualityDeciles(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val ranked = Checkpoints.cut(documents
+      .select(col("doc_id").cast("long").as("doc_id"),
+        round(TextOps.qualityScore(coalesce(col("text"), lit(""))) * 1000000)
+          .cast("long").as("quality_e6"))
+      .as[(Long, Long)].rdd
+      .sortBy({ case (id, qe) => (-qe, id) })
+      .zipWithIndex()
+      .map { case ((id, qe), i) => (id, qe, i + 1L) }
+      .toDF("doc_id", "quality_e6", "rnk"))
+    val n = ranked.count()
+    if (n == 0L) ranked.withColumn("decile", lit(0L))
+    else ranked.withColumn("decile", expr(s"((rnk - 1) * 10) div ${n}L + 1"))
+  }
+
   /** tier-stratified corpus extraction — the LAST action of the tier
     * pipeline: keep every document of the top tier, thin the lower tiers
     * by deterministic rate (the [[stratifiedSample]] md5-bucket rule —

@@ -4900,6 +4900,32 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { TextOps.hashedDocVectors(df, 5000) }
   }
 
+  test("qualityDeciles: exact micro ranking, doc_id tie-break, NULL scores as empty") {
+    val texts = Seq(
+      (1L, "the cat sat on the mat and it was a fine day for this"), // stopword-rich
+      (2L, "zz qq ww " * 30), // long, no stopwords
+      (3L, null.asInstanceOf[String]), // scores as '' -> 0.3
+      (4L, ""), // also 0.3 -> tie with 3, doc_id breaks
+      (5L, "!!!!....;;;;"), // punct-heavy -> punctScore 0
+      (6L, "the of and to in is it that on for " * 20))
+    val df = texts.toDF("doc_id", "text").repartition(3)
+    val got = CorpusOps.qualityDeciles(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("quality_e6"),
+        r.getAs[Long]("rnk"), r.getAs[Long]("decile")))).toMap
+    // sequential recompute through the SAME column expression
+    val qs = df.select(col("doc_id"),
+      round(TextOps.qualityScore(coalesce(col("text"), lit(""))) * 1000000)
+        .cast("long").as("q")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("q")))
+    val want = qs.sortBy { case (id, q) => (-q, id) }.zipWithIndex.map {
+      case ((id, q), i) =>
+        id -> ((q, i + 1L, (i.toLong * 10) / qs.length + 1))
+    }.toMap
+    assert(got == want, s"got $got\nwant $want")
+    // ties 3/4 (both empty-scored) rank adjacently with 3 first
+    assert(got(3L)._1 == got(4L)._1 && got(3L)._2 + 1 == got(4L)._2)
+  }
+
   test("tierSample: md5-bucket keep rule per tier matches sequential recompute; 256/0 semantics") {
     def hexByte(id: Long): String = {
       val d = java.security.MessageDigest.getInstance("MD5")
