@@ -292,14 +292,20 @@ object SparkEntry {
           lit("tiny\nfragment\nwall"))).as("text"))
       TextOps.finewebFilters(framed)
     }),
-    "q21_jaccard_all_pairs" -> ((s, dir) => Dedup.ngramJaccardAllPairs(docs(s, dir), 0.5)),
+    // maxDf=100: the operator's own hot-gram cap engaged on the SURFACE
+    // (round-4 finding: uncapped bench reps showed quadratic-candidate
+    // spread); the oracle applies the identical cap, and at the verify
+    // scales no gram exceeds df 100 (max df 25 at sf0.1), so the capped
+    // values stay exactly the uncapped ones — the cap is the 100-TB
+    // contract made visible, not a semantics change here
+    "q21_jaccard_all_pairs" -> ((s, dir) => Dedup.ngramJaccardAllPairs(docs(s, dir), 0.5, maxDf = 100)),
     "q26_dup_clusters" -> ((s, dir) =>
-      Dedup.connectedComponents(Dedup.ngramJaccardAllPairs(docs(s, dir), 0.5))),
+      Dedup.connectedComponents(Dedup.ngramJaccardAllPairs(docs(s, dir), 0.5, maxDf = 100))),
     // same edge set and same oracle as q26, solved by the SoCC'14
     // large-star/small-star alternation — the edge-state engine whose
     // rounds never self-join a per-node label table
     "q132_dup_clusters_star" -> ((s, dir) =>
-      Dedup.connectedComponentsStar(Dedup.ngramJaccardAllPairs(docs(s, dir), 0.5))),
+      Dedup.connectedComponentsStar(Dedup.ngramJaccardAllPairs(docs(s, dir), 0.5, maxDf = 100))),
     // ---- text analysis ----
     "q10_text_stats" -> ((s, dir) => TextOps.stats(docs(s, dir))),
     "q20_repetition" -> ((s, dir) => TextOps.repetition(docs(s, dir))),
@@ -520,8 +526,11 @@ object SparkEntry {
     "q104_ngram_containment" -> ((s, dir) =>
       // asymmetric shingle containment (syndication/wrapper detection):
       // same inverted-index self-join core as q21, thresholding
-      // |A∩B|/|A| per direction instead of the symmetric jaccard
-      Dedup.ngramContainment(docs(s, dir), threshold = 0.5)),
+      // |A∩B|/|A| per direction instead of the symmetric jaccard.
+      // maxDf=100 engages the operator's quadratic-blow-up guard on the
+      // surface (round-4 finding); oracle capped in lockstep, values
+      // unchanged at verify scales (no gram reaches df 100)
+      Dedup.ngramContainment(docs(s, dir), threshold = 0.5, maxDf = 100)),
     "q105_curation_funnel" -> ((s, dir) =>
       // per-stage survivor accounting (the C4/Gopher-style "N% removed
       // by stage X" table): docs attributed to the FIRST failing stage,
@@ -634,7 +643,7 @@ object SparkEntry {
       // the clamped integer-exact estimator bit-for-bit; exact jaccard
       // rides along per pair so the record shows estimate vs truth
       val d = docs(s, dir)
-      val exact = Dedup.ngramJaccardAllPairs(d, 0.5)
+      val exact = Dedup.ngramJaccardAllPairs(d, 0.5, maxDf = 100)
       Dedup.bbitMinhashJaccard(d, exact.select(col("doc_a"), col("doc_b")),
           k = 16, b = 2)
         .join(exact, Seq("doc_a", "doc_b"))
@@ -722,7 +731,7 @@ object SparkEntry {
       // plan (candidate join over rarest-first prefixes only, exact
       // candidate-bounded verify) — the q113/q114 exact-vs-sketch
       // discipline applied to the similarity join
-      Dedup.ngramJaccardPrefix(docs(s, dir), 0.5)),
+      Dedup.ngramJaccardPrefix(docs(s, dir), 0.5, maxDf = 100)),
     "q124_triangles" -> ((s, dir) =>
       // per-node triangle count + clustering coefficient (degree-ordered
       // node-iterator) over the synthesized chain+spokes+clique doc
@@ -1076,7 +1085,7 @@ object SparkEntry {
       // Jaccard pair family) keep their best-quality member, everyone
       // else is flagged; singletons are their own keepers
       val d = docs(s, dir)
-      Dedup.fuzzyDedupKeepBest(d, Dedup.ngramJaccardAllPairs(d, 0.5))
+      Dedup.fuzzyDedupKeepBest(d, Dedup.ngramJaccardAllPairs(d, 0.5, maxDf = 100))
     }),
     "q74_quality_classifier" -> ((s, dir) => {
       // trained discriminative quality filter (CCNet/GPT-3/DCLM shape):
@@ -1847,9 +1856,12 @@ object SparkEntry {
       |  FROM toks),
       |grams AS (SELECT doc_id, unnest(gs) AS g FROM gsets),
       |sizes AS (SELECT doc_id, len(gs) AS sz FROM gsets),
+      |dfc AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
+      |kept AS (SELECT gr.doc_id, gr.g FROM grams gr JOIN dfc USING (g)
+      |         WHERE df <= 100),
       |cand AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-      |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2),
       |edges AS (
       |  SELECT doc_a, doc_b FROM cand
@@ -2344,9 +2356,12 @@ FROM c"""
         |  FROM toks),
         |grams AS (SELECT doc_id, unnest(gs) AS g FROM gsets),
         |sizes AS (SELECT doc_id, len(gs) AS sz FROM gsets),
+        |dfc AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
+        |kept AS (SELECT gr.doc_id, gr.g FROM grams gr JOIN dfc USING (g)
+        |         WHERE df <= 100),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
         |jac AS (
         |  SELECT doc_a, doc_b,
@@ -2476,9 +2491,12 @@ FROM c"""
         |  FROM toks),
         |grams AS (SELECT doc_id, unnest(gs) AS g FROM gsets),
         |sizes AS (SELECT doc_id, len(gs) AS sz FROM gsets),
+        |dfc AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
+        |kept AS (SELECT gr.doc_id, gr.g FROM grams gr JOIN dfc USING (g)
+        |         WHERE df <= 100),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b,
         |  round(common / (sa.sz + sb.sz - common), 6) AS jaccard
@@ -2495,9 +2513,12 @@ FROM c"""
         |  FROM toks),
         |grams AS (SELECT doc_id, unnest(gs) AS g FROM gsets),
         |sizes AS (SELECT doc_id, len(gs) AS sz FROM gsets),
+        |dfc AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
+        |kept AS (SELECT gr.doc_id, gr.g FROM grams gr JOIN dfc USING (g)
+        |         WHERE df <= 100),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b,
         |  round(common / (sa.sz + sb.sz - common), 6) AS jaccard
@@ -2514,9 +2535,12 @@ FROM c"""
         |  FROM toks),
         |grams AS (SELECT doc_id, unnest(gs) AS g FROM gsets),
         |sizes AS (SELECT doc_id, len(gs) AS sz FROM gsets),
+        |dfc AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
+        |kept AS (SELECT gr.doc_id, gr.g FROM grams gr JOIN dfc USING (g)
+        |         WHERE df <= 100),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
         |sized AS (
         |  SELECT doc_a, doc_b, common, sa.sz AS sz_a, sb.sz AS sz_b
@@ -2950,9 +2974,12 @@ FROM c"""
         |  FROM toks),
         |grams AS (SELECT doc_id, unnest(gs) AS g FROM gsets),
         |sizes AS (SELECT doc_id, len(gs) AS sz FROM gsets),
+        |dfc AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
+        |kept AS (SELECT gr.doc_id, gr.g FROM grams gr JOIN dfc USING (g)
+        |         WHERE df <= 100),
         |cand AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
         |edges AS (
         |  SELECT doc_a, doc_b FROM cand

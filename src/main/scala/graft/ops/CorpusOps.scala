@@ -779,11 +779,21 @@ object CorpusOps {
       s"tierPctCuts must be ascending percents in (0,100), got $tierPctCuts")
     val spark = hostRanks.sparkSession
     import spark.implicits._
+    // equal-rank hosts tie-break in UTF-8 code-point order like the
+    // oracle's ORDER BY (Java's UTF-16 compareTo diverges for
+    // supplementary-plane vs [U+E000,U+FFFF] hosts) — the same explicit
+    // ordering hostClusteredShards uses
+    implicit val tieOrd: Ordering[(Long, String)] = new Ordering[(Long, String)] {
+      def compare(a: (Long, String), b: (Long, String)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c else compareCodePoints(a._2, b._2)
+      }
+    }
     val ranked = Checkpoints.cut(
       hostRanks.select(col("host").cast("string").as("host"),
           col("rank_e12").cast("long").as("rank_e12"))
         .as[(String, Long)].rdd
-        .sortBy({ case (h, r) => (-r, h) })
+        .sortBy({ case (h, r) => (-r, h) })(tieOrd, implicitly)
         .zipWithIndex()
         .map { case ((h, r), i) => (h, r, i + 1L) }
         .toDF("host", "rank_e12", "rnk"))
@@ -1880,15 +1890,26 @@ object CorpusOps {
     val idHash = pmod(
       conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
         .cast("long"), lit(m))
+    // two-level mod-sum: mod distributes over addition, so folding an
+    // inner pmod over ~2^22 hash-keyed chunks leaves the checksum VALUE
+    // identical to pmod(sum(idh), m) while moving the Long-overflow cliff
+    // from ~9.2M docs/shard to ~10^12 (each chunk partial stays < 2^63
+    // for < 9.2M rows per chunk; the outer sum is <= 2^22 * m ~ 4.2e18).
+    // Order-independence is preserved — both levels are plain sums.
+    val chunks = 4194304L // 2^22
     assignments
       .select(col("shard").cast("long").as("shard"),
         col("doc_id").cast("long").as("doc_id"),
         coalesce(col("weight"), lit(0L)).cast("long").as("weight"))
       .withColumn("idh", idHash)
+      .groupBy(col("shard"), pmod(col("idh"), lit(chunks)).as("_chk"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("weight")).as("_w"),
+        pmod(sum(col("idh")), lit(m)).as("_cs"))
       .groupBy(col("shard"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("weight")).as("sum_weight"),
-        pmod(sum(col("idh")), lit(m)).as("ids_checksum"))
+      .agg(sum(col("_n")).as("n_docs"),
+        sum(col("_w")).as("sum_weight"),
+        pmod(sum(col("_cs")), lit(m)).as("ids_checksum"))
   }
 
   /** host-clustered size-balanced shards — [[balancedShards]]'s locality

@@ -1424,16 +1424,23 @@ object Dedup {
     val benchGrams = gramStarts(benchmark).select(col("gram_hash")).distinct()
     val flaggedStarts = gramStarts(documents)
       .join(broadcast(benchGrams), Seq("gram_hash"), "left_semi")
-    val startsPerDoc = flaggedStarts
+    val startsPerDoc0 = flaggedStarts
       .groupBy(col("doc_id"))
       .agg(collect_list(col("pos")).as("starts"))
+    // the size gate counts FLAGGED docs; counting the raw plan would run
+    // the whole gramStarts+semi-join subtree once for the count and again
+    // for the real join (the round-4 7.5x q46 regression). Materialize the
+    // flagged-docs-sized aggregate first — one row per flagged doc, so
+    // count(startsPerDoc) == the distinct-doc count — and both the gate
+    // and the join read the materialized frame.
+    val startsPerDoc =
+      if (maxBroadcastDocs == Long.MaxValue || maxBroadcastDocs <= 0L) startsPerDoc0
+      else Checkpoints.eager(startsPerDoc0) {}
     val startsSide =
       if (maxBroadcastDocs == Long.MaxValue) broadcast(startsPerDoc)
       else if (maxBroadcastDocs <= 0L) startsPerDoc
-      else {
-        val nFlagged = flaggedStarts.select(col("doc_id")).distinct().count()
-        if (nFlagged <= maxBroadcastDocs) broadcast(startsPerDoc) else startsPerDoc
-      }
+      else if (startsPerDoc.count() <= maxBroadcastDocs) broadcast(startsPerDoc)
+      else startsPerDoc
     val g = lit(gramLen)
     documents
       .select(col("doc_id"),

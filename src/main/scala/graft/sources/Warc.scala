@@ -209,7 +209,11 @@ object Warc {
   def sniffKind(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     val hx = hex(substring(payload, 1, 8)) // uppercase hex, 16 chars max
-    val head = lower(substring(payload.cast("string"), 1, 256))
+    // slice the BINARY first, then decode: casting the whole payload to
+    // string would UTF-8-decode multi-megabyte bodies just to sniff a
+    // 256-byte prefix (a truncated trailing multi-byte char only yields a
+    // replacement char at the end — irrelevant to the tag/opener tests)
+    val head = lower(substring(payload, 1, 256).cast("string"))
     // regex trim: Spark's ltrim strips only ' ', but HTML preambles open
     // with newlines/tabs as often as spaces
     val trimmed = regexp_replace(head, "^\\s+", "")
