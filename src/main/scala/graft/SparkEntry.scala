@@ -1498,7 +1498,19 @@ object SparkEntry {
         .filter(expr("exists(vec, x -> x != 0)"))
         .select(col("doc_id").as("vec_id"),
           expr("transform(vec, x -> cast(x as float))").as("embedding"))
-      Dedup.embeddingNearDupsExact(emb, 0.95)
+      // the DEFAULT path is the LSH candidate+verify composition (the
+      // 100-TB shape: bucketed candidates, exact cosine only within
+      // buckets) — the round-4 exact block-pair join grew quadratically
+      // and was the suite's slowest surface. The brute-force join stays
+      // as this surface's DuckDB oracle (and as the q09/q14 exact
+      // baselines), so a recall miss reds the row: 12-bit mean-centered
+      // signatures x 16 tables hold recall 1.0 on the corpus's 0.96+
+      // near-dup band at both verify scales (deterministic seed;
+      // plan-gated no-block-join in PlanSpec). Centering is what makes
+      // LSH work on RAW hashed-count vectors (max bucket 1830 -> 283 at
+      // sf0.1); without it candidate pairs exceeded the exact join's.
+      Dedup.embeddingNearDupsLsh(emb, 0.95, nBits = 12, nTables = 32,
+        centerBuckets = true)
     }),
     "q145_image_hashes" -> ((s, dir) =>
       // perceptual image hashes (aHash + the new dHash) through the REAL

@@ -1129,10 +1129,18 @@ object Dedup {
       nTables: Int = 8,
       dim: Int = 64,
       seed: Long = 42L,
-      maxBucketSize: Int = MAX_BUCKET_SIZE_DEFAULT): DataFrame = {
+      maxBucketSize: Int = MAX_BUCKET_SIZE_DEFAULT,
+      centerBuckets: Boolean = false): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val candidates = SimSearch.lshBuckets(embeddings, nBits, nTables, dim, seed)
+    // centerBuckets: hyperplanes through the data mean instead of the
+    // origin — REQUIRED for raw count/hash embeddings, whose shared sign
+    // mass otherwise concentrates the corpus into a few buckets (see
+    // SimSearch.lshBuckets center doc; bucketing only, verification
+    // scores the original vectors). One dim-bounded aggregate pass.
+    val center =
+      if (centerBuckets) Some(SimSearch.embeddingMean(embeddings, dim)) else None
+    val candidates = SimSearch.lshBuckets(embeddings, nBits, nTables, dim, seed, center)
       .as[(Long, Int, Long)] // (vec_id, table, bucket); one row per vec per table
       .groupByKey { case (_, t, b) => (t, b) }
       .flatMapGroups { (_, it) =>

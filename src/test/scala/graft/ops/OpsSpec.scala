@@ -1595,6 +1595,49 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.connectedComponents(empty).collect().isEmpty)
   }
 
+  test("q144 default path: LSH plan (no block-pair join), pairs == exact join, centering lossless") {
+    // the q144 surface frame at sf0.001 shape: hashed doc vectors from a
+    // deterministic word-salad corpus (recurring passages -> true near-dups)
+    // 256-word vocabulary: random docs land well apart (background cosine
+    // ~0.5 after hashing), the planted copies sit at ~0.99 — the regime
+    // the 0.95 threshold targets
+    val words = Array.tabulate(256)(i => s"w$i")
+    def base(i: Long): String = {
+      val rnd = new scala.util.Random(i)
+      (0 until 60).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+    }
+    // 120 distinct docs + a near-copy (one appended token) of every 10th —
+    // the q144 regime: near-dups are a sparse planted band, not the bulk
+    val docs = ((0L until 120L).map(i => (i, base(i))) ++
+      (0L until 120L by 10L).map(i => (i + 1000L, base(i) + " extra")))
+      .toDF("doc_id", "text")
+    val vecs = graft.ops.Checkpoints.cut(TextOps.hashedDocVectors(docs, 64))
+    val emb = vecs.filter(expr("exists(vec, x -> x != 0)"))
+      .select(col("doc_id").as("vec_id"),
+        expr("transform(vec, x -> cast(x as float))").as("embedding"))
+      .persist()
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cosine"))).toSet
+    val lsh = Dedup.embeddingNearDupsLsh(emb, 0.95, nBits = 12, nTables = 32,
+      centerBuckets = true)
+    val exact = Dedup.embeddingNearDupsExact(emb, 0.95)
+    assert(pairSet(lsh) == pairSet(exact),
+      "centered LSH must recover the exact pair set on this corpus")
+    // plan gate: the default q144 composition must be the bucketed LSH
+    // path — flatMapGroups pairer present, no block-pair `pk` equi-join
+    val plan = graft.SparkEntry.queries("q144_semantic_neardups_text")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(plan.contains("MapGroups"), s"no bucket pairer in plan:\n$plan")
+    assert(!plan.contains("pk#"), s"block-pair join leaked into q144 plan:\n$plan")
+    // zero-center must reproduce the uncentered buckets bit for bit
+    val b0 = SimSearch.lshBuckets(emb, 8, 4, 64, 42L, None).collect().toSet
+    val bz = SimSearch.lshBuckets(emb, 8, 4, 64, 42L,
+      Some(new Array[Double](64))).collect().toSet
+    assert(b0 == bz, "zero center must be identical to uncentered buckets")
+    emb.unpersist()
+  }
+
   test("hashSplit edge percents: 256 -> all val, 0 -> all train") {
     val df = (0L until 50L).map(i => (i, "en")).toDF("doc_id", "lang")
     val allVal = TextOps.hashSplit(df, valPct256 = 256).collect()
