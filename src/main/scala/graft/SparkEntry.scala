@@ -241,7 +241,12 @@ object SparkEntry {
     }),
     "q06_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir))),
     "q07_simhash_neardups" -> ((s, dir) => Dedup.simhashNearDups(docs(s, dir))),
-    "q08_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardDups(docs(s, dir), 0.8)),
+    // LSH candidates -> exact string-gram verification at 0.8: the output
+    // is the TRUE pair set (the DuckDB oracle recomputes all-pairs exact
+    // jaccard, so an LSH recall miss reds the row — the end-to-end
+    // recall-1.0 evidence for the banded pipeline at verify scales)
+    "q08_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardDups(docs(s, dir), 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))),
     "q09_embedding_neardups" -> ((s, dir) => Dedup.embeddingNearDups(emb(s, dir), 0.2)),
     "q19_embedding_neardups_lsh" -> ((s, dir) => {
       // the 100 TB near-dup path (LSH candidate+verify); probabilistic
@@ -1685,17 +1690,40 @@ object SparkEntry {
     }),
     // ---- extraction pipeline (synthesized corpus; rows-only + sbt test gate) ----
     "x16_extract" -> ((s, dir) => {
+      // deterministic synthesized corpus -> per-(status, kind) extraction
+      // rollup whose byte/char sums are pinned golden in the oracle (any
+      // kernel change that alters ONE extracted byte moves a sum and reds
+      // the row; per-url byte-identity itself is x17's golden diff)
       import s.implicits._
       val pages = s.range(400).as[Long].map(Corpus.row(42L)).toDF()
       ExtractJob.extract(ExtractJob.saltedRepartition(s, pages, 16))
         .toDF()
-        .select(col("url"), col("status"), col("kind"), col("bytes_in"), col("chars_out"))
+        .groupBy(col("status"), col("kind"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("bytes_in")).as("sum_bytes_in"),
+          sum(col("chars_out")).as("sum_chars_out"))
     }),
     "q18_multimodal" -> ((s, dir) => {
+      // deterministic synthetic media corpus through the REAL codecs,
+      // rolled up per (kind, media_id % 16) with exact integer micro-unit
+      // sums + an order-independent phash XOR — pinned golden in the
+      // oracle, so one changed decoded pixel/sample moves a sum/xor and
+      // reds the row (codecs aren't SQL-restatable; OpsSpec holds the
+      // per-item goldens)
       import graft.ops.Multimodal
       Multimodal.extractFeatures(Multimodal.synthetic(s, 500)).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"), col("decoded_w"),
-          col("decoded_h"), col("mean_luma"), col("rms"), col("phash"))
+          col("decoded_h"),
+          (col("mean_luma") * 1000000).cast("long").as("luma_e6"),
+          (col("rms") * 1000000).cast("long").as("rms_e6"), col("phash"))
+        .groupBy(col("kind"), pmod(col("media_id"), lit(16)).as("grp"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("n_bytes")).as("sum_bytes"),
+          sum(col("decoded_w")).as("sum_w"),
+          sum(col("decoded_h")).as("sum_h"),
+          sum(col("luma_e6")).as("sum_luma_e6"),
+          sum(col("rms_e6")).as("sum_rms_e6"),
+          expr("bit_xor(phash)").as("xor_phash"))
     }),
     "x18_training_pipeline" -> ((s, dir) => {
       // the whole training-data pipeline as ONE composed Spark plan:
@@ -2516,6 +2544,30 @@ FROM c"""
         |JOIN sizes sa ON doc_a = sa.doc_id
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE common / (sa.sz + sb.sz - common) >= 0.5""".stripMargin,
+    // q08 = LSH candidates + exact verification; the oracle is the FULL
+    // all-pairs exact jaccard at the same threshold (no df cap — the
+    // verify pass scores candidate pairs string-exactly), so the row is
+    // green only while the banded candidate generation recalls every
+    // true pair at this scale
+    "q08_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |gsets AS (
+        |  SELECT doc_id, list_distinct([array_to_string(t[i+1:i+3], ' ')
+        |          for i in range(0, greatest(len(t)-3, 0) + 1)]) AS gs
+        |  FROM toks),
+        |grams AS (SELECT doc_id, unnest(gs) AS g FROM gsets),
+        |sizes AS (SELECT doc_id, len(gs) AS sz FROM gsets),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(common / (sa.sz + sb.sz - common), 6) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE common / (sa.sz + sb.sz - common) >= 0.8""".stripMargin,
     "q21_jaccard_all_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
@@ -2973,6 +3025,265 @@ FROM c"""
         |  round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
         |  round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
         |FROM documents GROUP BY lang""".stripMargin,
+    // golden pin from the verified deterministic corpus: one changed
+    // extracted byte moves a sum
+    "x16_extract" ->
+      """SELECT * FROM (VALUES
+        |('ok', 'html', 220::BIGINT, 202383::BIGINT, 94983::BIGINT),
+        |('ok', 'pdf', 180::BIGINT, 188340::BIGINT, 30263::BIGINT)) t(status, kind, n_docs, sum_bytes_in, sum_chars_out)""".stripMargin,
+    // the golden diff MUST report all-match: constants are the contract
+    "x17_golden_diff" ->
+      """SELECT 400::BIGINT AS n_total, 400::BIGINT AS n_match, 0::BIGINT AS n_mismatch, 0::BIGINT AS n_missing, 0::BIGINT AS n_extra""".stripMargin,
+    // deterministic end-to-end pipeline split sizes (golden pin)
+    "x18_training_pipeline" ->
+      """SELECT * FROM (VALUES
+        |('train', 366::BIGINT),
+        |('val', 33::BIGINT)) t(split, n_docs)""".stripMargin,
+    // quarantine taxonomy on the planted-truncation corpus (golden pin)
+    "x19_error_taxonomy" ->
+      """SELECT * FROM (VALUES
+        |('err:pdf', 'pdf', 15::BIGINT),
+        |('ok', 'html', 165::BIGINT),
+        |('ok', 'pdf', 120::BIGINT)) t(status, kind, n_docs)""".stripMargin,
+    // WET fixture is byte-deterministic: per-record langid + fingerprint
+    // golden pin (WarcSpec holds the parse gates)
+    "x20_wet_ingest" ->
+      """SELECT * FROM (VALUES
+        |(-8924059588023051373::BIGINT, 'en', '', -787154903517998941::BIGINT),
+        |(-8865490322323848254::BIGINT, 'en', '', 951355260774593831::BIGINT),
+        |(-8374756939062787578::BIGINT, 'en', '', -9141271858226478363::BIGINT),
+        |(-7902195659595667069::BIGINT, 'en', '', -6570969454315995987::BIGINT),
+        |(-7797650988162817406::BIGINT, 'en', '', 8009117698615242935::BIGINT),
+        |(-7231190585768452884::BIGINT, 'en', '', -8536793241776676251::BIGINT),
+        |(-6785474083720167896::BIGINT, 'en', '', -7705001002158786647::BIGINT),
+        |(-6342296792693511694::BIGINT, 'en', '', -1618947143135888545::BIGINT),
+        |(-6336189155752679811::BIGINT, 'en', '', -5846668601859747241::BIGINT),
+        |(-6331665828746468857::BIGINT, 'en', '', 1426917170916924919::BIGINT),
+        |(-5303347699659153564::BIGINT, 'en', '', -3855425847395990665::BIGINT),
+        |(-4586351973107132021::BIGINT, 'en', '', 2387626116842285547::BIGINT),
+        |(-4315126061868582005::BIGINT, 'en', '', -8839032550001577307::BIGINT),
+        |(-4159672170569268952::BIGINT, 'en', '', -7146526111245149673::BIGINT),
+        |(-3861950483263074330::BIGINT, 'en', '', 119563021156704227::BIGINT),
+        |(-3757546934177148012::BIGINT, 'en', '', -5134698598248304271::BIGINT),
+        |(-2922732475070116283::BIGINT, 'en', '', -4000667050405513611::BIGINT),
+        |(-2529118386235092686::BIGINT, 'en', '', 7869201359415381537::BIGINT),
+        |(-2250717445041556690::BIGINT, 'en', '', 4353449904302965811::BIGINT),
+        |(-1850486591303723790::BIGINT, 'en', '', -1921186451360789601::BIGINT),
+        |(-1031470670592929645::BIGINT, 'en', '', 2917179048235274095::BIGINT),
+        |(76136500540388210::BIGINT, 'en', '', 2614939740010373039::BIGINT),
+        |(125554197368681392::BIGINT, 'en', '', -5739177214698106383::BIGINT),
+        |(216429881816231972::BIGINT, 'en', '', -8007240310383687703::BIGINT),
+        |(258737328069840838::BIGINT, 'en', '', 4655689212527866867::BIGINT),
+        |(1397839163327760329::BIGINT, 'en', '', -564325583546831657::BIGINT),
+        |(1495052612893411211::BIGINT, 'en', '', 2085386808617384491::BIGINT),
+        |(1943988939350888031::BIGINT, 'en', '', 346876644324791719::BIGINT),
+        |(2706947523368798643::BIGINT, 'en', '', -9137768865708906249::BIGINT),
+        |(2782249839495388220::BIGINT, 'en', '', -7175448070765798099::BIGINT),
+        |(3244762677734502089::BIGINT, 'en', '', -6268730146091094931::BIGINT),
+        |(3303898840852399195::BIGINT, 'en', '', 1480908192167582379::BIGINT),
+        |(3360222634925981766::BIGINT, 'en', '', 6017874944151486359::BIGINT),
+        |(3785277336589098758::BIGINT, 'en', '', 649115952549692775::BIGINT),
+        |(3862166841911789587::BIGINT, 'en', '', -484915595293097885::BIGINT),
+        |(4365854784130073322::BIGINT, 'en', '', 9003232907258172197::BIGINT),
+        |(4976311954443920517::BIGINT, 'en', '', 1253594568999494887::BIGINT),
+        |(5246945973460580961::BIGINT, 'en', '', 1783147500392483435::BIGINT),
+        |(6131233121296646407::BIGINT, 'en', '', -8309479618608588759::BIGINT),
+        |(6502615846377696906::BIGINT, 'en', '', -7402761693933885591::BIGINT),
+        |(6946658172700270298::BIGINT, 'en', '', 2726774680302327351::BIGINT),
+        |(7122902713007913283::BIGINT, 'en', '', 6735169811572590877::BIGINT),
+        |(7334585887670748774::BIGINT, 'en', '', -5436937906473205327::BIGINT),
+        |(7901747137011677033::BIGINT, 'en', '', -182676287068196829::BIGINT),
+        |(8257963300917148053::BIGINT, 'en', '', -6873208762540897043::BIGINT),
+        |(8308039742365675319::BIGINT, 'en', '', 3521657664685076207::BIGINT),
+        |(8754568845490198142::BIGINT, 'en', '', 4718017434766083927::BIGINT),
+        |(8888257758677685211::BIGINT, 'en', '', 3219418356460175151::BIGINT),
+        |(9197353030467319119::BIGINT, 'en', '', 8473679975865183649::BIGINT),
+        |(9214545217734903082::BIGINT, 'en', '', 8171440667640282593::BIGINT)) t(doc_id, pred_lang, lang, fingerprint)""".stripMargin,
+    // perceptual hashes through the REAL codecs, golden-pinned per image
+    // (OpsSpec holds invariance + brute parity gates)
+    "q145_image_hashes" ->
+      """SELECT * FROM (VALUES
+        |(0::BIGINT, 64, 64, -2202630356992::BIGINT, -8236948698979470963::BIGINT),
+        |(3::BIGINT, 64, 64, -602771816448::BIGINT, -3655277904874628173::BIGINT),
+        |(6::BIGINT, 64, 64, -42563796992::BIGINT, 3266129463844165859::BIGINT),
+        |(9::BIGINT, 64, 64, -4468292714496::BIGINT, 8487448437559801415::BIGINT),
+        |(12::BIGINT, 64, 64, -99824435200::BIGINT, -2818352701864306122::BIGINT),
+        |(15::BIGINT, 64, 64, -162772549632::BIGINT, 8765651176991354329::BIGINT),
+        |(18::BIGINT, 64, 64, -3462716719104::BIGINT, -7304887745828444519::BIGINT),
+        |(21::BIGINT, 64, 64, -9854726963200::BIGINT, -3216887439560136753::BIGINT),
+        |(24::BIGINT, 64, 64, -1726845288448::BIGINT, -8737727481184965202::BIGINT),
+        |(27::BIGINT, 64, 64, -243599933440::BIGINT, -5364819660206396237::BIGINT),
+        |(30::BIGINT, 64, 64, -419698835456::BIGINT, 5868008377227720634::BIGINT),
+        |(33::BIGINT, 64, 64, -2525364748288::BIGINT, -2575198499504965838::BIGINT),
+        |(36::BIGINT, 64, 64, -32648462336::BIGINT, -3062786751808218749::BIGINT),
+        |(39::BIGINT, 64, 64, -655083175936::BIGINT, 2196802736752472347::BIGINT),
+        |(42::BIGINT, 64, 64, -953751175168::BIGINT, 7381887683279302065::BIGINT),
+        |(45::BIGINT, 64, 64, -4781295796224::BIGINT, -6388218959315905626::BIGINT),
+        |(48::BIGINT, 64, 64, -414932008960::BIGINT, -7379624299646837845::BIGINT),
+        |(51::BIGINT, 64, 64, -2013265920::BIGINT, -3771314615889092263::BIGINT),
+        |(54::BIGINT, 64, 64, -149183004672::BIGINT, -7400991135170671281::BIGINT),
+        |(57::BIGINT, 64, 64, -5099720015872::BIGINT, 6568382716682413369::BIGINT),
+        |(60::BIGINT, 64, 64, -2493226418176::BIGINT, -4719113952959773050::BIGINT),
+        |(63::BIGINT, 64, 64, -692395704320::BIGINT, -2712965364694681116::BIGINT),
+        |(66::BIGINT, 64, 64, -833122992128::BIGINT, -5721715372246315549::BIGINT),
+        |(69::BIGINT, 64, 64, -3739222016::BIGINT, 7165585790405796709::BIGINT),
+        |(72::BIGINT, 64, 64, -55532584960::BIGINT, -4491837907391824807::BIGINT),
+        |(75::BIGINT, 64, 64, -78852915200::BIGINT, -3219870621846044563::BIGINT),
+        |(78::BIGINT, 64, 64, -1799574519808::BIGINT, -4742893719112725218::BIGINT),
+        |(81::BIGINT, 64, 64, -294171705344::BIGINT, 7409884397761942380::BIGINT),
+        |(84::BIGINT, 64, 64, -1321675522048::BIGINT, 3036327088320225124::BIGINT),
+        |(87::BIGINT, 64, 64, -62123933696::BIGINT, 7323853122977371459::BIGINT),
+        |(90::BIGINT, 64, 64, -72779563008::BIGINT, 3877004330687609532::BIGINT),
+        |(93::BIGINT, 64, 64, -127875940352::BIGINT, -7446027463044383333::BIGINT),
+        |(96::BIGINT, 64, 64, -29527900160::BIGINT, 1611105850812056233::BIGINT),
+        |(99::BIGINT, 64, 64, -32648462336::BIGINT, 6766418051667400026::BIGINT),
+        |(102::BIGINT, 64, 64, -764453847040::BIGINT, 5714413878132494950::BIGINT),
+        |(105::BIGINT, 64, 64, -8949554216960::BIGINT, 6423920665735180828::BIGINT),
+        |(108::BIGINT, 64, 64, -561487282176::BIGINT, 6604174219797257131::BIGINT),
+        |(111::BIGINT, 64, 64, -382512136192::BIGINT, -3651761019586556522::BIGINT),
+        |(114::BIGINT, 64, 64, -689474371584::BIGINT, -446926954638498518::BIGINT),
+        |(117::BIGINT, 64, 64, -332507643904::BIGINT, -7112864166664915106::BIGINT),
+        |(100003::BIGINT, 64, 64, -5000818327552::BIGINT, -3655277904874628173::BIGINT),
+        |(100009::BIGINT, 64, 64, -5018048528384::BIGINT, 8487448437559801415::BIGINT),
+        |(100015::BIGINT, 64, 64, -162772549632::BIGINT, 8765651176991354329::BIGINT),
+        |(100021::BIGINT, 64, 64, -9854726963200::BIGINT, -3216887439560136817::BIGINT),
+        |(100027::BIGINT, 64, 64, -243566379008::BIGINT, -5364819660206396237::BIGINT),
+        |(100033::BIGINT, 64, 64, -2525364748288::BIGINT, -2575198499504965838::BIGINT),
+        |(100039::BIGINT, 64, 64, -655083175936::BIGINT, 2232831533771436315::BIGINT),
+        |(100045::BIGINT, 64, 64, -4781295796224::BIGINT, -6388218959315905626::BIGINT),
+        |(100051::BIGINT, 64, 64, -2013265920::BIGINT, -3771314615889092263::BIGINT),
+        |(100057::BIGINT, 64, 64, -5099720015872::BIGINT, 6568382716682413369::BIGINT),
+        |(100063::BIGINT, 64, 64, -692395704320::BIGINT, -2712965364694681116::BIGINT),
+        |(100069::BIGINT, 64, 64, -3739222016::BIGINT, 2553899771978408805::BIGINT),
+        |(100075::BIGINT, 64, 64, -78852915200::BIGINT, -3219307671892623251::BIGINT),
+        |(100081::BIGINT, 64, 64, -294171705344::BIGINT, 7409884397761942380::BIGINT),
+        |(100087::BIGINT, 64, 64, -62123933696::BIGINT, 7323853122977371459::BIGINT),
+        |(100093::BIGINT, 64, 64, -127875940352::BIGINT, -7446027463044383333::BIGINT),
+        |(100099::BIGINT, 64, 64, -32648462336::BIGINT, 6766418601423213914::BIGINT),
+        |(100105::BIGINT, 64, 64, -8949554216960::BIGINT, 6423920665735180828::BIGINT),
+        |(100111::BIGINT, 64, 64, -382512136192::BIGINT, -3651761019586556522::BIGINT),
+        |(100117::BIGINT, 64, 64, -332507643904::BIGINT, -7112864166664915106::BIGINT)) t(media_id, decoded_w, decoded_h, ahash, dhash)""".stripMargin,
+    // derived from the q145 pins: the banded join is EXACT for hamming<=k
+    // (pigeonhole), so brute-force over the pinned dhash values is the
+    // full ground truth
+    "q146_image_neardups" ->
+      """WITH h AS (
+        |SELECT * FROM (VALUES
+        |(0::BIGINT, 64, 64, -2202630356992::BIGINT, -8236948698979470963::BIGINT),
+        |(3::BIGINT, 64, 64, -602771816448::BIGINT, -3655277904874628173::BIGINT),
+        |(6::BIGINT, 64, 64, -42563796992::BIGINT, 3266129463844165859::BIGINT),
+        |(9::BIGINT, 64, 64, -4468292714496::BIGINT, 8487448437559801415::BIGINT),
+        |(12::BIGINT, 64, 64, -99824435200::BIGINT, -2818352701864306122::BIGINT),
+        |(15::BIGINT, 64, 64, -162772549632::BIGINT, 8765651176991354329::BIGINT),
+        |(18::BIGINT, 64, 64, -3462716719104::BIGINT, -7304887745828444519::BIGINT),
+        |(21::BIGINT, 64, 64, -9854726963200::BIGINT, -3216887439560136753::BIGINT),
+        |(24::BIGINT, 64, 64, -1726845288448::BIGINT, -8737727481184965202::BIGINT),
+        |(27::BIGINT, 64, 64, -243599933440::BIGINT, -5364819660206396237::BIGINT),
+        |(30::BIGINT, 64, 64, -419698835456::BIGINT, 5868008377227720634::BIGINT),
+        |(33::BIGINT, 64, 64, -2525364748288::BIGINT, -2575198499504965838::BIGINT),
+        |(36::BIGINT, 64, 64, -32648462336::BIGINT, -3062786751808218749::BIGINT),
+        |(39::BIGINT, 64, 64, -655083175936::BIGINT, 2196802736752472347::BIGINT),
+        |(42::BIGINT, 64, 64, -953751175168::BIGINT, 7381887683279302065::BIGINT),
+        |(45::BIGINT, 64, 64, -4781295796224::BIGINT, -6388218959315905626::BIGINT),
+        |(48::BIGINT, 64, 64, -414932008960::BIGINT, -7379624299646837845::BIGINT),
+        |(51::BIGINT, 64, 64, -2013265920::BIGINT, -3771314615889092263::BIGINT),
+        |(54::BIGINT, 64, 64, -149183004672::BIGINT, -7400991135170671281::BIGINT),
+        |(57::BIGINT, 64, 64, -5099720015872::BIGINT, 6568382716682413369::BIGINT),
+        |(60::BIGINT, 64, 64, -2493226418176::BIGINT, -4719113952959773050::BIGINT),
+        |(63::BIGINT, 64, 64, -692395704320::BIGINT, -2712965364694681116::BIGINT),
+        |(66::BIGINT, 64, 64, -833122992128::BIGINT, -5721715372246315549::BIGINT),
+        |(69::BIGINT, 64, 64, -3739222016::BIGINT, 7165585790405796709::BIGINT),
+        |(72::BIGINT, 64, 64, -55532584960::BIGINT, -4491837907391824807::BIGINT),
+        |(75::BIGINT, 64, 64, -78852915200::BIGINT, -3219870621846044563::BIGINT),
+        |(78::BIGINT, 64, 64, -1799574519808::BIGINT, -4742893719112725218::BIGINT),
+        |(81::BIGINT, 64, 64, -294171705344::BIGINT, 7409884397761942380::BIGINT),
+        |(84::BIGINT, 64, 64, -1321675522048::BIGINT, 3036327088320225124::BIGINT),
+        |(87::BIGINT, 64, 64, -62123933696::BIGINT, 7323853122977371459::BIGINT),
+        |(90::BIGINT, 64, 64, -72779563008::BIGINT, 3877004330687609532::BIGINT),
+        |(93::BIGINT, 64, 64, -127875940352::BIGINT, -7446027463044383333::BIGINT),
+        |(96::BIGINT, 64, 64, -29527900160::BIGINT, 1611105850812056233::BIGINT),
+        |(99::BIGINT, 64, 64, -32648462336::BIGINT, 6766418051667400026::BIGINT),
+        |(102::BIGINT, 64, 64, -764453847040::BIGINT, 5714413878132494950::BIGINT),
+        |(105::BIGINT, 64, 64, -8949554216960::BIGINT, 6423920665735180828::BIGINT),
+        |(108::BIGINT, 64, 64, -561487282176::BIGINT, 6604174219797257131::BIGINT),
+        |(111::BIGINT, 64, 64, -382512136192::BIGINT, -3651761019586556522::BIGINT),
+        |(114::BIGINT, 64, 64, -689474371584::BIGINT, -446926954638498518::BIGINT),
+        |(117::BIGINT, 64, 64, -332507643904::BIGINT, -7112864166664915106::BIGINT),
+        |(100003::BIGINT, 64, 64, -5000818327552::BIGINT, -3655277904874628173::BIGINT),
+        |(100009::BIGINT, 64, 64, -5018048528384::BIGINT, 8487448437559801415::BIGINT),
+        |(100015::BIGINT, 64, 64, -162772549632::BIGINT, 8765651176991354329::BIGINT),
+        |(100021::BIGINT, 64, 64, -9854726963200::BIGINT, -3216887439560136817::BIGINT),
+        |(100027::BIGINT, 64, 64, -243566379008::BIGINT, -5364819660206396237::BIGINT),
+        |(100033::BIGINT, 64, 64, -2525364748288::BIGINT, -2575198499504965838::BIGINT),
+        |(100039::BIGINT, 64, 64, -655083175936::BIGINT, 2232831533771436315::BIGINT),
+        |(100045::BIGINT, 64, 64, -4781295796224::BIGINT, -6388218959315905626::BIGINT),
+        |(100051::BIGINT, 64, 64, -2013265920::BIGINT, -3771314615889092263::BIGINT),
+        |(100057::BIGINT, 64, 64, -5099720015872::BIGINT, 6568382716682413369::BIGINT),
+        |(100063::BIGINT, 64, 64, -692395704320::BIGINT, -2712965364694681116::BIGINT),
+        |(100069::BIGINT, 64, 64, -3739222016::BIGINT, 2553899771978408805::BIGINT),
+        |(100075::BIGINT, 64, 64, -78852915200::BIGINT, -3219307671892623251::BIGINT),
+        |(100081::BIGINT, 64, 64, -294171705344::BIGINT, 7409884397761942380::BIGINT),
+        |(100087::BIGINT, 64, 64, -62123933696::BIGINT, 7323853122977371459::BIGINT),
+        |(100093::BIGINT, 64, 64, -127875940352::BIGINT, -7446027463044383333::BIGINT),
+        |(100099::BIGINT, 64, 64, -32648462336::BIGINT, 6766418601423213914::BIGINT),
+        |(100105::BIGINT, 64, 64, -8949554216960::BIGINT, 6423920665735180828::BIGINT),
+        |(100111::BIGINT, 64, 64, -382512136192::BIGINT, -3651761019586556522::BIGINT),
+        |(100117::BIGINT, 64, 64, -332507643904::BIGINT, -7112864166664915106::BIGINT)) t(media_id, decoded_w, decoded_h, ahash, dhash))
+        |SELECT a.media_id AS media_a, b.media_id AS media_b,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6""".stripMargin,
+    // codec rollup golden pin (exact integer micro-units + phash XOR)
+    "q18_multimodal" ->
+      """SELECT * FROM (VALUES
+        |('audio', 0::BIGINT, 11::BIGINT, 44484::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, 4867395::BIGINT, -7782738321525578724::BIGINT),
+        |('audio', 1::BIGINT, 11::BIGINT, 44484::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, 4844560::BIGINT, 8569673305007314924::BIGINT),
+        |('audio', 2::BIGINT, 10::BIGINT, 40440::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, 4102204::BIGINT, -6814772521044450625::BIGINT),
+        |('audio', 3::BIGINT, 11::BIGINT, 44484::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, 4774706::BIGINT, -8020533184983766480::BIGINT),
+        |('audio', 4::BIGINT, 11::BIGINT, 44484::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, 4580584::BIGINT, 1985720611041161253::BIGINT),
+        |('audio', 5::BIGINT, 10::BIGINT, 40440::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, 4634187::BIGINT, 6608187071535209963::BIGINT),
+        |('audio', 6::BIGINT, 10::BIGINT, 40440::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, 4686435::BIGINT, 4216492556906272848::BIGINT),
+        |('audio', 7::BIGINT, 11::BIGINT, 44484::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, 5210551::BIGINT, 5710802609569519897::BIGINT),
+        |('audio', 8::BIGINT, 10::BIGINT, 40440::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, 4335821::BIGINT, -7289263548383817266::BIGINT),
+        |('audio', 9::BIGINT, 10::BIGINT, 40440::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, 4360165::BIGINT, -9026382250204670648::BIGINT),
+        |('audio', 10::BIGINT, 11::BIGINT, 44484::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, 4940556::BIGINT, 6550772977182977874::BIGINT),
+        |('audio', 11::BIGINT, 10::BIGINT, 40440::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, 4132333::BIGINT, 5290023491537005551::BIGINT),
+        |('audio', 12::BIGINT, 10::BIGINT, 40440::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, 4732995::BIGINT, -6314773353352318474::BIGINT),
+        |('audio', 13::BIGINT, 11::BIGINT, 44484::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, 5278156::BIGINT, 2538933048345768114::BIGINT),
+        |('audio', 14::BIGINT, 10::BIGINT, 40440::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, 4081432::BIGINT, -4159899982103545184::BIGINT),
+        |('audio', 15::BIGINT, 10::BIGINT, 40440::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, 4287748::BIGINT, -4225759244926312808::BIGINT),
+        |('image', 0::BIGINT, 11::BIGINT, 13647::BIGINT, 704::BIGINT, 704::BIGINT, 1394123780::BIGINT, 0::BIGINT, -12377150980096::BIGINT),
+        |('image', 1::BIGINT, 10::BIGINT, 117256::BIGINT, 640::BIGINT, 640::BIGINT, 1254826904::BIGINT, 0::BIGINT, 8177800708096::BIGINT),
+        |('image', 2::BIGINT, 11::BIGINT, 13464::BIGINT, 704::BIGINT, 704::BIGINT, 1385543457::BIGINT, 0::BIGINT, -12402183634944::BIGINT),
+        |('image', 3::BIGINT, 11::BIGINT, 128985::BIGINT, 704::BIGINT, 704::BIGINT, 1375227783::BIGINT, 0::BIGINT, -44286678138880::BIGINT),
+        |('image', 4::BIGINT, 10::BIGINT, 12351::BIGINT, 640::BIGINT, 640::BIGINT, 1266931154::BIGINT, 0::BIGINT, 6548837367808::BIGINT),
+        |('image', 5::BIGINT, 10::BIGINT, 117089::BIGINT, 640::BIGINT, 640::BIGINT, 1258901855::BIGINT, 0::BIGINT, 13388579078144::BIGINT),
+        |('image', 6::BIGINT, 11::BIGINT, 13517::BIGINT, 704::BIGINT, 704::BIGINT, 1385889157::BIGINT, 0::BIGINT, -18386248531968::BIGINT),
+        |('image', 7::BIGINT, 10::BIGINT, 116841::BIGINT, 640::BIGINT, 640::BIGINT, 1251332031::BIGINT, 0::BIGINT, 873850208256::BIGINT),
+        |('image', 8::BIGINT, 10::BIGINT, 12379::BIGINT, 640::BIGINT, 640::BIGINT, 1258252930::BIGINT, 0::BIGINT, 11402558308352::BIGINT),
+        |('image', 9::BIGINT, 11::BIGINT, 128852::BIGINT, 704::BIGINT, 704::BIGINT, 1385788330::BIGINT, 0::BIGINT, -82555267186688::BIGINT),
+        |('image', 10::BIGINT, 10::BIGINT, 12259::BIGINT, 640::BIGINT, 640::BIGINT, 1278259767::BIGINT, 0::BIGINT, 10729973350400::BIGINT),
+        |('image', 11::BIGINT, 10::BIGINT, 116254::BIGINT, 640::BIGINT, 640::BIGINT, 1259241697::BIGINT, 0::BIGINT, 7258116194304::BIGINT),
+        |('image', 12::BIGINT, 11::BIGINT, 13711::BIGINT, 704::BIGINT, 704::BIGINT, 1378444579::BIGINT, 0::BIGINT, -3958727770112::BIGINT),
+        |('image', 13::BIGINT, 10::BIGINT, 117021::BIGINT, 640::BIGINT, 640::BIGINT, 1258084471::BIGINT, 0::BIGINT, 7888199745536::BIGINT),
+        |('image', 14::BIGINT, 10::BIGINT, 12668::BIGINT, 640::BIGINT, 640::BIGINT, 1261994872::BIGINT, 0::BIGINT, 1273434210304::BIGINT),
+        |('image', 15::BIGINT, 11::BIGINT, 128590::BIGINT, 704::BIGINT, 704::BIGINT, 1376870362::BIGINT, 0::BIGINT, -2114012053504::BIGINT),
+        |('video', 0::BIGINT, 10::BIGINT, 7344::BIGINT, 0::BIGINT, 0::BIGINT, 1272921410::BIGINT, 0::BIGINT, 8903826048909556080::BIGINT),
+        |('video', 1::BIGINT, 11::BIGINT, 8347::BIGINT, 0::BIGINT, 0::BIGINT, 1392622472::BIGINT, 0::BIGINT, 6332664544270726349::BIGINT),
+        |('video', 2::BIGINT, 11::BIGINT, 8582::BIGINT, 0::BIGINT, 0::BIGINT, 1403055105::BIGINT, 0::BIGINT, 3010318391785279247::BIGINT),
+        |('video', 3::BIGINT, 10::BIGINT, 8046::BIGINT, 0::BIGINT, 0::BIGINT, 1278449015::BIGINT, 0::BIGINT, -3470595574324625651::BIGINT),
+        |('video', 4::BIGINT, 10::BIGINT, 7608::BIGINT, 0::BIGINT, 0::BIGINT, 1290259032::BIGINT, 0::BIGINT, -4821728030251121408::BIGINT),
+        |('video', 5::BIGINT, 11::BIGINT, 7511::BIGINT, 0::BIGINT, 0::BIGINT, 1427716704::BIGINT, 0::BIGINT, 1155894036380312360::BIGINT),
+        |('video', 6::BIGINT, 10::BIGINT, 7724::BIGINT, 0::BIGINT, 0::BIGINT, 1272243402::BIGINT, 0::BIGINT, -5725720423204695553::BIGINT),
+        |('video', 7::BIGINT, 10::BIGINT, 7286::BIGINT, 0::BIGINT, 0::BIGINT, 1280975896::BIGINT, 0::BIGINT, -1922093691136202039::BIGINT),
+        |('video', 8::BIGINT, 11::BIGINT, 8488::BIGINT, 0::BIGINT, 0::BIGINT, 1398742503::BIGINT, 0::BIGINT, -7809052805828438316::BIGINT),
+        |('video', 9::BIGINT, 10::BIGINT, 7402::BIGINT, 0::BIGINT, 0::BIGINT, 1288420205::BIGINT, 0::BIGINT, 5078067400063455318::BIGINT),
+        |('video', 10::BIGINT, 10::BIGINT, 7988::BIGINT, 0::BIGINT, 0::BIGINT, 1271094308::BIGINT, 0::BIGINT, -6562931393786838580::BIGINT),
+        |('video', 11::BIGINT, 11::BIGINT, 8441::BIGINT, 0::BIGINT, 0::BIGINT, 1397723887::BIGINT, 0::BIGINT, -126084544931128693::BIGINT),
+        |('video', 12::BIGINT, 10::BIGINT, 8104::BIGINT, 0::BIGINT, 0::BIGINT, 1265190978::BIGINT, 0::BIGINT, -853754923608927289::BIGINT),
+        |('video', 13::BIGINT, 10::BIGINT, 7666::BIGINT, 0::BIGINT, 0::BIGINT, 1281634775::BIGINT, 0::BIGINT, 6285595237000015464::BIGINT),
+        |('video', 14::BIGINT, 11::BIGINT, 9418::BIGINT, 0::BIGINT, 0::BIGINT, 1406094249::BIGINT, 0::BIGINT, -7366439929031007612::BIGINT),
+        |('video', 15::BIGINT, 10::BIGINT, 7782::BIGINT, 0::BIGINT, 0::BIGINT, 1264164172::BIGINT, 0::BIGINT, 8829021447166364140::BIGINT)) t(kind, grp, n_media, sum_bytes, sum_w, sum_h, sum_luma_e6, sum_rms_e6, xor_phash)""".stripMargin,
     "q26_dup_clusters" -> dupClustersSql,
     // q132 runs the large-star/small-star engine over the SAME edge set
     // with the SAME min-reachable-id contract, so it shares q26's oracle
