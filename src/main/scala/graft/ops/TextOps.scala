@@ -1733,6 +1733,34 @@ object TextOps {
       .toDF("doc_id", "n_bytes", "n_deflate", "ratio_e6")
   }
 
+  /** INDEPENDENT deflate-size recompute for the q118 audit: a fresh
+    * Deflater per row (no reuse/reset), a deliberately different (small,
+    * odd) output buffer, and the byte count accumulated through the
+    * two-arg deflate overload — a distinct code path from
+    * [[compressionSignals]]'s streaming kernel, so agreement is evidence,
+    * not tautology. Audit-only (per-row allocation is the cost the
+    * production kernel avoids). */
+  def deflateSizeOneShot(documents: DataFrame, level: Int = 6): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = (if (text == null) "" else text)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val d = new java.util.zip.Deflater(level)
+        try {
+          d.setInput(bytes)
+          d.finish()
+          val buf = new Array[Byte](727)
+          var out = 0L
+          while (!d.finished()) out += d.deflate(buf, 0, buf.length)
+          (id, out)
+        } finally d.end()
+      }
+      .toDF("doc_id", "n_deflate_oneshot")
+  }
+
   /** strict RFC 3629 UTF-8 validation: rejects overlongs, surrogates,
     * > U+10FFFF, truncated sequences and bare continuation bytes — the
     * same set a REPORT-mode decoder rejects, without the allocation. */
