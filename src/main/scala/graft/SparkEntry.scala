@@ -240,7 +240,8 @@ object SparkEntry {
         .select(col("keep_id"), col("n_copies"), length(col("text")).cast("long").as("text_len"))
     }),
     "q06_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir))),
-    "q07_simhash_neardups" -> ((s, dir) => Dedup.simhashNearDups(docs(s, dir))),
+    "q07_simhash_neardups" -> ((s, dir) => Dedup.simhashNearDups(docs(s, dir))
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))),
     // LSH candidates -> exact string-gram verification at 0.8: the output
     // is the TRUE pair set (the DuckDB oracle recomputes all-pairs exact
     // jaccard, so an LSH recall miss reds the row — the end-to-end
@@ -1960,6 +1961,56 @@ object SparkEntry {
     * and q132 (large-star/small-star engine): both compute cluster_id =
     * min reachable id over the q21 jaccard-0.5 edge set, restated here as
     * a recursive reachability walk. */
+  /** (lang, ord, word) VALUES of `TextOps.latinMarkers` — generated so
+    * detector and oracle share one table */
+  private lazy val latinMarkerValues: String =
+    graft.ops.TextOps.latinMarkers.zipWithIndex.flatMap { case ((l, ws), i) =>
+      ws.map(w => s"('$l', $i, '$w')")
+    }.mkString("(VALUES ", ", ", ") m(lang, ord, w)")
+
+  /** the (i, a, b) VALUES table of `Dedup.hashParams(42)` — ONE param
+    * source feeds both the minhash kernel and every minhash oracle, so
+    * the two sides cannot drift (the q133 discipline) */
+  private lazy val minhashParamsValues: String = {
+    val (as_, bs_) = graft.ops.Dedup.hashParams(42L)
+    (0 until 64).map(i => s"($i, ${as_(i)}::BIGINT, ${bs_(i)}::BIGINT)")
+      .mkString("(VALUES ", ", ", ") hp(i, a, b)")
+  }
+
+  /** shared md5-minhash signature CTE chain over a source CTE providing
+    * (side, doc_id, text) — the SQL mirror of `Dedup.minhashSignature`:
+    * md5-top-60 shingle base, 64 affine maps in wrapping 64-bit
+    * arithmetic with Scala's signed %, signed minima, 16 bands of 4 rows
+    * grouped as VALUE TUPLES (band-hash equality modulo FNV collisions,
+    * which the green gate itself certifies absent at verify scales). */
+  private def minhashSigCtes(srcCte: String): String =
+    s"""toks AS (
+       |  SELECT side, doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+       |  FROM $srcCte),
+       |gsets AS (
+       |  SELECT side, doc_id, list_distinct([array_to_string(t[i+1:i+3], ' ')
+       |          for i in range(0, greatest(len(t)-3, 0) + 1)]) AS gs
+       |  FROM toks WHERE len(t) > 0),
+       |grams AS (SELECT side, doc_id, unnest(gs) AS g FROM gsets),
+       |gx AS (SELECT g, ('0x' || substr(md5(g), 1, 15))::BIGINT AS x
+       |       FROM (SELECT DISTINCT g FROM grams)),
+       |hp AS (SELECT * FROM $minhashParamsValues),
+       |hv0 AS (SELECT gr.side, gr.doc_id, hp.i,
+       |         (CAST(hp.a AS HUGEINT) * gx.x + hp.b)
+       |           % 18446744073709551616::HUGEINT AS u
+       |        FROM grams gr JOIN gx USING (g) CROSS JOIN hp),
+       |hv1 AS (SELECT side, doc_id, i,
+       |         CASE WHEN u >= 9223372036854775808::HUGEINT
+       |              THEN CAST(u - 18446744073709551616::HUGEINT AS BIGINT)
+       |              ELSE CAST(u AS BIGINT) END AS sgn FROM hv0),
+       |sigs AS (SELECT side, doc_id, i,
+       |          min(CASE WHEN sgn < 0 THEN -((-sgn) % 2305843009213693951)
+       |                   ELSE sgn % 2305843009213693951 END) AS v
+       |         FROM hv1 GROUP BY 1, 2, 3),
+       |bands AS (SELECT side, doc_id, i // 4 AS band, list(v ORDER BY i) AS bv
+       |          FROM sigs GROUP BY 1, 2, 3)""".stripMargin
+
   /** q91 oracle — shared: q92 wraps it with per-host tolerance verdicts */
   private val harmonicOracleSql: String =
     """WITH d AS (
@@ -2488,6 +2539,139 @@ FROM c"""
         |WHERE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
         |    sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) *
         |         list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) >= 0.2""".stripMargin,
+    // q19 = LSH candidate+verify over the planted frame; the oracle is
+    // the FULL exact cosine pair set at 0.95 (planted copies pair at
+    // exactly 1.0 and nothing else reaches the threshold), so an LSH
+    // recall miss reds the row — identical signatures guarantee exact
+    // copies always share every bucket
+    "q19_embedding_neardups_lsh" ->
+      """WITH orig AS (SELECT vec_id, embedding FROM embeddings
+        |              ORDER BY vec_id LIMIT 100),
+        |allv AS (SELECT vec_id, embedding FROM embeddings
+        |         UNION ALL SELECT vec_id + 10000000, embedding FROM orig)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) *
+        |         list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 6) AS cosine
+        |FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+        |WHERE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) *
+        |         list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) >= 0.95""".stripMargin,
+    // q06: FULL md5-minhash recompute — signatures, band tuples,
+    // candidate pairs, matching-row estimates — from the shared param
+    // table; a kernel, banding or estimate change reds the row
+    "q06_minhash_lsh" ->
+      ("WITH src AS (SELECT 'd' AS side, doc_id, text FROM documents),\n" +
+        minhashSigCtes("src") + """,
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |m AS (SELECT c.doc_a, c.doc_b,
+        |        sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS k
+        |      FROM cand c
+        |      JOIN sigs sa ON sa.doc_id = c.doc_a
+        |      JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+        |      GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, k / 64.0 AS est_jaccard FROM m""".stripMargin),
+    // q07: brute-force hamming over SQL-recomputed md5 simhashes — the
+    // banded join is exact for hamming<=k, so this is full ground truth
+    "q07_simhash_neardups" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        |hv AS (SELECT doc_id, CAST(md5_number_lower(w) AS HUGEINT) AS u FROM tok),
+        |bitsum AS (SELECT doc_id, b,
+        |             sum(CASE WHEN (u >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+        |           FROM hv CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+        |           GROUP BY 1, 2),
+        |sh0 AS (SELECT doc_id,
+        |          sum(CASE WHEN acc > 0 THEN (1::HUGEINT << b)
+        |              ELSE 0::HUGEINT END) AS uh
+        |        FROM bitsum GROUP BY 1),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN uh >= 9223372036854775808::HUGEINT
+        |              THEN CAST(uh - 18446744073709551616::HUGEINT AS BIGINT)
+        |              ELSE CAST(uh AS BIGINT) END AS s FROM sh0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.s, b.s)) <= 3""".stripMargin,
+    // q65: snapshot band tuples from the %3==0 split, shard flagged on
+    // ANY shared (band, tuple) — the incremental decision rule end to end
+    "q65_minhash_incremental" ->
+      ("""WITH framed AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |    THEN 'shared corpus text ' || CAST(doc_id % 10 AS VARCHAR)
+        |    ELSE text END AS text,
+        |    CASE WHEN doc_id % 3 = 0 THEN 's' ELSE 'd' END AS side
+        |  FROM documents),
+        |""".stripMargin + minhashSigCtes("framed") + """,
+        |snap AS (SELECT DISTINCT band, bv FROM bands WHERE side = 's'),
+        |hits AS (SELECT DISTINCT b.doc_id FROM bands b JOIN snap USING (band, bv)
+        |         WHERE b.side = 'd')
+        |SELECT f.doc_id, f.doc_id IN (SELECT doc_id FROM hits) AS dup_vs_corpus
+        |FROM framed f WHERE f.side = 'd'""".stripMargin),
+    // q81: candidates on shared bands vs the edited eval twins, best
+    // matching-row fraction, threshold verdict — the fuzzy-decontamination
+    // rule end to end
+    "q81_decontaminate_fuzzy" ->
+      ("""WITH uni AS (
+        |  SELECT 'd' AS side, doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT 'e', doc_id, text || ' benchmark answer key held out'
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |""".stripMargin + minhashSigCtes("uni") + """,
+        |cand AS (SELECT DISTINCT d.doc_id AS did, e.doc_id AS eid
+        |         FROM bands d JOIN bands e ON d.band = e.band AND d.bv = e.bv
+        |         WHERE d.side = 'd' AND e.side = 'e'),
+        |m AS (SELECT c.did, c.eid, sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS k
+        |      FROM cand c
+        |      JOIN sigs sa ON sa.side = 'd' AND sa.doc_id = c.did
+        |      JOIN sigs sb ON sb.side = 'e' AND sb.doc_id = c.eid AND sb.i = sa.i
+        |      GROUP BY 1, 2),
+        |mx AS (SELECT did, max(k) / 64.0 AS s FROM m GROUP BY 1)
+        |SELECT d.doc_id, coalesce(mx.s, 0.0) AS eval_sim,
+        |  coalesce(mx.s, 0.0) >= 0.6 AS contaminated
+        |FROM documents d LEFT JOIN mx ON d.doc_id = mx.did""".stripMargin),
+    // q12: marker-vote language ID (generated from TextOps.latinMarkers —
+    // one table feeds detector and oracle) + the poly-31 fingerprint fold;
+    // the corpus is ASCII so the script-dominance branches are vacuously
+    // un-triggered (q47/q133 exercise them with their own oracles)
+    "q12_langid_fingerprint" ->
+      ("WITH lt AS (\n" +
+        """|  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+           |    '[^\p{L}]+'), x -> x <> '') AS lt
+           |  FROM documents),
+           |tokr AS (SELECT doc_id, unnest(lt) AS w FROM lt),
+           |""".stripMargin +
+        "mk AS (SELECT * FROM " + latinMarkerValues + "),\n" +
+        """|sc AS (SELECT t.doc_id, m.lang, m.ord, count(*) AS s
+           |       FROM tokr t JOIN mk m ON t.w = m.w GROUP BY 1, 2, 3),
+           |best AS (SELECT doc_id, lang,
+           |           row_number() OVER (PARTITION BY doc_id
+           |             ORDER BY s DESC, ord ASC) AS rn
+           |         FROM sc WHERE s > 0),
+           |fp AS (SELECT doc_id,
+           |  rtrim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'), ' ') AS ns
+           |  FROM documents),
+           |fph AS (SELECT doc_id,
+           |  list_reduce([1125899906842597::HUGEINT] ||
+           |    [CAST(unicode(ns[i+1:i+1]) AS HUGEINT) for i in range(0, length(ns))],
+           |    (a, b) -> (a * 31 + b) % 18446744073709551616::HUGEINT) AS u
+           |  FROM fp),
+           |fps AS (SELECT doc_id,
+           |  CASE WHEN u >= 9223372036854775808::HUGEINT
+           |       THEN CAST(u - 18446744073709551616::HUGEINT AS BIGINT)
+           |       ELSE CAST(u AS BIGINT) END AS fingerprint FROM fph)
+           |SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang, d.lang,
+           |  f.fingerprint
+           |FROM documents d
+           |JOIN fps f ON d.doc_id = f.doc_id
+           |LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b
+           |  ON d.doc_id = b.doc_id""".stripMargin),
     "q13_quality" ->
       """SELECT doc_id,
         |  round(

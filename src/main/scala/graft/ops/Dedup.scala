@@ -138,36 +138,49 @@ object Dedup {
 
   private val WS = java.util.regex.Pattern.compile("\\s+")
 
-  /** word 3-shingles -> 64 minhashes (pure, executor-local). Shingle value =
-    * mix of the three token hashes — no per-shingle string building. */
+  /** word 3-shingles -> 64 minhashes (pure, executor-local).
+    *
+    * ENGINE-PORTABLE hash discipline (round 5): the shingle base value is
+    * the top 60 bits of md5 of the gram string — exactly
+    * `('0x' || substr(md5(g), 1, 15))::BIGINT` in DuckDB — and each of
+    * the 64 hash functions is the affine map `(a*x + b)` in plain
+    * wrapping 64-bit arithmetic followed by Scala's signed `% PRIME`,
+    * both restatable in 128-bit SQL. That makes every minhash-family
+    * surface (q06 pairs + estimates, q65 snapshot flags, q81 fuzzy
+    * decontamination) recomputable by the DuckDB oracle end to end. One
+    * md5 per DISTINCT shingle per doc (~150ns) is noise next to the
+    * bucket shuffle; the previous mix-based base saved that cost but no
+    * external engine could restate it. Signed minima are compared as-is
+    * (the SQL mirror converts to signed BIGINT before its min). */
   def minhashSignature(text: String, as: Array[Long], bs: Array[Long]): Array[Long] = {
     val sig = Array.fill(N_HASHES)(Long.MaxValue)
     if (text == null) return sig
     val raw = WS.split(text.toLowerCase(java.util.Locale.ROOT))
-    // compact + hash tokens in one pass
-    val th = new Array[Long](raw.length)
+    // compact tokens in one pass
+    val toks = new Array[String](raw.length)
     var nTok = 0
     var t = 0
     while (t < raw.length) {
-      if (raw(t).nonEmpty) {
-        var z = raw(t).hashCode.toLong * 0x9e3779b97f4a7c15L
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        th(nTok) = z ^ (z >>> 27)
-        nTok += 1
-      }
+      if (raw(t).nonEmpty) { toks(nTok) = raw(t); nTok += 1 }
       t += 1
     }
     val nShingles = math.max(nTok - 2, if (nTok == 0) 0 else 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
     var i = 0
     while (i < nShingles) {
-      val h2 = if (i + 1 < nTok) th(i + 1) else 0L
-      val h3 = if (i + 2 < nTok) th(i + 2) else 0L
-      var m = th(i) * 31 + h2
-      m = (m ^ (m >>> 29)) * 31 + h3
-      val x = (m ^ (m >>> 32)) & 0xffffffffL
+      val sb = new java.lang.StringBuilder(toks(i))
+      if (i + 1 < nTok) { sb.append(' '); sb.append(toks(i + 1)) }
+      if (i + 2 < nTok) { sb.append(' '); sb.append(toks(i + 2)) }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // top 60 bits of the digest, read big-endian = first 15 hex chars
+      var x = 0L
+      var b = 0
+      while (b < 8) { x = (x << 8) | (d(b) & 0xffL); b += 1 }
+      x = x >>> 4
       var h = 0
       while (h < N_HASHES) {
-        val v = (as(h) * x + bs(h)) % PRIME
+        val v = (as(h) * x + bs(h)) % PRIME // wraps mod 2^64, signed % PRIME
         if (v < sig(h)) sig(h) = v
         h += 1
       }
@@ -294,14 +307,25 @@ object Dedup {
   }
 
   // ---- SimHash ----------------------------------------------------------------
-  /** 64-bit SimHash over word hashes (pure, executor-local) */
+  /** 64-bit SimHash over word hashes (pure, executor-local).
+    *
+    * ENGINE-PORTABLE (round 5): the per-token hash is md5's LOW 8 digest
+    * bytes little-endian — DuckDB's `md5_number_lower` — so the q07
+    * oracle recomputes every simhash (and therefore the full brute-force
+    * hamming pair set, which the banded join provably equals for
+    * hamming <= k) from SQL alone. Per-token md5 is one digest per
+    * token occurrence; the banding/bucketing cost still dominates. */
   def simhash(text: String): Long = {
     if (text == null) return 0L
     val acc = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
     text.toLowerCase(java.util.Locale.ROOT).split("\\s+").foreach { w =>
       if (w.nonEmpty) {
-        var h = w.hashCode.toLong * 0x9e3779b97f4a7c15L
-        h ^= (h >>> 29)
+        md.reset()
+        val d = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h = 0L
+        var b = 15
+        while (b >= 8) { h = (h << 8) | (d(b) & 0xffL); b -= 1 }
         var bit = 0
         while (bit < 64) {
           if (((h >> bit) & 1L) == 1L) acc(bit) += 1 else acc(bit) -= 1
