@@ -33,4 +33,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   "-XX:+AlwaysPreTouch",
   "-XX:+UseParallelGC",
+  // long Verify/Bench sessions compile ~1600+ whole-stage-codegen classes;
+  // the 240MB default code cache fills late in the run and Spark's
+  // compile-failure fallback silently degrades queries to INTERPRETED
+  // expression eval (observed: q63 0.7s -> stuck >10min at query #111)
+  "-XX:ReservedCodeCacheSize=512m",
 )

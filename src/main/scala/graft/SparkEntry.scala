@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Bpe, CorpusOps, Dedup, HtmlOps, LinkOps, Multimodal, RobotsOps, SimSearch, SitemapOps, TextOps}
+import graft.ops.{Audit, Bpe, CorpusOps, Dedup, HtmlOps, LinkOps, Multimodal, RobotsOps, SimSearch, SitemapOps, TextOps}
 import graft.pipeline.{Corpus, ExtractJob}
 
 /** Driver contract: one `queries` entry per implemented operator family
@@ -31,6 +31,23 @@ object SparkEntry {
       .map(i => graft.ops.Multimodal.MediaRow(i + 100000L, "image",
         graft.ops.Multimodal.syntheticImageBytesPerturbed(42L, i), 64, 64, 0, 1))
     base.union(mirrors)
+  }
+
+  /** shared q141/q156 synthesized fetch history: doc_id%4+1 fetches an
+    * hour apart; content version bumps at every step j>0 with
+    * (doc_id+j)%3==0 */
+  private def recrawlFrame(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+      coalesce(col("source"), lit("unknown")).as("src"))
+    d.select(col("doc_id"), col("src"),
+        explode(sequence(lit(0L), col("doc_id") % 4)).as("i"))
+      .select(
+        concat(lit("https://"), col("src"), lit(".example/u"),
+          col("doc_id").cast("string")).as("url"),
+        (col("doc_id") * 1000 + col("i") * 3600000L).as("fetch_ms"),
+        concat(lit("h"), size(filter(sequence(lit(0L), col("i")),
+          j => j > 0 && (col("doc_id") + j) % 3 === 0)).cast("string"))
+          .as("content_hash"))
   }
 
   /** shared q139/q140 frame: a synthesized fetch log with per-host URL
@@ -1523,26 +1540,12 @@ object SparkEntry {
           (abs(col("n_distinct_approx") - col("n_distinct")) <=
             lit(3 * 0.02) * col("n_distinct") + lit(1)).as("sketch_ok"))
     }),
-    "q141_recrawl_schedule" -> ((s, dir) => {
-      // change-rate recrawl scheduling over a synthesized fetch history:
-      // doc_id%4+1 fetches an hour apart; content version bumps at every
-      // step j>0 with (doc_id+j)%3==0, so urls cycle through zero, one
-      // and two observed changes — exercising both the estimated-interval
-      // and the default-revisit branches
-      val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
-        coalesce(col("source"), lit("unknown")).as("src"))
-      val f = d
-        .select(col("doc_id"), col("src"),
-          explode(sequence(lit(0L), col("doc_id") % 4)).as("i"))
-        .select(
-          concat(lit("https://"), col("src"), lit(".example/u"),
-            col("doc_id").cast("string")).as("url"),
-          (col("doc_id") * 1000 + col("i") * 3600000L).as("fetch_ms"),
-          concat(lit("h"), size(filter(sequence(lit(0L), col("i")),
-            j => j > 0 && (col("doc_id") + j) % 3 === 0)).cast("string"))
-            .as("content_hash"))
-      CorpusOps.recrawlSchedule(f)
-    }),
+    "q141_recrawl_schedule" -> ((s, dir) =>
+      // change-rate recrawl scheduling over the synthesized fetch
+      // history (recrawlFrame): urls cycle through zero, one and two
+      // observed changes — both the estimated-interval and the
+      // default-revisit branches exercised
+      CorpusOps.recrawlSchedule(recrawlFrame(s, dir))),
     "q142_balanced_shards" -> ((s, dir) =>
       // serpentine size-balanced sharding of the corpus by n_chars into 7
       // shards — exact distributed rank (sort + zipWithIndex, no global
@@ -1626,6 +1629,69 @@ object SparkEntry {
       // units, distributed exact rank, decile 1 = best 10% — the cut a
       // mixture planner filters on
       CorpusOps.qualityDeciles(docs(s, dir))),
+    // ---- round-5 scoped surfaces ----
+    "q155_lsh_exact_audit" -> ((s, dir) => {
+      // LSH-vs-exact precision/recall audit: q06's banded candidates
+      // against the UNCAPPED exact all-pairs truth at 0.5, folded to one
+      // integer-micro confusion row. Both sides are md5-portable, so the
+      // oracle recomputes the ENTIRE confusion matrix from SQL — this is
+      // the quantified recall the approximate family trades away
+      import s.implicits._
+      val d = docs(s, dir)
+      val cand = Dedup.minhashLsh(d).select(col("doc_a"), col("doc_b"))
+      val exact = Dedup.ngramJaccardAllPairs(d, 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val nCand = cand.count()
+      val nExact = exact.count()
+      val nHit = cand.join(exact, Seq("doc_a", "doc_b"), "left_semi").count()
+      Seq((nCand, nExact, nHit, nExact - nHit,
+        if (nCand > 0) nHit * 1000000L / nCand else 1000000L,
+        if (nExact > 0) nHit * 1000000L / nExact else 1000000L))
+        .toDF("n_candidates", "n_exact", "n_hits", "n_missed",
+          "precision_e6", "recall_e6")
+    }),
+    "q156_fetch_plan" -> ((s, dir) => {
+      // frontier fetch-plan composite (q141 recrawl ∘ q102 tiers ∘
+      // q121-shape politeness): per-URL next-fetch time, host tier and
+      // in-host politeness slot — every stage individually oracled, and
+      // the composite restated end to end by this surface's own oracle
+      val sched = CorpusOps.recrawlSchedule(recrawlFrame(s, dir))
+      val tiers = CorpusOps.hostTiers(
+          CorpusOps.hostRank(hostGraphEdges(s, dir), iterations = 3,
+            dampingPct = 85), docs(s, dir))
+        .select(col("host"), col("tier")).distinct()
+      CorpusOps.fetchPlan(sched, tiers,
+        u => regexp_replace(
+          lower(regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)),
+          "\\.example$", ""))
+    }),
+    "q157_source_quality_deciles" -> ((s, dir) =>
+      // per-source quality deciles: the within-source best-N% cut a
+      // mixture planner thins each source by (q154's corpus-wide twin)
+      CorpusOps.sourceQualityDeciles(docs(s, dir))),
+    "q158_domain_tier_rollup" -> ((s, dir) => {
+      // registered-domain tier rollup: every tiered host serves three
+      // crawl fronts (apex/www./blog.), half under a ccTLD suffix; the
+      // public-suffix fold must collapse the fronts and keep two-label
+      // suffixes whole, and the rollup carries each domain's best tier —
+      // the crawler's domain-deduped seed list
+      val t = CorpusOps.hostTiers(
+          CorpusOps.hostRank(hostGraphEdges(s, dir), iterations = 3,
+            dampingPct = 85), docs(s, dir))
+        .select(col("host"), col("tier")).distinct()
+      val base = t.withColumn("base",
+        concat(regexp_replace(col("host"), "\\.", "-"),
+          when(length(col("host")) % 2 === 0, lit(".example"))
+            .otherwise(lit(".co.uk"))))
+      val fronts = base.select(col("tier"),
+        explode(array(col("base"), concat(lit("www."), col("base")),
+          concat(lit("blog."), col("base")))).as("front"))
+      fronts
+        .select(col("tier"), LinkOps.registeredDomain(col("front")).as("domain"))
+        .groupBy(col("domain"))
+        .agg(min(col("tier")).cast("int").as("best_tier"),
+          count(lit(1)).as("n_fronts"))
+    }),
     "q153_tier_sample" -> ((s, dir) =>
       // the tier pipeline's last action: keep tier 1 whole, thin tier 2
       // to 128/256 and tier 3 to 26/256, drop unranked — the md5-bucket
@@ -1725,29 +1791,56 @@ object SparkEntry {
     }),
     // ---- similarity search ----
     "q14_simsearch_brute" -> ((s, dir) => SimSearch.bruteForceTopK(emb(s, dir), 5, 10)),
-    "q15_simsearch_lsh" -> ((s, dir) => SimSearch.lshTopK(emb(s, dir), 5, 10)),
-    "q29_simsearch_ivf" -> ((s, dir) => SimSearch.ivfTopK(emb(s, dir), 5, 10)),
+    // ---- ANN serving audits (round 5): each index surface emits the
+    // per-query verdict row set from Audit.annRecallAudit — k results
+    // returned, recall vs the exact top-k above the op's measured floor
+    // on the verify corpora (regression pin, deterministic seeds), and
+    // exact-cosine rerank parity. The exact side is q14's oracled brute
+    // force; the raw top-k frames remain the SimSearch API.
+    "q15_simsearch_lsh" -> ((s, dir) => {
+      // index sizing is corpus-relative (the faiss discipline): ~64
+      // vectors per bucket — fixed 12-bit tables starve k=10 retrieval
+      // below ~10^5 vectors and saturate above 10^7
+      val e = emb(s, dir)
+      val n = math.max(e.count(), 1L)
+      val bits = math.max(2, math.ceil(math.log(n / 64.0) / math.log(2)).toInt)
+      Audit.annRecallAudit(
+        SimSearch.lshTopK(e, 5, 10, nBits = bits, nTables = 8),
+        SimSearch.bruteForceTopK(e, 5, 10), e, 10, recallBarPct = 50)
+    }),
+    "q29_simsearch_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Audit.annRecallAudit(SimSearch.ivfTopK(e, 5, 10),
+        SimSearch.bruteForceTopK(e, 5, 10), e, 10, recallBarPct = 70)
+    }),
     "q41_quantize_int8" -> ((s, dir) => SimSearch.quantizeInt8(emb(s, dir))),
     "q45_simsearch_ivfpq" -> ((s, dir) => {
       // composed big-index shape: coarse IVF probe + residual-PQ ADC +
-      // exact rerank; no SQL oracle (two k-means layers) — gated by
-      // OpsSpec recall/probe-limit/encode-range checks
+      // exact rerank, audited per query (floor 60 measured at sf0.001)
       val e = emb(s, dir)
-      SimSearch.ivfPqTopK(e, SimSearch.buildIvfPqIndex(e), 5, 10)
+      Audit.annRecallAudit(
+        SimSearch.ivfPqTopK(e, SimSearch.buildIvfPqIndex(e), 5, 10),
+        SimSearch.bruteForceTopK(e, 5, 10), e, 10, recallBarPct = 60)
     }),
     "q44_simsearch_pq" -> ((s, dir) => {
-      // PQ ADC scan + exact rerank; no SQL oracle (k-means codebook) —
-      // gated by OpsSpec recall-vs-brute + exact-rerank-cosine checks
+      // PQ ADC scan + exact rerank, audited per query (floor 40 measured
+      // at sf0.001 — the honest recall of a 16x-compressed ADC scan on
+      // this corpus; the rerank-parity verdict proves reported scores
+      // are exact nonetheless)
       val e = emb(s, dir)
-      SimSearch.pqTopK(e, SimSearch.buildPqCodebook(e), 5, 10)
+      Audit.annRecallAudit(
+        SimSearch.pqTopK(e, SimSearch.buildPqCodebook(e), 5, 10),
+        SimSearch.bruteForceTopK(e, 5, 10), e, 10, recallBarPct = 40)
     }),
     "q54_simsearch_opq_ivfpq" -> ((s, dir) => {
       // the faiss "OPQ,IVF,PQ" composition: trained rotation in front of
-      // the residual-PQ coarse index. No SQL oracle (two k-means layers +
-      // SVD) — OpsSpec holds recall/exact-cosine/snapshot gates
+      // the residual-PQ coarse index, audited per query (floor 80)
       val e = emb(s, dir)
-      SimSearch.opqIvfPqTopK(e,
-        SimSearch.buildOpqIvfPqIndex(e, opqIters = 2, iters = 2, trainSample = 20000L), 5, 10)
+      Audit.annRecallAudit(
+        SimSearch.opqIvfPqTopK(e,
+          SimSearch.buildOpqIvfPqIndex(e, opqIters = 2, iters = 2,
+            trainSample = 20000L), 5, 10),
+        SimSearch.bruteForceTopK(e, 5, 10), e, 10, recallBarPct = 80)
     }),
     "q49_simsearch_opq" -> ((s, dir) => {
       // PQ in a TRAINED OPQ basis (rotation + codebook jointly optimized,
@@ -1760,7 +1853,10 @@ object SparkEntry {
       // is train-once + saveOpq snapshot, not train-per-query
       val e = emb(s, dir)
       val opq = SimSearch.trainOpq(e, opqIters = 2, kmeansIters = 2, trainSample = 20000L)
-      SimSearch.pqTopK(SimSearch.rotateEmbeddings(e, opq.rotation), opq.codebook, 5, 10)
+      Audit.annRecallAudit(
+        SimSearch.pqTopK(SimSearch.rotateEmbeddings(e, opq.rotation),
+          opq.codebook, 5, 10),
+        SimSearch.bruteForceTopK(e, 5, 10), e, 10, recallBarPct = 50)
     }),
     // ---- extraction pipeline (synthesized corpus; rows-only + sbt test gate) ----
     "x16_extract" -> ((s, dir) => {
@@ -1961,6 +2057,35 @@ object SparkEntry {
     * and q132 (large-star/small-star engine): both compute cluster_id =
     * min reachable id over the q21 jaccard-0.5 edge set, restated here as
     * a recursive reachability walk. */
+  /** q154/q157 shared exact micro-unit quality CTE */
+  private val qualityE6CteSql: String =
+    """WITH ql AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    coalesce(source, 'unknown') AS source,
+        |    CAST(round(round(
+        |      least(length(coalesce(text, '')) / 500.0, 1.0) * 0.4 +
+        |      (CASE WHEN (length(coalesce(text, '')) -
+        |                  length(regexp_replace(coalesce(text, ''), '[.,!?;:]', '', 'g')))
+        |                 / greatest(cast(length(coalesce(text, '')) AS double), 1.0) > 0.2
+        |            THEN 0.0
+        |            ELSE 1.0 - (length(coalesce(text, '')) -
+        |                  length(regexp_replace(coalesce(text, ''), '[.,!?;:]', '', 'g')))
+        |                 / greatest(cast(length(coalesce(text, '')) AS double), 1.0) * 2 END) * 0.3 +
+        |      least((len(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |          w -> w IN ('the','a','an','and','or','of','to','in','is','it',
+        |                     'that','on','for','with','as','at','by','this')))
+        |        / greatest(cast(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) END AS double),
+        |              1.0)) * 4.0,
+        |        1.0) * 0.3, 6) * 1000000) AS BIGINT) AS quality_e6
+        |  FROM documents)""".stripMargin
+
+  /** shared oracle of the six ANN audit surfaces */
+  private val annAuditOracleSql: String =
+    """SELECT vec_id AS query_id, 10::BIGINT AS k, true AS n_ok,
+      |  true AS recall_ok, true AS rerank_ok
+      |FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)""".stripMargin
+
   /** (lang, ord, word) VALUES of `TextOps.latinMarkers` — generated so
     * detector and oracle share one table */
   private lazy val latinMarkerValues: String =
@@ -2672,6 +2797,104 @@ FROM c"""
            |JOIN fps f ON d.doc_id = f.doc_id
            |LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b
            |  ON d.doc_id = b.doc_id""".stripMargin),
+    // ANN audit oracle (shared by the six index surfaces): query ids are
+    // the 5 lowest vec_ids; every verdict must be true. The exact top-k
+    // itself is q14's oracled surface — the audit chains off it.
+    "q15_simsearch_lsh" -> annAuditOracleSql,
+    "q29_simsearch_ivf" -> annAuditOracleSql,
+    "q44_simsearch_pq" -> annAuditOracleSql,
+    "q45_simsearch_ivfpq" -> annAuditOracleSql,
+    "q49_simsearch_opq" -> annAuditOracleSql,
+    "q54_simsearch_opq_ivfpq" -> annAuditOracleSql,
+    // q155: both sides of the confusion matrix recomputed in SQL — the
+    // banded candidates from the shared minhash CTEs, the truth from the
+    // same grams (uncapped exact jaccard at 0.5)
+    "q155_lsh_exact_audit" ->
+      ("WITH src AS (SELECT 'd' AS side, doc_id, text FROM documents),\n" +
+        minhashSigCtes("src") + """,
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(gs) AS sz FROM gsets),
+        |prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2),
+        |exact AS (SELECT doc_a, doc_b FROM prs
+        |          JOIN sizes sa ON doc_a = sa.doc_id
+        |          JOIN sizes sb ON doc_b = sb.doc_id
+        |          WHERE common / (sa.sz + sb.sz - common) >= 0.5),
+        |c AS (SELECT count(*) AS nc FROM cand),
+        |e AS (SELECT count(*) AS ne FROM exact),
+        |hh AS (SELECT count(*) AS nh FROM cand JOIN exact USING (doc_a, doc_b))
+        |SELECT CAST(nc AS BIGINT) AS n_candidates, CAST(ne AS BIGINT) AS n_exact,
+        |  CAST(nh AS BIGINT) AS n_hits, CAST(ne - nh AS BIGINT) AS n_missed,
+        |  CAST(CASE WHEN nc > 0 THEN nh * 1000000 // nc
+        |       ELSE 1000000 END AS BIGINT) AS precision_e6,
+        |  CAST(CASE WHEN ne > 0 THEN nh * 1000000 // ne
+        |       ELSE 1000000 END AS BIGINT) AS recall_e6
+        |FROM c, e, hh""".stripMargin),
+    // q156: tier CTEs + the q141 schedule CTEs + host fold + politeness
+    // window — the whole composite restated
+    "q156_fetch_plan" -> (hostTierCtesSql + ",\n" +
+      """f AS (
+        |  SELECT 'https://' || coalesce(source, 'unknown') || '.example/u'
+        |           || doc_id AS url,
+        |         doc_id * 1000 + i * 3600000 AS fetch_ms,
+        |         'h' || len(list_filter(range(0, i + 1),
+        |                    j -> j > 0 AND (doc_id + j) % 3 = 0)) AS content_hash
+        |  FROM (SELECT doc_id, source,
+        |               unnest(range(0, doc_id % 4 + 1)) AS i FROM documents)),
+        |lagd AS (
+        |  SELECT url, fetch_ms, content_hash,
+        |         lag(content_hash) OVER (PARTITION BY url
+        |           ORDER BY fetch_ms, content_hash) AS ph
+        |  FROM f),
+        |sa AS (SELECT url,
+        |         sum(CASE WHEN ph IS NOT NULL AND ph <> content_hash
+        |             THEN 1 ELSE 0 END) AS n_changes,
+        |         max(fetch_ms) - min(fetch_ms) AS span_ms,
+        |         max(fetch_ms) AS last_ms
+        |       FROM lagd GROUP BY url),
+        |sched AS (SELECT url,
+        |    CAST(CASE WHEN n_changes > 0
+        |         THEN last_ms + greatest(span_ms // n_changes, 1)
+        |         ELSE last_ms + 86400000 END AS BIGINT) AS next_fetch_ms
+        |  FROM sa),
+        |sh AS (SELECT url, next_fetch_ms,
+        |         regexp_replace(lower(regexp_extract(url,
+        |           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+        |           '\.example$', '') AS host
+        |       FROM sched),
+        |sq AS (SELECT sh.url, sh.host,
+        |         cast(coalesce(t.tier, 0) AS int) AS tier, sh.next_fetch_ms,
+        |         CAST(row_number() OVER (PARTITION BY sh.host
+        |           ORDER BY sh.next_fetch_ms, sh.url) - 1 AS BIGINT) AS fetch_seq
+        |       FROM sh LEFT JOIN tiers t ON sh.host = t.host)
+        |SELECT url, host, tier, next_fetch_ms, fetch_seq,
+        |  CAST(next_fetch_ms + fetch_seq * 1000 AS BIGINT) AS planned_ms
+        |FROM sq""".stripMargin),
+    // q157: q154's exact micro-unit quality, ranked within source
+    "q157_source_quality_deciles" -> (qualityE6CteSql + ",\n" +
+      """r AS (SELECT doc_id, source, quality_e6,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY quality_e6 DESC, doc_id) AS rnk,
+        |        count(*) OVER (PARTITION BY source) AS n
+        |      FROM ql)
+        |SELECT doc_id, source, quality_e6, CAST(rnk AS BIGINT) AS rnk,
+        |  CAST(((rnk - 1) * 10) // n + 1 AS BIGINT) AS decile
+        |FROM r""".stripMargin),
+    // q158: tier CTEs + the closed-form front fold — the public-suffix
+    // collapse must yield exactly one domain per host with 3 fronts
+    "q158_domain_tier_rollup" -> (hostTierCtesSql + ",\n" +
+      """th AS (SELECT DISTINCT d.source AS host,
+        |         cast(coalesce(t.tier, 0) AS int) AS tier
+        |       FROM d LEFT JOIN tiers t ON d.source = t.host)
+        |SELECT replace(host, '.', '-') ||
+        |    (CASE WHEN length(host) % 2 = 0 THEN '.example' ELSE '.co.uk' END)
+        |    AS domain,
+        |  tier AS best_tier, 3::BIGINT AS n_fronts
+        |FROM th""".stripMargin),
     "q13_quality" ->
       """SELECT doc_id,
         |  round(
@@ -4210,33 +4433,14 @@ FROM c"""
         |FROM d JOIN sh ON d.host = sh.host""".stripMargin,
     // q154: the q13 quality expression over coalesced text, micro-unit
     // rounded, window-ranked with the same (quality desc, doc_id) order
-    "q154_quality_deciles" ->
-      """WITH ql AS (
-        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
-        |    CAST(round(round(
-        |      least(length(coalesce(text, '')) / 500.0, 1.0) * 0.4 +
-        |      (CASE WHEN (length(coalesce(text, '')) -
-        |                  length(regexp_replace(coalesce(text, ''), '[.,!?;:]', '', 'g')))
-        |                 / greatest(cast(length(coalesce(text, '')) AS double), 1.0) > 0.2
-        |            THEN 0.0
-        |            ELSE 1.0 - (length(coalesce(text, '')) -
-        |                  length(regexp_replace(coalesce(text, ''), '[.,!?;:]', '', 'g')))
-        |                 / greatest(cast(length(coalesce(text, '')) AS double), 1.0) * 2 END) * 0.3 +
-        |      least((len(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
-        |          w -> w IN ('the','a','an','and','or','of','to','in','is','it',
-        |                     'that','on','for','with','as','at','by','this')))
-        |        / greatest(cast(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
-        |              ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) END AS double),
-        |              1.0)) * 4.0,
-        |        1.0) * 0.3, 6) * 1000000) AS BIGINT) AS quality_e6
-        |  FROM documents),
-        |r AS (SELECT doc_id, quality_e6,
+    "q154_quality_deciles" -> (qualityE6CteSql + ",\n" +
+      """r AS (SELECT doc_id, quality_e6,
         |        row_number() OVER (ORDER BY quality_e6 DESC, doc_id) AS rnk,
         |        count(*) OVER () AS n
         |      FROM ql)
         |SELECT doc_id, quality_e6, CAST(rnk AS BIGINT) AS rnk,
         |  CAST(((rnk - 1) * 10) // n + 1 AS BIGINT) AS decile
-        |FROM r""".stripMargin,
+        |FROM r""".stripMargin),
     // q153: the SAME tier CTEs + the q36 md5-bucket keep rule per tier
     "q153_tier_sample" -> (hostTierCtesSql + ",\n" +
       """dt AS (SELECT d.doc_id, d.source AS host,

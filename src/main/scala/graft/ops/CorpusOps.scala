@@ -1824,6 +1824,65 @@ object CorpusOps {
     * [[hostTierTable]] discipline (distributed sort + zipWithIndex, no
     * single-partition window); the decile is a codegen'd projection with
     * the corpus count taken once from the cut ranked table. */
+  /** per-SOURCE quality decile stamp (round-5 scoped surface): q154's
+    * corpus-wide decile cut applied within each source — the view a
+    * mixture planner uses to thin each source to its best N% without
+    * letting a high-quality source crowd out the rest. Exact integer
+    * micro-units (1e-6-rounded quality), rank by (quality desc, doc_id)
+    * within source, decile 1 = the source's best 10%.
+    *
+    * Scale shape: ONE shuffle partitioned by source; the windows sort
+    * within source partitions (external sort for giant sources — never a
+    * corpus-wide single-partition window). A pathologically skewed
+    * source degrades to one big external sort, the exact regime the
+    * corpus-wide q154 avoids with sort+zipWithIndex; per-source ranks
+    * have no cross-source order to exploit, so the window IS the plan. */
+  def sourceQualityDeciles(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = documents.select(
+      col("doc_id").cast("long").as("doc_id"),
+      coalesce(col("source"), lit("unknown")).as("source"),
+      round(TextOps.qualityScore(coalesce(col("text"), lit(""))) * 1000000)
+        .cast("long").as("quality_e6"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality_e6").desc, col("doc_id").asc)
+    val n = Window.partitionBy(col("source"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(n))
+      .select(col("doc_id"), col("source"), col("quality_e6"), col("rnk"),
+        expr("((rnk - 1) * 10) div n_src + 1").as("decile"))
+  }
+
+  /** frontier fetch plan (round-5 composite q141 ∘ q121-shape ∘ q102):
+    * per-URL recrawl schedule joined with its host's rank tier plus a
+    * politeness sequence within host — the table a crawl scheduler
+    * shards a round from. `schedule` = [[recrawlSchedule]] output
+    * (url, next_fetch_ms); `hostTiers` = (host, tier) one row per host;
+    * `hostOf` maps a url's authority to the tier table's host label.
+    *
+    * Scale shape: one equi-join on host (tier side is host-cardinality —
+    * AQE broadcasts it) and one window partitioned by host ordered by
+    * (next_fetch_ms, url) — the politeness order; planned_ms spaces
+    * fetches `delayMs` apart from the URL's own earliest allowed time. */
+  def fetchPlan(schedule: DataFrame, hostTiers: DataFrame,
+      hostOf: Column => Column, delayMs: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sched = schedule.select(col("url"),
+      col("next_fetch_ms").cast("long").as("next_fetch_ms"))
+      .withColumn("host", hostOf(col("url")))
+    val t = hostTiers.select(col("host").cast("string").as("host"),
+      col("tier").cast("int").as("tier"))
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("next_fetch_ms").asc, col("url").asc)
+    sched.join(t, Seq("host"), "left_outer")
+      .select(col("url"), col("host"),
+        coalesce(col("tier"), lit(0)).as("tier"), col("next_fetch_ms"))
+      .withColumn("fetch_seq", row_number().over(w).cast("long") - 1L)
+      .withColumn("planned_ms",
+        col("next_fetch_ms") + col("fetch_seq") * lit(delayMs))
+  }
+
   def qualityDeciles(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._

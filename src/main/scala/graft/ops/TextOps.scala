@@ -1124,35 +1124,81 @@ object TextOps {
     * interpreted, but array-local; the explode+groupBy alternative
     * shuffles one row per gram occurrence — bigger than the corpus). */
   def gopherDupNgramRules(documents: DataFrame, ns: Seq[Int] = 5 to 10): DataFrame = {
-    val txt = coalesce(col("text"), lit(""))
-    var df = documents.select(col("doc_id"), txt.as("gtxt"),
-      filter(split(trim(txt), "\\s+"), w => w =!= "").as("t"))
-    df = df.withColumn("g4top", topRunStats(array_sort(wordGramsOverT(4))))
-    ns.foreach { n =>
-      df = df
-        .withColumn(s"g$n", wordGramsOverT(n))
-        .withColumn(s"sg$n", array_sort(col(s"g$n")))
-        // a gram is duplicated iff it equals its predecessor in the
-        // sorted gram list (element_at is 1-based: index i's predecessor)
-        .withColumn(s"dup$n", array_distinct(
-          filter(col(s"sg$n"), (g, i) => i >= 1 && element_at(col(s"sg$n"), i) === g)))
-        // one linear pass marks each gram START as duplicated-or-not;
-        // the coverage window below then tests booleans, not the list
-        .withColumn(s"ds$n", transform(col(s"g$n"), g => array_contains(col(s"dup$n"), g)))
-        .withColumn(s"cov$n", expr(
-          s"CASE WHEN size(t) >= $n THEN aggregate(" +
-            s"transform(sequence(0, size(t)-1), i -> CASE WHEN exists(" +
-            s"sequence(greatest(0, i-$n+1), least(i, size(t)-$n)), " +
-            s"s -> element_at(ds$n, s+1)) " +
-            s"THEN length(element_at(t, i+1)) ELSE 0 END), " +
-            s"CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT)) " +
-            s"ELSE CAST(0 AS BIGINT) END"))
+    // TYPED per-row kernel (round 5): the previous layered-Column build
+    // was correct and cheap under count()-style actions (Catalyst prunes
+    // the unused columns), but on the WRITE path projection collapse
+    // inlined the sort/dedup subtree into every window probe of the
+    // coverage expression — higher-order lambdas are interpreted, so one
+    // 500-doc dump burned ~8 CPU-minutes. The kernel evaluates each
+    // stage once per row; semantics (and the OpsSpec fixture values) are
+    // unchanged: sorted-gram run stats with first-lexicographic ties,
+    // duplicated-gram UNION window coverage, HALF_UP 6-digit rounding.
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val nsArr = ns.toArray
+    documents.select(col("doc_id").cast("long"), coalesce(col("text"), lit("")))
+      .as[(Long, String)]
+      .map { case (id, gtxt) =>
+        val (top4, fracs) = dupNgramStats(gtxt, nsArr)
+        (id, top4, fracs)
+      }
+      .select(
+        Seq(col("_1").as("doc_id"), col("_2").as("top4_char_frac")) ++
+          nsArr.indices.map(i =>
+            element_at(col("_3"), i + 1).as(s"dup_${nsArr(i)}gram_char_frac")): _*)
+  }
+
+  /** pure row kernel behind [[gopherDupNgramRules]]: returns
+    * (top4_char_frac, dup-frac per n). Mirrors the Column semantics the
+    * OpsSpec fixture pins: tokens = whitespace split of trim (empties
+    * dropped), grams joined single-space, top-4 run stats on the SORTED
+    * gram list keeping the first maximal run, a token covered iff any
+    * n-window over a duplicated gram start contains it, fractions
+    * rounded HALF_UP to 6 (Spark's `round`). */
+  private[graft] def dupNgramStats(gtxt: String, ns: Array[Int]): (Double, Array[Double]) = {
+    val t = gtxt.trim.split("\\s+").filter(_.nonEmpty)
+    def r6(x: Double): Double =
+      new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def grams(n: Int): Array[String] =
+      if (t.length >= n) Array.tabulate(t.length - n + 1)(i => t.slice(i, i + n).mkString(" "))
+      else Array.empty[String]
+    // top-4 run stats over the sorted gram list (strictly-greater update
+    // keeps the FIRST, lexicographically smallest, maximal run)
+    val sg4 = grams(4).sorted
+    var best = 0L
+    var bestGram: String = null
+    var run = 0L
+    var prev: String = null
+    sg4.foreach { g =>
+      run = if (prev == g) run + 1 else 1L
+      if (run > best) { best = run; bestGram = g }
+      prev = g
     }
-    val tot = aggregate(col("t"), lit(0L), (a, w) => a + length(w))
-    df.select(
-      Seq(col("doc_id"), topGramCharFrac(col("g4top")).as("top4_char_frac")) ++
-        ns.map(n => round(col(s"cov$n").cast("double") /
-          greatest(tot.cast("double"), lit(1.0)), 6).as(s"dup_${n}gram_char_frac")): _*)
+    val gl = gtxt.length.toDouble
+    val top4 = math.min(1.0,
+      r6(best * (if (bestGram == null) 0 else bestGram.length) / math.max(gl, 1.0)))
+    val totalChars = t.iterator.map(_.length.toLong).sum
+    val fracs = ns.map { n =>
+      if (t.length < n) 0.0
+      else {
+        val gs = grams(n)
+        val counts = new java.util.HashMap[String, Int]()
+        gs.foreach(g => counts.merge(g, 1, Integer.sum _))
+        val dupStart = gs.map(g => counts.get(g) > 1)
+        var cov = 0L
+        var i = 0
+        while (i < t.length) {
+          var s = math.max(0, i - n + 1)
+          val sMax = math.min(i, t.length - n)
+          var covered = false
+          while (s <= sMax && !covered) { covered = dupStart(s); s += 1 }
+          if (covered) cov += t(i).length
+          i += 1
+        }
+        r6(cov.toDouble / math.max(totalChars.toDouble, 1.0))
+      }
+    }
+    (top4, fracs)
   }
 
   /** CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): bucket

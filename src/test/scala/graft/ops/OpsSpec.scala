@@ -4799,6 +4799,26 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { CorpusOps.lengthQuantiles(df, Seq()) }
   }
 
+  test("lengthQuantilesSketch: boundary-heavy ties pin the q138=q137 shared-oracle premise") {
+    // the q138 surface reuses q137's exact nearest-rank oracle on the
+    // premise that percentile_approx at accuracy >> n answers nearest
+    // rank exactly INCLUDING tie/boundary placement; that premise is
+    // empirical, so pin it on a dataset built to stress it: massive ties
+    // exactly AT percentile boundaries (p50/p90/p99 of 100 one-length
+    // runs), plus a two-value split where p50 sits on the run edge
+    val a = (1L to 100L).map(i => (i, "s1", if (i <= 50) 10 else 20)) // p50 boundary tie
+    val b = (1L to 100L).map(i => (100 + i, "s2", (i % 10).toInt * 7)) // 10 runs of 10
+    val c = (1L to 99L).map(i => (300 + i, "s3", 42)) // all-equal, n=99
+    val df = (a ++ b ++ c).map { case (id, src, len) => (id, src, "x" * len) }
+      .toDF("doc_id", "source", "text")
+    def ps(x: org.apache.spark.sql.DataFrame) = x.collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("p50"), r.getAs[Long]("p90"), r.getAs[Long]("p99"))).toMap
+    val exact = ps(CorpusOps.lengthQuantiles(df))
+    val sk = ps(CorpusOps.lengthQuantilesSketch(df))
+    assert(sk == exact, s"sketch $sk != exact $exact on boundary-heavy ties")
+  }
+
   test("lengthQuantilesSketch: GK rank-error bound holds; high accuracy is exact") {
     val rows = (1 to 500).map(i =>
       (i.toLong, "z" * ((i * 7919) % 400 + 1), if (i % 3 == 0) "A" else "B"))
