@@ -797,13 +797,15 @@ object SparkEntry {
       RobotsOps.robotsFilter(urls, RobotsOps.parseRobots(robots))
     }),
     "q126_jaccard_prefix" -> ((s, dir) =>
-      // prefix-filtered all-pairs similarity self-join (SSJoin/PPJoin):
+      // prefix-filtered all-pairs similarity self-join (SSJoin/PPJoin),
       // VALUE-IDENTICAL to q21 by the lossless prefix-filter theorem —
-      // the shared oracle is the equality gate; what changes is the
-      // plan (candidate join over rarest-first prefixes only, exact
-      // candidate-bounded verify) — the q113/q114 exact-vs-sketch
-      // discipline applied to the similarity join
-      Dedup.ngramJaccardPrefix(docs(s, dir), 0.5, maxDf = 100)),
+      // the shared oracle is the equality gate. Round 5: the surface
+      // routes through the measured-crossover dispatcher — at t=0.5 the
+      // prefix machinery costs more than it saves at every measured
+      // scale (BASELINE.md), so this resolves to the plain inverted-
+      // index join; the prefix plan serves the t>=0.7 regime and stays
+      // value-gated by the OpsSpec identity test
+      Dedup.ngramJaccardAuto(docs(s, dir), 0.5, maxDf = 100)),
     "q124_triangles" -> ((s, dir) =>
       // per-node triangle count + clustering coefficient (degree-ordered
       // node-iterator) over the synthesized chain+spokes+clique doc

@@ -28,7 +28,7 @@ object JacCross {
           concat(col("text"), lit(" copytag"), col("rep")).as("text"))
     }
     def once(f: => Long): Double = { val t0=System.nanoTime(); f; (System.nanoTime()-t0)/1e9 }
-    for (k <- Seq(1, 4, 8); t <- Seq(0.5, 0.8)) {
+    for ((k, t) <- Seq((1, 0.5), (1, 0.8), (4, 0.5), (4, 0.8), (8, 0.8))) {
       val c = c0(corpus(k))
       // warmup both once, then interleaved reps
       graft.ops.Dedup.ngramJaccardAllPairs(c, t, 100).count()

@@ -857,6 +857,21 @@ class OpsSpec extends AnyFunSuite {
     assert(!capped.exists(r => r.getAs[Long]("doc_b") < 30L))
   }
 
+  test("ngramJaccardAuto: dispatches by threshold, value-identical on both routes") {
+    val df = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g x"),
+      (3L, "p q r s t u v w"), (4L, "p q r s t u v w"),
+      (5L, "z z z y y y x x")).toDF("doc_id", "text")
+    def pairs(x: org.apache.spark.sql.DataFrame) = x.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    for (t <- Seq(0.5, 0.8)) {
+      val auto = pairs(Dedup.ngramJaccardAuto(df, t))
+      assert(auto == pairs(Dedup.ngramJaccardAllPairs(df, t)), s"t=$t vs allpairs")
+      assert(auto == pairs(Dedup.ngramJaccardPrefix(df, t)), s"t=$t vs prefix")
+    }
+  }
+
   test("prefix-filtered jaccard: value-identical to the full inverted index") {
     def asSet(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
       (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
