@@ -26,11 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
   // fixed, pre-touched heap: on this sandbox's microVM, heap-growth page
   // faults at high thread counts cost minutes of guest-kernel time and
   // destroy scaling (measured: local[32] 10k -> 71k docs/s with pre-touch)
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
   "-XX:+AlwaysPreTouch",
   "-XX:+UseParallelGC",
   // long Verify/Bench sessions compile ~1600+ whole-stage-codegen classes;
