@@ -15,7 +15,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "20000").toLong
+    // 100k default (round 5): at 20k docs the extraction job is ~50ms of
+    // compute inside ~0.5s of per-job fixed cost, so the docs/sec
+    // headline measured scheduler constants, not the engine (isolated
+    // fresh-JVM 20k runs: 24-35k docs/s; the SAME jar at 2.4M docs:
+    // 449k docs/s at local[32] — BASELINE.md round 5). 100k keeps the
+    // bench fast while the measurement is mostly engine.
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "100000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
