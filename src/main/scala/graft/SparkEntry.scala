@@ -738,8 +738,9 @@ object SparkEntry {
       // shift-resistance gates). Small chunk params: synthetic docs are
       // short; defaults target real web payloads
       val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"))
-      val ch = Dedup.cdcChunks(docs(s, dir), minSize = 32, avgBits = 6,
-        maxSize = 1024)
+      val (minSz, maxSz) = (32, 1024) // ONE binding feeds chunker + bounds
+      val ch = Dedup.cdcChunks(docs(s, dir), minSize = minSz, avgBits = 6,
+        maxSize = maxSz)
       val per = ch.groupBy(col("doc_id")).agg(
         sum(col("len")).cast("long").as("n_bytes"),
         sort_array(collect_list(struct(col("start"), col("len")))).as("iv"),
@@ -749,9 +750,9 @@ object SparkEntry {
             "(acc, x) -> named_struct('pos', x.start + x.len, " +
             "'ok', acc.ok AND x.start = acc.pos), a -> a.ok)")
             .as("tiles"),
-          (col("max_len") <= 1024 && expr(
+          (col("max_len") <= maxSz && expr(
             "coalesce(array_min(transform(slice(iv, 1, size(iv) - 1), " +
-              "x -> x.len)), 2147483647) >= 32")).as("bounds"))
+              s"x -> x.len)), 2147483647) >= $minSz")).as("bounds"))
       d.join(per, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_bytes"), lit(0L)).as("n_bytes"),
@@ -1534,13 +1535,14 @@ object SparkEntry {
       // the HLL++ twin AUDITED in-surface: exact per-host cardinalities
       // (the q139 oracle recomputes them) + a 3*rsd-bound verdict on the
       // sketch estimate — a host outside the published bound reds the row
+      val rsd = 0.02 // ONE binding feeds the sketch call and its bound
       val ex = CorpusOps.hostCardinality(cardinalityUrls(s, dir))
-      val sk = CorpusOps.hostCardinalitySketch(cardinalityUrls(s, dir))
+      val sk = CorpusOps.hostCardinalitySketch(cardinalityUrls(s, dir), rsd)
         .select(col("host"), col("n_distinct_approx"))
       ex.join(sk, Seq("host"))
         .select(col("host"), col("n_urls"), col("n_distinct"),
           (abs(col("n_distinct_approx") - col("n_distinct")) <=
-            lit(3 * 0.02) * col("n_distinct") + lit(1)).as("sketch_ok"))
+            lit(3 * rsd) * col("n_distinct") + lit(1)).as("sketch_ok"))
     }),
     "q141_recrawl_schedule" -> ((s, dir) =>
       // change-rate recrawl scheduling over the synthesized fetch
@@ -1588,7 +1590,7 @@ object SparkEntry {
       // and was the suite's slowest surface. The brute-force join stays
       // as this surface's DuckDB oracle (and as the q09/q14 exact
       // baselines), so a recall miss reds the row: 12-bit mean-centered
-      // signatures x 16 tables hold recall 1.0 on the corpus's 0.96+
+      // signatures x 32 tables hold recall 1.0 on the corpus's 0.96+
       // near-dup band at both verify scales (deterministic seed;
       // plan-gated no-block-join in PlanSpec). Centering is what makes
       // LSH work on RAW hashed-count vectors (max bucket 1830 -> 283 at
@@ -2690,9 +2692,12 @@ FROM c"""
     "q06_minhash_lsh" ->
       ("WITH src AS (SELECT 'd' AS side, doc_id, text FROM documents),\n" +
         minhashSigCtes("src") + """,
+        |bsz AS (SELECT band, bv, count(*) AS n FROM bands GROUP BY 1, 2),
         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |         FROM bands a JOIN bands b
         |           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |         JOIN bsz ON a.band = bsz.band AND a.bv = bsz.bv
+        |         WHERE bsz.n <= 1000
         |         GROUP BY 1, 2),
         |m AS (SELECT c.doc_a, c.doc_b,
         |        sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS k
@@ -2809,18 +2814,32 @@ FROM c"""
     "q49_simsearch_opq" -> annAuditOracleSql,
     "q54_simsearch_opq_ivfpq" -> annAuditOracleSql,
     // q155: both sides of the confusion matrix recomputed in SQL — the
-    // banded candidates from the shared minhash CTEs, the truth from the
-    // same grams (uncapped exact jaccard at 0.5)
+    // banded candidates from the shared minhash CTEs (bucket cap
+    // mirrored), the truth from its OWN unfiltered-token gram CTEs:
+    // ngramJaccardAllPairs' gramSet keeps empty edge tokens (SQL-split
+    // semantics) while the minhash kernel filters them, so the exact
+    // side must NOT reuse the minhash grams
     "q155_lsh_exact_audit" ->
       ("WITH src AS (SELECT 'd' AS side, doc_id, text FROM documents),\n" +
         minhashSigCtes("src") + """,
+        |bsz AS (SELECT band, bv, count(*) AS n FROM bands GROUP BY 1, 2),
         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |         FROM bands a JOIN bands b
         |           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |         JOIN bsz ON a.band = bsz.band AND a.bv = bsz.bv
+        |         WHERE bsz.n <= 1000
         |         GROUP BY 1, 2),
-        |sizes AS (SELECT doc_id, len(gs) AS sz FROM gsets),
+        |xtoks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+        |  FROM documents),
+        |xgsets AS (
+        |  SELECT doc_id, list_distinct([array_to_string(t[i+1:i+3], ' ')
+        |          for i in range(0, greatest(len(t)-3, 0) + 1)]) AS gs
+        |  FROM xtoks),
+        |xgrams AS (SELECT doc_id, unnest(gs) AS g FROM xgsets),
+        |sizes AS (SELECT doc_id, len(gs) AS sz FROM xgsets),
         |prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |        FROM xgrams a JOIN xgrams b ON a.g = b.g AND a.doc_id < b.doc_id
         |        GROUP BY 1, 2),
         |exact AS (SELECT doc_a, doc_b FROM prs
         |          JOIN sizes sa ON doc_a = sa.doc_id

@@ -236,9 +236,16 @@ object Dedup {
       .map { case (id, text) => (id, minhashSignature(text, as, bs)) }
       .toDF("doc_id", "sig")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // token-free docs (sig(0) == Long.MaxValue — no shingle can reach
+    // MaxValue since every affine value is < PRIME) emit NO bands: LSH
+    // pairing two empty documents is meaningless (exact dedup owns
+    // byte-identical empties), matches decontaminateFuzzy's
+    // empties-never-match rule, and keeps the SQL oracle (which shingles
+    // only token-bearing docs) faithful
     val banded = sigs.as[(Long, Array[Long])]
       .flatMap { case (id, sig) =>
-        (0 until N_BANDS).iterator.map(b => (bandKey(sig, b), id))
+        if (sig(0) == Long.MaxValue) Iterator.empty
+        else (0 until N_BANDS).iterator.map(b => (bandKey(sig, b), id))
       }
     val pairs = banded.groupByKey(_._1)
       .flatMapGroups { (_, it) =>
@@ -347,7 +354,14 @@ object Dedup {
     import spark.implicits._
     documents.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
-      .map { case (id, t) => (id, simhash(t)) }
+      // token-free docs emit no hash row: simhash(no tokens) = 0 would
+      // pair every empty doc with every other at hamming 0 — exact
+      // dedup's job, not a similarity signal (and the brute-force SQL
+      // oracle computes hashes only for token-bearing docs)
+      .flatMap { case (id, t) =>
+        if (t == null || t.trim.isEmpty) Iterator.empty
+        else Iterator((id, simhash(t)))
+      }
       .toDF("doc_id", "simhash")
   }
 
@@ -1849,7 +1863,9 @@ object Dedup {
     corpus.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
       .flatMap { case (_, text) =>
         val sig = minhashSignature(text, as, bs)
-        (0 until N_BANDS).iterator.map(b => bandKey(sig, b))
+        // token-free docs contribute no snapshot bands (minhashLsh rule)
+        if (sig(0) == Long.MaxValue) Iterator.empty
+        else (0 until N_BANDS).iterator.map(b => bandKey(sig, b))
       }
       .toDF("h").distinct()
   }
@@ -1879,7 +1895,11 @@ object Dedup {
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val sig = minhashSignature(text, as, bs)
-        (0 until N_BANDS).iterator.map(b => (id, bandKey(sig, b)))
+        // token-free shard docs probe no bands -> flagged false (the
+        // minhashLsh empties rule; an all-MaxValue band key would
+        // otherwise match any token-free doc admitted to the snapshot)
+        if (sig(0) == Long.MaxValue) Iterator.empty
+        else (0 until N_BANDS).iterator.map(b => (id, bandKey(sig, b)))
       }
       .toDF("doc_id", "h")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -211,9 +211,13 @@ object Warc {
     val hx = hex(substring(payload, 1, 8)) // uppercase hex, 16 chars max
     // slice the BINARY first, then decode: casting the whole payload to
     // string would UTF-8-decode multi-megabyte bodies just to sniff a
-    // 256-byte prefix (a truncated trailing multi-byte char only yields a
-    // replacement char at the end — irrelevant to the tag/opener tests)
-    val head = lower(substring(payload, 1, 256).cast("string"))
+    // 256-CHAR prefix. 1024 bytes covers 256 chars at the 4-byte UTF-8
+    // worst case (a multibyte-heavy preamble must not hide an HTML
+    // opener the old decode-then-slice saw); the outer substring keeps
+    // the original 256-character window, and a truncated trailing
+    // multi-byte char only yields a replacement char at the end —
+    // irrelevant to the tag/opener tests
+    val head = lower(substring(substring(payload, 1, 1024).cast("string"), 1, 256))
     // regex trim: Spark's ltrim strips only ' ', but HTML preambles open
     // with newlines/tabs as often as spaces
     val trimmed = regexp_replace(head, "^\\s+", "")

@@ -857,6 +857,27 @@ class OpsSpec extends AnyFunSuite {
     assert(!capped.exists(r => r.getAs[Long]("doc_b") < 30L))
   }
 
+  test("token-free docs never pair: minhash bands, simhash rows, incremental flags") {
+    // the empties rule (round-5): LSH pairing two token-free docs is
+    // meaningless — exact dedup owns byte-identical empties — and the
+    // SQL oracles shingle only token-bearing docs
+    val df = Seq((1L, ""), (2L, "   \t\n"), (3L, null.asInstanceOf[String]),
+      (4L, "real words here again"), (5L, "real words here again")).toDF("doc_id", "text")
+    val lsh = Dedup.minhashLsh(df).collect()
+    assert(lsh.forall(r => r.getAs[Long]("doc_a") == 4L && r.getAs[Long]("doc_b") == 5L),
+      lsh.mkString(","))
+    assert(lsh.nonEmpty, "the real near-dup pair must still surface")
+    val sh = Dedup.simhashes(df).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(sh == Set(4L, 5L), s"token-free docs must emit no simhash rows: $sh")
+    // incremental: empty shard doc vs a snapshot containing an empty doc
+    val flags = Dedup.minhashIncrementalFlags(
+      df.filter(col("doc_id") =!= 3L),
+      Dedup.minhashBandSnapshot(Seq((9L, ""), (10L, "real words here again")).toDF("doc_id", "text")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("dup_vs_corpus")).toMap
+    assert(flags(1L) == false && flags(2L) == false, s"empty shard docs must not flag: $flags")
+    assert(flags(4L) == true && flags(5L) == true, s"real dups must flag: $flags")
+  }
+
   test("ngramJaccardAuto: dispatches by threshold, value-identical on both routes") {
     val df = Seq(
       (1L, "a b c d e f g h"), (2L, "a b c d e f g x"),
