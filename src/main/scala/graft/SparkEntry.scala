@@ -56,11 +56,13 @@ object SparkEntry {
     * job), every later one (bench reps, verify) loads and SERVES.
     * Training is deterministic, so results are identical either way. */
   private def idxSnapPath(tag: String, dir: String): String = {
-    // the path keys on the embeddings file's byte length as well as the
-    // sf dir, so a REGENERATED corpus at the same path trains a fresh
-    // index instead of serving a stale snapshot
-    val sz = new java.io.File(s"$dir/embeddings.parquet").length()
-    s"${System.getProperty("java.io.tmpdir")}/graft-idx-$tag-$sz-" +
+    // the path keys on the embeddings file's byte length AND mtime (a
+    // regenerated corpus at the same path retrains instead of serving a
+    // stale snapshot) and the caller's `tag` must encode the training
+    // hyperparameters (a tuned build must never load a snapshot trained
+    // under the old settings)
+    val f = new java.io.File(s"$dir/embeddings.parquet")
+    s"${System.getProperty("java.io.tmpdir")}/graft-idx-$tag-${f.length()}-${f.lastModified()}-" +
       dir.replaceAll("[^a-zA-Z0-9]", "_")
   }
 
@@ -819,15 +821,16 @@ object SparkEntry {
       RobotsOps.robotsFilter(urls, RobotsOps.parseRobots(robots))
     }),
     "q126_jaccard_prefix" -> ((s, dir) =>
-      // prefix-filtered all-pairs similarity self-join (SSJoin/PPJoin),
-      // VALUE-IDENTICAL to q21 by the lossless prefix-filter theorem —
-      // the shared oracle is the equality gate. Round 5: the surface
-      // routes through the measured-crossover dispatcher — at t=0.5 the
-      // prefix machinery costs more than it saves at every measured
-      // scale (BASELINE.md), so this resolves to the plain inverted-
-      // index join; the prefix plan serves the t>=0.7 regime and stays
-      // value-gated by the OpsSpec identity test
-      Dedup.ngramJaccardAuto(docs(s, dir), 0.5, maxDf = 100)),
+      // prefix-filtered all-pairs similarity self-join (SSJoin/PPJoin)
+      // via the measured-crossover dispatcher, IN ITS WINNING REGIME:
+      // round 5 moved the surface from t=0.5 (where the prefix machinery
+      // costs more than it saves at every measured scale and the
+      // dispatcher would just duplicate q21) to t=0.8, where the filter
+      // beats the plain join (BASELINE.md crossover table) and the
+      // driver gate genuinely exercises the PPJoin plan. Oracle: capped
+      // exact jaccard at 0.8 — value-identical by the lossless
+      // prefix-filter theorem
+      Dedup.ngramJaccardAuto(docs(s, dir), 0.8, maxDf = 100)),
     "q124_triangles" -> ((s, dir) =>
       // per-node triangle count + clustering coefficient (degree-ordered
       // node-iterator) over the synthesized chain+spokes+clique doc
@@ -1861,7 +1864,7 @@ object SparkEntry {
       // the faiss "OPQ,IVF,PQ" composition: trained rotation in front of
       // the residual-PQ coarse index, audited per query (floor 80)
       val e = emb(s, dir)
-      val idx = cachedIndex("q54", dir)(
+      val idx = cachedIndex("q54-opq2-km2-ts20k", dir)(
         SimSearch.loadOpqIvfPqIndex(s, _))(
         () => SimSearch.buildOpqIvfPqIndex(e, opqIters = 2, iters = 2,
           trainSample = 20000L))(
@@ -1880,7 +1883,7 @@ object SparkEntry {
       // of the gain, and like every index builder here the real lifecycle
       // is train-once + saveOpq snapshot, not train-per-query
       val e = emb(s, dir)
-      val opq = cachedIndex("q49", dir)(
+      val opq = cachedIndex("q49-opq2-km2-ts20k", dir)(
         SimSearch.loadOpq(s, _))(
         () => SimSearch.trainOpq(e, opqIters = 2, kmeansIters = 2,
           trainSample = 20000L))(
@@ -3115,7 +3118,7 @@ FROM c"""
         |FROM pairs
         |JOIN sizes sa ON doc_a = sa.doc_id
         |JOIN sizes sb ON doc_b = sb.doc_id
-        |WHERE common / (sa.sz + sb.sz - common) >= 0.5""".stripMargin,
+        |WHERE common / (sa.sz + sb.sz - common) >= 0.8""".stripMargin,
     // q08 = LSH candidates + exact verification; the oracle is the FULL
     // all-pairs exact jaccard at the same threshold (no df cap — the
     // verify pass scores candidate pairs string-exactly), so the row is
@@ -3123,7 +3126,9 @@ FROM c"""
     // true pair at this scale
     "q08_ngram_jaccard" ->
       """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents
+        |  WHERE len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |        x -> x <> '')) > 0),
         |gsets AS (
         |  SELECT doc_id, list_distinct([array_to_string(t[i+1:i+3], ' ')
         |          for i in range(0, greatest(len(t)-3, 0) + 1)]) AS gs

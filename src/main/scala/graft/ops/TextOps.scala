@@ -1157,14 +1157,21 @@ object TextOps {
     * rounded HALF_UP to 6 (Spark's `round`). */
   private[graft] def dupNgramStats(gtxt: String, ns: Array[Int]): (Double, Array[Double]) = {
     val t = gtxt.trim.split("\\s+").filter(_.nonEmpty)
+    // Spark parity: round() is toString-based HALF_UP (BigDecimal.valueOf,
+    // NOT the exact-binary double constructor); length() counts CODE
+    // POINTS (UTF8String.numChars), and array_sort orders by UTF-8 code
+    // points — Java's UTF-16 compareTo would diverge for astral chars
     def r6(x: Double): Double =
-      new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cpLen(x: String): Int = x.codePointCount(0, x.length)
     def grams(n: Int): Array[String] =
       if (t.length >= n) Array.tabulate(t.length - n + 1)(i => t.slice(i, i + n).mkString(" "))
       else Array.empty[String]
     // top-4 run stats over the sorted gram list (strictly-greater update
-    // keeps the FIRST, lexicographically smallest, maximal run)
-    val sg4 = grams(4).sorted
+    // keeps the FIRST, code-point-smallest, maximal run)
+    val cpOrd: Ordering[String] =
+      (a, b) => graft.ops.CorpusOps.compareCodePoints(a, b)
+    val sg4 = grams(4).sorted(cpOrd)
     var best = 0L
     var bestGram: String = null
     var run = 0L
@@ -1174,10 +1181,10 @@ object TextOps {
       if (run > best) { best = run; bestGram = g }
       prev = g
     }
-    val gl = gtxt.length.toDouble
+    val gl = cpLen(gtxt).toDouble
     val top4 = math.min(1.0,
-      r6(best * (if (bestGram == null) 0 else bestGram.length) / math.max(gl, 1.0)))
-    val totalChars = t.iterator.map(_.length.toLong).sum
+      r6(best * (if (bestGram == null) 0 else cpLen(bestGram)) / math.max(gl, 1.0)))
+    val totalChars = t.iterator.map(w => cpLen(w).toLong).sum
     val fracs = ns.map { n =>
       if (t.length < n) 0.0
       else {
@@ -1192,7 +1199,7 @@ object TextOps {
           val sMax = math.min(i, t.length - n)
           var covered = false
           while (s <= sMax && !covered) { covered = dupStart(s); s += 1 }
-          if (covered) cov += t(i).length
+          if (covered) cov += cpLen(t(i))
           i += 1
         }
         r6(cov.toDouble / math.max(totalChars.toDouble, 1.0))
