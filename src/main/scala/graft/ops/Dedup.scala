@@ -532,21 +532,31 @@ object Dedup {
   /** PERSISTED hashed distinct-gram postings (doc_id, g) — the shared
     * base of the exact set-similarity self-joins; the caller owns the
     * unpersist (the Checkpoints.eager release discipline). */
-  private def gramPostings(documents: DataFrame): DataFrame = {
+  private def gramPostings(documents: DataFrame): DataFrame =
+    gramPostingsWithSize(documents).select(col("doc_id"), col("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** UNPERSISTED hashed distinct-gram postings carrying each doc's
+    * uncapped distinct-gram-set size on every row: (doc_id, g, sz).
+    * Carrying sz in the scan kernel is what lets the capped pair core
+    * skip both the per-doc sizes aggregate and the two pair↔sizes
+    * joins — the size rides the posting to the pair emitter. */
+  private def gramPostingsWithSize(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     documents.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        gramSet(text).iterator.map { g =>
+        val gs = gramSet(text)
+        val sz = gs.length.toLong
+        gs.iterator.map { g =>
           var h = 1125899906842597L
           var i = 0
           while (i < g.length) { h = h * 31 + g.charAt(i); i += 1 }
-          (id, h)
+          (id, h, sz)
         }
       }
-      .toDF("doc_id", "g")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .toDF("doc_id", "g", "sz")
   }
 
   /** the shared hot-key cap of the exact set-similarity families: drop
@@ -564,19 +574,97 @@ object Dedup {
       postings.join(hot, Seq(key), "left_anti")
     }
 
-  private def gramPairCore(documents: DataFrame, maxDf: Int): (DataFrame, DataFrame) = {
-    val postings0 = gramPostings(documents)
-    val sizes = postings0.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val postings = cappedPostings(postings0, "g", maxDf)
-    val pairs = postings.select(col("doc_id").as("doc_a"), col("g"))
-      .join(postings.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+  /** one (key → a<b pair) emission group: drop the key WHOLE past
+    * `maxDf` distinct docs (identical semantics to the cappedPostings
+    * anti-join), else sort the distinct docs and lazily emit every
+    * ordered pair with both docs' carried sizes. Memory per group is
+    * bounded: collection stops the moment a key exceeds maxDf. */
+  private def emitCappedPairs(
+      it: Iterator[(Long, Long, Long)], maxDf: Int): Iterator[(Long, Long, Long, Long)] = {
+    // doc -> sz (input may carry duplicate (key, doc) rows — the
+    // fingerprint path feeds raw occurrences; df is DISTINCT docs)
+    val seen = new java.util.HashMap[Long, Long](16)
+    var over = false
+    while (!over && it.hasNext) {
+      val (_, id, sz) = it.next()
+      seen.put(id, sz)
+      if (seen.size > maxDf) over = true
+    }
+    if (over) Iterator.empty
+    else {
+      val n = seen.size
+      if (n < 2) Iterator.empty
+      else {
+        val ids = new Array[Long](n)
+        val e = seen.keySet().iterator()
+        var x = 0
+        while (e.hasNext) { ids(x) = e.next(); x += 1 }
+        java.util.Arrays.sort(ids)
+        new Iterator[(Long, Long, Long, Long)] {
+          private var i = 0
+          private var j = 1
+          def hasNext: Boolean = i < n - 1
+          def next(): (Long, Long, Long, Long) = {
+            val r = (ids(i), ids(j), seen.get(ids(i)), seen.get(ids(j)))
+            j += 1
+            if (j >= n) { i += 1; j = i + 1 }
+            r
+          }
+        }
+      }
+    }
+  }
+
+  /** capped pair-count core shared by the inverted-index families
+    * ([[gramPairCore]] maxDf>0, [[fingerprintMatches]] maxDf>0): ONE
+    * shuffle of the postings keyed by `key`, in-group whole-key cap,
+    * lazy a<b pair emission, partial-combined pair aggregate. Replaces
+    * the former hot-key aggregate + left-anti + two full posting
+    * re-shuffles + equi-join (guide §2.4: pair generation fundamentally
+    * needs every doc of a key on one reducer, so the single groupByKey
+    * shuffle loses nothing partial aggregation could have saved — and
+    * the a<b half-filter moves before the shuffle of pair rows).
+    * Input columns: (key long, doc_id long, sz long — any carried
+    * per-doc payload); output (doc_a, doc_b, common, sz_a, sz_b). */
+  private def cappedPairCounts(
+      postings: DataFrame, key: String, maxDf: Int): DataFrame = {
+    require(maxDf > 0, s"cappedPairCounts requires maxDf > 0, got $maxDf")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    postings.select(col(key), col("doc_id"), col("sz"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) => emitCappedPairs(it, maxDf) }
+      .toDF("doc_a", "doc_b", "sz_a", "sz_b")
+      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("common"))
-    val sized = pairs
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-    (sized, postings0)
+      .select(col("doc_a"), col("doc_b"), col("common"), col("sz_a"), col("sz_b"))
+  }
+
+  private def gramPairCore(documents: DataFrame, maxDf: Int): (DataFrame, DataFrame) = {
+    if (maxDf > 0) {
+      // capped mode: postings have exactly ONE consumer (the pair core),
+      // so nothing is persisted — the shingling kernel runs once into
+      // the single shuffle (the returned frame's unpersist is a no-op)
+      val postings0 = gramPostingsWithSize(documents)
+      (cappedPairCounts(postings0, "g", maxDf), postings0)
+    } else {
+      // uncapped exactness/audit mode (q155's ground-truth side): a
+      // viral key's doc list must never be collected on one reducer, so
+      // the streaming self-join stays, with persisted postings feeding
+      // its three consumers
+      val postings0 = gramPostings(documents)
+      val sizes = postings0.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val pairs = postings0.select(col("doc_id").as("doc_a"), col("g"))
+        .join(postings0.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("common"))
+      val sized = pairs
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      (sized, postings0)
+    }
   }
 
   /** lazy plan behind `ngramJaccardAllPairs` (plan-gate tests inspect the
@@ -2434,17 +2522,36 @@ object Dedup {
   def fingerprintMatches(fps: DataFrame, minShared: Long = 2L,
       maxDf: Int = 1000): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    val postings0 = fps.select(col("doc_id").cast("long").as("doc_id"),
-      col("fp").cast("long").as("fp")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val postings = cappedPostings(postings0, "fp", maxDf)
-    val out = postings.select(col("doc_id").as("doc_a"), col("fp"))
-      .join(postings.select(col("doc_id").as("doc_b"), col("fp")), Seq("fp"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
-    Checkpoints.eager(out) { postings0.unpersist() }
+    if (maxDf > 0) {
+      // capped mode, the [[cappedPairCounts]] single-shuffle shape: raw
+      // (fp, doc) occurrences flow straight into the fp-keyed group (the
+      // emitter dedupes docs in-group, so the former distinct() shuffle
+      // is folded away), the whole-key cap applies in-group, and a<b
+      // pairs aggregate partial-combined. Nothing is persisted — every
+      // stage has one consumer — so no eager checkpoint is needed to
+      // release anything; callers that read the result twice cut it
+      // themselves.
+      cappedPairCounts(
+          fps.select(col("fp").cast("long").as("fp"),
+            col("doc_id").cast("long").as("doc_id"), lit(0L).as("sz")),
+          "fp", maxDf)
+        .select(col("doc_a"), col("doc_b"), col("common").as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+    } else {
+      // uncapped: streaming self-join (a viral fingerprint's doc list
+      // must never be collected on one reducer), persisted distinct
+      // postings feeding both sides, released after materialization
+      val postings0 = fps.select(col("doc_id").cast("long").as("doc_id"),
+        col("fp").cast("long").as("fp")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = postings0.select(col("doc_id").as("doc_a"), col("fp"))
+        .join(postings0.select(col("doc_id").as("doc_b"), col("fp")), Seq("fp"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+      Checkpoints.eager(out) { postings0.unpersist() }
+    }
   }
 
   // ---- b-bit minwise signatures (Li & König, WWW 2010) --------------------

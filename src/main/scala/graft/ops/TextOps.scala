@@ -2104,24 +2104,45 @@ object TextOps {
     * scanned once and only (doc_id, text) is read. */
   def phraseDocs(documents: DataFrame, phrase: String): DataFrame = {
     val spark = documents.sparkSession
+    import spark.implicits._
     val pts = phraseTokens(phrase)
     if (pts.isEmpty) return phraseEmpty(spark)
     val k = pts.length
+    val ptsArr = pts.toArray
     val base = documents.select(col("doc_id").cast("long").as("doc_id"),
       bm25Toks.as("toks"))
-    // candidate starts are 1-based (element_at is 1-based); a start i
-    // matches when every phrase token equals the doc token at i+j
-    val starts = filter(
-      sequence(lit(1), size(col("toks")) - lit(k - 1)),
-      i => pts.zipWithIndex.map { case (t, j) =>
-        element_at(col("toks"), (i + lit(j)).cast("int")) === lit(t)
-      }.reduce(_ && _))
-    base.filter(size(col("toks")) >= k)
-      .select(col("doc_id"), starts.as("hits"))
-      .filter(size(col("hits")) > 0)
-      .select(col("doc_id"),
-        size(col("hits")).cast("long").as("n_matches"),
-        (element_at(col("hits"), 1) - lit(1)).cast("int").as("first_pos"))
+    // tokenization stays the shared Catalyst bm25Toks contract; the
+    // match loop is a typed kernel (the gramPostings discipline): the
+    // former sequence()+filter() higher-order expression is interpreted
+    // per element (~540us/doc measured at sf0.1 — 90% of the surface's
+    // wall time), while this loop is plain JIT'd compares
+    val matched = base.as[(Long, scala.collection.Seq[String])]
+      .flatMap { case (id, toks) =>
+        val n = toks.size
+        if (n < k) None
+        else {
+          val arr = toks.toArray
+          var cnt = 0L
+          var first = -1
+          var i = 0
+          val lastStart = n - k
+          while (i <= lastStart) {
+            var j = 0
+            var ok = true
+            while (ok && j < k) {
+              if (arr(i + j) != ptsArr(j)) ok = false
+              j += 1
+            }
+            if (ok) { cnt += 1L; if (first < 0) first = i }
+            i += 1
+          }
+          if (cnt > 0L) Some((id, cnt, first)) else None
+        }
+      }.toDF("doc_id", "n_matches", "first_pos")
+    // typed tuples yield non-nullable columns; restate the frame under
+    // the exact nullable schema the former expression path produced (the
+    // driver's schema compare sees parquet required vs optional)
+    spark.createDataFrame(matched.rdd, phraseEmpty(spark).schema)
   }
 
   /** positional inverted index: one row per token OCCURRENCE — (term,
