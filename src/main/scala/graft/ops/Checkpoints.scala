@@ -81,4 +81,19 @@ private[graft] object Checkpoints {
   def cut(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) reliable(df)
     else df.localCheckpoint(eager = true)
+
+  /** Lazy stage for FIXED-small-round loops (hostRank/hits/labelProp-
+    * style: a handful of rounds, each round's table read by 2-3
+    * consumers): persist WITHOUT an eager job, so every round's
+    * materialization folds into the first downstream job that needs it
+    * (a round-total broadcast, a convergence count, or the final
+    * action) instead of costing one eager job per round — at bench
+    * scale those sequential job round-trips dominate these operators,
+    * and at production scale one fewer barrier per round is the same
+    * win smaller. Lineage is KEPT, so an executor loss recomputes
+    * (persist is safer than localCheckpoint's severed lineage); the
+    * trade is plan depth growing with rounds, so convergence-checked or
+    * many-round loops (CC's O(log n) rounds) stay on the eager `cut`. */
+  def stage(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 }

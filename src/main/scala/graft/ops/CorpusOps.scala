@@ -789,15 +789,23 @@ object CorpusOps {
         if (c != 0) c else compareCodePoints(a._2, b._2)
       }
     }
-    val ranked = Checkpoints.cut(
-      hostRanks.select(col("host").cast("string").as("host"),
-          col("rank_e12").cast("long").as("rank_e12"))
-        .as[(String, Long)].rdd
-        .sortBy({ case (h, r) => (-r, h) })(tieOrd, implicitly)
-        .zipWithIndex()
-        .map { case ((h, r), i) => (h, r, i + 1L) }
-        .toDF("host", "rank_e12", "rnk"))
-    val n = ranked.count()
+    // distributed sort once, persisted; the per-partition counts job (the
+    // pass zipWithIndex would run anyway) also yields the host total, so
+    // the former eager checkpoint + separate count() jobs fold away
+    val sorted = hostRanks.select(col("host").cast("string").as("host"),
+        col("rank_e12").cast("long").as("rank_e12"))
+      .as[(String, Long)].rdd
+      .sortBy({ case (h, r) => (-r, h) })(tieOrd, implicitly)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sorted.mapPartitions(
+      it => Iterator.single(it.size.toLong), preservesPartitioning = true).collect()
+    val n = counts.sum
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val ranked = sorted.mapPartitionsWithIndex({ case (pi, it) =>
+        var i = offsets(pi)
+        it.map { case (h, r) => i += 1L; (h, r, i) }
+      }, preservesPartitioning = true)
+      .toDF("host", "rank_e12", "rnk")
     val tier = tierPctCuts.zipWithIndex.foldRight(lit(tierPctCuts.size + 1): Column) {
       case ((pct, i), acc) =>
         when(col("rnk") * 100 <= lit(pct.toLong) * n, lit(i + 1)).otherwise(acc)
@@ -899,13 +907,27 @@ object CorpusOps {
         hosts.join(broadcast(keys), col("host") === col("seed_host"), "left")
           .select(col("host"), col("outw"), col("seed_host").isNotNull.as("seed"))
     }
-    val base = Checkpoints.cut(flagged)
-    // bounded scalars off the checkpointed host table: N, S and the
-    // overflow guard (NOT a corpus-sized collect — the host universe is
-    // ~10^8 rows at full web scale and this is a 1-row aggregate)
-    val stats = base.agg(count(lit(1)).as("n"),
+    // bounded scalars FUSED into the cut's materialization job via
+    // Observation (the connectedComponents discipline, probed by
+    // graft.tools.ObsProbe): N, S, the overflow guard, and the count of
+    // dangling seeds — which closes round 1's dangling mass in closed
+    // form (r0 * |{seed ∧ outw=0}|), so no per-round broadcast job ever
+    // runs: each round is exactly ONE cut job whose observation carries
+    // the NEXT round's dangling sum.
+    val statsObs = org.apache.spark.sql.Observation("rank_stats")
+    val base = Checkpoints.cut(flagged.observe(statsObs,
+      count(lit(1)).as("n"),
       coalesce(sum(when(col("seed"), 1L).otherwise(0L)), lit(0L)).as("s"),
-      max(col("outw")).as("mx")).head()
+      max(col("outw")).as("mx"),
+      coalesce(sum(when(col("seed") && col("outw") === 0, 1L).otherwise(0L)),
+        lit(0L)).as("dseeds")))
+    val stats = observed(statsObs) {
+      base.agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("seed"), 1L).otherwise(0L)), lit(0L)).as("s"),
+        max(col("outw")).as("mx"),
+        coalesce(sum(when(col("seed") && col("outw") === 0, 1L).otherwise(0L)),
+          lit(0L)).as("dseeds")).head()
+    }
     val n = stats.getLong(0)
     if (n == 0L)
       return base.select(col("host"), col("outw").as("out_weight"),
@@ -913,7 +935,7 @@ object CorpusOps {
     val nSeeds = stats.getLong(1)
     require(nSeeds > 0L,
       "no seed host appears in the edge universe; trust cannot enter the graph")
-    val maxOutw = stats.getLong(2)
+    val maxOutw = if (stats.isNullAt(2)) 0L else stats.getLong(2)
     require(maxOutw <= 3000000000L,
       s"per-host out-weight $maxOutw exceeds the exact-arithmetic bound 3e9; " +
         "cap edge weights before ranking")
@@ -921,27 +943,49 @@ object CorpusOps {
     val basePart = ((100L - dampingPct) * r0) / 100L
     var ranks = base.withColumn("r",
       when(col("seed"), lit(r0)).otherwise(lit(0L)))
-    for (_ <- 1 to iterations) {
+    // dangling mass entering round 1: every dangling host holds r0 if
+    // seed else 0 — exact closed form off the fused stats
+    var dang = r0 * stats.getLong(3)
+    for (it <- 1 to iterations) {
       val inflow = e.join(ranks, e("src") === ranks("host"))
         .select(col("dst"),
           (col("weight") * expr("r div outw") +
             expr("((r % outw) * weight) div outw")).as("share"))
         .groupBy(col("dst")).agg(sum(col("share")).as("infl"))
-      val dang = ranks.filter(col("outw") === 0)
-        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
-      ranks = Checkpoints.cut(
+      val dangObs = org.apache.spark.sql.Observation(s"rank_dang_$it")
+      val next =
         ranks.select(col("host"), col("outw"), col("seed"))
           .join(inflow, col("host") === inflow("dst"), "left")
-          .crossJoin(broadcast(dang))
           .select(col("host"), col("outw"), col("seed"),
             (when(col("seed"), lit(basePart)).otherwise(lit(0L)) +
               expr(s"($dampingPct * (coalesce(infl, CAST(0 AS BIGINT)) " +
-                s"+ (CASE WHEN seed THEN dang div CAST($nSeeds AS BIGINT) " +
-                s"ELSE CAST(0 AS BIGINT) END))) div 100")).as("r")))
+                s"+ (CASE WHEN seed THEN CAST($dang AS BIGINT) div CAST($nSeeds AS BIGINT) " +
+                s"ELSE CAST(0 AS BIGINT) END))) div 100")).as("r"))
+      ranks = Checkpoints.cut(next.observe(dangObs,
+        coalesce(sum(when(col("outw") === 0, col("r")).otherwise(0L)), lit(0L))
+          .as("dang")))
+      if (it < iterations)
+        dang = observed(dangObs) {
+          ranks.filter(col("outw") === 0)
+            .agg(coalesce(sum(col("r")), lit(0L)).as("dang")).head()
+        }.getLong(0)
     }
     ranks.select(col("host"), col("outw").as("out_weight"),
       col("seed").as("is_seed"), col("r").as("rank_e12"),
       (col("r") / lit(1e12)).as("rank"))
+  }
+
+  /** read an [[org.apache.spark.sql.Observation]] fired by an already-run
+    * eager job (Checkpoints.cut materialization), with a bounded wait and
+    * a recompute fallback if metric delivery ever fails — the
+    * connectedComponents pattern, shared so every fused-scalar loop
+    * degrades identically. */
+  private def observed(obs: org.apache.spark.sql.Observation)(
+      fallback: => org.apache.spark.sql.Row): org.apache.spark.sql.Row = {
+    import scala.concurrent.Await
+    import scala.concurrent.duration._
+    try Await.result(obs.future, 30.seconds)
+    catch { case _: java.util.concurrent.TimeoutException => fallback }
   }
 
   /** HITS hubs & authorities (Kleinberg, JACM 1999) over the host link
@@ -1073,13 +1117,17 @@ object CorpusOps {
     @annotation.tailrec
     def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
     val scale = (1 to maxDist).foldLeft(1L)((l, k) => l / gcd(l, k) * k)
-    val e = Checkpoints.cut(
-      edges.select(col("src").cast("string").as("src"),
+    // fixed tiny round count, no per-round action: build the WHOLE loop
+    // as one lazy plan and let AQE stage reuse dedupe the repeated
+    // subtrees (identical exchanges run once) — the caller's single
+    // adaptive action replaces a cut job per round, and nothing is
+    // registered in the CacheManager
+    val e = edges.select(col("src").cast("string").as("src"),
           col("dst").cast("string").as("dst"))
         .filter(col("src").isNotNull && col("dst").isNotNull &&
           col("src") =!= col("dst"))
-        .distinct())
-    var known = Checkpoints.cut(e.withColumn("d", lit(1)))
+        .distinct()
+    var known = e.withColumn("d", lit(1))
     var frontier = known
     for (k <- 2 to maxDist) {
       val step = e.select(col("src").as("e_src"), col("dst").as("e_dst"))
@@ -1088,8 +1136,8 @@ object CorpusOps {
         .filter(col("src") =!= col("dst"))
         .join(known.select(col("src"), col("dst")), Seq("src", "dst"), "left_anti")
         .withColumn("d", lit(k))
-      frontier = Checkpoints.cut(next)
-      known = Checkpoints.cut(known.unionByName(frontier))
+      frontier = next
+      known = known.unionByName(frontier)
     }
     val universe = e.select(col("src").as("host"))
       .union(e.select(col("dst").as("host"))).distinct()
@@ -1127,17 +1175,17 @@ object CorpusOps {
     require(maxDist >= 1 && maxDist <= 12,
       s"maxDist must be in [1,12], got $maxDist")
     require(lgK >= 4 && lgK <= 21, s"lgK must be in [4,21], got $lgK")
-    val e = Checkpoints.cut(
-      edges.select(col("src").cast("string").as("src"),
+    // same lazy-plan + AQE-stage-reuse shape as [[harmonicCentrality]]
+    val e = edges.select(col("src").cast("string").as("src"),
           col("dst").cast("string").as("dst"))
         .filter(col("src").isNotNull && col("dst").isNotNull &&
           col("src") =!= col("dst"))
-        .distinct())
+        .distinct()
     val universe = e.select(col("src").as("host"))
       .union(e.select(col("dst").as("host"))).distinct()
     // ball_0 = {self}: universe hosts are distinct, so the groupBy
     // builds one single-element sketch per node
-    var ball = Checkpoints.cut(
+    var ball = (
       universe.groupBy(col("host"))
         .agg(hll_sketch_agg(col("host"), lit(lgK)).as("sketch"))
         // hll_sketch_estimate returns a rounded LONG; carry it as double
@@ -1149,7 +1197,7 @@ object CorpusOps {
         .unionByName(ball.select(col("host"), col("sketch")))
         .groupBy(col("host"))
         .agg(hll_union_agg(col("sketch"), lit(true)).as("sketch"))
-      ball = Checkpoints.cut(
+      ball = (
         ball.select(col("host").as("h"), col("est"), col("harm"))
           .join(pulled, col("h") === pulled("host"))
           .select(col("host"), col("sketch"),

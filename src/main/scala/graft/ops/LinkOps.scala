@@ -558,8 +558,18 @@ object LinkOps {
       val deg = induced.select(col("a").as("v"))
         .union(induced.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-      val next = Checkpoints.cut(deg.filter(col("deg") >= k).select(col("v")))
-      val n = next.count()
+      // the survivor count rides the cut's materialization as an
+      // Observation (the connectedComponents discipline): the former
+      // separate count() job per round folds away
+      val obs = org.apache.spark.sql.Observation(s"kcore_round_$round")
+      val next = Checkpoints.cut(deg.filter(col("deg") >= k).select(col("v"))
+        .observe(obs, count(lit(1)).as("n")))
+      val n = {
+        import scala.concurrent.Await
+        import scala.concurrent.duration._
+        try Await.result(obs.future, 30.seconds).getLong(0)
+        catch { case _: java.util.concurrent.TimeoutException => next.count() }
+      }
       // A_{i+1} ⊆ A_i (an excluded node has no induced edges, hence no
       // degree row), so count equality IS set equality — fixpoint
       if (n == aliveN) converged = true
