@@ -532,6 +532,10 @@ object Dedup {
   /** PERSISTED hashed distinct-gram postings (doc_id, g) — the shared
     * base of the exact set-similarity self-joins; the caller owns the
     * unpersist (the Checkpoints.eager release discipline). */
+  /** profiling-only alias (graft.tools.PrefixProf) */
+  private[graft] def gramPostingsForProf(documents: DataFrame): DataFrame =
+    gramPostings(documents)
+
   private def gramPostings(documents: DataFrame): DataFrame =
     gramPostingsWithSize(documents).select(col("doc_id"), col("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -761,13 +765,14 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     import org.apache.spark.sql.expressions.Window
-    val postings0 = gramPostings(documents)
-    // sizes from the UNCAPPED postings — the ngramJaccardAllPairs
-    // contract (a maxDf-dropped gram still counts toward set size)
-    val sizes = postings0.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    // the capped table feeds four consumers (df counts, the prefix cut,
-    // both verify-join sides): persist it, or the corpus-wide hot-gram
-    // aggregate re-executes per consumer
+    val spark = documents.sparkSession
+    import spark.implicits._
+    // postings carry the UNCAPPED per-doc set size on every row (the
+    // ngramJaccardAllPairs contract: a maxDf-dropped gram still counts
+    // toward set size) — the former separate sizes aggregate + two
+    // pair-sizes joins fold into the verify kernel below
+    val postings0 = gramPostingsWithSize(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val postings =
       if (maxDf <= 0) postings0
       else cappedPostings(postings0, "g", maxDf)
@@ -789,16 +794,40 @@ object Dedup {
       .join(prefix.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    val common = cand
-      .join(postings.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
-      .join(postings.select(col("doc_id").as("doc_b"), col("g")),
-        Seq("doc_b", "g"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
-    val out = common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("sz", "sz_b"), "doc_b")
+    // verify by sorted-array merge-intersection: each doc's CAPPED gram
+    // set folds to one sorted array row (bounded by document length —
+    // never key-df-sized), the candidate list hash-joins that doc-table
+    // on each side, and `common` is a typed two-pointer intersection —
+    // the former cand⋈postings⋈postings re-count streamed |cand|·|doc|
+    // joined rows through two shuffles (measured 6M rows and over half
+    // the surface's wall time at sf0.1) where this streams |cand| rows
+    // through none
+    val docGrams = postings.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("g"))).as("grams"), min(col("sz")).as("sz"))
+    val out = cand
+      .join(docGrams.select(col("doc_id").as("doc_a"), col("grams").as("ga"),
+        col("sz").as("sz_a")), Seq("doc_a"))
+      .join(docGrams.select(col("doc_id").as("doc_b"), col("grams").as("gb"),
+        col("sz").as("sz_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"),
+        col("ga"), col("gb"))
+      .as[(Long, Long, Long, Long, scala.collection.Seq[Long], scala.collection.Seq[Long])]
+      .map { case (a, b, sza, szb, ga, gb) =>
+        var i = 0
+        var j = 0
+        var c = 0L
+        val na = ga.length
+        val nb = gb.length
+        while (i < na && j < nb) {
+          val x = ga(i)
+          val y = gb(j)
+          if (x == y) { c += 1L; i += 1; j += 1 }
+          else if (x < y) i += 1
+          else j += 1
+        }
+        (a, b, c, sza, szb)
+      }
+      .toDF("doc_a", "doc_b", "common", "sz_a", "sz_b")
       .withColumn("jaccard_raw",
         col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard_raw") >= threshold)
