@@ -1603,7 +1603,11 @@ object SparkEntry {
       // 6.6 s; cutting first -> 0.3 s), and the pair join would re-run
       // it per side besides
       val vecs = graft.ops.Checkpoints.cut(
-        TextOps.hashedDocVectors(docs(s, dir), 64))
+        // kernel twin of hashedDocVectors (bit-identical, OpsSpec parity
+        // gate): this composition materializes every vec, so the
+        // expression form's count-prunability buys nothing and its
+        // interpreted higher-order fold costs ~5x (r06 measurement)
+        TextOps.hashedDocVectorsKernel(docs(s, dir), 64))
       val emb = vecs
         .filter(expr("exists(vec, x -> x != 0)"))
         .select(col("doc_id").as("vec_id"),
@@ -1829,7 +1833,7 @@ object SparkEntry {
       // index sizing is corpus-relative (the faiss discipline): ~64
       // vectors per bucket — fixed 12-bit tables starve k=10 retrieval
       // below ~10^5 vectors and saturate above 10^7
-      val e = emb(s, dir)
+      val e = graft.ops.Checkpoints.cut(emb(s, dir)) // the q54 scan-reuse cut
       val n = math.max(e.count(), 1L)
       val bits = math.max(2, math.ceil(math.log(n / 64.0) / math.log(2)).toInt)
       Audit.annRecallAudit(
@@ -1837,7 +1841,7 @@ object SparkEntry {
         SimSearch.bruteForceTopK(e, 5, 10), e, 10, recallBarPct = 50)
     }),
     "q29_simsearch_ivf" -> ((s, dir) => {
-      val e = emb(s, dir)
+      val e = graft.ops.Checkpoints.cut(emb(s, dir)) // the q54 scan-reuse cut
       Audit.annRecallAudit(SimSearch.ivfTopK(e, 5, 10),
         SimSearch.bruteForceTopK(e, 5, 10), e, 10, recallBarPct = 70)
     }),
@@ -1845,7 +1849,7 @@ object SparkEntry {
     "q45_simsearch_ivfpq" -> ((s, dir) => {
       // composed big-index shape: coarse IVF probe + residual-PQ ADC +
       // exact rerank, audited per query (floor 60 measured at sf0.001)
-      val e = emb(s, dir)
+      val e = graft.ops.Checkpoints.cut(emb(s, dir)) // the q54 scan-reuse cut
       Audit.annRecallAudit(
         SimSearch.ivfPqTopK(e, SimSearch.buildIvfPqIndex(e), 5, 10),
         SimSearch.bruteForceTopK(e, 5, 10), e, 10, recallBarPct = 60)
@@ -1855,7 +1859,7 @@ object SparkEntry {
       // at sf0.001 — the honest recall of a 16x-compressed ADC scan on
       // this corpus; the rerank-parity verdict proves reported scores
       // are exact nonetheless)
-      val e = emb(s, dir)
+      val e = graft.ops.Checkpoints.cut(emb(s, dir)) // the q54 scan-reuse cut
       Audit.annRecallAudit(
         SimSearch.pqTopK(e, SimSearch.buildPqCodebook(e), 5, 10),
         SimSearch.bruteForceTopK(e, 5, 10), e, 10, recallBarPct = 40)
@@ -1863,7 +1867,10 @@ object SparkEntry {
     "q54_simsearch_opq_ivfpq" -> ((s, dir) => {
       // the faiss "OPQ,IVF,PQ" composition: trained rotation in front of
       // the residual-PQ coarse index, audited per query (floor 80)
-      val e = emb(s, dir)
+      // lineage-cut: the serve+audit pipeline reads the embeddings ~6x
+      // (ADC, rerank, brute force, parity sides) — one materialization,
+      // every consumer reads blocks instead of re-decoding parquet
+      val e = graft.ops.Checkpoints.cut(emb(s, dir))
       val idx = cachedIndex("q54-opq2-km2-ts20k", dir)(
         SimSearch.loadOpqIvfPqIndex(s, _))(
         () => SimSearch.buildOpqIvfPqIndex(e, opqIters = 2, iters = 2,
@@ -1882,7 +1889,7 @@ object SparkEntry {
       // sample): the OpqEval trajectory shows iterations 1-2 capture most
       // of the gain, and like every index builder here the real lifecycle
       // is train-once + saveOpq snapshot, not train-per-query
-      val e = emb(s, dir)
+      val e = graft.ops.Checkpoints.cut(emb(s, dir)) // the q54 scan-reuse cut
       val opq = cachedIndex("q49-opq2-km2-ts20k", dir)(
         SimSearch.loadOpq(s, _))(
         () => SimSearch.trainOpq(e, opqIters = 2, kmeansIters = 2,

@@ -656,17 +656,20 @@ object Dedup {
       // uncapped exactness/audit mode (q155's ground-truth side): a
       // viral key's doc list must never be collected on one reducer, so
       // the streaming self-join stays, with persisted postings feeding
-      // its three consumers
-      val postings0 = gramPostings(documents)
-      val sizes = postings0.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val pairs = postings0.select(col("doc_id").as("doc_a"), col("g"))
-        .join(postings0.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+      // both sides. Set sizes ride the postings from the kernel (sz on
+      // every row) into the pair aggregate's group key — sz is constant
+      // per doc, so grouping by it changes nothing — which folds away
+      // the former per-doc sizes aggregate and both pair⋈sizes joins.
+      val postings0 = gramPostingsWithSize(documents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sized = postings0
+        .select(col("doc_id").as("doc_a"), col("g"), col("sz").as("sz_a"))
+        .join(postings0.select(col("doc_id").as("doc_b"), col("g"),
+          col("sz").as("sz_b")), Seq("g"))
         .filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
         .agg(count(lit(1)).as("common"))
-      val sized = pairs
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("common"), col("sz_a"), col("sz_b"))
       (sized, postings0)
     }
   }

@@ -4999,6 +4999,29 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { TextOps.hashedDocVectors(df, 5000) }
   }
 
+  test("hashedDocVectorsKernel: bit-identical to the expression form") {
+    // the typed kernel (q144's composition) must match the Catalyst
+    // md5 math value-for-value, including unicode tokens (UTF-8 md5),
+    // whitespace folds, and empty/NULL texts
+    val df = Seq(
+      (1L, "alpha alpha beta"),
+      (2L, "  MiXeD   Case\ttabs  "),
+      (3L, "über café 東京 données"),
+      (4L, ""), (5L, null.asInstanceOf[String]),
+      (6L, (1 to 200).map(i => s"tok$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    for (dim <- Seq(16, 64)) {
+      val expr = TextOps.hashedDocVectors(df, dim).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getSeq[Long](2)))).toMap
+      val kern = TextOps.hashedDocVectorsKernel(df, dim).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getSeq[Long](2)))).toMap
+      assert(expr == kern, s"dim=$dim: kernel diverges from expression form")
+    }
+    intercept[IllegalArgumentException] { TextOps.hashedDocVectorsKernel(df, 0) }
+  }
+
   test("qualityDeciles: exact micro ranking, doc_id tie-break, NULL scores as empty") {
     val texts = Seq(
       (1L, "the cat sat on the mat and it was a fine day for this"), // stopword-rich
