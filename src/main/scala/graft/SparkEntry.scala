@@ -158,10 +158,11 @@ object SparkEntry {
     val nh = hosts.agg(count(lit(1)).as("nh"))
     val linked = d.join(hosts, Seq("source"))
       .crossJoin(broadcast(nh)).filter(col("hid") =!= 0)
+    // both per-doc targets in ONE pass (explode of the two mix values ==
+    // the former union of two projections, which duplicated the whole
+    // docs⋈hosts subtree and scanned the corpus twice)
     val e0 = linked.select(col("source").as("src"),
-        mixTarget(2654435761L).as("thid"))
-      .union(linked.select(col("source").as("src"),
-        mixTarget(2246822519L).as("thid")))
+      explode(array(mixTarget(2654435761L), mixTarget(2246822519L))).as("thid"))
     e0.join(hosts.select(col("source").as("dst"), col("hid").as("thid2")),
         col("thid") === col("thid2"))
       .filter(col("src") =!= col("dst"))

@@ -978,14 +978,18 @@ object Dedup {
     val edges = pairs.select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
     if (localEdgeCap <= 0) connectedComponentsDistributed(edges, maxIter)
     else {
-      // cap gate = a count over a transient cache, NOT a limit(cap+1)
-      // collect: an over-cap edge table costs one cache materialization
-      // (the distributed path re-reads it to build its bidirectional copy,
-      // which is released before this method returns — the distributed
-      // result is eagerly checkpointed) instead of a cap-sized driver pull
-      // discarded on the spot, and a count cannot silently truncate when
-      // the cap exceeds the Int.MaxValue collect limit
-      val cached = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // cap gate = a count over a transient materialization, NOT a
+      // limit(cap+1) collect: an over-cap edge table costs one
+      // materialization (the distributed path re-reads it to build its
+      // bidirectional copy) instead of a cap-sized driver pull discarded
+      // on the spot, and a count cannot silently truncate when the cap
+      // exceeds the Int.MaxValue collect limit. Materialized via the
+      // ADAPTIVE cut rather than persist: a persisted plan pins the
+      // static shuffle partitioning (32 near-empty partitions for a
+      // hundreds-of-rows pair table — three full-width task waves of
+      // pure overhead measured at sf0.1), while the cut's AQE-coalesced
+      // blocks size the downstream count/collect/round reads to the data.
+      val cached = Checkpoints.cut(edges)
       try {
         if (cached.count() <= localEdgeCap) {
           val probe = cached.as[(Long, Long)].collect()
