@@ -1671,12 +1671,21 @@ object SparkEntry {
       // the quantified recall the approximate family trades away
       import s.implicits._
       val d = docs(s, dir)
-      val cand = Dedup.minhashLsh(d).select(col("doc_a"), col("doc_b"))
+      // candidates-only LSH (this surface never reads est_jaccard, but
+      // minhashLsh's eager checkpoint would force its verify joins to
+      // run) + ONE full-outer pass computing all three counts instead of
+      // two counts and a semi-join count (both sides are distinct pair
+      // sets, so per-side non-null counts and the intersection count are
+      // exactly the former three aggregates)
+      val cand = Dedup.minhashLshCandidates(d)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("c"))
       val exact = Dedup.ngramJaccardAllPairs(d, 0.5)
-        .select(col("doc_a"), col("doc_b"))
-      val nCand = cand.count()
-      val nExact = exact.count()
-      val nHit = cand.join(exact, Seq("doc_a", "doc_b"), "left_semi").count()
+        .select(col("doc_a"), col("doc_b"), lit(1).as("e"))
+      val m = cand.join(exact, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(count(col("c")).as("nc"), count(col("e")).as("ne"),
+          count(when(col("c").isNotNull && col("e").isNotNull, 1)).as("nh"))
+        .head()
+      val (nCand, nExact, nHit) = (m.getLong(0), m.getLong(1), m.getLong(2))
       Seq((nCand, nExact, nHit, nExact - nHit,
         if (nCand > 0) nHit * 1000000L / nCand else 1000000L,
         if (nExact > 0) nHit * 1000000L / nExact else 1000000L))

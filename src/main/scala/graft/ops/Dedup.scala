@@ -218,6 +218,51 @@ object Dedup {
     * are dropped whole, so no reduce key goes quadratic. A self-join would
     * shuffle — and recompute — the signature pipeline twice: Spark does not
     * reuse exchanges under typed MapElements subtrees (verified on 4.1). */
+  /** just the deduped banded-LSH candidate PAIR SET of [[minhashLsh]] —
+    * identical (doc_a, doc_b) rows (same signatures, same bands, same
+    * bucket cap), without the signature-rejoin verify that computes
+    * est_jaccard. For consumers that only consume the pair set (q155's
+    * candidates side), the verify joins are pure discarded work — and
+    * the eager checkpoint inside minhashLsh forces them to execute, so
+    * Catalyst cannot prune them away. */
+  private[graft] def minhashLshCandidates(
+      documents: DataFrame,
+      seed: Long = 42L,
+      maxBucketSize: Int = MAX_BUCKET_SIZE_DEFAULT): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val (as, bs) = hashParams(seed)
+    val pairs = documents.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, minhashSignature(text, as, bs)) }
+      .flatMap { case (id, sig) =>
+        if (sig(0) == Long.MaxValue) Iterator.empty
+        else (0 until N_BANDS).iterator.map(b => (bandKey(sig, b), id))
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val buf = new scala.collection.mutable.ArrayBuffer[Long]()
+        var over = false
+        while (it.hasNext) {
+          val r = it.next()
+          if (!over) {
+            buf += r._2
+            if (buf.length > maxBucketSize) { over = true; buf.clear() }
+          }
+        }
+        if (over) Iterator.empty
+        else {
+          val arr = buf.sorted.toArray
+          (0 until arr.length).iterator.flatMap { i =>
+            (i + 1 until arr.length).iterator.map(j => (arr(i), arr(j)))
+          }
+        }
+      }
+      .toDF("doc_a", "doc_b")
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("_n")).drop("_n")
+    Checkpoints.eager(pairs) {}
+  }
+
   def minhashLsh(
       documents: DataFrame,
       seed: Long = 42L,

@@ -31,6 +31,11 @@ class OpsSpec extends AnyFunSuite {
     assert(nearPair.isDefined, s"expected (1,2) candidate, got ${pairs.mkString(",")}")
     assert(nearPair.get.getAs[Double]("est_jaccard") > 0.5)
     assert(!pairs.exists(r => r.getAs[Long]("doc_b") == 3L || r.getAs[Long]("doc_a") == 3L))
+    // the candidates-only variant (q155's side) is the same pair set
+    val cands = Dedup.minhashLshCandidates(df).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(cands == pairs.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet)
   }
 
   test("simhash near-dups within hamming 3") {
