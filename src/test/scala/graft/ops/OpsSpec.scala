@@ -4790,6 +4790,14 @@ class OpsSpec extends AnyFunSuite {
     assert(capped.contains((1L, 2L)))
     intercept[IllegalArgumentException] { Dedup.winnowFingerprints(docs, 1, 4) }
     intercept[IllegalArgumentException] { Dedup.fingerprintMatches(fps, 0L) }
+    // the kernel-deduped set variant (q122's surface) is exactly the
+    // distinct (doc_id, fp) projection of the positional output
+    val viaDistinct = fps.select($"doc_id", $"fp").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaKernel = Dedup.winnowFingerprintSet(docs, k = 8, w = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaKernel == viaDistinct)
+    intercept[IllegalArgumentException] { Dedup.winnowFingerprintSet(docs, 1, 4) }
   }
 
   test("fetchSchedule: per-host spacing, default delay, conservative merge") {
