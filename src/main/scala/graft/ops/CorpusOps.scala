@@ -555,19 +555,54 @@ object CorpusOps {
     val toks = wsTokens
     val feat = hashedFeat(hashBuckets)
     // per-doc feature rows with tf weight x = count(f) / n_features;
-    // n_features = |unigrams| + |bigrams| = 2*len-1 (len>=2), len else
-    def featureTable(frame: DataFrame): DataFrame = {
-      val nf = when(size(col("t")) >= 2, size(col("t")) * 2 - 1)
-        .otherwise(size(col("t")))
-      frame
-        .withColumn("nf", nf)
-        .select(col("doc_id"), col("y"), col("nf"),
-          explode(concat(col("t"), TextOps.wordGramsOverT(2))).as("f0"))
-        .groupBy(col("doc_id"), col("y"), col("nf"), feat(col("f0")).as("f"))
-        .agg(count(lit(1)).as("cnt"))
-        .select(col("doc_id"), col("y"), col("f"),
-          (col("cnt").cast("double") / col("nf")).as("x"))
-    }
+    // n_features = |unigrams| + |bigrams| = 2*len-1 (len>=2), len else.
+    // hashBuckets == 0 (identity features, every surface here): a typed
+    // kernel counts each doc's features in one pass and emits the
+    // PRE-AGGREGATED (doc_id, y, f, x) rows — the former explode +
+    // interpreted bigram transform + groupBy shuffled ~3x the rows.
+    // Value-identical: count map iteration order never reaches the
+    // output (rows are keyed), x = cnt.toDouble / nf like the cast
+    // division. Hashed-bucket mode keeps the expression path (its
+    // xxhash64-bucket column is Catalyst-defined).
+    def featureTable(frame: DataFrame): DataFrame =
+      if (hashBuckets > 0) {
+        val nf = when(size(col("t")) >= 2, size(col("t")) * 2 - 1)
+          .otherwise(size(col("t")))
+        frame
+          .withColumn("nf", nf)
+          .select(col("doc_id"), col("y"), col("nf"),
+            explode(concat(col("t"), TextOps.wordGramsOverT(2))).as("f0"))
+          .groupBy(col("doc_id"), col("y"), col("nf"), feat(col("f0")).as("f"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("doc_id"), col("y"), col("f"),
+            (col("cnt").cast("double") / col("nf")).as("x"))
+      } else {
+        frame.select(col("doc_id").cast("long"), col("y"), col("t"))
+          .as[(Long, Double, scala.collection.Seq[String])]
+          .flatMap { case (id, y, t) =>
+            val len = t.size
+            if (len == 0) Iterator.empty
+            else {
+              val nf = (if (len >= 2) len * 2 - 1 else len).toDouble
+              val counts = new java.util.HashMap[String, Long]()
+              var i = 0
+              while (i < len) {
+                counts.merge(t(i), 1L, (a, b) => a + b)
+                if (i + 1 < len) counts.merge(t(i) + " " + t(i + 1), 1L, (a, b) => a + b)
+                i += 1
+              }
+              val it = counts.entrySet().iterator()
+              new Iterator[(Long, Double, String, Double)] {
+                def hasNext: Boolean = it.hasNext
+                def next(): (Long, Double, String, Double) = {
+                  val e = it.next()
+                  (id, y, e.getKey, e.getValue.toDouble / nf)
+                }
+              }
+            }
+          }
+          .toDF("doc_id", "y", "f", "x")
+      }
     val seeds = documents
       .filter(isSeedPos || isSeedNeg)
       .select(col("doc_id"), when(isSeedPos, 1.0).otherwise(0.0).as("y"), toks.as("t"))
