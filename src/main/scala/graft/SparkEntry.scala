@@ -480,7 +480,11 @@ object SparkEntry {
     "q91_harmonic_centrality" -> ((s, dir) =>
       // exact bounded-radius harmonic centrality (the Common Crawl
       // ranking metric) over the synthetic host graph: radius 3,
-      // integer micro-unit pair sums (scale=lcm(1..3)=6)
+      // integer micro-unit pair sums (scale=lcm(1..3)=6). AUDIT surface
+      // (PlanAudit label): the exact pair-state engine is q92's ground
+      // truth — at the 100 TB regime harmonic rankings come from
+      // HyperBall (q92) and this exact form runs on a bounded subgraph
+      // sample only
       CorpusOps.harmonicCentrality(hostGraphEdges(s, dir), maxDist = 3)),
     "q92_harmonic_hyperball" -> ((s, dir) => {
       // HyperBall (the actual 100TB algorithm) AUDITED in-surface against
@@ -679,7 +683,10 @@ object SparkEntry {
           .toDF("phrase"))
     }),
     "q109_phrase_docs" -> ((s, dir) =>
-      // token-level exact phrase retrieval, scan side: in-row candidate
+      // token-level exact phrase retrieval, scan side (AUDIT surface:
+      // the full-scan twin that grounds q110's indexed path; production
+      // phrase queries serve from the q110 index, the scan form is the
+      // per-release audit run): in-row candidate
       // filter under the shared BM25/q33 tokenization — "batch batch"
       // exercises overlap counting (a "batch batch batch" run matches
       // twice) and the token-boundary semantics q108's byte scan can't
@@ -714,7 +721,10 @@ object SparkEntry {
     }),
     "q131_bbit_minhash" -> ((s, dir) => {
       // b-bit minwise signature audit (k=16, b=2 — 4 BYTES of signature
-      // per doc) over the q21-confirmed pair set: every signature is
+      // per doc) over the q21-confirmed pair set (AUDIT surface: exact
+      // jaccard rides along as ground truth; at 100 TB the audit runs
+      // over a bounded pair sample — the estimator, not this audit, is
+      // the production path): every signature is
       // md5-derived so the oracle recomputes sigs, b-bit matches, and
       // the clamped integer-exact estimator bit-for-bit; exact jaccard
       // rides along per pair so the record shows estimate vs truth
@@ -1671,7 +1681,10 @@ object SparkEntry {
     "q155_lsh_exact_audit" -> ((s, dir) => {
       // LSH-vs-exact precision/recall audit: q06's banded candidates
       // against the UNCAPPED exact all-pairs truth at 0.5, folded to one
-      // integer-micro confusion row. Both sides are md5-portable, so the
+      // integer-micro confusion row. AUDIT surface (PlanAudit label):
+      // the uncapped exact side re-scans and self-joins the corpus BY
+      // CONTRACT — at the 100 TB regime this audit runs on a bounded
+      // sample of the corpus (the q14 oracle role), never corpus-wide. Both sides are md5-portable, so the
       // oracle recomputes the ENTIRE confusion matrix from SQL — this is
       // the quantified recall the approximate family trades away
       import s.implicits._

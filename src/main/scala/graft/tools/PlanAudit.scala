@@ -32,6 +32,18 @@ object PlanAudit {
         "q84_outlinks", // q84: the host-count scalar behind the mix32 targets
         "q87_anchor_terms", // q87: feeds on q84's frame — same host-count scalar
         "q90_domain_edges") // q90: same host-count scalar in its subdomain frame
+    // AUDIT-class surfaces (VERDICT r05 item 5): intentional exact
+    // baselines / ground-truth recomputations that re-scan the corpus by
+    // contract — at the 100 TB regime these run on a bounded sample (or
+    // ARE the oracle role, like q14's brute force); their plan cost is
+    // the audit's price, not a scale defect. Labeled so a plan sweep
+    // grades them against that contract instead of the production bar.
+    val auditSurfaces = Set(
+      "q14_simsearch_brute", // exact ANN baseline (the oracle role)
+      "q91_harmonic_centrality", // exact pair-state harmonic (q92's twin)
+      "q109_phrase_docs", // full-scan phrase retrieval (q110's twin)
+      "q131_bbit_minhash", // exact-jaccard audit over the q21 pair set
+      "q155_lsh_exact_audit") // UNCAPPED exact all-pairs ground truth
     graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
@@ -59,7 +71,8 @@ object PlanAudit {
         val flags = Seq(
           if (cartesian) Some("CARTESIAN") else None,
           if (bnlj) Some("BNLJ") else None,
-          if (!codegen) Some("NO-CODEGEN") else None).flatten.mkString(",")
+          if (!codegen) Some("NO-CODEGEN") else None,
+          if (auditSurfaces(name)) Some("AUDIT") else None).flatten.mkString(",")
         println(f"$name%-28s exchanges=$exchanges%-3d ${if (flags.isEmpty) "ok" else flags}")
       } catch {
         case e: Throwable => println(f"$name%-28s ERROR ${e.getMessage.take(80)}")
