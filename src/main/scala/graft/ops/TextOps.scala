@@ -610,7 +610,12 @@ object TextOps {
       explode(when(length(trim(col("text"))) === 0, expr("array()"))
         .otherwise(split(trim(lower(col("text"))), "\\s+"))).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    // df from the tf table: one row per (doc, term) means count(1) per
+    // term IS countDistinct(doc_id) over the raw tokens — and because
+    // both consumers now share the tf exchange (identical canonical
+    // shuffle -> ReusedExchange), the corpus is exploded ONCE instead of
+    // once per aggregate
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
     tf.join(dfreq, "term")
       .withColumn("tfidf",
