@@ -1055,8 +1055,9 @@ object CorpusOps {
     *
     * Scale shape: the graph is host-pair-sized, never document-sized.
     * Per round: two equi-joins edge⋈scores + two partial-combined
-    * groupBys + two 1-row total aggregates broadcast — the rankFixpoint
-    * round shape doubled; the score table is lineage-cut per round.
+    * groupBys — the rankFixpoint round shape doubled; each half-round's
+    * raw-score table is lineage-cut and its total rides that cut job as
+    * an Observation (no broadcast-total jobs).
     *
     * Input: (src, dst) string edges (extra columns ignored; NULL
     * endpoints and self-loops drop — "" is an ordinary host, the
@@ -1073,50 +1074,68 @@ object CorpusOps {
         .filter(col("src").isNotNull && col("dst").isNotNull &&
           col("src") =!= col("dst"))
         .distinct())
+    // universe + both degree bounds in ONE aggregate (no degree joins):
+    // each endpoint occurrence contributes 1 to its host's out/in degree,
+    // so the grouped sums ARE the degrees and the group count IS
+    // |universe|; the bounded scalars ride the cut's materialization job
+    // as an Observation (the rankFixpoint consolidation)
+    val statsObs = org.apache.spark.sql.Observation("hits_stats")
     val universe = Checkpoints.cut(
-      e.select(col("src").as("host")).union(e.select(col("dst").as("host")))
-        .distinct())
-    // bounded scalars in ONE action over the two cut tables (the
-    // rankFixpoint consolidation): universe size + the degree bound
-    val stats = universe
-      .join(e.groupBy(col("src")).agg(count(lit(1)).as("od")),
-        universe("host") === col("src"), "left")
-      .join(e.groupBy(col("dst")).agg(count(lit(1)).as("id")),
-        universe("host") === col("dst"), "left")
-      .agg(count(lit(1)).as("n"),
-        max(greatest(coalesce(col("od"), lit(0L)),
-          coalesce(col("id"), lit(0L)))).as("maxDeg")).head()
+      e.select(col("src").as("host"), lit(1L).as("od"), lit(0L).as("id"))
+        .union(e.select(col("dst").as("host"), lit(0L).as("od"), lit(1L).as("id")))
+        .groupBy(col("host"))
+        .agg(sum(col("od")).as("od"), sum(col("id")).as("id"))
+        .observe(statsObs, count(lit(1)).as("n"),
+          max(greatest(col("od"), col("id"))).as("maxDeg")))
+    val stats = observed(statsObs) {
+      universe.agg(count(lit(1)).as("n"),
+        max(greatest(col("od"), col("id"))).as("maxDeg")).head()
+    }
     val n = stats.getLong(0)
     if (n == 0L)
       return universe.select(col("host"), lit(0L).as("hub_e12"),
         lit(0L).as("auth_e12"), lit(0.0).as("hub"), lit(0.0).as("auth"))
-    val maxDeg = stats.getLong(1)
+    val maxDeg = if (stats.isNullAt(1)) 0L else stats.getLong(1)
     require(maxDeg <= 1000000L,
       s"max in/out degree $maxDeg exceeds the exact-arithmetic bound 1e6; " +
         "cap edges before scoring")
     // `div (1 + (T div M))`: the divisor normalization — exact floor
-    // division, keeps the score table's sum <= M for the next round
-    val norm = s"div (1 + (t div CAST($m AS BIGINT)))"
-    var scores = universe.withColumn("hub", lit(m / n)).withColumn("auth", lit(0L))
-    for (_ <- 1 to iterations) {
-      val aRaw = e.join(scores.select(col("host").as("src"), col("hub")), Seq("src"))
-        .groupBy(col("dst")).agg(sum(col("hub")).as("a_raw"))
-      val ta = aRaw.agg(coalesce(sum(col("a_raw")), lit(0L)).as("t"))
+    // division, keeps the score table's sum <= M for the next round.
+    // Each round-total T rides its half-round's cut job as an Observation
+    // (all inputs non-negative, so Scala `/` below is the same floor
+    // division), so no per-round broadcast-total job ever runs; the
+    // score table stays a lazy join of the two materialized half-round
+    // tables (host-sized, re-joined at most twice by the next round).
+    var scores = universe.select(col("host"))
+      .withColumn("hub", lit(m / n)).withColumn("auth", lit(0L))
+    for (it <- 1 to iterations) {
+      val taObs = org.apache.spark.sql.Observation(s"hits_ta_$it")
+      val aRaw = Checkpoints.cut(
+        e.join(scores.select(col("host").as("src"), col("hub")), Seq("src"))
+          .groupBy(col("dst")).agg(sum(col("hub")).as("a_raw"))
+          .observe(taObs, coalesce(sum(col("a_raw")), lit(0L)).as("t")))
+      val ta = observed(taObs) {
+        aRaw.agg(coalesce(sum(col("a_raw")), lit(0L)).as("t")).head()
+      }.getLong(0)
+      val dA = 1L + ta / m
       val auth = scores.select(col("host"))
         .join(aRaw, col("host") === aRaw("dst"), "left")
-        .crossJoin(broadcast(ta))
         .select(col("host"),
-          expr(s"coalesce(a_raw, CAST(0 AS BIGINT)) $norm").as("auth"))
-      val hRaw = e.join(auth.select(col("host").as("dst"), col("auth")), Seq("dst"))
-        .groupBy(col("src")).agg(sum(col("auth")).as("h_raw"))
-      val th = hRaw.agg(coalesce(sum(col("h_raw")), lit(0L)).as("t"))
-      scores = Checkpoints.cut(
-        auth.select(col("host"), col("auth"))
-          .join(hRaw, col("host") === hRaw("src"), "left")
-          .crossJoin(broadcast(th))
-          .select(col("host"),
-            expr(s"coalesce(h_raw, CAST(0 AS BIGINT)) $norm").as("hub"),
-            col("auth")))
+          expr(s"coalesce(a_raw, CAST(0 AS BIGINT)) div CAST($dA AS BIGINT)").as("auth"))
+      val thObs = org.apache.spark.sql.Observation(s"hits_th_$it")
+      val hRaw = Checkpoints.cut(
+        e.join(auth.select(col("host").as("dst"), col("auth")), Seq("dst"))
+          .groupBy(col("src")).agg(sum(col("auth")).as("h_raw"))
+          .observe(thObs, coalesce(sum(col("h_raw")), lit(0L)).as("t")))
+      val th = observed(thObs) {
+        hRaw.agg(coalesce(sum(col("h_raw")), lit(0L)).as("t")).head()
+      }.getLong(0)
+      val dH = 1L + th / m
+      scores = auth
+        .join(hRaw, auth("host") === hRaw("src"), "left")
+        .select(auth("host"),
+          expr(s"coalesce(h_raw, CAST(0 AS BIGINT)) div CAST($dH AS BIGINT)").as("hub"),
+          col("auth"))
     }
     scores.select(col("host"), col("hub").as("hub_e12"), col("auth").as("auth_e12"),
       (col("hub") / lit(1e12)).as("hub"), (col("auth") / lit(1e12)).as("auth"))

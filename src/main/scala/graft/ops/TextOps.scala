@@ -1492,19 +1492,39 @@ object TextOps {
     require(topK > 0, s"topK must be > 0, got $topK")
     import org.apache.spark.sql.expressions.Window
     val spark = documents.sparkSession
+    import spark.implicits._
     val qterms = bm25Terms(query)
     val empty = bm25Empty(spark)
     if (qterms.isEmpty) return empty
-    val base = documents.select(col("doc_id").cast("long").as("doc_id"),
-      bm25Toks.as("toks")).withColumn("dl", size(col("toks")).cast("long"))
+    // tokenization stays the shared Catalyst bm25Toks contract; the
+    // per-term tf counting is a typed kernel (the q109 discipline): the
+    // former size(filter(toks, _ === t)) higher-order expressions are
+    // interpreted per element AND per query term, while this is one
+    // JIT'd pass over the tokens emitting every term's exact count
+    val nq = qterms.length
+    val qIdx: Map[String, Int] = qterms.zipWithIndex.toMap
+    val tfRows = documents
+      .select(col("doc_id").cast("long").as("doc_id"), bm25Toks.as("toks"))
+      .as[(java.lang.Long, scala.collection.Seq[String])]
+      .map { case (id, toks) =>
+        val tfs = new Array[Long](nq)
+        val it = toks.iterator
+        while (it.hasNext) {
+          qIdx.get(it.next()) match {
+            case Some(j) => tfs(j) += 1L
+            case None => ()
+          }
+        }
+        (id, toks.size.toLong, tfs)
+      }.toDF("doc_id", "dl", "tfs")
     // scan 1: N, Σdl and every query term's df in ONE partial-combined agg
-    val tf = (t: String) => size(filter(col("toks"), x => x === lit(t))).cast("long")
+    val tf = (i: Int) => col("tfs")(i)
     val aggCols = count(lit(1)).as("n_docs") +:
       sum(col("dl")).as("sum_dl") +:
-      qterms.zipWithIndex.map { case (t, i) =>
-        sum(when(tf(t) > 0, 1L).otherwise(0L)).as(s"df_$i")
+      qterms.indices.map { i =>
+        sum(when(tf(i) > 0, 1L).otherwise(0L)).as(s"df_$i")
       }
-    val statsRow = base.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    val statsRow = tfRows.agg(aggCols.head, aggCols.tail: _*).collect()(0)
     val nDocs = statsRow.getLong(0)
     if (nDocs == 0) return empty
     val sumDl = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
@@ -1514,7 +1534,7 @@ object TextOps {
     // scan 2: per-row contributions against driver-computed idf literals
     val contribs = qterms.zipWithIndex.map { case (t, i) =>
       val df = statsRow.getLong(2 + i)
-      val tfc = tf(t).cast("double")
+      val tfc = tf(i).cast("double")
       when(tfc > 0,
         bm25Contrib(tfc, col("dl"), lit(bm25Idf(nDocs, df)), avgdl, k1, b))
         .otherwise(lit(0L))
@@ -1522,12 +1542,12 @@ object TextOps {
     val matched = qterms.indices
       .map(i => when(col(s"m_$i"), 1L).otherwise(0L))
       .reduce(_ + _)
-    val scored = base.select(
+    val scored = tfRows.select(
       col("doc_id") +: col("dl") +:
         (contribs.zipWithIndex.map { case (c, i) => c.as(s"c_$i") } ++
           // tf>0 with a zero contribution (idf rounds to 0) still counts
           // as a match — track it separately from the contribution
-          qterms.zipWithIndex.map { case (t, i) => (tf(t) > 0).as(s"m_$i") }): _*)
+          qterms.indices.map { i => (tf(i) > 0).as(s"m_$i") }): _*)
       .withColumn("score_e6", qterms.indices.map(i => col(s"c_$i")).reduce(_ + _))
       .withColumn("n_terms_matched", matched)
       .filter(col("n_terms_matched") > 0)
