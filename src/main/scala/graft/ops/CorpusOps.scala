@@ -946,9 +946,9 @@ object CorpusOps {
     // Observation (the connectedComponents discipline, probed by
     // graft.tools.ObsProbe): N, S, the overflow guard, and the count of
     // dangling seeds — which closes round 1's dangling mass in closed
-    // form (r0 * |{seed ∧ outw=0}|), so no per-round broadcast job ever
-    // runs: each round is exactly ONE cut job whose observation carries
-    // the NEXT round's dangling sum.
+    // form (r0 * |{seed ∧ outw=0}|). The rounds themselves are one lazy
+    // plan (see the loop comment below), so this is the loop's ONLY
+    // driver action.
     val statsObs = org.apache.spark.sql.Observation("rank_stats")
     val base = Checkpoints.cut(flagged.observe(statsObs,
       count(lit(1)).as("n"),
@@ -979,31 +979,34 @@ object CorpusOps {
     var ranks = base.withColumn("r",
       when(col("seed"), lit(r0)).otherwise(lit(0L)))
     // dangling mass entering round 1: every dangling host holds r0 if
-    // seed else 0 — exact closed form off the fused stats
-    var dang = r0 * stats.getLong(3)
+    // seed else 0 — exact closed form off the fused stats. Later rounds
+    // read the PREVIOUS round's dangling sum as an in-plan 1-row
+    // broadcast (the same exact long sum the former per-round
+    // Observation carried), so the whole fixed-round loop is ONE lazy
+    // plan — no per-round action or lineage cut; AQE materializes each
+    // round's exchanges once (the q91 lazy-loop discipline; iterations
+    // are fixed and small, so plan depth is bounded, and every
+    // re-referenced subtree above a reused exchange is host-sized).
+    val dang1 = r0 * stats.getLong(3)
     for (it <- 1 to iterations) {
       val inflow = e.join(ranks, e("src") === ranks("host"))
         .select(col("dst"),
           (col("weight") * expr("r div outw") +
             expr("((r % outw) * weight) div outw")).as("share"))
         .groupBy(col("dst")).agg(sum(col("share")).as("infl"))
-      val dangObs = org.apache.spark.sql.Observation(s"rank_dang_$it")
-      val next =
-        ranks.select(col("host"), col("outw"), col("seed"))
-          .join(inflow, col("host") === inflow("dst"), "left")
-          .select(col("host"), col("outw"), col("seed"),
-            (when(col("seed"), lit(basePart)).otherwise(lit(0L)) +
-              expr(s"($dampingPct * (coalesce(infl, CAST(0 AS BIGINT)) " +
-                s"+ (CASE WHEN seed THEN CAST($dang AS BIGINT) div CAST($nSeeds AS BIGINT) " +
-                s"ELSE CAST(0 AS BIGINT) END))) div 100")).as("r"))
-      ranks = Checkpoints.cut(next.observe(dangObs,
-        coalesce(sum(when(col("outw") === 0, col("r")).otherwise(0L)), lit(0L))
-          .as("dang")))
-      if (it < iterations)
-        dang = observed(dangObs) {
-          ranks.filter(col("outw") === 0)
-            .agg(coalesce(sum(col("r")), lit(0L)).as("dang")).head()
-        }.getLong(0)
+      val hosts = ranks.select(col("host"), col("outw"), col("seed"))
+      val (withDang, dangSql) =
+        if (it == 1) (hosts, s"CAST($dang1 AS BIGINT)")
+        else (hosts.crossJoin(broadcast(ranks.agg(
+          coalesce(sum(when(col("outw") === 0, col("r")).otherwise(0L)), lit(0L))
+            .as("dang")))), "dang")
+      ranks = withDang
+        .join(inflow, col("host") === inflow("dst"), "left")
+        .select(col("host"), col("outw"), col("seed"),
+          (when(col("seed"), lit(basePart)).otherwise(lit(0L)) +
+            expr(s"($dampingPct * (coalesce(infl, CAST(0 AS BIGINT)) " +
+              s"+ (CASE WHEN seed THEN $dangSql div CAST($nSeeds AS BIGINT) " +
+              s"ELSE CAST(0 AS BIGINT) END))) div 100")).as("r"))
     }
     ranks.select(col("host"), col("outw").as("out_weight"),
       col("seed").as("is_seed"), col("r").as("rank_e12"),
