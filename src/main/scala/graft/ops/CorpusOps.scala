@@ -1104,40 +1104,33 @@ object CorpusOps {
         "cap edges before scoring")
     // `div (1 + (T div M))`: the divisor normalization — exact floor
     // division, keeps the score table's sum <= M for the next round.
-    // Each round-total T rides its half-round's cut job as an Observation
-    // (all inputs non-negative, so Scala `/` below is the same floor
-    // division), so no per-round broadcast-total job ever runs; the
-    // score table stays a lazy join of the two materialized half-round
-    // tables (host-sized, re-joined at most twice by the next round).
+    // Each round-total T is an in-plan 1-row broadcast aggregate and the
+    // whole fixed-round loop is ONE lazy plan (the q91 / rankFixpoint
+    // lazy-loop discipline): no per-round action or lineage cut; AQE
+    // exchange reuse materializes each half-round's raw-score exchange
+    // once (the total aggregate and the score join read the same
+    // exchange), and every re-referenced subtree above a reused exchange
+    // is host-sized.
+    val norm = s"div (1 + (t div CAST($m AS BIGINT)))"
     var scores = universe.select(col("host"))
       .withColumn("hub", lit(m / n)).withColumn("auth", lit(0L))
-    for (it <- 1 to iterations) {
-      val taObs = org.apache.spark.sql.Observation(s"hits_ta_$it")
-      val aRaw = Checkpoints.cut(
-        e.join(scores.select(col("host").as("src"), col("hub")), Seq("src"))
-          .groupBy(col("dst")).agg(sum(col("hub")).as("a_raw"))
-          .observe(taObs, coalesce(sum(col("a_raw")), lit(0L)).as("t")))
-      val ta = observed(taObs) {
-        aRaw.agg(coalesce(sum(col("a_raw")), lit(0L)).as("t")).head()
-      }.getLong(0)
-      val dA = 1L + ta / m
+    for (_ <- 1 to iterations) {
+      val aRaw = e.join(scores.select(col("host").as("src"), col("hub")), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("hub")).as("a_raw"))
+      val ta = aRaw.agg(coalesce(sum(col("a_raw")), lit(0L)).as("t"))
       val auth = scores.select(col("host"))
         .join(aRaw, col("host") === aRaw("dst"), "left")
+        .crossJoin(broadcast(ta))
         .select(col("host"),
-          expr(s"coalesce(a_raw, CAST(0 AS BIGINT)) div CAST($dA AS BIGINT)").as("auth"))
-      val thObs = org.apache.spark.sql.Observation(s"hits_th_$it")
-      val hRaw = Checkpoints.cut(
-        e.join(auth.select(col("host").as("dst"), col("auth")), Seq("dst"))
-          .groupBy(col("src")).agg(sum(col("auth")).as("h_raw"))
-          .observe(thObs, coalesce(sum(col("h_raw")), lit(0L)).as("t")))
-      val th = observed(thObs) {
-        hRaw.agg(coalesce(sum(col("h_raw")), lit(0L)).as("t")).head()
-      }.getLong(0)
-      val dH = 1L + th / m
-      scores = auth
-        .join(hRaw, auth("host") === hRaw("src"), "left")
-        .select(auth("host"),
-          expr(s"coalesce(h_raw, CAST(0 AS BIGINT)) div CAST($dH AS BIGINT)").as("hub"),
+          expr(s"coalesce(a_raw, CAST(0 AS BIGINT)) $norm").as("auth"))
+      val hRaw = e.join(auth.select(col("host").as("dst"), col("auth")), Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("auth")).as("h_raw"))
+      val th = hRaw.agg(coalesce(sum(col("h_raw")), lit(0L)).as("t"))
+      scores = auth.select(col("host"), col("auth"))
+        .join(hRaw, col("host") === hRaw("src"), "left")
+        .crossJoin(broadcast(th))
+        .select(col("host"),
+          expr(s"coalesce(h_raw, CAST(0 AS BIGINT)) $norm").as("hub"),
           col("auth"))
     }
     scores.select(col("host"), col("hub").as("hub_e12"), col("auth").as("auth_e12"),
