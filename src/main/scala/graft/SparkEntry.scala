@@ -15,7 +15,20 @@ object SparkEntry {
 
   private def t(sfDir: String, name: String) = s"$sfDir/$name.parquet"
 
-  private def docs(s: SparkSession, dir: String): DataFrame = s.read.parquet(t(dir, "documents"))
+  /** parquet read with the file's schema cached per path: the schema of a
+    * fixed input table is immutable metadata, so later reads in the same
+    * JVM pass it explicitly (the standard production practice of
+    * declaring input schemas) and skip the per-call footer-inference
+    * job. Results are never cached — every query still computes from the
+    * parquet files. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  private def readT(s: SparkSession, path: String): DataFrame = {
+    val sch = schemaCache.computeIfAbsent(path, p => s.read.parquet(p).schema)
+    s.read.schema(sch).parquet(path)
+  }
+
+  private def docs(s: SparkSession, dir: String): DataFrame = readT(s, t(dir, "documents"))
 
   /** shared q145/q146 frame: the synthetic media table's images plus a
     * perturbed PNG mirror of every second image (media_id + 100000) —
@@ -83,7 +96,7 @@ object SparkEntry {
         .otherwise(concat(lit("https://"), coalesce(col("source"), lit("unknown")),
           lit(".example/p"), (col("doc_id") % 37).cast("string")))
         .as("url"))
-  private def emb(s: SparkSession, dir: String): DataFrame = s.read.parquet(t(dir, "embeddings"))
+  private def emb(s: SparkSession, dir: String): DataFrame = readT(s, t(dir, "embeddings"))
 
   /** distinct sources of the documents table indexed by alphabetical
     * rank — the synthetic host universe behind every q83-q92 link-graph
@@ -209,7 +222,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational shell over driver tables (DuckDB-verified) ----
     "q01_lineitem_agg" -> ((s, dir) => {
-      s.read.parquet(t(dir, "lineitem"))
+      readT(s, t(dir, "lineitem"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity").cast("long")).as("sum_qty"),
@@ -217,10 +230,10 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))
     }),
     "q02_revenue_by_nation" -> ((s, dir) => {
-      val li = s.read.parquet(t(dir, "lineitem"))
-      val o = s.read.parquet(t(dir, "orders"))
-      val c = s.read.parquet(t(dir, "customer"))
-      val n = s.read.parquet(t(dir, "nation"))
+      val li = readT(s, t(dir, "lineitem"))
+      val o = readT(s, t(dir, "orders"))
+      val c = readT(s, t(dir, "customer"))
+      val n = readT(s, t(dir, "nation"))
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
@@ -232,7 +245,7 @@ object SparkEntry {
     }),
     "q03_supplier_top_line" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val li = s.read.parquet(t(dir, "lineitem"))
+      val li = readT(s, t(dir, "lineitem"))
       val w = Window.partitionBy("l_suppkey")
         .orderBy(col("l_quantity").desc, col("l_orderkey").asc, col("l_linenumber").asc)
       li.withColumn("rn", row_number().over(w))
@@ -241,7 +254,7 @@ object SparkEntry {
           col("l_quantity").cast("long").as("qty"))
     }),
     "q04_events_rollup" -> ((s, dir) => {
-      s.read.parquet(t(dir, "events"))
+      readT(s, t(dir, "events"))
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(
           count(lit(1)).as("n_events"),
@@ -249,7 +262,7 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"))
     }),
     "q30_rollup" -> ((s, dir) => {
-      s.read.parquet(t(dir, "lineitem"))
+      readT(s, t(dir, "lineitem"))
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity").cast("long")).as("sum_qty"),
@@ -267,7 +280,7 @@ object SparkEntry {
       // adding l_quantity makes the prefix sums order-invariant within ties
       val w = Window.partitionBy("l_suppkey")
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      s.read.parquet(t(dir, "lineitem")).select(
+      readT(s, t(dir, "lineitem")).select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         sum(col("l_quantity").cast("long"))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -539,7 +552,7 @@ object SparkEntry {
       // batch gap-based sessionization over the events table (30-min
       // gap): one shuffle by user_id reused by both windows AND the
       // final per-session aggregate; exact integer-cent value totals
-      CorpusOps.sessionize(s.read.parquet(t(dir, "events")), gapSeconds = 1800L)),
+      CorpusOps.sessionize(readT(s, t(dir, "events")), gapSeconds = 1800L)),
     "q98_crawl_delta" -> ((s, dir) => {
       // two-snapshot crawl diff over synthesized old/new views of the
       // documents table: every 10th doc is new-only (added), every 7th
