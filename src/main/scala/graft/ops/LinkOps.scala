@@ -553,10 +553,17 @@ object LinkOps {
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
-      val induced = und.join(alive.select(col("v").as("a")), Seq("a"))
-        .join(alive.select(col("v").as("b")), Seq("b"))
-      val deg = induced.select(col("a").as("v"))
-        .union(induced.select(col("b").as("v")))
+      // cut the induced edge table FIRST and compute degrees from the
+      // materialized blocks: the former order ran the two semi-joins
+      // twice per round (once inline under the survivor cut, again for
+      // the edge-table cut). On the fixpoint round the extra cut holds
+      // the same edge set as `und`, so using it below is value-neutral.
+      val undNext = Checkpoints.cut(
+        und.join(alive.select(col("v").as("a")), Seq("a"))
+          .join(alive.select(col("v").as("b")), Seq("b"))
+          .select(col("a"), col("b")))
+      val deg = undNext.select(col("a").as("v"))
+        .union(undNext.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
       // the survivor count rides the cut's materialization as an
       // Observation (the connectedComponents discipline): the former
@@ -570,13 +577,13 @@ object LinkOps {
         try Await.result(obs.future, 30.seconds).getLong(0)
         catch { case _: java.util.concurrent.TimeoutException => next.count() }
       }
+      und = undNext
       // A_{i+1} ⊆ A_i (an excluded node has no induced edges, hence no
       // degree row), so count equality IS set equality — fixpoint
       if (n == aliveN) converged = true
       else {
         alive = next
         aliveN = n
-        und = Checkpoints.cut(induced.select(col("a"), col("b")))
       }
       round += 1
     }
