@@ -826,9 +826,15 @@ object CorpusOps {
     }
     // distributed sort once, persisted; the per-partition counts job (the
     // pass zipWithIndex would run anyway) also yields the host total, so
-    // the former eager checkpoint + separate count() jobs fold away
-    val sorted = hostRanks.select(col("host").cast("string").as("host"),
-        col("rank_e12").cast("long").as("rank_e12"))
+    // the former eager checkpoint + separate count() jobs fold away.
+    // The input is lineage-cut FIRST: RDD.sortBy executes its parent
+    // twice (the range-partitioner sample pass, then the sort), and
+    // hostRank's now-lazy fixed-round plan would otherwise run whole
+    // both times.
+    val hr = Checkpoints.cut(
+      hostRanks.select(col("host").cast("string").as("host"),
+        col("rank_e12").cast("long").as("rank_e12")))
+    val sorted = hr
       .as[(String, Long)].rdd
       .sortBy({ case (h, r) => (-r, h) })(tieOrd, implicitly)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
