@@ -1648,13 +1648,30 @@ object Dedup {
       benchmark: DataFrame,
       gramLen: Int = 8,
       maxBroadcastDocs: Long = 4000000L): DataFrame = {
+    val spark0 = documents.sparkSession
+    import spark0.implicits._
+    // typed span-gram kernel (the q109 discipline): tokenization mirrors
+    // the former Catalyst split(lower(trim(coalesce(text,''))), '\s+')
+    // exactly (space-only trim, limit -1 split keeping edge empties); the
+    // per-window 64-bit hash is the gramPostings poly-31 over the joined
+    // gram text — an internal candidate proxy only (flagged spans are
+    // what the oracle checks, string-equal in DuckDB), with the jaccard
+    // postings' negligible-collision contract. The former
+    // transform(sequence(...))+xxhash64 expression pair was interpreted
+    // per window (higher-order expressions run outside codegen); this is
+    // one JIT'd pass.
     def gramStarts(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), split(lower(trim(coalesce(col("text"), lit("")))), "\\s+").as("t"))
-        .filter(size(col("t")) >= gramLen)
-        .select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(0, size(t) - $gramLen), " +
-            s"i -> xxhash64(concat_ws(' ', slice(t, i + 1, $gramLen))))"))
-          .as(Seq("pos", "gram_hash")))
+      df.select(col("doc_id").cast("long").as("doc_id"),
+          col("text").cast("string").as("text"))
+        .as[(java.lang.Long, String)]
+        .flatMap { case (id, text) =>
+          val toks = spanToks(text)
+          val n = toks.length
+          if (n < gramLen) Iterator.empty
+          else Iterator.tabulate(n - gramLen + 1)(i =>
+            (id, i, spanWindowHash(toks, i, gramLen)))
+        }
+        .toDF("doc_id", "pos", "gram_hash")
     val benchGrams = gramStarts(benchmark).select(col("gram_hash")).distinct()
     val flaggedStarts = gramStarts(documents)
       .join(broadcast(benchGrams), Seq("gram_hash"), "left_semi")
@@ -1675,17 +1692,73 @@ object Dedup {
       else if (maxBroadcastDocs <= 0L) startsPerDoc
       else if (startsPerDoc.count() <= maxBroadcastDocs) broadcast(startsPerDoc)
       else startsPerDoc
-    val g = lit(gramLen)
-    documents
-      .select(col("doc_id"),
-        split(lower(trim(coalesce(col("text"), lit("")))), "\\s+").as("t"))
+    // reassembly in the same typed discipline: the former filter/exists
+    // higher-order pair re-scanned the span list per token, interpreted
+    val out = documents
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("text").cast("string").as("text"))
       .join(startsSide, Seq("doc_id"), "left_outer")
-      .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
-      .withColumn("kept", filter(col("t"),
-        (tok, i) => !exists(col("starts"), s => i >= s && i < s + g)))
-      .select(col("doc_id"),
-        array_join(col("kept"), " ").as("clean_text"),
-        (size(col("t")) - size(col("kept"))).cast("long").as("n_tokens_removed"))
+      .as[(java.lang.Long, String, scala.collection.Seq[Int])]
+      .map { case (id, text, starts) =>
+        val toks = spanToks(text)
+        val n = toks.length
+        val bad = new Array[Boolean](n)
+        if (starts != null) starts.foreach { s0 =>
+          var j = math.max(s0, 0)
+          val e = math.min(s0.toLong + gramLen, n.toLong).toInt
+          while (j < e) { bad(j) = true; j += 1 }
+        }
+        val sb = new java.lang.StringBuilder
+        var removed = 0L
+        var first = true
+        var i = 0
+        while (i < n) {
+          if (bad(i)) removed += 1L
+          else {
+            if (!first) sb.append(' ')
+            sb.append(toks(i))
+            first = false
+          }
+          i += 1
+        }
+        (id, sb.toString, removed)
+      }
+      .toDF("doc_id", "clean_text", "n_tokens_removed")
+    // typed tuples yield a nullable string column; the coalesce (never
+    // hit — the kernel always emits a string) restates the former
+    // expression path's non-nullable clean_text without opaquing the
+    // plan behind an RDD scan (OpsSpec plan-gates the join shape here)
+    out.select(col("doc_id"),
+      coalesce(col("clean_text"), lit("")).as("clean_text"),
+      col("n_tokens_removed"))
+  }
+
+  /** q46 tokenization twin of `split(lower(trim(coalesce(text,''))),
+    * '\\s+')`: SQL trim strips 0x20 only; split keeps edge empties
+    * (limit -1). */
+  private def spanToks(text0: String): Array[String] = {
+    val t0 = if (text0 == null) "" else text0
+    var b = 0
+    var e = t0.length
+    while (b < e && t0.charAt(b) == ' ') b += 1
+    while (e > b && t0.charAt(e - 1) == ' ') e -= 1
+    WS.split(t0.substring(b, e).toLowerCase(java.util.Locale.ROOT), -1)
+  }
+
+  /** poly-31 hash of the window's gram text `tok_i .. tok_{i+g-1}` joined
+    * by ' ' — the gramSet/gramPostings hash family, computed without
+    * building the string. */
+  private def spanWindowHash(toks: Array[String], start: Int, g: Int): Long = {
+    var h = 1125899906842597L
+    var w = 0
+    while (w < g) {
+      if (w > 0) h = h * 31 + ' '
+      val s = toks(start + w)
+      var i = 0
+      while (i < s.length) { h = h * 31 + s.charAt(i); i += 1 }
+      w += 1
+    }
+    h
   }
 
   /** shared middle of the keep-first unit dedups (`corpusLineDedup`,
