@@ -1423,14 +1423,33 @@ object Dedup {
       documents: DataFrame,
       benchmark: DataFrame,
       gramLen: Int = 8): DataFrame = {
+    // typed span-gram kernel (the decontaminateSpans discipline; same
+    // tokenization twin and poly-31 window-hash proxy, same
+    // negligible-collision contract — the oracle checks grams
+    // string-equal). NULL text emitted no token array before (size(NULL)
+    // fails the length gate) and emits nothing here.
+    val spark0 = documents.sparkSession
+    import spark0.implicits._
     def gramHashes(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
-        .filter(size(col("toks")) >= gramLen)
-        .select(col("doc_id"), expr(
-          s"transform(sequence(0, size(toks) - $gramLen), " +
-            "i -> xxhash64(concat_ws(' ', slice(toks, i + 1, " + gramLen + "))))")
-          .as("gram_hashes"))
-        .select(col("doc_id"), explode(array_distinct(col("gram_hashes"))).as("gram_hash"))
+      df.select(col("doc_id").cast("long").as("doc_id"),
+          col("text").cast("string").as("text"))
+        .as[(java.lang.Long, String)]
+        .flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val toks = spanToks(text)
+            val n = toks.length
+            if (n < gramLen) Iterator.empty
+            else {
+              val seen = new java.util.HashSet[java.lang.Long]()
+              Iterator.tabulate(n - gramLen + 1)(i =>
+                  spanWindowHash(toks, i, gramLen))
+                .filter(h => seen.add(h))
+                .map(h => (id, h))
+            }
+          }
+        }
+        .toDF("doc_id", "gram_hash")
     val benchGrams = gramHashes(benchmark).select(col("gram_hash")).distinct()
     gramHashes(documents)
       .join(broadcast(benchGrams), Seq("gram_hash"), "left_semi")
