@@ -292,7 +292,7 @@ object Dedup {
         if (sig(0) == Long.MaxValue) Iterator.empty
         else (0 until N_BANDS).iterator.map(b => (bandKey(sig, b), id))
       }
-    val pairs = banded.groupByKey(_._1)
+    val pairsRaw = banded.groupByKey(_._1)
       .flatMapGroups { (_, it) =>
         val buf = new scala.collection.mutable.ArrayBuffer[Long]()
         var over = false
@@ -313,11 +313,17 @@ object Dedup {
       }
       .toDF("doc_a", "doc_b")
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("_n")).drop("_n")
-      // consumed twice below (id prune + verify join): persist the
-      // candidate-sized frame or the whole bucket pipeline runs twice
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // verify-join shape is SIZE-GATED on the candidate count (the count
-    // also warms the persisted pairs cache the plan reads anyway):
+    // consumed twice below (id prune + verify join): materialize the
+    // candidate-sized frame once, via the ADAPTIVE cut rather than
+    // persist — a persisted plan pins the static shuffle partitioning
+    // (32 near-empty final-agg tasks measured for a candidate-sized pair
+    // table), while the cut's AQE-coalesced blocks size downstream reads
+    // to the data. The size-gate count rides the materialization as an
+    // Observation (the connectedComponents discipline).
+    val pairsObs = org.apache.spark.sql.Observation("minhash_pairs")
+    val pairs = Checkpoints.cut(
+      pairsRaw.observe(pairsObs, count(lit(1)).as("n")))
+    // verify-join shape is SIZE-GATED on the candidate count:
     //  - pairs under `maxBroadcastPairs` (the normal regime): join the
     //    small pair set straight against the persisted sigs — AQE
     //    broadcasts the pair side and the corpus-sized signature frame is
@@ -328,7 +334,12 @@ object Dedup {
     //    TWICE; instead prune sigs to candidate ids with one semi-join
     //    (persisted — both verify joins read it) so the equi-joins are
     //    candidate-sized.
-    val nPairs = pairs.count()
+    val nPairs = {
+      import scala.concurrent.Await
+      import scala.concurrent.duration._
+      try Await.result(pairsObs.future, 30.seconds).getLong(0)
+      catch { case _: java.util.concurrent.TimeoutException => pairs.count() }
+    }
     val (joinA, joinB, extraRelease: (() => Unit)) =
       if (nPairs <= maxBroadcastPairs)
         (sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
@@ -355,7 +366,9 @@ object Dedup {
     // in a long session is bounded by O(pairs), not O(corpus). Mechanism
     // (reliable checkpoint vs local) and the executor-loss tradeoff are
     // documented on Checkpoints.
-    Checkpoints.eager(out) { sigs.unpersist(); pairs.unpersist(); extraRelease() }
+    // pairs is a lineage cut (checkpoint blocks, ContextCleaner-reclaimed
+    // once unreferenced), so only the persisted caches release here
+    Checkpoints.eager(out) { sigs.unpersist(); extraRelease() }
   }
 
   // ---- SimHash ----------------------------------------------------------------
