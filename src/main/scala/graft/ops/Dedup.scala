@@ -834,6 +834,11 @@ object Dedup {
     // pair-sizes joins fold into the verify kernel below
     val postings0 = gramPostingsWithSize(documents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // NOTE: persist (not the adaptive cut) is deliberate for this path's
+    // multi-consumer intermediates: an r06 A/B showed the cut's
+    // AQE-coalesced blocks (1-2 partitions at the bench advisory)
+    // SERIALIZE the CPU-heavy candidate self-join — the persisted
+    // 32-partition layout is what keeps it parallel
     val postings =
       if (maxDf <= 0) postings0
       else cappedPostings(postings0, "g", maxDf)
