@@ -31,7 +31,20 @@ object PlanAudit {
         "q77_source_prior", // q77: the global-mean fallback scalar
         "q84_outlinks", // q84: the host-count scalar behind the mix32 targets
         "q87_anchor_terms", // q87: feeds on q84's frame — same host-count scalar
-        "q90_domain_edges") // q90: same host-count scalar in its subdomain frame
+        "q90_domain_edges", // q90: same host-count scalar in its subdomain frame
+        // r06 lazy fixed-round loops: the per-round dangling-mass /
+        // divisor-total 1-row broadcast aggregates are now visible in the
+        // top-level plan (the former per-round cuts hid them behind an
+        // ExistingRDD scan; the joins themselves are unchanged scalar
+        // broadcasts)
+        "q83_host_pagerank", "q88_trustrank", "q103_hits",
+        // ANN serving audits: the BNLJ is bruteForceTopK's corpus x
+        // broadcast(<= nQueries rows) exact side — q14's oracle role
+        // computed in-surface (flagged at round-6 start too, predating
+        // the r06 changes; the approximate serving path never
+        // cross-joins)
+        "q15_simsearch_lsh", "q29_simsearch_ivf", "q44_simsearch_pq",
+        "q45_simsearch_ivfpq", "q49_simsearch_opq", "q54_simsearch_opq_ivfpq")
     // AUDIT-class surfaces (VERDICT r05 item 5): intentional exact
     // baselines / ground-truth recomputations that re-scan the corpus by
     // contract — at the 100 TB regime these run on a bounded sample (or
