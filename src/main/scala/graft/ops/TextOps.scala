@@ -1627,19 +1627,36 @@ object TextOps {
     * length (empty/NULL-text docs kept at dl=0 — they are part of N and
     * avgdl, exactly as the scan path counts them).
     *
-    * Scale shape: one explode + ONE partial-combined aggregate shuffled by
-    * (term, doc_id) — the standard index-build shuffle; docLens is a
-    * shuffle-free projection. Persist both with [[saveTextIndex]]
-    * partitioned however the store likes; at serving scale, sort/bucket
-    * postings by term so a query's probe is a pruned range read, not a
-    * full postings scan. */
+    * Scale shape: ONE shuffle-free typed pass — tf is counted in-doc
+    * (each (term, doc_id) pair originates in exactly one document row,
+    * so the per-doc counts ARE the postings; no explode, no aggregate);
+    * docLens is a shuffle-free projection. Persist both with
+    * [[saveTextIndex]] partitioned however the store likes; at serving
+    * scale, sort/bucket postings by term so a query's probe is a pruned
+    * range read, not a full postings scan. */
   def buildTextIndex(documents: DataFrame): (DataFrame, DataFrame) = {
+    val spark = documents.sparkSession
+    import spark.implicits._
     val base = documents.select(col("doc_id").cast("long").as("doc_id"),
       bm25Toks.as("toks"))
+    // tf counting happens IN-DOC (typed pass over the shared bm25Toks
+    // tokenization): every (term, doc_id) pair originates in exactly one
+    // document row, so the per-doc counts ARE the postings — the former
+    // explode (one row per token occurrence) + (term, doc_id) aggregate
+    // shuffled the whole token stream to produce the same table. The
+    // build becomes shuffle-free; persist/sort order is the store's
+    // concern (saveTextIndex).
     val postings = base
-      .select(col("doc_id"), explode(col("toks")).as("term"))
-      .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
+      .as[(java.lang.Long, scala.collection.Seq[String])]
+      .flatMap { case (id, toks) =>
+        val counts = new java.util.LinkedHashMap[String, Long]()
+        val it = toks.iterator
+        while (it.hasNext) counts.merge(it.next(), 1L, java.lang.Long.sum _)
+        val out = new scala.collection.mutable.ArrayBuffer[(String, java.lang.Long, Long)](counts.size)
+        counts.forEach { (t, c) => out += ((t, id, c)) }
+        out
+      }
+      .toDF("term", "doc_id", "tf")
     val docLens = base.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
     (postings, docLens)
   }
