@@ -1990,16 +1990,30 @@ object CorpusOps {
   def qualityDeciles(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val ranked = Checkpoints.cut(documents
+    // the quality-scored projection is lineage-cut FIRST (RDD.sortBy's
+    // range-partitioner sample pass would otherwise re-run the scoring
+    // scan a second time — the hostTierTable discipline), and the total
+    // rides that cut as an Observation, folding the former separate
+    // count() job. sortBy/zipWithIndex pin their shuffle at build time,
+    // so the ranked frame needs no second cut.
+    val obs = org.apache.spark.sql.Observation("qdec_n")
+    val scored = Checkpoints.cut(documents
       .select(col("doc_id").cast("long").as("doc_id"),
         round(TextOps.qualityScore(coalesce(col("text"), lit(""))) * 1000000)
           .cast("long").as("quality_e6"))
+      .observe(obs, count(lit(1)).as("n")))
+    val n = {
+      import scala.concurrent.Await
+      import scala.concurrent.duration._
+      try Await.result(obs.future, 30.seconds).getLong(0)
+      catch { case _: java.util.concurrent.TimeoutException => scored.count() }
+    }
+    val ranked = scored
       .as[(Long, Long)].rdd
       .sortBy({ case (id, qe) => (-qe, id) })
       .zipWithIndex()
       .map { case ((id, qe), i) => (id, qe, i + 1L) }
-      .toDF("doc_id", "quality_e6", "rnk"))
-    val n = ranked.count()
+      .toDF("doc_id", "quality_e6", "rnk")
     if (n == 0L) ranked.withColumn("decile", lit(0L))
     else ranked.withColumn("decile", expr(s"((rnk - 1) * 10) div ${n}L + 1"))
   }
