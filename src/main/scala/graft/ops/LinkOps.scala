@@ -292,10 +292,16 @@ object LinkOps {
       localEdgeCap: Long = 2000000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e0 = edges.select(col("src").cast("string").as("s"),
-        col("dst").cast("string").as("d"))
-      .filter(col("s").isNotNull && col("d").isNotNull &&
-        col("s") =!= "" && col("d") =!= "")
+    // the cleaned edge table is lineage-cut ONCE: it feeds the host
+    // universe (which RDD.sortBy's range-partitioner sample executes a
+    // second time) and both sides of the id-attach join — without the
+    // cut the caller's whole edge-derivation subtree (for q95, the
+    // corpus-scanning hostGraphEdges) executed three times
+    val e0 = Checkpoints.cut(
+      edges.select(col("src").cast("string").as("s"),
+          col("dst").cast("string").as("d"))
+        .filter(col("s").isNotNull && col("d").isNotNull &&
+          col("s") =!= "" && col("d") =!= ""))
     val hosts = e0.select(col("s").as("host")).union(e0.select(col("d"))).distinct()
     val ids = Checkpoints.cut(
       hosts.as[String].rdd.sortBy(identity).zipWithIndex().toDF("host", "hid"))
