@@ -1906,8 +1906,11 @@ object CorpusOps {
     require(nShards > 0, s"nShards must be > 0, got $nShards")
     val spark = items.sparkSession
     import spark.implicits._
-    items
-      .select(col("doc_id").cast("long"), col("weight").cast("long"))
+    // cut before the RDD sort: the range-partitioner sample pass would
+    // otherwise execute the caller's weight derivation a second time
+    // (the hostTierTable discipline)
+    Checkpoints.cut(items
+        .select(col("doc_id").cast("long"), col("weight").cast("long")))
       .as[(Long, Long)].rdd
       .sortBy({ case (id, wt) => (-wt, id) })
       .zipWithIndex()
@@ -2117,8 +2120,11 @@ object CorpusOps {
         if (c != 0) c else compareCodePoints(a._2, b._2)
       }
     }
-    val hostShard = d.groupBy(col("host"))
-      .agg(sum(col("n_chars")).as("host_weight"))
+    // the host-weight aggregate is cut before the RDD sort: the
+    // range-partitioner sample pass would otherwise run the corpus
+    // aggregation a second time (the hostTierTable discipline)
+    val hostShard = Checkpoints.cut(d.groupBy(col("host"))
+        .agg(sum(col("n_chars")).as("host_weight")))
       .as[(String, Long)].rdd
       .sortBy({ case (h, wt) => (-wt, h) })(hostOrd, implicitly)
       .zipWithIndex()
