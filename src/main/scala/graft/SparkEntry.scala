@@ -15,16 +15,22 @@ object SparkEntry {
 
   private def t(sfDir: String, name: String) = s"$sfDir/$name.parquet"
 
-  /** parquet read with the file's schema cached per path: the schema of a
-    * fixed input table is immutable metadata, so later reads in the same
-    * JVM pass it explicitly (the standard production practice of
-    * declaring input schemas) and skip the per-call footer-inference
-    * job. Results are never cached — every query still computes from the
-    * parquet files. */
+  /** parquet read with the file's schema cached per table VERSION: the
+    * schema of a fixed input table is immutable metadata, so later reads
+    * in the same JVM pass it explicitly (the standard production
+    * practice of declaring input schemas) and skip the per-call
+    * footer-inference job. The key carries the table directory's
+    * mtime + entry count, so a table REGENERATED at the same path in the
+    * same JVM re-infers instead of silently reading a stale shape; the
+    * map is bounded by the handful of distinct table versions a session
+    * touches. Results are never cached — every query still computes from
+    * the parquet files. */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
   private def readT(s: SparkSession, path: String): DataFrame = {
-    val sch = schemaCache.computeIfAbsent(path, p => s.read.parquet(p).schema)
+    val f = new java.io.File(path)
+    val key = s"$path:${f.lastModified()}:${Option(f.list()).map(_.length).getOrElse(-1)}"
+    val sch = schemaCache.computeIfAbsent(key, _ => s.read.parquet(path).schema)
     s.read.schema(sch).parquet(path)
   }
 

@@ -96,4 +96,17 @@ private[graft] object Checkpoints {
     * many-round loops (CC's O(log n) rounds) stay on the eager `cut`. */
   def stage(df: DataFrame): DataFrame =
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** read an [[org.apache.spark.sql.Observation]] fired by an already-run
+    * eager job (a `cut`/`eager` materialization), with a bounded wait and
+    * a recompute fallback if metric delivery ever fails — the
+    * connectedComponents pattern (probed by graft.tools.ObsProbe),
+    * defined ONCE so every fused-scalar loop degrades identically. */
+  private[graft] def observed(obs: org.apache.spark.sql.Observation)(
+      fallback: => org.apache.spark.sql.Row): org.apache.spark.sql.Row = {
+    import scala.concurrent.Await
+    import scala.concurrent.duration._
+    try Await.result(obs.future, 30.seconds)
+    catch { case _: java.util.concurrent.TimeoutException => fallback }
+  }
 }

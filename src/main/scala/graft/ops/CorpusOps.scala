@@ -1013,24 +1013,25 @@ object CorpusOps {
             expr(s"($dampingPct * (coalesce(infl, CAST(0 AS BIGINT)) " +
               s"+ (CASE WHEN seed THEN $dangSql div CAST($nSeeds AS BIGINT) " +
               s"ELSE CAST(0 AS BIGINT) END))) div 100")).as("r"))
+      // plan-growth bound: each lazy round references the previous score
+      // table ~3x (inflow join, host projection, dang aggregate), so the
+      // LOGICAL plan grows ~3^rounds — fine for the small fixed counts
+      // the surfaces use, hostile to a caller passing a large
+      // `iterations`. A lineage cut every 3rd round caps every lazy
+      // segment at 3 rounds (value-neutral; no cut fires for
+      // iterations <= 3).
+      if (it % 3 == 0 && it < iterations) ranks = Checkpoints.cut(ranks)
     }
     ranks.select(col("host"), col("outw").as("out_weight"),
       col("seed").as("is_seed"), col("r").as("rank_e12"),
       (col("r") / lit(1e12)).as("rank"))
   }
 
-  /** read an [[org.apache.spark.sql.Observation]] fired by an already-run
-    * eager job (Checkpoints.cut materialization), with a bounded wait and
-    * a recompute fallback if metric delivery ever fails — the
-    * connectedComponents pattern, shared so every fused-scalar loop
-    * degrades identically. */
+  /** fused-scalar observation read — ONE definition for every loop, in
+    * [[Checkpoints.observed]]. */
   private def observed(obs: org.apache.spark.sql.Observation)(
-      fallback: => org.apache.spark.sql.Row): org.apache.spark.sql.Row = {
-    import scala.concurrent.Await
-    import scala.concurrent.duration._
-    try Await.result(obs.future, 30.seconds)
-    catch { case _: java.util.concurrent.TimeoutException => fallback }
-  }
+      fallback: => org.apache.spark.sql.Row): org.apache.spark.sql.Row =
+    Checkpoints.observed(obs)(fallback)
 
   /** HITS hubs & authorities (Kleinberg, JACM 1999) over the host link
     * graph — the classic complement to [[hostRank]]: PageRank says
@@ -1120,7 +1121,7 @@ object CorpusOps {
     val norm = s"div (1 + (t div CAST($m AS BIGINT)))"
     var scores = universe.select(col("host"))
       .withColumn("hub", lit(m / n)).withColumn("auth", lit(0L))
-    for (_ <- 1 to iterations) {
+    for (it <- 1 to iterations) {
       val aRaw = e.join(scores.select(col("host").as("src"), col("hub")), Seq("src"))
         .groupBy(col("dst")).agg(sum(col("hub")).as("a_raw"))
       val ta = aRaw.agg(coalesce(sum(col("a_raw")), lit(0L)).as("t"))
@@ -1138,6 +1139,11 @@ object CorpusOps {
         .select(col("host"),
           expr(s"coalesce(h_raw, CAST(0 AS BIGINT)) $norm").as("hub"),
           col("auth"))
+      // plan-growth bound (the rankFixpoint rule, tighter here: a full
+      // hub+auth round multiplies the plan harder than rank's): cut
+      // every 2nd round so a caller's large `iterations` cannot blow up
+      // analysis; value-neutral, and no cut fires for iterations <= 2.
+      if (it % 2 == 0 && it < iterations) scores = Checkpoints.cut(scores)
     }
     scores.select(col("host"), col("hub").as("hub_e12"), col("auth").as("auth_e12"),
       (col("hub") / lit(1e12)).as("hub"), (col("auth") / lit(1e12)).as("auth"))
@@ -2005,12 +2011,9 @@ object CorpusOps {
         round(TextOps.qualityScore(coalesce(col("text"), lit(""))) * 1000000)
           .cast("long").as("quality_e6"))
       .observe(obs, count(lit(1)).as("n")))
-    val n = {
-      import scala.concurrent.Await
-      import scala.concurrent.duration._
-      try Await.result(obs.future, 30.seconds).getLong(0)
-      catch { case _: java.util.concurrent.TimeoutException => scored.count() }
-    }
+    val n = Checkpoints.observed(obs) {
+      scored.agg(count(lit(1)).as("n")).head()
+    }.getLong(0)
     val ranked = scored
       .as[(Long, Long)].rdd
       .sortBy({ case (id, qe) => (-qe, id) })

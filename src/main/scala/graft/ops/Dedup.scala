@@ -334,12 +334,9 @@ object Dedup {
     //    TWICE; instead prune sigs to candidate ids with one semi-join
     //    (persisted — both verify joins read it) so the equi-joins are
     //    candidate-sized.
-    val nPairs = {
-      import scala.concurrent.Await
-      import scala.concurrent.duration._
-      try Await.result(pairsObs.future, 30.seconds).getLong(0)
-      catch { case _: java.util.concurrent.TimeoutException => pairs.count() }
-    }
+    val nPairs = Checkpoints.observed(pairsObs) {
+      pairs.agg(count(lit(1)).as("n")).head()
+    }.getLong(0)
     val (joinA, joinB, extraRelease: (() => Unit)) =
       if (nPairs <= maxBroadcastPairs)
         (sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
@@ -1127,21 +1124,10 @@ object Dedup {
               org.apache.spark.sql.functions.sum(col("cluster_id"))
                 .cast("decimal(38,0)").as("label_sum")))
         finally propagated.unpersist() // also on failure: no leaked cache
-      val sumDec = {
-        import scala.concurrent.Await
-        import scala.concurrent.duration._
-        // Observation.future is the no-thread timed wait (Await on a
-        // spawned Future(obs.get) would leak one permanently-blocked
-        // thread per timeout, on exactly the degraded path the fallback
-        // exists for)
-        try Await.result(obs.future, 30.seconds)
-          .getAs[java.math.BigDecimal]("label_sum")
-        catch {
-          case _: java.util.concurrent.TimeoutException =>
-            next.agg(org.apache.spark.sql.functions.sum(col("cluster_id"))
-              .cast("decimal(38,0)")).collect()(0).getDecimal(0)
-        }
-      }
+      val sumDec = Checkpoints.observed(obs) {
+        next.agg(org.apache.spark.sql.functions.sum(col("cluster_id"))
+          .cast("decimal(38,0)").as("label_sum")).collect()(0)
+      }.getAs[java.math.BigDecimal]("label_sum")
       labels = next
       // sum over an EMPTY labels frame is null (zero near-dup pairs is a
       // legitimate corpus outcome): converge immediately on the empty result
@@ -1261,19 +1247,11 @@ object Dedup {
         finally ls.unpersist() // also on failure: no leaked round cache
       if (prevSs != null) prevSs.unpersist()
       prevSs = ss
-      val row: org.apache.spark.sql.Row = {
-        import scala.concurrent.Await
-        import scala.concurrent.duration._
-        // Observation.future is the no-thread timed wait (the q26
-        // discipline); the fallback aggregate reuses the SAME metric
-        // columns, so the degraded path cannot compute a different
-        // checksum than the primary one
-        try Await.result(obs.future, 30.seconds)
-        catch {
-          case _: java.util.concurrent.TimeoutException =>
-            ss.agg(cs.head, cs.tail: _*).collect()(0)
-        }
-      }
+      // the fallback aggregate reuses the SAME metric columns, so the
+      // degraded path cannot compute a different checksum than the
+      // primary one
+      val row: org.apache.spark.sql.Row =
+        Checkpoints.observed(obs) { ss.agg(cs.head, cs.tail: _*).collect()(0) }
       // empty edge table: the sums are NULL — fold to 0, the count
       // disambiguates
       def dec(k: String): BigDecimal = {
@@ -1442,10 +1420,10 @@ object Dedup {
       benchmark: DataFrame,
       gramLen: Int = 8): DataFrame = {
     // typed span-gram kernel (the decontaminateSpans discipline; same
-    // tokenization twin and poly-31 window-hash proxy, same
-    // negligible-collision contract — the oracle checks grams
-    // string-equal). NULL text emitted no token array before (size(NULL)
-    // fails the length gate) and emits nothing here.
+    // tokenization twin and the same XXH64 WindowHasher — bit-identical
+    // to the former xxhash64 expression, collision contract unchanged).
+    // NULL text emitted no token array before (size(NULL) fails the
+    // length gate) and emits nothing here.
     val spark0 = documents.sparkSession
     import spark0.implicits._
     def gramHashes(df: DataFrame): DataFrame =
@@ -1459,9 +1437,9 @@ object Dedup {
             val n = toks.length
             if (n < gramLen) Iterator.empty
             else {
+              val wh = new WindowHasher(toks, gramLen)
               val seen = new java.util.HashSet[java.lang.Long]()
-              Iterator.tabulate(n - gramLen + 1)(i =>
-                  spanWindowHash(toks, i, gramLen))
+              Iterator.tabulate(n - gramLen + 1)(i => wh.hash(i))
                 .filter(h => seen.add(h))
                 .map(h => (id, h))
             }
@@ -1689,11 +1667,11 @@ object Dedup {
     import spark0.implicits._
     // typed span-gram kernel (the q109 discipline): tokenization mirrors
     // the former Catalyst split(lower(trim(coalesce(text,''))), '\s+')
-    // exactly (space-only trim, limit -1 split keeping edge empties); the
-    // per-window 64-bit hash is the gramPostings poly-31 over the joined
-    // gram text — an internal candidate proxy only (flagged spans are
-    // what the oracle checks, string-equal in DuckDB), with the jaccard
-    // postings' negligible-collision contract. The former
+    // exactly (space-only trim, limit -1 split keeping edge empties),
+    // and the per-window hash is XXH64(seed 42) over the gram's UTF-8
+    // bytes — BIT-IDENTICAL to the xxhash64(concat_ws(' ', slice(...)))
+    // expression this kernel replaced (WindowHasher; parity-pinned), so
+    // the collision contract is unchanged. The former
     // transform(sequence(...))+xxhash64 expression pair was interpreted
     // per window (higher-order expressions run outside codegen); this is
     // one JIT'd pass.
@@ -1705,8 +1683,10 @@ object Dedup {
           val toks = spanToks(text)
           val n = toks.length
           if (n < gramLen) Iterator.empty
-          else Iterator.tabulate(n - gramLen + 1)(i =>
-            (id, i, spanWindowHash(toks, i, gramLen)))
+          else {
+            val wh = new WindowHasher(toks, gramLen)
+            Iterator.tabulate(n - gramLen + 1)(i => (id, i, wh.hash(i)))
+          }
         }
         .toDF("doc_id", "pos", "gram_hash")
     val benchGrams = gramStarts(benchmark).select(col("gram_hash")).distinct()
@@ -1782,20 +1762,40 @@ object Dedup {
     WS.split(t0.substring(b, e).toLowerCase(java.util.Locale.ROOT), -1)
   }
 
-  /** poly-31 hash of the window's gram text `tok_i .. tok_{i+g-1}` joined
-    * by ' ' — the gramSet/gramPostings hash family, computed without
-    * building the string. */
-  private def spanWindowHash(toks: Array[String], start: Int, g: Int): Long = {
-    var h = 1125899906842597L
-    var w = 0
-    while (w < g) {
-      if (w > 0) h = h * 31 + ' '
-      val s = toks(start + w)
-      var i = 0
-      while (i < s.length) { h = h * 31 + s.charAt(i); i += 1 }
-      w += 1
+  /** per-doc gram-window hasher for the typed span kernels: XXH64 with
+    * seed 42 over the UTF-8 bytes of `concat_ws(' ', toks[i..i+g-1])` —
+    * BIT-IDENTICAL to the Catalyst `xxhash64(concat_ws(' ', slice(...)))`
+    * the kernels replaced (parity-pinned in OpsSpec), so the collision
+    * contract is exactly the expression path's ~2^-64, not a weaker
+    * polynomial class. Token bytes encode once per doc; windows fill a
+    * growable reuse buffer. */
+  private final class WindowHasher(toks: Array[String], g: Int) {
+    private val tb: Array[Array[Byte]] =
+      toks.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    private var buf = new Array[Byte](64)
+    def hash(start: Int): Long = {
+      var len = g - 1
+      var w = 0
+      while (w < g) { len += tb(start + w).length; w += 1 }
+      if (buf.length < len) buf = new Array[Byte](math.max(len, buf.length * 2))
+      var off = 0
+      w = 0
+      while (w < g) {
+        if (w > 0) { buf(off) = ' '.toByte; off += 1 }
+        val b = tb(start + w)
+        System.arraycopy(b, 0, buf, off, b.length)
+        off += b.length
+        w += 1
+      }
+      Xx64.hash(buf, len, 42L)
     }
-    h
+  }
+
+  /** test hook: XXH64(seed 42) of a string's UTF-8 bytes — the value
+    * Spark's `xxhash64(stringCol)` computes (OpsSpec pins the parity). */
+  private[graft] def xx64String(s: String): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    Xx64.hash(b, b.length, 42L)
   }
 
   /** shared middle of the keep-first unit dedups (`corpusLineDedup`,
@@ -3010,5 +3010,83 @@ object Dedup {
         when(col("n_bytes") > 0,
           expr("(shared_bytes * 1000000) div n_bytes")).otherwise(lit(0L)))
     Checkpoints.eager(out) { chunks.unpersist() }
+  }
+}
+
+/** XXH64 (Yann Collet's xxHash, public-domain spec) over a byte array —
+  * the hash Spark's `xxhash64` expression applies to a string column's
+  * UTF-8 bytes (seed 42). Reimplemented here so typed kernels can emit
+  * values bit-identical to the Catalyst expression they replace; the
+  * OpsSpec parity test pins every length class (empty, <4, <8, <32,
+  * stripe remainder, multi-stripe, non-ASCII). */
+private[graft] object Xx64 {
+  private final val P1 = 0x9E3779B185EBCA87L
+  private final val P2 = 0xC2B2AE3D27D4EB4FL
+  private final val P3 = 0x165667B19E3779F9L
+  private final val P4 = 0x85EBCA77C2B2AE63L
+  private final val P5 = 0x27D4EB2F165667C5L
+
+  private def longLE(d: Array[Byte], o: Int): Long =
+    (d(o) & 0xffL) |
+      ((d(o + 1) & 0xffL) << 8) |
+      ((d(o + 2) & 0xffL) << 16) |
+      ((d(o + 3) & 0xffL) << 24) |
+      ((d(o + 4) & 0xffL) << 32) |
+      ((d(o + 5) & 0xffL) << 40) |
+      ((d(o + 6) & 0xffL) << 48) |
+      ((d(o + 7) & 0xffL) << 56)
+
+  private def intLE(d: Array[Byte], o: Int): Long =
+    ((d(o) & 0xffL) |
+      ((d(o + 1) & 0xffL) << 8) |
+      ((d(o + 2) & 0xffL) << 16) |
+      ((d(o + 3) & 0xffL) << 24)) & 0xffffffffL
+
+  def hash(data: Array[Byte], len: Int, seed: Long): Long = {
+    import java.lang.Long.rotateLeft
+    var off = 0
+    var h = 0L
+    if (len >= 32) {
+      var v1 = seed + P1 + P2
+      var v2 = seed + P2
+      var v3 = seed
+      var v4 = seed - P1
+      val limit = len - 32
+      while (off <= limit) {
+        v1 = rotateLeft(v1 + longLE(data, off) * P2, 31) * P1
+        v2 = rotateLeft(v2 + longLE(data, off + 8) * P2, 31) * P1
+        v3 = rotateLeft(v3 + longLE(data, off + 16) * P2, 31) * P1
+        v4 = rotateLeft(v4 + longLE(data, off + 24) * P2, 31) * P1
+        off += 32
+      }
+      h = rotateLeft(v1, 1) + rotateLeft(v2, 7) + rotateLeft(v3, 12) +
+        rotateLeft(v4, 18)
+      h = (h ^ (rotateLeft(v1 * P2, 31) * P1)) * P1 + P4
+      h = (h ^ (rotateLeft(v2 * P2, 31) * P1)) * P1 + P4
+      h = (h ^ (rotateLeft(v3 * P2, 31) * P1)) * P1 + P4
+      h = (h ^ (rotateLeft(v4 * P2, 31) * P1)) * P1 + P4
+    } else h = seed + P5
+    h += len
+    while (off + 8 <= len) {
+      h ^= rotateLeft(longLE(data, off) * P2, 31) * P1
+      h = rotateLeft(h, 27) * P1 + P4
+      off += 8
+    }
+    if (off + 4 <= len) {
+      h ^= intLE(data, off) * P1
+      h = rotateLeft(h, 23) * P2 + P3
+      off += 4
+    }
+    while (off < len) {
+      h ^= (data(off) & 0xffL) * P5
+      h = rotateLeft(h, 11) * P1
+      off += 1
+    }
+    h ^= h >>> 33
+    h *= P2
+    h ^= h >>> 29
+    h *= P3
+    h ^= h >>> 32
+    h
   }
 }

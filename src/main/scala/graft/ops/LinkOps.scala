@@ -577,12 +577,9 @@ object LinkOps {
       val obs = org.apache.spark.sql.Observation(s"kcore_round_$round")
       val next = Checkpoints.cut(deg.filter(col("deg") >= k).select(col("v"))
         .observe(obs, count(lit(1)).as("n")))
-      val n = {
-        import scala.concurrent.Await
-        import scala.concurrent.duration._
-        try Await.result(obs.future, 30.seconds).getLong(0)
-        catch { case _: java.util.concurrent.TimeoutException => next.count() }
-      }
+      val n = Checkpoints.observed(obs) {
+        next.agg(count(lit(1)).as("n")).head()
+      }.getLong(0)
       und = undNext
       // A_{i+1} ⊆ A_i (an excluded node has no induced edges, hence no
       // degree row), so count equality IS set equality — fixpoint

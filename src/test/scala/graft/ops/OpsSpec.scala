@@ -2731,6 +2731,36 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("partial_"), s"expected map-side partial aggregation:\n$plan")
   }
 
+  test("Xx64: bit-identical to Spark's xxhash64 expression on every length class") {
+    // the typed span kernels replace xxhash64(concat_ws(' ', slice(...)))
+    // with Xx64 over the same UTF-8 bytes; this parity pin covers empty,
+    // <4, <8, <32, exact stripe multiples, stripe remainders, and
+    // non-ASCII (2/3/4-byte UTF-8) inputs plus seeded random strings
+    val rng = new scala.util.Random(4242)
+    val fixed = Seq("", "a", "ab", "abc", "abcd", "abcde", "abcdefg",
+      "abcdefgh", "abcdefghi", "a" * 31, "a" * 32, "a" * 33, "a" * 64,
+      "a" * 100, "héllo wörld", "日本語のテキスト", "emoji 😀 mix",
+      "tab\tand\nnewline", "two words here")
+    val rand = (1 to 120).map { _ =>
+      val n = rng.nextInt(80)
+      (1 to n).map { _ =>
+        val r = rng.nextInt(100)
+        if (r < 70) ('a' + rng.nextInt(26)).toChar.toString
+        else if (r < 80) " "
+        else if (r < 90) ('à' + rng.nextInt(20)).toChar.toString
+        else ('一' + rng.nextInt(500)).toChar.toString
+      }.mkString
+    }
+    val all = (fixed ++ rand).distinct
+    val viaSpark = all.toDF("s")
+      .select(col("s"), xxhash64(col("s")).as("h")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    all.foreach { s =>
+      assert(Dedup.xx64String(s) == viaSpark(s),
+        s"Xx64 diverges from Spark xxhash64 on ${s.take(40)} (len ${s.length})")
+    }
+  }
+
   test("decontaminateSpans: covered windows cut, clean docs pass through, overlaps merge") {
     // 9 bench tokens => TWO 8-gram windows; embedding them in a doc makes
     // two OVERLAPPING bad windows whose covered union is 9 tokens
