@@ -920,6 +920,16 @@ object CorpusOps {
       dampingPct: Int = 85): DataFrame =
     rankFixpoint(edges, Some(seeds), iterations, dampingPct)
 
+  /** host-count threshold between the two (value-identical) fixed-round
+    * loop shapes in [[rankFixpoint]] / [[hits]]: lazy round chaining
+    * below it (barrier jobs dominate small graphs — bench-scale A/B:
+    * q83 1.44s -> 0.81s at ~520 hosts), a lineage cut per round above it
+    * (re-referenced host-sized subtrees dominate big graphs — 2M-edge /
+    * 133k-host A/B at 8 cores: lazy measured ~5-15% slower). The
+    * measured win/regress points bracket the threshold by >6x each
+    * side. */
+  private val lazyHostCap = 20000L
+
   /** shared exact-integer power-iteration core of [[hostRank]] /
     * [[trustRank]]; `seeds` = None means teleport-everywhere (S = N).
     * Semantics + scale shape documented on hostRank above. */
@@ -1013,14 +1023,20 @@ object CorpusOps {
             expr(s"($dampingPct * (coalesce(infl, CAST(0 AS BIGINT)) " +
               s"+ (CASE WHEN seed THEN $dangSql div CAST($nSeeds AS BIGINT) " +
               s"ELSE CAST(0 AS BIGINT) END))) div 100")).as("r"))
-      // plan-growth bound: each lazy round references the previous score
-      // table ~3x (inflow join, host projection, dang aggregate), so the
-      // LOGICAL plan grows ~3^rounds — fine for the small fixed counts
-      // the surfaces use, hostile to a caller passing a large
-      // `iterations`. A lineage cut every 3rd round caps every lazy
-      // segment at 3 rounds (value-neutral; no cut fires for
-      // iterations <= 3).
-      if (it % 3 == 0 && it < iterations) ranks = Checkpoints.cut(ranks)
+      // cut cadence is DATA-ADAPTIVE (value-neutral either way):
+      //  - small graphs (n <= lazyHostCap) keep the round chain lazy —
+      //    per-round barrier jobs dominate there (interleaved A/B at
+      //    bench scale, ~520 hosts: 1.44s -> 0.81s for q83), with a cut
+      //    every 3rd round ONLY as the plan-growth bound (each lazy
+      //    round references the previous table ~3x, so the logical plan
+      //    grows ~3^rounds and an uncapped `iterations` would blow up
+      //    analysis; no cut fires for iterations <= 3);
+      //  - big graphs cut every round — the re-referenced host-sized
+      //    subtrees above reused exchanges stop being noise there
+      //    (interleaved A/B at 2M edges / 133k hosts, 8 cores: the lazy
+      //    chain measured ~5-15% SLOWER than per-round cuts).
+      if ((n > lazyHostCap || it % 3 == 0) && it < iterations)
+        ranks = Checkpoints.cut(ranks)
     }
     ranks.select(col("host"), col("outw").as("out_weight"),
       col("seed").as("is_seed"), col("r").as("rank_e12"),
@@ -1139,11 +1155,15 @@ object CorpusOps {
         .select(col("host"),
           expr(s"coalesce(h_raw, CAST(0 AS BIGINT)) $norm").as("hub"),
           col("auth"))
-      // plan-growth bound (the rankFixpoint rule, tighter here: a full
-      // hub+auth round multiplies the plan harder than rank's): cut
-      // every 2nd round so a caller's large `iterations` cannot blow up
-      // analysis; value-neutral, and no cut fires for iterations <= 2.
-      if (it % 2 == 0 && it < iterations) scores = Checkpoints.cut(scores)
+      // cut cadence is DATA-ADAPTIVE like rankFixpoint's (value-neutral
+      // either way): lazy chaining below lazyHostCap (barrier jobs
+      // dominate small graphs), a cut per round above it (re-referenced
+      // host-sized subtrees dominate big ones); the every-2nd-round cut
+      // in the lazy regime is the plan-growth bound (a full hub+auth
+      // round multiplies the plan harder than rank's; no cut fires for
+      // iterations <= 2).
+      if ((n > lazyHostCap || it % 2 == 0) && it < iterations)
+        scores = Checkpoints.cut(scores)
     }
     scores.select(col("host"), col("hub").as("hub_e12"), col("auth").as("auth_e12"),
       (col("hub") / lit(1e12)).as("hub"), (col("auth") / lit(1e12)).as("auth"))
